@@ -1,0 +1,120 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.plan.{Analyzer, PlanConfig}
+import graft.meta.Catalog
+
+/** The copy pipeline — Spark-native re-expression of the reference's
+  * orchestrator (`client/SmartBulkCopy.cs:74-250`):
+  *
+  *   test connections → safety checks → table list → collect info →
+  *   analyze → truncate → parallel copy → verify rowcounts → sync identity
+  *
+  * The reference drains a `ConcurrentQueue&lt;CopyInfo&gt;` with K worker
+  * threads (`SmartBulkCopy.cs:165-194`); here each table's slice fan-out is
+  * a union of slice DataFrames written in ONE job, so Spark's scheduler
+  * replaces the queue: every slice is at least one task, tasks run K-wide
+  * across the cluster, and task retries replace the per-item retry loop.
+  */
+object Pipeline {
+
+  final case class CopyResult(
+      table: String,
+      workItems: Int,
+      sliceKind: String,
+      srcRows: Long,
+      dstRows: Long,
+      ok: Boolean)
+
+  /** Safety check — reference `SmartBulkCopy.cs:111-133`: the source must
+    * be immutable while the parallel slices run (DB snapshot or read-only).
+    * Parquet inputs are immutable by nature; the check degrades to "the
+    * source exists and is readable with a non-empty schema".
+    */
+  def safetyCheck(spark: SparkSession, sfDir: String, table: String): Boolean = {
+    try {
+      val df = Scans.table(spark, sfDir, table)
+      df.schema.nonEmpty
+    } catch { case _: Exception => false }
+  }
+
+  /** Wildcard table-list expansion — reference `SmartBulkCopy.cs:812-911`:
+    * `*` patterns against the catalog, `+:`/`-:` prefixed include/exclude
+    * entries applied in order, then distinct.
+    */
+  def expandTableList(patterns: Seq[String], catalog: Seq[String] = Catalog.tableNames): Seq[String] = {
+    def matches(pat: String, name: String): Boolean = {
+      // wildcard → regex, as SmartBulkCopy.cs:864-868
+      val rx = ("^" + java.util.regex.Pattern.quote(pat).replace("*", "\\E.*\\Q") + "$").r
+      rx.findFirstIn(name).isDefined
+    }
+    var selected = Vector.empty[String]
+    patterns.foreach { p =>
+      if (p.startsWith("-:")) {
+        val pat = p.drop(2)
+        selected = selected.filterNot(matches(pat, _))
+      } else {
+        val pat = if (p.startsWith("+:")) p.drop(2) else p
+        selected = selected ++ catalog.filter(matches(pat, _))
+      }
+    }
+    selected.distinct
+  }
+
+  /** Build one table's copy DataFrame from its planned work items: the
+    * union of all slice scans. Disjoint + exhaustive slicing makes the
+    * union equal to the table (property-tested).
+    */
+  def copyFrame(spark: SparkSession, sfDir: String, items: Seq[WorkItem]): DataFrame = {
+    require(items.nonEmpty)
+    val pExpr = (df: DataFrame) =>
+      items.head.table.partitionCol.map(c => Pipeline.partitionNumber(col(c)))
+        .getOrElse(lit(1))
+    items.map(Scans.forWorkItem(spark, sfDir, _, pExpr)).reduce(_ unionAll _)
+  }
+
+  /** Synthetic physical-partition function over the testdata: ship-year
+    * ordinal (1995→1, …, 2001→7). The analog of the reference's
+    * `$partition.pf(col)` RANGE partition function
+    * (`tests/sql/setup-reference-sample-test-table.sql:73-82`).
+    */
+  def partitionNumber(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    year(c) - lit(1994)
+
+  /** Copy one table end-to-end: plan → scan slices → bulk insert →
+    * reconcile. `destDir` is the destination "database".
+    */
+  def copyTable(
+      spark: SparkSession,
+      sfDir: String,
+      destDir: String,
+      src: TableMeta,
+      dst: TableMeta,
+      conf: PlanConfig = PlanConfig()): CopyResult = {
+    require(safetyCheck(spark, sfDir, src.name), s"safety check failed for ${src.name}")
+    val items = Analyzer.analyze(src, dst, conf) match {
+      case AnalysisOutcome.Success(is) => is
+      case other => throw new IllegalStateException(s"${src.name}: $other")
+    }
+    val df = copyFrame(spark, sfDir, items)
+    val dest = s"$destDir/${dst.name}.parquet"
+    Retry.withRetry(maxAttempts = 5) {
+      Sinks.bulkInsert(df, dest,
+        orderHint = items.head.orderHint,
+        overwrite = true, // truncate_sink semantics (SmartBulkCopy.cs:391-396)
+        columnstoreDest = dst.storage == Storage.ClusteredColumnstore,
+        batchSizeRows = conf.batchSize)
+    }
+    val (s, d, ok) = Sinks.rowcountCheck(
+      Scans.table(spark, sfDir, src.name),
+      spark.read.parquet(dest))
+    val kind = items.head.slice match {
+      case SliceSpec.Whole       => "none"
+      case _: SliceSpec.Physical => "physical"
+      case _: SliceSpec.Logical  => "logical"
+    }
+    CopyResult(src.name, items.size, kind, s, d, ok)
+  }
+}

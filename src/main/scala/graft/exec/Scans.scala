@@ -1,0 +1,96 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Scan builders — the Spark realization of the reference's generated
+  * `SELECT` text (`client/SmartBulkCopy.cs:422-438`, `client/CopyInfo.cs`).
+  * Everything stays declarative so Catalyst pushes projections and
+  * predicates into the parquet scan (check `.explain`: `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Scans {
+
+  /** Read one testdata table. Filters/projections applied downstream are
+    * pushed into this scan by Catalyst.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
+    * arrives as a long that we truncate to Spark's native microsecond
+    * timestamp (integer division — no double rounding at 1e18 magnitude).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+
+  /** Explicit-column-list projection, excluding computed / column-set /
+    * rowversion columns — reference `CopyInfo.cs:24-27` (select-list
+    * generation) + `TableInfoCollector.cs:391-414` (exclusion policy).
+    * Catalyst's ColumnPruning turns this into a narrow parquet ReadSchema.
+    */
+  def project(df: DataFrame, excluded: Seq[String]): DataFrame = {
+    val cols = df.columns.filterNot(excluded.contains(_)).map(col).toSeq
+    df.select(cols: _*)
+  }
+
+  /** Deterministic, disjoint, exhaustive hash-mod slice of an immutable
+    * snapshot — the `%%PhysLoc%% % N = i` logical partition of the
+    * reference (`CopyInfo.cs:58-68`, `README.md:58-74`).
+    *
+    * Two key expressions:
+    *  - [[sliceKeyPortable]]: plain integer arithmetic over key columns,
+    *    computable identically by any ANSI engine (used by oracled queries);
+    *  - [[sliceKeyHash]]: `xxhash64` over all columns — the scale path for
+    *    tables without a compact integer key (not oracle-portable).
+    * Both satisfy the reference's contract: the union of the N slices is
+    * the table and pairwise intersections are empty (property-tested in
+    * `graft.PlannerSpec`).
+    */
+  def sliceKeyPortable(keyCols: Seq[String]): Column =
+    keyCols.map(c => col(c).cast("long")).reduce((a, b) => a * lit(31L) + b)
+
+  def sliceKeyHash(df: DataFrame): Column =
+    abs(xxhash64(df.columns.map(col).toSeq: _*))
+
+  def logicalSlice(df: DataFrame, key: Column, count: Int, index: Int): DataFrame =
+    df.filter(pmod(key, lit(count.toLong)) === lit(index.toLong))
+
+  /** Physical-partition scan: `WHERE $partition.pf(col) = n`
+    * (`CopyInfo.cs:47-56`). Our synthetic partition function over testdata
+    * is `year(l_shipdate)`-style truncation; on a directory-partitioned
+    * source the same filter prunes at the file listing.
+    */
+  def physicalPartition(df: DataFrame, partitionExpr: Column, value: Column): DataFrame =
+    df.filter(partitionExpr === value)
+
+  /** Ordered scan — reference `SmartBulkCopy.cs:429-438`. The reference
+    * orders *each partition's stream*, not the whole table, so the Spark
+    * analog is `sortWithinPartitions` (a global `orderBy` would pay a
+    * range-shuffle the reference never pays).
+    */
+  def orderedWithinPartitions(df: DataFrame, keys: Seq[SortKey]): DataFrame = {
+    val cols = keys.map(k => if (k.descending) col(k.col).desc else col(k.col).asc)
+    if (cols.isEmpty) df else df.sortWithinPartitions(cols: _*)
+  }
+
+  /** Build the DataFrame for one planner work item. */
+  def forWorkItem(spark: SparkSession, sfDir: String, item: WorkItem,
+      partitionExpr: DataFrame => Column = df => lit(1)): DataFrame = {
+    val base = project(table(spark, sfDir, item.table.name), item.table.excludedColumns)
+    val sliced = item.slice match {
+      case SliceSpec.Whole => base
+      case SliceSpec.Physical(_, n) =>
+        physicalPartition(base, partitionExpr(base), lit(n))
+      case SliceSpec.Logical(keys, n, i) =>
+        val key = if (keys.nonEmpty) abs(sliceKeyPortable(keys)) else sliceKeyHash(base)
+        logicalSlice(base, key, n, i)
+    }
+    orderedWithinPartitions(sliced, item.orderHint)
+  }
+}

