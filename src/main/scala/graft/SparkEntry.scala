@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** All declared capabilities, core + extensions. */
   def registry: Seq[QueryDef] =
-    CoreQueries.entries
+    CoreQueries.entries ++ MetaQueries.entries ++ PipelineQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

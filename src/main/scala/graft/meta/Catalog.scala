@@ -82,26 +82,28 @@ object Catalog {
   // 2 = nonclustered (reference `TableInfoCollector.cs:220-368`).
   // ---------------------------------------------------------------------
 
+  /** Raw catalog rows, shared by the Spark DataFrames below and the DuckDB
+    * oracle `VALUES` CTEs ([[valuesCte]]) so both sides of the correctness
+    * gate are generated from one source of truth.
+    */
+  lazy val tableRows: Seq[(Int, String, String, Option[Int], Option[Int])] = {
+    tableNames.zipWithIndex.map { case (n, i) =>
+      val m = declared(n)
+      (i + 1, m.schema, n, m.history.map(_ => 100), m.history.map(_.retentionDays))
+    } :+ ((100, "main", "orders_history", None, None))
+  }
+
   /** `sys.tables ⋈ sys.schemas`-shaped catalog: (object_id, schema_name,
     * table_name, history_table_id, history_retention_period).
     */
   def sysTables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // orders is system-versioned with history table orders_history (id 100)
-    val rows = tableNames.zipWithIndex.map { case (n, i) =>
-      val m = declared(n)
-      val histId: Option[Int] = m.history.map(_ => 100)
-      val retention: Option[Int] = m.history.map(_.retentionDays)
-      (i + 1, m.schema, n, histId, retention)
-    } :+ ((100, "main", "orders_history", None: Option[Int], None: Option[Int]))
-    rows.toDF("object_id", "schema_name", "table_name", "history_table_id",
+    tableRows.toDF("object_id", "schema_name", "table_name", "history_table_id",
       "history_retention_period")
   }
 
-  /** `sys.indexes`-shaped: (object_id, index_id, index_type, index_name). */
-  def sysIndexes(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rows = tableNames.zipWithIndex.flatMap { case (n, i) =>
+  lazy val indexRows: Seq[(Int, Int, Int, String)] =
+    tableNames.zipWithIndex.flatMap { case (n, i) =>
       val m = declared(n)
       val primary = m.storage match {
         case Storage.Heap                  => (i + 1, 0, 0, s"heap_$n")
@@ -111,15 +113,15 @@ object Catalog {
       val secondary = (1 to m.secondaryIndexCount).map(k => (i + 1, 1 + k, 2, s"ix_${n}_$k"))
       primary +: secondary
     }
-    rows.toDF("object_id", "index_id", "index_type", "index_name")
+
+  /** `sys.indexes`-shaped: (object_id, index_id, index_type, index_name). */
+  def sysIndexes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    indexRows.toDF("object_id", "index_id", "index_type", "index_name")
   }
 
-  /** `sys.index_columns`-shaped: (object_id, index_id, column_id,
-    * key_ordinal, is_descending_key, partition_ordinal).
-    */
-  def sysIndexColumns(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rows = tableNames.zipWithIndex.flatMap { case (n, i) =>
+  lazy val indexColumnRows: Seq[(Int, Int, Int, Int, Int, Int)] =
+    tableNames.zipWithIndex.flatMap { case (n, i) =>
       val m = declared(n)
       val colIds = columnIds(n)
       val keyRows = m.sortKeys.zipWithIndex.map { case (k, ord) =>
@@ -130,24 +132,43 @@ object Catalog {
       }
       keyRows ++ partRows
     }
-    rows.toDF("object_id", "index_id", "column_id", "key_ordinal",
+
+  /** `sys.index_columns`-shaped: (object_id, index_id, column_id,
+    * key_ordinal, is_descending_key, partition_ordinal).
+    */
+  def sysIndexColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    indexColumnRows.toDF("object_id", "index_id", "column_id", "key_ordinal",
       "is_descending_key", "partition_ordinal")
   }
 
-  /** `sys.columns`-shaped: (object_id, column_id, column_name, is_computed,
-    * system_type_id). Built from the real parquet schemas so the column
-    * inventory is discovered, not hard-coded
-    * (`TableInfoCollector.cs:391-414`).
-    */
-  def sysColumns(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val rows = tableNames.zipWithIndex.flatMap { case (n, i) =>
-      Scans.table(spark, sfDir, n).columns.zipWithIndex.map { case (c, j) =>
-        (i + 1, j + 1, c, 0, 0)
-      }
+  lazy val columnRows: Seq[(Int, Int, String, Int, Int)] =
+    tableNames.zipWithIndex.flatMap { case (n, i) =>
+      schemaColumns(n).zipWithIndex.map { case (c, j) => (i + 1, j + 1, c, 0, 0) }
     }
-    rows.toDF("object_id", "column_id", "column_name", "is_computed",
+
+  /** `sys.columns`-shaped: (object_id, column_id, column_name, is_computed,
+    * system_type_id) — reference `TableInfoCollector.cs:391-414`.
+    */
+  def sysColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    columnRows.toDF("object_id", "column_id", "column_name", "is_computed",
       "system_type_id")
+  }
+
+  /** Period columns of system-versioned tables — the
+    * `generated_always_type` 1/2 marks the reference reads via two
+    * correlated scalar subqueries (`TableInfoCollector.cs:442-454`):
+    * (object_id, column_name, generated_always_type).
+    */
+  lazy val periodRows: Seq[(Int, String, Int)] = tableNames.zipWithIndex.flatMap {
+    case (n, i) => declared(n).history.toSeq.flatMap(h =>
+      Seq((i + 1, h.periodStartColumn, 1), (i + 1, h.periodEndColumn, 2)))
+  }
+
+  def sysPeriods(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    periodRows.toDF("object_id", "column_name", "generated_always_type")
   }
 
   /** Column name → 1-based column id, from the canonical schema order. */
@@ -168,33 +189,72 @@ object Catalog {
     "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
+  lazy val partitionFunctionRows: Seq[(Int, String, Int)] =
+    tableNames.zipWithIndex.collect {
+      case (n, i) if declared(n).partitionCount > 1 =>
+        (i + 1, s"pf_$n", declared(n).partitionCount)
+    }
+
   /** `sys.partition_schemes/functions`-shaped: one row per partitioned
     * table: (object_id, function_name, fanout) — reference
     * `TableAnalyzer.cs:313-338`.
     */
   def sysPartitionFunctions(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rows = tableNames.zipWithIndex.collect {
-      case (n, i) if declared(n).partitionCount > 1 =>
-        (i + 1, s"pf_$n", declared(n).partitionCount)
-    }
-    rows.toDF("object_id", "function_name", "fanout")
+    partitionFunctionRows.toDF("object_id", "function_name", "fanout")
   }
+
+  private def id(n: String) = tableNames.indexOf(n) + 1
+
+  lazy val foreignKeyRows: Seq[(String, Int, Int)] = Seq(
+    ("fk_nation_region",     id("nation"),   id("region")),
+    ("fk_customer_nation",   id("customer"), id("nation")),
+    ("fk_supplier_nation",   id("supplier"), id("nation")),
+    ("fk_orders_customer",   id("orders"),   id("customer")),
+    ("fk_lineitem_orders",   id("lineitem"), id("orders")),
+    ("fk_lineitem_part",     id("lineitem"), id("part")),
+    ("fk_lineitem_supplier", id("lineitem"), id("supplier")))
 
   /** `sys.foreign_keys`-shaped: (fk_name, parent_object_id,
     * referenced_object_id) — reference `TableInfoCollector.cs:483-501`.
     */
   def sysForeignKeys(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    def id(n: String) = tableNames.indexOf(n) + 1
-    Seq(
-      ("fk_nation_region",     id("nation"),   id("region")),
-      ("fk_customer_nation",   id("customer"), id("nation")),
-      ("fk_supplier_nation",   id("supplier"), id("nation")),
-      ("fk_orders_customer",   id("orders"),   id("customer")),
-      ("fk_lineitem_orders",   id("lineitem"), id("orders")),
-      ("fk_lineitem_part",     id("lineitem"), id("part")),
-      ("fk_lineitem_supplier", id("lineitem"), id("supplier"))
-    ).toDF("fk_name", "parent_object_id", "referenced_object_id")
+    foreignKeyRows.toDF("fk_name", "parent_object_id", "referenced_object_id")
   }
+
+  // ---------------------------------------------------------------------
+  // DuckDB-oracle side: render the same catalog rows as SQL VALUES CTEs.
+  // ---------------------------------------------------------------------
+
+  private def lit(v: Any): String = v match {
+    case None            => "NULL"
+    case Some(x)         => lit(x)
+    case s: String       => "'" + s.replace("'", "''") + "'"
+    case n               => n.toString
+  }
+
+  def valuesCte(name: String, cols: Seq[String], rows: Seq[Product]): String = {
+    val body = rows.map(r => "(" + r.productIterator.map(lit).mkString(", ") + ")")
+      .mkString(", ")
+    s"$name(${cols.mkString(", ")}) AS (VALUES $body)"
+  }
+
+  def sysTablesCte: String = valuesCte("sys_tables",
+    Seq("object_id", "schema_name", "table_name", "history_table_id",
+      "history_retention_period"), tableRows)
+  def sysIndexesCte: String = valuesCte("sys_indexes",
+    Seq("object_id", "index_id", "index_type", "index_name"), indexRows)
+  def sysIndexColumnsCte: String = valuesCte("sys_index_columns",
+    Seq("object_id", "index_id", "column_id", "key_ordinal",
+      "is_descending_key", "partition_ordinal"), indexColumnRows)
+  def sysColumnsCte: String = valuesCte("sys_columns",
+    Seq("object_id", "column_id", "column_name", "is_computed",
+      "system_type_id"), columnRows)
+  def sysPeriodsCte: String = valuesCte("sys_periods",
+    Seq("object_id", "column_name", "generated_always_type"), periodRows)
+  def sysPartitionFunctionsCte: String = valuesCte("sys_partition_functions",
+    Seq("object_id", "function_name", "fanout"), partitionFunctionRows)
+  def sysForeignKeysCte: String = valuesCte("sys_foreign_keys",
+    Seq("fk_name", "parent_object_id", "referenced_object_id"), foreignKeyRows)
 }

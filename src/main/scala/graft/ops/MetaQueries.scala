@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.meta.Catalog
+
+/** Catalog-introspection queries — the Spark re-expression of the
+  * reference's `TableInfoCollector` / `TableAnalyzer` metadata SQL
+  * (SURVEY.md §2 `meta_*` rows). The testdata has no `sys.*` views, so
+  * the same join/aggregate shapes run over the synthesized catalog
+  * DataFrames in [[graft.meta.Catalog]]; each oracle renders the same rows
+  * as `VALUES` CTEs, so both sides derive from one source of truth.
+  *
+  * These are classic small-dimension joins: every input fits in one
+  * broadcast, so Catalyst plans BroadcastHashJoins with no shuffle — the
+  * right plan at any scale since catalogs stay tiny even at 100 TB of
+  * data.
+  */
+object MetaQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // meta_index_info — 3-way equi-join over the catalog: ordered key
+    // columns of each rowstore clustered index, incl. per-column DESC
+    // (reference TableInfoCollector.cs:220-262).
+    // ------------------------------------------------------------------
+    QueryDef("meta_index_info",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     ${Catalog.sysIndexesCte},
+         |     ${Catalog.sysIndexColumnsCte},
+         |     ${Catalog.sysColumnsCte}
+         |SELECT t.table_name, i.index_name, c.column_name,
+         |       ic.key_ordinal, ic.is_descending_key
+         |FROM sys_indexes i
+         |JOIN sys_index_columns ic
+         |  ON i.object_id = ic.object_id AND i.index_id = ic.index_id
+         |JOIN sys_columns c
+         |  ON ic.object_id = c.object_id AND ic.column_id = c.column_id
+         |JOIN sys_tables t ON i.object_id = t.object_id
+         |WHERE i.index_type = 1 AND ic.key_ordinal > 0
+         |ORDER BY t.table_name, ic.key_ordinal""".stripMargin) { (s, dir) =>
+      val i  = Catalog.sysIndexes(s).filter(col("index_type") === 1)
+      val ic = Catalog.sysIndexColumns(s).filter(col("key_ordinal") > 0)
+      val c  = Catalog.sysColumns(s)
+      val t  = Catalog.sysTables(s)
+      i.join(ic, Seq("object_id", "index_id"))
+        .join(c, Seq("object_id", "column_id"))
+        .join(t.select(col("object_id"), col("table_name")), Seq("object_id"))
+        .select(col("table_name"), col("index_name"), col("column_name"),
+          col("key_ordinal"), col("is_descending_key"))
+        .orderBy(col("table_name"), col("key_ordinal"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_partition_function — 4-way inner equi-join resolving each
+    // partitioned table's (partition function, partition column, fanout),
+    // filtered partition_ordinal = 1 (reference TableAnalyzer.cs:313-338).
+    // ------------------------------------------------------------------
+    QueryDef("meta_partition_function",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     ${Catalog.sysIndexesCte},
+         |     ${Catalog.sysIndexColumnsCte},
+         |     ${Catalog.sysColumnsCte},
+         |     ${Catalog.sysPartitionFunctionsCte}
+         |SELECT t.table_name, pf.function_name,
+         |       c.column_name AS partition_column, pf.fanout
+         |FROM sys_indexes i
+         |JOIN sys_partition_functions pf ON i.object_id = pf.object_id
+         |JOIN sys_index_columns ic
+         |  ON i.object_id = ic.object_id AND i.index_id = ic.index_id
+         | AND ic.partition_ordinal = 1
+         |JOIN sys_columns c
+         |  ON ic.object_id = c.object_id AND ic.column_id = c.column_id
+         |JOIN sys_tables t ON i.object_id = t.object_id
+         |WHERE i.index_type IN (0, 1)
+         |ORDER BY t.table_name""".stripMargin) { (s, dir) =>
+      val i  = Catalog.sysIndexes(s).filter(col("index_type").isin(0, 1))
+      val pf = Catalog.sysPartitionFunctions(s)
+      val ic = Catalog.sysIndexColumns(s).filter(col("partition_ordinal") === 1)
+      val c  = Catalog.sysColumns(s)
+      val t  = Catalog.sysTables(s)
+      i.join(pf, Seq("object_id"))
+        .join(ic, Seq("object_id", "index_id"))
+        .join(c, Seq("object_id", "column_id"))
+        .join(t.select(col("object_id"), col("table_name")), Seq("object_id"))
+        .select(col("table_name"), col("function_name"),
+          col("column_name").as("partition_column"), col("fanout"))
+        .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_secondary_index_count — count of indexes with type NOT IN
+    // (0,1,5) per table (reference TableInfoCollector.cs:463-481); left
+    // join keeps zero-count tables.
+    // ------------------------------------------------------------------
+    QueryDef("meta_secondary_index_count",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     ${Catalog.sysIndexesCte}
+         |SELECT t.table_name,
+         |       count(i.index_name) AS secondary_index_count
+         |FROM sys_tables t
+         |LEFT JOIN sys_indexes i
+         |  ON t.object_id = i.object_id AND i.index_type NOT IN (0, 1, 5)
+         |GROUP BY t.table_name
+         |ORDER BY t.table_name""".stripMargin) { (s, dir) =>
+      val t = Catalog.sysTables(s)
+      val i = Catalog.sysIndexes(s)
+      t.join(i.filter(!col("index_type").isin(0, 1, 5)),
+          t("object_id") === i("object_id"), "left")
+        .groupBy(col("table_name"))
+        .agg(count(col("index_name")).as("secondary_index_count"))
+        .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_fk_count — FKs where the table is parent OR referenced: the
+    // disjunctive-predicate count (reference TableInfoCollector.cs:483-501).
+    // ------------------------------------------------------------------
+    QueryDef("meta_fk_count",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     ${Catalog.sysForeignKeysCte}
+         |SELECT t.table_name, count(fk.fk_name) AS fk_count
+         |FROM sys_tables t
+         |LEFT JOIN sys_foreign_keys fk
+         |  ON t.object_id = fk.parent_object_id
+         |  OR t.object_id = fk.referenced_object_id
+         |GROUP BY t.table_name
+         |ORDER BY t.table_name""".stripMargin) { (s, dir) =>
+      val t  = Catalog.sysTables(s)
+      val fk = Catalog.sysForeignKeys(s)
+      t.join(fk,
+          t("object_id") === fk("parent_object_id") ||
+          t("object_id") === fk("referenced_object_id"), "left")
+        .groupBy(col("table_name"))
+        .agg(count(col("fk_name")).as("fk_count"))
+        .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_temporal_info — CASE WHEN table-type classification + self-join
+    // of sys_tables on history_table_id + the two period-column scalar
+    // subqueries + ISNULL/NULLIF retention (reference
+    // TableInfoCollector.cs:416-461). Scalar subqueries are realized as
+    // two small aggregated joins — the decorrelated form Catalyst would
+    // produce anyway.
+    // ------------------------------------------------------------------
+    QueryDef("meta_temporal_info",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     ${Catalog.sysPeriodsCte}
+         |SELECT t.table_name,
+         |       CASE WHEN t.history_table_id IS NOT NULL
+         |            THEN 'SystemVersionedTemporal'
+         |            WHEN t.object_id IN (SELECT history_table_id FROM sys_tables
+         |                                 WHERE history_table_id IS NOT NULL)
+         |            THEN 'HistoryTable' ELSE 'Regular' END AS table_type,
+         |       h.table_name AS history_table_name,
+         |       (SELECT p.column_name FROM sys_periods p
+         |        WHERE p.object_id = t.object_id
+         |          AND p.generated_always_type = 1) AS period_start_column,
+         |       (SELECT p.column_name FROM sys_periods p
+         |        WHERE p.object_id = t.object_id
+         |          AND p.generated_always_type = 2) AS period_end_column,
+         |       coalesce(nullif(t.history_retention_period, 0), -1) AS retention_days
+         |FROM sys_tables t
+         |LEFT JOIN sys_tables h ON t.history_table_id = h.object_id
+         |ORDER BY t.table_name""".stripMargin) { (s, dir) =>
+      val t = Catalog.sysTables(s).as("t")
+      val h = Catalog.sysTables(s).as("h")
+      val p = Catalog.sysPeriods(s)
+      val histIds = Catalog.sysTables(s)
+        .filter(col("history_table_id").isNotNull)
+        .select(col("history_table_id").as("hid")).distinct()
+      val starts = p.filter(col("generated_always_type") === 1)
+        .select(col("object_id").as("ps_oid"),
+          col("column_name").as("period_start_column"))
+      val ends = p.filter(col("generated_always_type") === 2)
+        .select(col("object_id").as("pe_oid"),
+          col("column_name").as("period_end_column"))
+      t.join(h, col("t.history_table_id") === col("h.object_id"), "left")
+        .join(histIds, col("t.object_id") === col("hid"), "left")
+        .join(starts, col("t.object_id") === col("ps_oid"), "left")
+        .join(ends, col("t.object_id") === col("pe_oid"), "left")
+        .select(
+          col("t.table_name"),
+          when(col("t.history_table_id").isNotNull, lit("SystemVersionedTemporal"))
+            .when(col("hid").isNotNull, lit("HistoryTable"))
+            .otherwise(lit("Regular")).as("table_type"),
+          col("h.table_name").as("history_table_name"),
+          col("period_start_column"),
+          col("period_end_column"),
+          coalesce(nullif(col("t.history_retention_period"), lit(0)), lit(-1))
+            .as("retention_days"))
+        .orderBy(col("t.table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // table_exists — existence probe with PARSENAME-style two-part-name
+    // split (reference TableInfoCollector.cs:190-218): qualified or bare
+    // names against sys_tables ⋈ schema.
+    // ------------------------------------------------------------------
+    QueryDef("table_exists",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     probes(probe_name) AS (VALUES ('main.lineitem'),
+         |       ('main.orders_history'), ('other.lineitem'),
+         |       ('main.no_such_table'), ('region'))
+         |SELECT probe_name,
+         |       coalesce(max(CASE WHEN t.table_name IS NOT NULL
+         |                         THEN TRUE ELSE FALSE END), FALSE) AS table_exists
+         |FROM probes p
+         |LEFT JOIN sys_tables t
+         |  ON t.schema_name = CASE WHEN strpos(p.probe_name, '.') > 0
+         |       THEN string_split(p.probe_name, '.')[1] ELSE 'main' END
+         | AND t.table_name = CASE WHEN strpos(p.probe_name, '.') > 0
+         |       THEN string_split(p.probe_name, '.')[2] ELSE p.probe_name END
+         |GROUP BY probe_name
+         |ORDER BY probe_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val probes = Seq("main.lineitem", "main.orders_history", "other.lineitem",
+        "main.no_such_table", "region").toDF("probe_name")
+      val t = Catalog.sysTables(s)
+      // PARSENAME(@t, 2) / PARSENAME(@t, 1) analog: split on '.'
+      val withParts = probes
+        .withColumn("p_schema",
+          when(instr(col("probe_name"), ".") > 0,
+            split(col("probe_name"), "\\.").getItem(0)).otherwise(lit("main")))
+        .withColumn("p_table",
+          when(instr(col("probe_name"), ".") > 0,
+            split(col("probe_name"), "\\.").getItem(1)).otherwise(col("probe_name")))
+      withParts
+        .join(t, withParts("p_schema") === t("schema_name") &&
+          withParts("p_table") === t("table_name"), "left")
+        .groupBy(col("probe_name"))
+        .agg(coalesce(max(col("table_name").isNotNull), lit(false)).as("table_exists"))
+        .orderBy(col("probe_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // config_parse — JSON config → typed options with the tri-modal
+    // `logical-partitions` parse: "auto" | "<n>gb" | "<count>"
+    // (reference SmartBulkCopyConfig.cs:118-222, tri-modal at 152-170).
+    // Spark-first: from_json + when/otherwise + regexp_extract; the
+    // oracle pins the expected parse as literals.
+    // ------------------------------------------------------------------
+    QueryDef("config_parse",
+      """SELECT * FROM (VALUES
+        |  ('auto', 7, 100000, 'auto', CAST(NULL AS DOUBLE)),
+        |  ('count', 16, 50000, 'count', 24.0),
+        |  ('size', 32, 102400, 'size-gb', 8.0))
+        |  AS t(config_name, tasks, batch_size, lp_mode, lp_value)
+        |ORDER BY config_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val confs = Seq(
+        ("auto",  """{"tasks": 7,  "batch-size": 100000, "logical-partitions": "auto"}"""),
+        ("count", """{"tasks": 16, "batch-size": 50000,  "logical-partitions": "24"}"""),
+        ("size",  """{"tasks": 32, "batch-size": 102400, "logical-partitions": "8gb"}"""))
+        .toDF("config_name", "raw")
+      val schema = StructType(Seq(
+        StructField("tasks", IntegerType),
+        StructField("batch-size", IntegerType),
+        StructField("logical-partitions", StringType)))
+      val parsed = confs.withColumn("j", from_json(col("raw"), schema))
+      val lp = col("j").getField("logical-partitions")
+      parsed.select(
+          col("config_name"),
+          col("j").getField("tasks").as("tasks"),
+          col("j").getField("batch-size").as("batch_size"),
+          when(lp === "auto", lit("auto"))
+            .when(lp.rlike("^[0-9.]+[Gg][Bb]$"), lit("size-gb"))
+            .otherwise(lit("count")).as("lp_mode"),
+          when(lp === "auto", lit(null).cast("double"))
+            .when(lp.rlike("^[0-9.]+[Gg][Bb]$"),
+              regexp_extract(lp, "^([0-9.]+)", 1).cast("double"))
+            .otherwise(lp.cast("double")).as("lp_value"))
+        .orderBy(col("config_name"))
+    })
+}

@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exec.{CopyMonitor, Pipeline, Retry, Scans, Sinks}
+import graft.meta.Catalog
+import graft.model._
+import graft.plan.{Analyzer, PartitionStrategy, PlanConfig}
+
+/** Dataflow-side operators of the reference — truncate-and-load, ordered
+  * load, work-queue fan-out, retry, monitoring, safety gate, temporal DDL
+  * orchestration, UDT binary passthrough (SURVEY.md §2). Each query runs
+  * the real machinery (writes under java.io.tmpdir) and returns a
+  * reconciliation/result DataFrame the oracle can recompute from the
+  * source tables.
+  */
+object PipelineQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dest/$name"
+
+  /** Destination-side TableMeta: same shape, none of the abort conditions
+    * (reference aborts on destination FKs / secondary indexes / temporal,
+    * `TableAnalyzer.cs:39-107`).
+    */
+  private def cleanDest(src: TableMeta, storage: Storage): TableMeta =
+    src.copy(storage = storage, foreignKeyCount = 0, secondaryIndexCount = 0,
+      history = None)
+
+  private def copyResultDf(s: SparkSession, r: Pipeline.CopyResult): DataFrame = {
+    import s.implicits._
+    Seq((r.table, r.workItems, r.sliceKind, r.srcRows, r.dstRows, r.ok))
+      .toDF("table_name", "work_items", "slice_kind", "src_rows", "dst_rows",
+        "is_match")
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // truncate_sink — destination prep: stale rows are replaced, not
+    // appended to (reference SmartBulkCopy.cs:391-396): load a partial
+    // slice, then truncate+load the full table, read back the count.
+    // ------------------------------------------------------------------
+    QueryDef("truncate_sink",
+      """SELECT 'nation' AS table_name, count(*) AS dst_rows FROM nation""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val dest = tmp("truncate_sink")
+      val df = Scans.table(s, dir, "nation")
+      // stale contents: half the rows
+      Sinks.bulkInsert(df.filter(col("n_nationkey") % 2 === 0), dest, overwrite = true)
+      // truncate + full load
+      Sinks.bulkInsert(df, dest, overwrite = true)
+      val n = s.read.parquet(dest).count()
+      Seq(("nation", n)).toDF("table_name", "dst_rows")
+    },
+
+    // ------------------------------------------------------------------
+    // bulk_insert_sink — full copy of an unpartitioned table through the
+    // planner: 9 disjoint logical slices (strategy=Count(9), reference
+    // CopyInfo.cs:58-68) written transactionally and reconciled
+    // (SmartBulkCopy.cs:440-561).
+    // ------------------------------------------------------------------
+    QueryDef("bulk_insert_sink",
+      """SELECT 'orders' AS table_name, 9 AS work_items, 'logical' AS slice_kind,
+        |       count(*) AS src_rows, count(*) AS dst_rows, TRUE AS is_match
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val src = Catalog.collect(s, dir, "orders")
+      val dst = cleanDest(src, Storage.Heap)
+      val conf = PlanConfig(batchSize = 1000, strategy = PartitionStrategy.Count(9))
+      val r = Pipeline.copyTable(s, dir, tmp("bulk_insert_sink"), src, dst, conf)
+      copyResultDf(s, r)
+    },
+
+    // ------------------------------------------------------------------
+    // bulk_insert_ordered — identically-partitioned + identically-ordered
+    // source/destination rowstore: one work item per physical partition,
+    // each stream ordered on the clustered keys (asc/desc) so the
+    // destination skips its sort (reference TableAnalyzer.cs:148-172,
+    // SmartBulkCopy.cs:429-438,492-509; mixed-direction key regression
+    // tests/Issues.cs:36).
+    // ------------------------------------------------------------------
+    QueryDef("bulk_insert_ordered",
+      """SELECT 'lineitem' AS table_name, 7 AS work_items,
+        |       'physical' AS slice_kind,
+        |       'l_orderkey ASC, l_linenumber DESC' AS order_hint,
+        |       count(*) AS src_rows, count(*) AS dst_rows, TRUE AS is_match
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = Catalog.collect(s, dir, "lineitem")
+      val dst = cleanDest(src, Storage.ClusteredRowstore)
+      val conf = PlanConfig(batchSize = 1000)
+      val r = Pipeline.copyTable(s, dir, tmp("bulk_insert_ordered"), src, dst, conf)
+      val hint = src.sortKeys
+        .map(k => s"${k.col} ${if (k.descending) "DESC" else "ASC"}")
+        .mkString(", ")
+      Seq((r.table, r.workItems, r.sliceKind, hint, r.srcRows, r.dstRows, r.ok))
+        .toDF("table_name", "work_items", "slice_kind", "order_hint",
+          "src_rows", "dst_rows", "is_match")
+    },
+
+    // ------------------------------------------------------------------
+    // parallel_copy_scheduler — the work-queue fan-out (reference
+    // SmartBulkCopy.cs:39,165-194,407): per-slice row counts of the
+    // 9-slice plan, proving the slices are disjoint and exhaustive; in
+    // Spark the queue is the scheduler — each slice is a task.
+    // ------------------------------------------------------------------
+    QueryDef("parallel_copy_scheduler",
+      """SELECT o_orderkey % 9 AS slice_index, count(*) AS slice_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val key = Scans.sliceKeyPortable(Seq("o_orderkey"))
+      Scans.table(s, dir, "orders")
+        .groupBy(pmod(key, lit(9L)).as("slice_index"))
+        .agg(count(lit(1)).as("slice_rows"))
+        .orderBy(col("slice_index"))
+    },
+
+    // ------------------------------------------------------------------
+    // retry_transient — transient-failure retry with max attempts
+    // (reference SmartBulkCopy.cs:33,450-607): first attempt throws a
+    // whitelisted transient error, the retry succeeds.
+    // ------------------------------------------------------------------
+    QueryDef("retry_transient",
+      """SELECT 'lineitem' AS table_name, 2 AS attempts,
+        |       count(*) AS row_count FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      var attempts = 0
+      val n = Retry.withRetry(maxAttempts = 5) {
+        attempts += 1
+        if (attempts == 1) throw new java.io.IOException("transient: injected")
+        Scans.table(s, dir, "lineitem").count()
+      }
+      Seq(("lineitem", attempts, n)).toDF("table_name", "attempts", "row_count")
+    },
+
+    // ------------------------------------------------------------------
+    // monitor_throughput — task-metrics monitor (reference
+    // SmartBulkCopy.cs:665-766, 'Log Bytes Flushed/sec' poll): a
+    // SparkListener aggregates records/bytes written while a load runs.
+    // ------------------------------------------------------------------
+    QueryDef("monitor_throughput",
+      """SELECT 'lineitem' AS table_name, count(*) AS records_written,
+        |       TRUE AS tasks_ran, TRUE AS bytes_ok FROM lineitem""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val (_, mon) = CopyMonitor.monitored(s) {
+        Sinks.bulkInsert(Scans.table(s, dir, "lineitem"),
+          tmp("monitor_throughput"), overwrite = true)
+      }
+      Seq(("lineitem", mon.recordsWritten.sum(), mon.tasksCompleted.sum() > 0,
+          mon.bytesWritten.sum() > 0))
+        .toDF("table_name", "records_written", "tasks_ran", "bytes_ok")
+    },
+
+    // ------------------------------------------------------------------
+    // safety_check — source-immutability gate (reference
+    // SmartBulkCopy.cs:111-133): parquet sources are immutable snapshots;
+    // the probe degrades to exists-and-readable. A missing table fails.
+    // ------------------------------------------------------------------
+    QueryDef("safety_check",
+      s"""SELECT * FROM (VALUES ${
+           (Catalog.tableNames.map(n => s"('$n', TRUE)") :+ "('no_such_table', FALSE)")
+             .mkString(", ")})
+         |  AS t(table_name, is_safe)
+         |ORDER BY table_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      (Catalog.tableNames :+ "no_such_table")
+        .map(n => (n, Pipeline.safetyCheck(s, dir, n)))
+        .toDF("table_name", "is_safe")
+        .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // temporal_toggle — DDL orchestration around a temporal-table load
+    // (reference SmartBulkCopy.cs:256-280): generate the pre-load
+    // (versioning OFF, drop period) and post-load (re-add period,
+    // versioning ON with history + retention) statements from the
+    // collected HistoryInfo.
+    // ------------------------------------------------------------------
+    QueryDef("temporal_toggle",
+      """SELECT * FROM (VALUES
+        |  ('orders', 1, 'pre',  'ALTER TABLE [main].[orders] SET (SYSTEM_VERSIONING = OFF)'),
+        |  ('orders', 2, 'pre',  'ALTER TABLE [main].[orders] DROP PERIOD FOR SYSTEM_TIME'),
+        |  ('orders', 3, 'post', 'ALTER TABLE [main].[orders] ADD PERIOD FOR SYSTEM_TIME ([valid_from], [valid_to])'),
+        |  ('orders', 4, 'post', 'ALTER TABLE [main].[orders] SET (SYSTEM_VERSIONING = ON (HISTORY_TABLE = [main].[orders_history], HISTORY_RETENTION_PERIOD = 90 DAYS))'))
+        |  AS t(table_name, seq, phase, ddl)
+        |ORDER BY table_name, seq""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rows = Catalog.declared.toSeq.sortBy(_._1).flatMap { case (n, m) =>
+        m.history.toSeq.flatMap { h =>
+          val qn = s"[${m.schema}].[$n]" // QUOTENAME analog
+          val retention =
+            if (h.retentionDays < 0) "INFINITE" else s"${h.retentionDays} DAYS"
+          Seq(
+            (n, 1, "pre",  s"ALTER TABLE $qn SET (SYSTEM_VERSIONING = OFF)"),
+            (n, 2, "pre",  s"ALTER TABLE $qn DROP PERIOD FOR SYSTEM_TIME"),
+            (n, 3, "post", s"ALTER TABLE $qn ADD PERIOD FOR SYSTEM_TIME ([${h.periodStartColumn}], [${h.periodEndColumn}])"),
+            (n, 4, "post", s"ALTER TABLE $qn SET (SYSTEM_VERSIONING = ON (HISTORY_TABLE = [${m.schema}].[${h.historyTable}], HISTORY_RETENTION_PERIOD = $retention))"))
+        }
+      }
+      rows.toDF("table_name", "seq", "phase", "ddl")
+        .orderBy(col("table_name"), col("seq"))
+    },
+
+    // ------------------------------------------------------------------
+    // udt_binary_passthrough — CLR UDT columns transit as opaque binary
+    // (reference hack/SerializableBase.cs:8-44, SmartBulkCopy.cs:47-59):
+    // encode text as a binary blob, pass it through untouched, prove
+    // integrity via md5 + byte length + a decode round-trip.
+    // ------------------------------------------------------------------
+    QueryDef("udt_binary_passthrough",
+      """SELECT doc_id, md5(text) AS bin_md5, length(text) AS bin_bytes,
+        |       TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bin = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          col("text").cast("binary").as("blob"))
+      bin.select(
+          col("doc_id"),
+          md5(col("blob")).as("bin_md5"),
+          length(col("blob")).cast("long").as("bin_bytes"),
+          (col("blob").cast("string") === col("text")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    })
+}
