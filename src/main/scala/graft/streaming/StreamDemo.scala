@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Demo main: drives [[EventStreams.windowedAgg]] as a real streaming
+  * query over a MemoryStream source (two micro-batches), then prints the
+  * windowed state. `sbt "runMain graft.streaming.StreamDemo"`.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val query = EventStreams.windowedAgg(events)
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").start()
+
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1L, 1.5),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2L, 2.5),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 1L, 3.0))
+    query.processAllAvailable()
+    println("--- after micro-batch 1 ---")
+    spark.sql("SELECT * FROM wagg ORDER BY window_start, event_type").show(false)
+
+    mem.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "view", 3L, 1.0))
+    query.processAllAvailable()
+    println("--- after micro-batch 2 ---")
+    spark.sql("SELECT * FROM wagg ORDER BY window_start, event_type").show(false)
+
+    query.stop()
+    spark.stop()
+  }
+}

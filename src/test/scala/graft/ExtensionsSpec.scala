@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.Scans
+import graft.ops.SimilarityQueries
+
+/** Semantic checks on the extension operators (dedup / similarity /
+  * text / events) beyond "runs and matches the oracle".
+  */
+class ExtensionsSpec extends SparkSpecBase {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("dedup_exact keeps one representative per distinct text") {
+    val docs = Scans.table(spark, sfDir, "documents")
+    val distinctTexts = docs.select(col("text")).distinct().count()
+    assert(run("dedup_exact").count() == distinctTexts)
+  }
+
+  test("jaccard similarities are within [0,1]") {
+    val bad = run("dedup_ngram_jaccard")
+      .filter(col("jaccard") < 0 || col("jaccard") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("simhash signatures are 16 hex chars") {
+    val bad = run("dedup_simhash")
+      .filter(!col("simhash64").rlike("^[0-9a-f]{16}$")).count()
+    assert(bad == 0)
+  }
+
+  test("minhash lsh pairs are ordered and distinct") {
+    val pairs = run("dedup_minhash_lsh")
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(pairs.count() == pairs.distinct().count())
+  }
+
+  test("cosine is 1.0 for identical vectors and symmetric-bounded") {
+    val emb = Scans.table(spark, sfDir, "embeddings").limit(20)
+    val self = emb.select(
+      round(SimilarityQueries.cosine(col("embedding"), col("embedding")), 6)
+        .as("c"))
+    assert(self.filter(col("c") =!= 1.0).count() == 0)
+    val pairs = run("dedup_embedding_cosine")
+    assert(pairs.filter(col("cos_sim") < -1.0 || col("cos_sim") > 1.0).count() == 0)
+  }
+
+  test("lsh top-k results agree with brute force on shared candidates") {
+    val brute = run("sim_brute_force_topk")
+      .select(col("vec_id"), col("cos_sim").as("bf")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = run("sim_lsh_topk")
+      .select(col("vec_id"), col("cos_sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // every LSH hit that brute force ranked must carry the same score
+    lsh.foreach { case (id, c) =>
+      brute.get(id).foreach(bf => assert(math.abs(bf - c) < 1e-9)) }
+  }
+
+  test("sessionization conserves events and durations are non-negative") {
+    val events = Scans.table(spark, sfDir, "events")
+    val sessions = run("events_sessionize")
+    assert(sessions.agg(sum(col("n_events"))).collect()(0).getLong(0)
+      == events.count())
+    assert(sessions.filter(col("duration_ms") < 0).count() == 0)
+    // session gap property: every session is shorter than it could be if
+    // a >30min gap had been missed — spot-check max intra-session gap
+    val viol = sessions.filter(
+      col("duration_ms") > lit(31L * 24 * 3600 * 1000)).count()
+    assert(viol == 0)
+  }
+
+  test("windowed aggregation conserves events") {
+    val events = Scans.table(spark, sfDir, "events")
+    val agg = run("events_window_agg")
+    assert(agg.agg(sum(col("n_events"))).collect()(0).getLong(0)
+      == events.count())
+  }
+
+  test("streaming windowed agg matches batch on the same data") {
+    import spark.implicits._
+    val events = Scans.table(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val streamed = graft.streaming.EventStreams.windowedAgg(events)
+      .orderBy(col("window_start"), col("event_type"))
+    val batch = run("events_window_agg")
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+    val a = streamed.select(col("window_start"), col("event_type"), col("n_events"))
+      .collect().toSeq
+    val b = batch.collect().toSeq
+    assert(a == b)
+  }
+
+  test("flatMapGroupsWithState sessionization conserves events") {
+    import spark.implicits._
+    val events = Scans.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long)]
+    val sessions = graft.streaming.EventStreams.sessionize(events)
+    assert(sessions.agg(sum(col("nEvents"))).collect()(0).getLong(0)
+      == events.count())
+  }
+
+  test("multimodal decode preserves every record with full metadata") {
+    val media = run("multimodal_decode")
+    val docs = Scans.table(spark, sfDir, "documents")
+    assert(media.count() == docs.count())
+    assert(media.filter(col("n_bytes") <= 0).count() == 0)
+    assert(media.filter(col("feat_0") < 0 || col("feat_0") > 1).count() == 0)
+  }
+}

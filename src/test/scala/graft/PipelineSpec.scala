@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.{Pipeline, Retry, Scans}
+import graft.meta.Catalog
+import graft.model._
+import graft.plan.{PartitionStrategy, PlanConfig}
+
+/** End-to-end copy-pipeline tests — the analog of the reference's e2e CI
+  * copy + rowcount reconciliation (`.github/workflows/main.yml:20-27`,
+  * `SmartBulkCopy.cs:296-339`), against a tmp destination directory.
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private def destDir =
+    java.nio.file.Files.createTempDirectory("graft_pipe").toString
+
+  test("full copy: partitioned rowstore source reconciles") {
+    val src = Catalog.collect(spark, sfDir, "lineitem")
+    val dst = src.copy(foreignKeyCount = 0, secondaryIndexCount = 0, history = None)
+    val r = Pipeline.copyTable(spark, sfDir, destDir, src, dst,
+      PlanConfig(batchSize = 1000))
+    assert(r.ok, s"reconciliation failed: $r")
+    assert(r.sliceKind == "physical" && r.workItems == 7)
+  }
+
+  test("full copy: logical slices reconcile and land ordered") {
+    val src = Catalog.collect(spark, sfDir, "orders")
+    val dst = src.copy(storage = Storage.Heap, foreignKeyCount = 0,
+      secondaryIndexCount = 0, history = None)
+    val d = destDir
+    val r = Pipeline.copyTable(spark, sfDir, d, src, dst,
+      PlanConfig(batchSize = 100, strategy = PartitionStrategy.Count(5)))
+    assert(r.ok && r.workItems == 5 && r.sliceKind == "logical")
+    // destination content equals source content (value-level, not count)
+    val a = Scans.table(spark, sfDir, "orders")
+    val b = spark.read.parquet(s"$d/orders.parquet")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("small table takes the bypass and still reconciles") {
+    val src = Catalog.collect(spark, sfDir, "region")
+    val r = Pipeline.copyTable(spark, sfDir, destDir, src, src.copy(), PlanConfig())
+    assert(r.ok && r.workItems == 1 && r.sliceKind == "none")
+  }
+
+  test("wildcard table-list expansion: include, exclude, distinct") {
+    val all = Pipeline.expandTableList(Seq("*"))
+    assert(all == Catalog.tableNames)
+    assert(Pipeline.expandTableList(Seq("*", "-:e*")) ==
+      Catalog.tableNames.filterNot(_.startsWith("e")))
+    assert(Pipeline.expandTableList(Seq("lineitem", "+:orders", "lineitem")) ==
+      Seq("lineitem", "orders"))
+    assert(Pipeline.expandTableList(Seq("no_match_*")) == Nil)
+  }
+
+  test("retry: transient errors retry, fatal errors rethrow") {
+    var n = 0
+    val r = Retry.withRetry(3) {
+      n += 1; if (n < 3) throw new java.io.IOException("transient"); n }
+    assert(r == 3)
+    var m = 0
+    intercept[IllegalStateException] {
+      Retry.withRetry(3) { m += 1; throw new IllegalStateException("fatal") }
+    }
+    assert(m == 1) // no retry on non-transient
+    intercept[Retry.RetriesExhausted] {
+      Retry.withRetry(2) { throw new java.io.IOException("always") }
+    }
+  }
+
+  test("safety check fails for a missing table") {
+    assert(Pipeline.safetyCheck(spark, sfDir, "lineitem"))
+    assert(!Pipeline.safetyCheck(spark, sfDir, "no_such"))
+  }
+}

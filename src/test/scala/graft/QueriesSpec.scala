@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared query runs at sf0.001 and returns sane results — the
+  * smoke layer under the driver's DuckDB-oracle gate (which runs at
+  * sf0.01). Also checks the driver-contract invariants: unique keys,
+  * oracle column-name discipline, entry rows > 0.
+  */
+class QueriesSpec extends SparkSpecBase {
+
+  test("registry keys are unique and every oracle has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // sim_lsh_topk may legitimately return few rows at tiny scale (bucket
+  // sparsity); everything else must produce data at sf0.001.
+  private val mayBeSparse = Set("sim_lsh_topk")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      val names = df.schema.fieldNames
+      assert(names.distinct.size == names.size, s"duplicate column names in $name")
+      val n = df.count()
+      if (!mayBeSparse(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("disjoint+exhaustive slicing holds on real data") {
+    import graft.exec.Scans
+    val li = Scans.table(spark, sfDir, "lineitem")
+    val total = li.count()
+    val key = Scans.sliceKeyPortable(Seq("l_orderkey", "l_linenumber"))
+    val perSlice = li.groupBy(pmod(key, lit(9L)).as("s")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSlice.keys.forall(s => s >= 0 && s < 9))
+    assert(perSlice.values.sum == total)
+    // and the union-of-slices DataFrame equals the table
+    val union = (0 until 9).map(i => Scans.logicalSlice(li, key, 9, i))
+      .reduce(_ unionAll _)
+    assert(union.count() == total)
+  }
+}
