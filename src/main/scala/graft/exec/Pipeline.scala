@@ -30,13 +30,25 @@ object Pipeline {
 
   /** Safety check — reference `SmartBulkCopy.cs:111-133`: the source must
     * be immutable while the parallel slices run (DB snapshot or read-only).
-    * Parquet inputs are immutable by nature; the check degrades to "the
-    * source exists and is readable with a non-empty schema".
+    * Parquet inputs are immutable by nature; the probe degrades to "the
+    * source exists and is a well-formed parquet footprint" — checked via
+    * the PAR1 magic bytes, without spinning up a scan (the reference's
+    * probe is likewise a catalog query, not a table read).
     */
   def safetyCheck(spark: SparkSession, sfDir: String, table: String): Boolean = {
+    def isParquet(f: java.io.File): Boolean = f.length() >= 8 && {
+      val in = new java.io.FileInputStream(f)
+      try {
+        val magic = new Array[Byte](4)
+        in.read(magic) == 4 && new String(magic, "US-ASCII") == "PAR1"
+      } finally in.close()
+    }
+    val root = new java.io.File(s"$sfDir/$table.parquet")
     try {
-      val df = Scans.table(spark, sfDir, table)
-      df.schema.nonEmpty
+      if (root.isFile) isParquet(root)
+      else if (root.isDirectory)
+        root.listFiles().exists(f => f.getName.endsWith(".parquet") && isParquet(f))
+      else false
     } catch { case _: Exception => false }
   }
 
@@ -69,10 +81,7 @@ object Pipeline {
     */
   def copyFrame(spark: SparkSession, sfDir: String, items: Seq[WorkItem]): DataFrame = {
     require(items.nonEmpty)
-    val pExpr = (df: DataFrame) =>
-      items.head.table.partitionCol.map(c => Pipeline.partitionNumber(col(c)))
-        .getOrElse(lit(1))
-    items.map(Scans.forWorkItem(spark, sfDir, _, pExpr)).reduce(_ unionAll _)
+    items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
   }
 
   /** Synthetic physical-partition function over the testdata: ship-year

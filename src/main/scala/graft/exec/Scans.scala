@@ -69,6 +69,18 @@ object Scans {
   def physicalPartition(df: DataFrame, partitionExpr: Column, value: Column): DataFrame =
     df.filter(partitionExpr === value)
 
+  /** Range form of the physical-partition predicate: the RANGE partition
+    * function `pf(col) = n` expressed as raw-column bounds
+    * (`col >= lo AND col < hi`). Unlike `year(col) = y`, these predicates
+    * PUSH DOWN to the parquet scan (row-group min/max pruning; partition
+    * pruning on a date-partitioned layout) — check `.explain`:
+    * `PushedFilters: [GreaterThanOrEqual(l_shipdate,…), LessThan(…)]`.
+    */
+  def physicalPartitionRange(df: DataFrame, colName: String, n: Int,
+      epochYear: Int = 1994): DataFrame =
+    df.filter(col(colName) >= lit(s"${epochYear + n}-01-01").cast("timestamp") &&
+      col(colName) < lit(s"${epochYear + n + 1}-01-01").cast("timestamp"))
+
   /** Ordered scan — reference `SmartBulkCopy.cs:429-438`. The reference
     * orders *each partition's stream*, not the whole table, so the Spark
     * analog is `sortWithinPartitions` (a global `orderBy` would pay a
@@ -79,14 +91,15 @@ object Scans {
     if (cols.isEmpty) df else df.sortWithinPartitions(cols: _*)
   }
 
-  /** Build the DataFrame for one planner work item. */
-  def forWorkItem(spark: SparkSession, sfDir: String, item: WorkItem,
-      partitionExpr: DataFrame => Column = df => lit(1)): DataFrame = {
+  /** Build the DataFrame for one planner work item. Physical slices use
+    * the pushdown-friendly range predicate on the raw partition column.
+    */
+  def forWorkItem(spark: SparkSession, sfDir: String, item: WorkItem): DataFrame = {
     val base = project(table(spark, sfDir, item.table.name), item.table.excludedColumns)
     val sliced = item.slice match {
       case SliceSpec.Whole => base
-      case SliceSpec.Physical(_, n) =>
-        physicalPartition(base, partitionExpr(base), lit(n))
+      case SliceSpec.Physical(pcol, n) =>
+        physicalPartitionRange(base, pcol, n)
       case SliceSpec.Logical(keys, n, i) =>
         val key = if (keys.nonEmpty) abs(sliceKeyPortable(keys)) else sliceKeyHash(base)
         logicalSlice(base, key, n, i)

@@ -61,15 +61,18 @@ object CoreQueries {
     // ------------------------------------------------------------------
     // scan_physical_partition — partition-pruned scan:
     // WHERE $partition.pf(col) = n (CopyInfo.cs:47-56, README.md:50-56).
-    // Synthetic pf = ship-year ordinal; partition 3 = 1997.
+    // Synthetic pf = ship-year ordinal; partition 3 = 1997, expressed as
+    // raw-column range bounds so the predicate pushes into the parquet
+    // scan (row-group/partition pruning) instead of evaluating year()
+    // per row.
     // ------------------------------------------------------------------
     QueryDef("scan_physical_partition",
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
         |FROM lineitem
-        |WHERE date_part('year', l_shipdate) - 1994 = 3
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-      Scans.physicalPartition(t(s, dir, "lineitem"),
-          Pipeline.partitionNumber(col("l_shipdate")), lit(3))
+      Scans.physicalPartitionRange(t(s, dir, "lineitem"), "l_shipdate", 3)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },

@@ -31,6 +31,23 @@ object TextQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** MinHash signature table: doc_id, sig_0..sig_7 (BIGINT). One md5 per
+    * 3-word shingle folded to [0, p), then 8 affine families.
+    */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import graft.exec.Scans
+    Scans.table(s, dir, "documents")
+      .select(col("doc_id"), expr(toksSpark).as("tk"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(1, greatest(size(tk) - 2, 1), 2),
+               |  i -> pmod(cast(conv(substring(md5(concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2))), 1, 15), 16, 10) AS BIGINT), 1000000007L))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id") +:
+        (0 until 8).map(i =>
+          expr(s"array_min(transform(hs, h -> (h * ${2 * i + 1}L + ${i}L) % 1000000007L))")
+            .as(s"sig_$i")): _*)
+  }
+
   /** 64-bit SimHash from token md5s: bit b (= 4·(d−1)+k: bit k of hex
     * digit d) votes +1/−1 per token; the signature bit is sign(sum).
     * Generated column-wise so both engines run the same arithmetic.
@@ -194,65 +211,58 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
-    // dedup_minhash — MinHash signatures over 3-word shingles: 8 md5
-    // hash families, min per family. The signature stage of MinHash-LSH.
+    // dedup_minhash — MinHash signatures over 3-word shingles. One md5
+    // per shingle folded to a 60-bit integer, then 8 affine hash
+    // families (h·(2i+1)+i mod p) — the classic one-hash minhash trick:
+    // 8× cheaper than 8 independent digests, identical math in DuckDB.
     // ------------------------------------------------------------------
     QueryDef("dedup_minhash",
       s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
          |sh AS (SELECT doc_id,
-         |              concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
-         |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i))
+         |              (CAST(concat('0x', substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT)
+         |               % 1000000007) AS h
+         |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1), 2)) AS u(i))
          |SELECT doc_id,
-         |       ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS sig_$i").mkString(",\n       ")}
+         |       ${(0 until 8).map(i => s"min((h * ${2 * i + 1} + $i) % 1000000007) AS sig_$i").mkString(",\n       ")}
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val withSh = Scans.table(s, dir, "documents")
-        .select(col("doc_id"), expr(toksSpark).as("tk"))
-        .select(col("doc_id"),
-          expr("transform(sequence(1, greatest(size(tk) - 2, 1)), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2)))")
-            .as("sh"))
-      withSh.select(col("doc_id") +:
-          (0 until 8).map(i =>
-            expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))").as(s"sig_$i")): _*)
-        .orderBy(col("doc_id"))
+      minhashSigs(s, dir).orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------
     // dedup_minhash_lsh — LSH banding over the MinHash signatures: 4
     // bands × 2 rows; docs sharing any band bucket become candidate
-    // pairs. The join shuffles on band keys only — the scale path for
-    // near-dedup (never all-pairs).
+    // pairs. The signature table is cached (at scale: materialized) so
+    // the self-join reads it once; the join shuffles on band keys only —
+    // the scale path for near-dedup (never all-pairs).
     // ------------------------------------------------------------------
     QueryDef("dedup_minhash_lsh",
       s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
-         |sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
-         |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)),
+         |sh AS (SELECT doc_id,
+         |              (CAST(concat('0x', substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT)
+         |               % 1000000007) AS h
+         |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1), 2)) AS u(i)),
          |sigs AS (SELECT doc_id,
-         |         ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS sig_$i").mkString(",\n         ")}
+         |         ${(0 until 8).map(i => s"min((h * ${2 * i + 1} + $i) % 1000000007) AS sig_$i").mkString(",\n         ")}
          |         FROM sh GROUP BY doc_id),
          |bands AS (${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS bv FROM sigs")
+            s"SELECT doc_id, $b AS band, sig_${2 * b} AS k1, sig_${2 * b + 1} AS k2 FROM sigs")
             .mkString("\n          UNION ALL ")})
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         | AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sigs = Scans.table(s, dir, "documents")
-        .select(col("doc_id"), expr(toksSpark).as("tk"))
-        .select(col("doc_id"),
-          expr("transform(sequence(1, greatest(size(tk) - 2, 1)), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2)))")
-            .as("sh"))
-        .select(col("doc_id") +:
-          (0 until 8).map(i =>
-            expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))").as(s"sig_$i")): _*)
+      val sigs = minhashSigs(s, dir).cache()
       val bands = sigs.select(col("doc_id"),
           explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))).as("bv"))): _*))
+            struct(lit(b).as("band"), col(s"sig_${2 * b}").as("k1"),
+              col(s"sig_${2 * b + 1}").as("k2"))): _*))
             .as("x"))
-        .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+        .select(col("doc_id"), col("x.band").as("band"),
+          col("x.k1").as("k1"), col("x.k2").as("k2"))
       bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
