@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.exec.Scans
+import graft.meta.Catalog
+
+/** Join / window / grouping coverage — SURVEY.md §2C: the reference
+  * generates only catalog equi-joins and pushes every data-side join to
+  * SQL Server, so these are the Spark-native capabilities a user of the
+  * capability surface expects. Each query pins the physical strategy
+  * that is right at scale: dimension sides broadcast (no shuffle),
+  * fact-fact joins shuffle on the join key, the as-of join is the
+  * union+window idiom (never a per-row range probe).
+  */
+object JoinQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // join_broadcast_dim — fact ⋈ small dimension: broadcast hash join,
+    // zero shuffle on the fact side. lineitem ⋈ part, revenue per brand.
+    // ------------------------------------------------------------------
+    QueryDef("join_broadcast_dim",
+      """SELECT p.p_brand, count(*) AS n_items,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+      val li = Scans.table(s, dir, "lineitem")
+      val part = Scans.table(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ------------------------------------------------------------------
+    // join_shuffle_fact — fact ⋈ fact equi-join on the key both sides
+    // shuffle on (sort-merge / shuffled-hash at scale): lineitem ⋈
+    // orders, order-level totals by status.
+    // ------------------------------------------------------------------
+    QueryDef("join_shuffle_fact",
+      """SELECT o.o_orderstatus, count(*) AS n_lineitems,
+        |       round(sum(l.l_quantity), 2) AS total_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin) { (s, dir) =>
+      val li = Scans.table(s, dir, "lineitem")
+      val o = Scans.table(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ------------------------------------------------------------------
+    // join_semi_anti — existence joins: customers with orders (left
+    // semi) and customers without orders (left anti); semi/anti never
+    // materialize the probe side.
+    // ------------------------------------------------------------------
+    QueryDef("join_semi_anti",
+      """SELECT 'with_orders' AS cohort, count(*) AS n_customers
+        |FROM customer c WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders', count(*) FROM customer c WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY cohort""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Scans.table(s, dir, "customer")
+      val o = Scans.table(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+      Seq(("with_orders", semi), ("without_orders", anti))
+        .toDF("cohort", "n_customers").orderBy(col("cohort"))
+    },
+
+    // ------------------------------------------------------------------
+    // join_asof — as-of join: for each purchase event, the most recent
+    // prior click by the same user. Spark-native idiom: union the two
+    // streams, one window pass per user carrying the last click time
+    // forward — one shuffle on user_id, no per-row range probe, no
+    // O(n²). (Preference order (a) of the custom-operator rules:
+    // composition of existing ops.)
+    // ------------------------------------------------------------------
+    QueryDef("join_asof",
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ms
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |       (SELECT max(c.ms) FROM c
+        |        WHERE c.user_id = p.user_id AND c.ms < p.ms) AS last_click_ms
+        |FROM p ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Scans.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val tagged = ev.filter(col("event_type").isin("purchase", "click"))
+      tagged
+        .withColumn("is_click", (col("event_type") === "click").cast("int"))
+        // clicks sort before purchases at equal ms via is_click DESC? No:
+        // strict "<" semantics — at equal ms a click must NOT match, so
+        // purchases (is_click=0) sort first and the frame ends before them
+        .withColumn("last_click_ms",
+          max(when(col("event_type") === "click", col("ms"))).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ms"), col("is_click"))
+              .rowsBetween(Window.unboundedPreceding, -1L)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("last_click_ms"))
+        .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // join_range — non-equi range join against a small bucket dimension:
+    // quantity bands. The dim side broadcasts; the band predicate is
+    // evaluated in the join (BroadcastNestedLoop on a 4-row build side —
+    // the right plan when the build side is tiny).
+    // ------------------------------------------------------------------
+    QueryDef("join_range",
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('q1_low', 0.0, 10.0), ('q2_mid', 10.0, 25.0),
+        |  ('q3_high', 25.0, 40.0), ('q4_bulk', 40.0, 1e9))
+        |SELECT b.band, count(*) AS n_items,
+        |       round(avg(l.l_extendedprice), 2) AS avg_price
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |GROUP BY b.band ORDER BY b.band""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(("q1_low", 0.0, 10.0), ("q2_mid", 10.0, 25.0),
+        ("q3_high", 25.0, 40.0), ("q4_bulk", 40.0, 1e9))
+        .toDF("band", "lo", "hi")
+      val li = Scans.table(s, dir, "lineitem")
+      li.join(broadcast(bands),
+          li("l_quantity") >= col("lo") && li("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"))
+        .orderBy(col("band"))
+    },
+
+    // ------------------------------------------------------------------
+    // window_running_total — window frame: per-customer running order
+    // total in orderdate order (ROWS UNBOUNDED PRECEDING — the frame
+    // spec §2C notes the reference lacks). Bounded sample keeps the
+    // oracle small.
+    // ------------------------------------------------------------------
+    QueryDef("window_running_total",
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        |       row_number() OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         AS order_seq
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, order_seq""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Scans.table(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          row_number().over(w).cast("long").as("order_seq"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+
+    // ------------------------------------------------------------------
+    // rollup_agg — hierarchical aggregation with subtotal rows
+    // (ROLLUP): order counts by (status, priority) with per-status and
+    // grand totals. grouping() disambiguates NULL data from subtotals.
+    // ------------------------------------------------------------------
+    QueryDef("rollup_agg",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |            AS BIGINT) AS grouping_level
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("grouping_level"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("grouping_level"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_columnstore_probe — the reference's one UNION + TOP(1)
+    // existence probe (TableInfoCollector.cs:306-368): "is the primary
+    // index a columnstore?", answered by unioning candidate index rows
+    // with a sentinel and taking the best-ranked row per table.
+    // ------------------------------------------------------------------
+    QueryDef("meta_columnstore_probe",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     ${Catalog.sysIndexesCte},
+         |probe AS (
+         |  SELECT object_id, 1 AS sort_key, index_name
+         |  FROM sys_indexes WHERE index_type = 5
+         |  UNION ALL
+         |  SELECT object_id, 2 AS sort_key, 'none' AS index_name
+         |  FROM sys_tables)
+         |SELECT t.table_name,
+         |       (SELECT p.index_name FROM probe p
+         |        WHERE p.object_id = t.object_id
+         |        ORDER BY p.sort_key LIMIT 1) AS columnstore_index
+         |FROM sys_tables t ORDER BY t.table_name""".stripMargin) { (s, dir) =>
+      val t = Catalog.sysTables(s)
+      val cs = Catalog.sysIndexes(s).filter(col("index_type") === 5)
+        .select(col("object_id"), lit(1).as("sort_key"), col("index_name"))
+      val sentinel = t.select(col("object_id"), lit(2).as("sort_key"),
+        lit("none").as("index_name"))
+      val w = Window.partitionBy(col("object_id")).orderBy(col("sort_key"))
+      val best = cs.unionAll(sentinel)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // TOP(1) per table
+        .select(col("object_id"), col("index_name").as("columnstore_index"))
+      t.join(best, Seq("object_id"))
+        .select(col("table_name"), col("columnstore_index"))
+        .orderBy(col("table_name"))
+    })
+}
