@@ -36,7 +36,12 @@ object TextQueries {
     */
   def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import graft.exec.Scans
+    // The corpus arrives in few file-splits relative to core count (one
+    // split here; at 100 TB still often CPU-bound vs split count), so fan
+    // the per-row digest work out to full cluster width first — the tiny
+    // (doc_id, text) shuffle buys hash computation at full parallelism.
     Scans.table(s, dir, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"), expr(toksSpark).as("tk"))
       .select(col("doc_id"),
         expr("""transform(sequence(1, greatest(size(tk) - 2, 1), 2),
@@ -285,6 +290,7 @@ object TextQueries {
          |       ${simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")} AS simhash64
          |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val votes = Scans.table(s, dir, "documents")
+        .repartition(col("doc_id")) // full-width digest work (see minhashSigs)
         .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
         .select(col("doc_id"), md5(col("tok")).as("th"))
         .groupBy(col("doc_id"))
