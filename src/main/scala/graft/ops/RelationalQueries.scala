@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.exec.Scans
+
+/** Relational-completeness operators — SURVEY.md §2C: set operations,
+  * pivot, cube, order statistics, top-k per group, and skew-mitigated
+  * joins. The reference pushes all of these to SQL Server; a user of the
+  * capability surface gets them natively here. Each query pins the
+  * at-scale physical shape: aggregations partial map-side, tiny build
+  * sides broadcast, the skewed join salted so no single reducer owns a
+  * hot key.
+  */
+object RelationalQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // setop_union_intersect_except — distinct set algebra over two
+    // derivations of the nation dimension. Each set op is a shuffle on
+    // the full row; counts are tiny aggregates.
+    // ------------------------------------------------------------------
+    QueryDef("setop_union_intersect_except",
+      """WITH eu AS (SELECT n_name FROM nation JOIN region
+        |            ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |     asia AS (SELECT n_name FROM nation JOIN region
+        |              ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |     high AS (SELECT n_name FROM nation WHERE n_nationkey >= 10)
+        |SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT * FROM eu EXCEPT SELECT * FROM high)
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (
+        |  SELECT * FROM eu INTERSECT SELECT * FROM high)
+        |UNION ALL
+        |SELECT 'union', count(*) FROM (
+        |  SELECT * FROM eu UNION SELECT * FROM asia)
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nation = Scans.table(s, dir, "nation")
+      val region = Scans.table(s, dir, "region")
+      def inRegion(r: String) =
+        nation.join(broadcast(region.filter(col("r_name") === r)),
+          col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_name"))
+      val eu = inRegion("EUROPE")
+      val asia = inRegion("ASIA")
+      val high = nation.filter(col("n_nationkey") >= 10).select(col("n_name"))
+      Seq(
+        ("except", eu.except(high).count()),
+        ("intersect", eu.intersect(high).count()),
+        ("union", eu.union(asia).distinct().count()))
+        .toDF("op", "n").orderBy(col("op"))
+    },
+
+    // ------------------------------------------------------------------
+    // pivot_agg — wide pivot of order counts: status values become
+    // columns. One shuffle on the group key; the pivot values are
+    // declared so no extra distinct-discovery job runs (the at-scale
+    // form — value discovery over 100 TB is a full extra pass).
+    // ------------------------------------------------------------------
+    QueryDef("pivot_agg",
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+      Scans.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ------------------------------------------------------------------
+    // cube_agg — full CUBE over (status, order year): all four grouping
+    // combinations in one pass (partial-aggregated map-side per
+    // grouping-set expansion).
+    // ------------------------------------------------------------------
+    QueryDef("cube_agg",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+        |ORDER BY status, order_year""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "orders")
+        .withColumn("order_year_i", year(col("o_orderdate")))
+        .cube(col("o_orderstatus"), col("order_year_i"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("order_year_i").cast("string"), lit("ALL")).as("order_year"),
+          col("n_orders"), col("total_price"))
+        .orderBy(col("status"), col("order_year"))
+    },
+
+    // ------------------------------------------------------------------
+    // agg_order_stats — order statistics per group: exact interpolated
+    // percentiles (Spark `percentile` == DuckDB `quantile_cont`),
+    // mean/stddev/min/max. At 100 TB the drop-in scale form is
+    // approx_percentile (t-digest sketch, mergeable map-side); the exact
+    // form here keeps the oracle bit-comparable.
+    // ------------------------------------------------------------------
+    QueryDef("agg_order_stats",
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       round(avg(l_quantity), 2) AS mean_qty,
+        |       round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      Scans.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_quantity")), 2).as("mean_qty"),
+          round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // topk_per_group — top-3 orders per customer by price: rank inside
+    // each group, never a global sort. The window shuffles once on the
+    // group key; the filter on rank keeps state bounded per group.
+    // ------------------------------------------------------------------
+    QueryDef("topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders WHERE o_custkey < 200) r
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Scans.table(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // join_skew_salted — skew-mitigated equi-join: the fact side keeps
+    // its rows, the (small, but conceptually large-and-hot-keyed) build
+    // side is replicated once per salt, and the join key becomes
+    // (key, salt) so one hot key spreads over 8 reducers instead of
+    // melting one. Result is identical to the unsalted join — which is
+    // exactly what the oracle checks.
+    // ------------------------------------------------------------------
+    QueryDef("join_skew_salted",
+      """SELECT n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val nSalts = 8
+      val fact = Scans.table(s, dir, "customer")
+        .withColumn("salt", pmod(col("c_custkey"), lit(nSalts)))
+      val dim = Scans.table(s, dir, "nation")
+        .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+      fact.join(dim,
+          fact("c_nationkey") === dim("n_nationkey") &&
+          fact("salt") === dim("salt"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("n_name"))
+    })
+}

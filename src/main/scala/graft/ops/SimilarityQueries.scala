@@ -161,6 +161,47 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_ivf_topk — IVF-style ANN: a coarse quantizer (here: a
+    // deterministic 16-vector codebook standing in for trained k-means
+    // centroids) assigns every vector to its nearest cell in ONE
+    // broadcast pass; a query probes only its nprobe=4 nearest cells and
+    // runs exact cosine inside them. At 100 TB the assignment is a
+    // write-time partition key (cell = partition), so a probe touches
+    // 4/16 of the corpus instead of all of it. Rows-only oracle; the
+    // spec checks score agreement with brute force.
+    // ------------------------------------------------------------------
+    QueryDef.unoracled("sim_ivf_topk") { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      // cell assignment: argmax-cosine centroid, smaller cid wins ties
+      val assign = emb
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosine(col("embedding"), col("cv")).as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(cs, -cid))").as("cell"),
+          first(col("embedding")).as("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val probes = cents.crossJoin(broadcast(q))
+        .select(col("cid"), cosine(col("cv"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("cid"))
+        .limit(4)
+        .select(col("cid").as("probe"))
+      assign.join(broadcast(probes), col("cell") === col("probe"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+            .cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_pairwise_label — supervised-style check: mean cosine within
     // vs across label groups on a bounded sample (labels 0 and 1,
     // vec_id < 100) — the evaluation query of an embedding pipeline.

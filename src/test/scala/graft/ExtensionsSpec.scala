@@ -57,6 +57,18 @@ class ExtensionsSpec extends SparkSpecBase {
       brute.get(id).foreach(bf => assert(math.abs(bf - c) < 1e-9)) }
   }
 
+  test("ivf top-k results agree with brute force on shared candidates") {
+    val brute = run("sim_brute_force_topk")
+      .select(col("vec_id"), col("cos_sim").as("bf")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = run("sim_ivf_topk")
+      .select(col("vec_id"), col("cos_sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, c) =>
+      brute.get(id).foreach(bf => assert(math.abs(bf - c) < 1e-9)) }
+  }
+
   test("sessionization conserves events and durations are non-negative") {
     val events = Scans.table(spark, sfDir, "events")
     val sessions = run("events_sessionize")
