@@ -31,6 +31,15 @@ object SimilarityQueries {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
+  /** The hot-path form: the native fused-loop Catalyst expression
+    * ([[graft.functions.CosineSim]], registered by
+    * [[graft.GraftSparkExtensions]]) when the session has it; identical
+    * math via the built-in composition otherwise.
+    */
+  def cosineFast(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists("cosine_sim")) call_function("cosine_sim", a, b)
+    else cosine(a, b)
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: weight of
     * plane p, dimension d is derived from md5(p:d) — reproducible in any
     * engine, no RNG state. Values in [-1, 1).
@@ -82,7 +91,7 @@ object SimilarityQueries {
       val scored = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
       scored
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
@@ -107,7 +116,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"))
       emb.as("a").join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+          round(cosineFast(s)(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
         .withColumn("is_near_dup", col("cos_sim") >= 0.95)
         .orderBy(col("vec_a"))
     },
@@ -151,7 +160,7 @@ object SimilarityQueries {
       emb.join(broadcast(q), col("bucket") === col("probe"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
             .cast("long"))
@@ -178,13 +187,13 @@ object SimilarityQueries {
       val assign = emb
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
-          cosine(col("embedding"), col("cv")).as("cs"))
+          cosineFast(s)(col("embedding"), col("cv")).as("cs"))
         .groupBy(col("vec_id"))
         .agg(expr("max_by(cid, struct(cs, -cid))").as("cell"),
           first(col("embedding")).as("embedding"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val probes = cents.crossJoin(broadcast(q))
-        .select(col("cid"), cosine(col("cv"), col("qv")).as("cs"))
+        .select(col("cid"), cosineFast(s)(col("cv"), col("qv")).as("cs"))
         .orderBy(col("cs").desc, col("cid"))
         .limit(4)
         .select(col("cid").as("probe"))
@@ -192,7 +201,7 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
             .cast("long"))
@@ -221,7 +230,7 @@ object SimilarityQueries {
         .select(
           when(col("a.label") === col("b.label"), "same").otherwise("diff")
             .as("pair_kind"),
-          cosine(col("a.embedding"), col("b.embedding")).as("cs"))
+          cosineFast(s)(col("a.embedding"), col("b.embedding")).as("cs"))
         .groupBy(col("pair_kind"))
         .agg(count(lit(1)).as("n_pairs"), round(avg(col("cs")), 4).as("mean_cos"))
         .orderBy(col("pair_kind"))

@@ -35,6 +35,19 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(pairs.count() == pairs.distinct().count())
   }
 
+  test("native cosine_sim expression is registered and bit-equal to the composition") {
+    assert(spark.catalog.functionExists("cosine_sim"))
+    val emb = Scans.table(spark, sfDir, "embeddings")
+    val pairs = emb.as("a").join(emb.as("b"),
+      col("b.vec_id") === col("a.vec_id") + 1)
+    val mismatches = pairs.select(
+        SimilarityQueries.cosine(col("a.embedding"), col("b.embedding")).as("ref"),
+        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("native"))
+      .filter(col("ref") =!= col("native")) // bit-equal, no tolerance
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric-bounded") {
     val emb = Scans.table(spark, sfDir, "embeddings").limit(20)
     val self = emb.select(
