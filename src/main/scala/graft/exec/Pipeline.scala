@@ -75,13 +75,37 @@ object Pipeline {
     selected.distinct
   }
 
-  /** Build one table's copy DataFrame from its planned work items: the
-    * union of all slice scans. Disjoint + exhaustive slicing makes the
-    * union equal to the table (property-tested).
+  /** Build one table's copy DataFrame from its planned work items.
+    *
+    * Physical slices stay a union of per-slice scans: each range
+    * predicate prunes its own row groups / partition dirs, so N scans
+    * read disjoint bytes — same total IO as one scan, and the reference
+    * shape (`TableAnalyzer.cs:288-352`).
+    *
+    * Logical (hash-mod) slices get ONE scan + a shuffle fan-out instead:
+    * a `pmod(key, N)` predicate cannot push down, so N slice scans would
+    * read the table N times — fine against SQL Server (the reference
+    * pushes each `%%PhysLoc%%` slice to the server), catastrophic for a
+    * 100 TB parquet source. `repartition(N, sliceIdx)` reads once and
+    * lands whole slices per task (disjoint + exhaustive is preserved:
+    * every row goes to exactly one partition, property-tested).
     */
   def copyFrame(spark: SparkSession, sfDir: String, items: Seq[WorkItem]): DataFrame = {
     require(items.nonEmpty)
-    items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
+    items.head.slice match {
+      case SliceSpec.Logical(keys, n, _) if items.size > 1 &&
+          items.forall(_.slice.isInstanceOf[SliceSpec.Logical]) =>
+        val item = items.head
+        val base = Scans.project(
+          Scans.table(spark, sfDir, item.table.name), item.table.excludedColumns)
+        val key =
+          if (keys.nonEmpty) abs(Scans.sliceKeyPortable(keys))
+          else Scans.sliceKeyHash(base)
+        val fanned = base.repartition(n, pmod(key, lit(n.toLong)))
+        Scans.orderedWithinPartitions(fanned, item.orderHint)
+      case _ =>
+        items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
+    }
   }
 
   /** Synthetic physical-partition function over the testdata: ship-year
