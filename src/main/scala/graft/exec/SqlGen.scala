@@ -1,0 +1,67 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model._
+
+/** SQL-text generation — the reference's core mechanism: every scan it
+  * runs is assembled as `SELECT <cols> FROM <t> [WHERE <pred>]
+  * [ORDER BY <keys>]` text (`client/SmartBulkCopy.cs:422-438`,
+  * `client/CopyInfo.cs:24-68`). This module renders the same shapes in
+  * Spark SQL dialect (backtick quoting = the QUOTENAME analog,
+  * `SmartBulkCopy.cs:836`) and executes them with `spark.sql` over
+  * registered views — proving the engine's declared plans and its SQL
+  * surface agree.
+  */
+object SqlGen {
+
+  /** QUOTENAME analog: `[col]` → backtick-quoted identifier. */
+  def quote(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** Select-list text: every column except the excluded ones, in table
+    * order — reference `CopyInfo.cs:24-27` + exclusion policy
+    * `TableInfoCollector.cs:395-408`. Never `SELECT *`.
+    */
+  def selectList(allColumns: Seq[String], excluded: Seq[String]): String =
+    allColumns.filterNot(excluded.contains(_)).map(quote).mkString(", ")
+
+  /** WHERE text for a slice — reference `CopyInfo.cs:47-68`. The logical
+    * slice renders the portable arithmetic key (`a*31+b`), the same
+    * expression [[Scans.sliceKeyPortable]] builds as a Column.
+    */
+  def whereClause(slice: SliceSpec): String = slice match {
+    case SliceSpec.Whole => ""
+    case SliceSpec.Physical(pcol, n) =>
+      // range form of `$partition.pf(col) = n` (pushdown-friendly)
+      val lo = 1994 + n
+      s"WHERE ${quote(pcol)} >= TIMESTAMP '$lo-01-01' AND ${quote(pcol)} < TIMESTAMP '${lo + 1}-01-01'"
+    case SliceSpec.Logical(keys, count, index) =>
+      val key = keys.map(c => s"CAST(${quote(c)} AS BIGINT)")
+        .reduce((a, b) => s"($a * 31 + $b)")
+      s"WHERE pmod(abs($key), $count) = $index"
+  }
+
+  /** ORDER BY text with per-column direction — reference
+    * `TableInfoCollector.cs:52-58` (computed key columns excluded).
+    */
+  def orderByClause(keys: Seq[SortKey]): String =
+    if (keys.isEmpty) ""
+    else "ORDER BY " + keys.filterNot(_.isComputed)
+      .map(k => s"${quote(k.col)}${if (k.descending) " DESC" else ""}")
+      .mkString(", ")
+
+  /** Full generated SELECT for one work item over a registered view. */
+  def selectFor(item: WorkItem, allColumns: Seq[String]): String =
+    Seq(
+      s"SELECT ${selectList(allColumns, item.table.excludedColumns)}",
+      s"FROM ${quote(item.table.name)}",
+      whereClause(item.slice),
+      orderByClause(item.orderHint)
+    ).filter(_.nonEmpty).mkString(" ")
+
+  /** Register the table as a temp view and run the generated text. */
+  def run(spark: SparkSession, sfDir: String, item: WorkItem): DataFrame = {
+    val df = Scans.table(spark, sfDir, item.table.name)
+    df.createOrReplaceTempView(item.table.name)
+    spark.sql(selectFor(item, df.columns.toSeq))
+  }
+}

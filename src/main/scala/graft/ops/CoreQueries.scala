@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.exec.{Pipeline, Scans}
 import graft.meta.Catalog
+import graft.model.{SliceSpec, SortKey, WorkItem}
 
 /** The reference's own operator surface (SURVEY.md §2 A+B), re-expressed as
   * declarative Spark queries over the testdata star schema. Each entry
@@ -173,6 +174,26 @@ object CoreQueries {
         .select(lit("lineitem").as("table_name"),
           col("src_rows"), col("dst_rows"),
           (col("src_rows") === col("dst_rows")).as("is_match"))
+    },
+
+    // ------------------------------------------------------------------
+    // scan_generated_sql — the reference's core mechanism run natively:
+    // assemble `SELECT <cols> FROM t WHERE <slice> ORDER BY <keys>` as
+    // TEXT (SmartBulkCopy.cs:422-438, CopyInfo.cs:24-68) and execute it
+    // with spark.sql over a registered view. Same slice as
+    // scan_logical_partition, so the SQL surface and the DataFrame
+    // surface are interchangeable.
+    // ------------------------------------------------------------------
+    QueryDef("scan_generated_sql",
+      s"""SELECT ${lineitemCols.mkString(", ")}
+         |FROM lineitem
+         |WHERE abs($liSliceKeySql) % 9 = 3
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val meta = Catalog.collect(s, dir, "lineitem")
+      val item = WorkItem(meta,
+        SliceSpec.Logical(Seq("l_orderkey", "l_linenumber"), 9, 3),
+        orderHint = Seq(SortKey("l_orderkey"), SortKey("l_linenumber")))
+      graft.exec.SqlGen.run(s, dir, item)
     },
 
     // ------------------------------------------------------------------

@@ -69,6 +69,18 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("generated SQL text agrees with the DataFrame plan for the same work item") {
+    import graft.exec.{Scans, SqlGen}
+    val meta = Catalog.collect(spark, sfDir, "lineitem")
+    val item = WorkItem(meta, SliceSpec.Logical(Seq("l_orderkey", "l_linenumber"), 9, 3),
+      orderHint = Seq(SortKey("l_orderkey"), SortKey("l_linenumber", descending = true)))
+    val viaSql = SqlGen.run(spark, sfDir, item)
+    val viaApi = Scans.forWorkItem(spark, sfDir, item)
+    assert(viaSql.exceptAll(viaApi).count() == 0 &&
+      viaApi.exceptAll(viaSql).count() == 0)
+    assert(viaSql.count() > 0)
+  }
+
   test("safety check fails for a missing table") {
     assert(Pipeline.safetyCheck(spark, sfDir, "lineitem"))
     assert(!Pipeline.safetyCheck(spark, sfDir, "no_such"))
