@@ -107,6 +107,44 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_session_window — Spark's NATIVE session_window operator
+    // (dynamic-gap session aggregation, one shuffle on user_id; the same
+    // operator works under Structured Streaming with state eviction by
+    // watermark). Session = events chained closer than 30 min; window
+    // end = last event + gap. Oracle: lag-gap island construction —
+    // note >= gap starts a new session (session_window merges only
+    // strictly-overlapping extents).
+    // ------------------------------------------------------------------
+    QueryDef("events_session_window",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |marked AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |              OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |                 >= 1800000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_seq
+        |  FROM marked)
+        |SELECT user_id, min(ms) AS session_start_ms,
+        |       max(ms) + 1800000 AS session_end_ms, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start_ms""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_ms"))
+    },
+
+    // ------------------------------------------------------------------
     // events_json_props — semi-structured extraction: pull the numeric
     // `k` field out of the JSON props column and aggregate per event
     // type (get_json_object / from_json — the props-MapType extension

@@ -100,6 +100,28 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------------------------
+    // bulk_insert_partitioned — partition-keyed destination LAYOUT: the
+    // at-scale realization of the reference's "identically partitioned
+    // source and destination" path (TableAnalyzer.cs:109-145): the copy
+    // writes partitionBy(ship_year) directories, so a later scan of one
+    // partition is directory pruning, not row filtering. Read-back
+    // per-partition counts prove the layout partitions the table.
+    // ------------------------------------------------------------------
+    QueryDef("bulk_insert_partitioned",
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dest = tmp("bulk_insert_partitioned")
+      Scans.table(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("ship_year").parquet(dest)
+      s.read.parquet(dest)
+        .groupBy(col("ship_year").cast("long").as("ship_year"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("ship_year"))
+    },
+
+    // ------------------------------------------------------------------
     // parallel_copy_scheduler — the work-queue fan-out (reference
     // SmartBulkCopy.cs:39,165-194,407): per-slice row counts of the
     // 9-slice plan, proving the slices are disjoint and exhaustive; in

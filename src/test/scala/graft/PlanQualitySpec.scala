@@ -78,6 +78,20 @@ class PlanQualitySpec extends SparkSpecBase {
       s"cosine_sim projection not codegen'd: $projLine")
   }
 
+  test("partitionBy layout turns year filters into directory pruning") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("bulk_insert_partitioned")(spark, sfDir).collect()
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_dest/bulk_insert_partitioned"
+    val pruned = spark.read.parquet(dest).filter(col("ship_year") === 1997)
+    val p = pruned.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("ship_year"),
+      s"partition filter not applied at the file listing: $scanLine")
+    // and the data filter must NOT appear as a row-level PushedFilter —
+    // pruning happens at directory granularity
+    assert(pruned.count() > 0)
+  }
+
   test("topk_per_group windows on the group key, never a single partition") {
     val p = plan("topk_per_group")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
