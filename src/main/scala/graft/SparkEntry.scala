@@ -16,9 +16,9 @@ object SparkEntry {
   /** All declared capabilities, core + extensions. */
   def registry: Seq[QueryDef] =
     CoreQueries.entries ++ MetaQueries.entries ++ PipelineQueries.entries ++
-      JoinQueries.entries ++ RelationalQueries.entries ++ TextQueries.entries ++
-      SimilarityQueries.entries ++ EventQueries.entries ++
-      MultimodalQueries.entries
+      JdbcQueries.entries ++ JoinQueries.entries ++ RelationalQueries.entries ++
+      TextQueries.entries ++ SimilarityQueries.entries ++
+      EventQueries.entries ++ MultimodalQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

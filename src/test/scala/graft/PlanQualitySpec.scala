@@ -92,6 +92,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(pruned.count() > 0)
   }
 
+  test("jdbc read is partition-parallel and pushes filters to the database") {
+    val copy = plan("jdbc_bulk_copy")
+    assert(copy.contains("numPartitions=4"),
+      s"JDBC read not slice-parallel: ${copy.linesIterator.find(_.contains("JDBCRelation")).getOrElse(copy.take(800))}")
+    val push = plan("jdbc_pushdown_scan")
+    val scanLine = push.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("n_regionkey"),
+      s"filter not pushed to the JDBC source: $scanLine")
+  }
+
   test("topk_per_group windows on the group key, never a single partition") {
     val p = plan("topk_per_group")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
