@@ -154,6 +154,22 @@ object RelationalQueries {
     },
 
     // ------------------------------------------------------------------
+    // agg_approx_distinct — HyperLogLog++ sketch vs exact distinct:
+    // the sketch is mergeable map-side (one small state per partition,
+    // no giant shuffle of distinct keys), which is what makes distinct
+    // counting feasible at 100 TB. Rows-only oracle (sketch estimates
+    // are engine-specific); the spec bounds the relative error.
+    // ------------------------------------------------------------------
+    QueryDef.unoracled("agg_approx_distinct") { (s, dir) =>
+      Scans.table(s, dir, "lineitem")
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    },
+
+    // ------------------------------------------------------------------
     // join_skew_salted — skew-mitigated equi-join: the fact side keeps
     // its rows, the (small, but conceptually large-and-hot-keyed) build
     // side is replicated once per salt, and the join key becomes

@@ -53,6 +53,47 @@ object TextQueries {
             .as(s"sig_$i")): _*)
   }
 
+  /** LSH band buckets → distinct candidate pairs: 4 bands × 2 signature
+    * rows; docs sharing any (band, k1, k2) bucket become candidates. The
+    * signature table is cached (at scale: materialized) so the self-join
+    * reads it once; the join shuffles on band keys only — never
+    * all-pairs over the corpus.
+    */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir).cache()
+    val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"sig_${2 * b}").as("k1"),
+            col(s"sig_${2 * b + 1}").as("k2"))): _*))
+          .as("x"))
+      .select(col("doc_id"), col("x.band").as("band"),
+        col("x.k1").as("k1"), col("x.k2").as("k2"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+        col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The matching DuckDB CTE chain ending in `cand(doc_a, doc_b)`
+    * (also exposes `toks`). */
+  private def lshCandDuck: String =
+    s"""toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
+       |sh AS (SELECT doc_id,
+       |              (CAST(concat('0x', substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT)
+       |               % 1000000007) AS h
+       |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1), 2)) AS u(i)),
+       |sigs AS (SELECT doc_id,
+       |         ${(0 until 8).map(i => s"min((h * ${2 * i + 1} + $i) % 1000000007) AS sig_$i").mkString(",\n         ")}
+       |         FROM sh GROUP BY doc_id),
+       |bands AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, sig_${2 * b} AS k1, sig_${2 * b + 1} AS k2 FROM sigs")
+          .mkString("\n          UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |          AND a.doc_id < b.doc_id)""".stripMargin
+
   /** 64-bit SimHash from token md5s: bit b (= 4·(d−1)+k: bit k of hex
     * digit d) votes +1/−1 per token; the signature bit is sign(sum).
     * Generated column-wise so both engines run the same arithmetic.
@@ -241,35 +282,44 @@ object TextQueries {
     // the scale path for near-dedup (never all-pairs).
     // ------------------------------------------------------------------
     QueryDef("dedup_minhash_lsh",
-      s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
-         |sh AS (SELECT doc_id,
-         |              (CAST(concat('0x', substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT)
-         |               % 1000000007) AS h
-         |       FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1), 2)) AS u(i)),
-         |sigs AS (SELECT doc_id,
-         |         ${(0 until 8).map(i => s"min((h * ${2 * i + 1} + $i) % 1000000007) AS sig_$i").mkString(",\n         ")}
-         |         FROM sh GROUP BY doc_id),
-         |bands AS (${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, sig_${2 * b} AS k1, sig_${2 * b + 1} AS k2 FROM sigs")
-            .mkString("\n          UNION ALL ")})
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         | AND a.doc_id < b.doc_id
+      s"""WITH $lshCandDuck
+         |SELECT doc_a, doc_b FROM cand
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sigs = minhashSigs(s, dir).cache()
-      val bands = sigs.select(col("doc_id"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), col(s"sig_${2 * b}").as("k1"),
-              col(s"sig_${2 * b + 1}").as("k2"))): _*))
-            .as("x"))
-        .select(col("doc_id"), col("x.band").as("band"),
-          col("x.k1").as("k1"), col("x.k2").as("k2"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
-          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      lshCandidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_lsh_verified — the COMPLETE near-dedup pipeline: LSH
+    // candidate generation (shuffle on band keys) followed by exact
+    // Jaccard verification of only the candidate pairs. The verify
+    // shuffle is proportional to candidates, not the corpus — the
+    // at-scale pattern (all-pairs never happens, false positives never
+    // survive).
+    // ------------------------------------------------------------------
+    QueryDef("dedup_lsh_verified",
+      s"""WITH $lshCandDuck,
+         |tsets AS (SELECT doc_id, list_distinct(tk) AS ts FROM toks)
+         |SELECT * FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(len(list_intersect(ta.ts, tb.ts)) /
+         |               greatest(len(list_distinct(ta.ts || tb.ts)), 1) / 1.0, 6)
+         |           AS jaccard
+         |  FROM cand c
+         |  JOIN tsets ta ON ta.doc_id = c.doc_a
+         |  JOIN tsets tb ON tb.doc_id = c.doc_b) v
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val tsets = Scans.table(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
+      val cand = lshCandidates(s, dir)
+      cand
+        .join(broadcast(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), Seq("doc_a"))
+        .join(broadcast(tsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(array_union(ts_a, ts_b)), 1) / 1.0, 6)")
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

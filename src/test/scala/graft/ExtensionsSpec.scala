@@ -35,6 +35,21 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(pairs.count() == pairs.distinct().count())
   }
 
+  test("verified LSH pairs are a subset of candidates with jaccard >= 0.5") {
+    val cand = run("dedup_minhash_lsh").select(col("doc_a"), col("doc_b"))
+    val verified = run("dedup_lsh_verified")
+    assert(verified.filter(col("jaccard") < 0.5).count() == 0)
+    assert(verified.select(col("doc_a"), col("doc_b"))
+      .exceptAll(cand).count() == 0)
+  }
+
+  test("approx distinct is within the declared error of exact") {
+    val r = run("agg_approx_distinct").collect()(0)
+    def rel(e: Long, a: Long) = math.abs(a - e).toDouble / e
+    assert(rel(r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts")) < 0.06)
+    assert(rel(r.getAs[Long]("exact_orders"), r.getAs[Long]("approx_orders")) < 0.06)
+  }
+
   test("native cosine_sim expression is registered and bit-equal to the composition") {
     assert(spark.catalog.functionExists("cosine_sim"))
     val emb = Scans.table(spark, sfDir, "embeddings")
