@@ -138,6 +138,40 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------------------------
+    // pipeline_full_copy — the reference's top-level Copy() run
+    // (SmartBulkCopy.cs:74-250) end-to-end: wildcard table-list
+    // expansion over the catalog, per-table collect → analyze → copy →
+    // reconcile, tables copied CONCURRENTLY (4 driver threads submit
+    // jobs; Spark's scheduler interleaves their tasks — the analog of
+    // the reference's K-worker ConcurrentQueue). Oracle recomputes every
+    // table's rowcount: the whole run must reconcile.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_full_copy",
+      Catalog.tableNames.filterNot(Seq("documents", "embeddings", "events").contains(_))
+        .sorted
+        .map(t => s"SELECT '$t' AS table_name, count(*) AS src_rows, count(*) AS dst_rows, TRUE AS is_match FROM $t")
+        .mkString("", "\nUNION ALL ", "\nORDER BY table_name")) { (s, dir) =>
+      import s.implicits._
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val tables = Pipeline.expandTableList(
+          Seq("*", "-:documents", "-:embeddings", "-:events"))
+        val fut = Future.traverse(tables) { t => Future {
+          val src = Catalog.collect(s, dir, t)
+          val r = Pipeline.copyTable(s, dir, tmp("pipeline_full_copy"),
+            src, cleanDest(src, Storage.Heap), PlanConfig())
+          (r.table, r.srcRows, r.dstRows, r.ok)
+        }}
+        Await.result(fut, Duration.Inf)
+          .toDF("table_name", "src_rows", "dst_rows", "is_match")
+          .orderBy(col("table_name"))
+      } finally pool.shutdown()
+    },
+
+    // ------------------------------------------------------------------
     // retry_transient — transient-failure retry with max attempts
     // (reference SmartBulkCopy.cs:33,450-607): first attempt throws a
     // whitelisted transient error, the retry succeeds.
