@@ -18,14 +18,16 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // best-of-2 per query: strips one-off JIT/GC/page-cache noise from
     // the report (all queries are idempotent; writes use overwrite mode)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // min over SUCCESSFUL runs only; -1 marks a query with no success
+      // (a fast failure must not masquerade as a fast result)
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

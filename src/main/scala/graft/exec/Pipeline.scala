@@ -92,20 +92,29 @@ object Pipeline {
     */
   def copyFrame(spark: SparkSession, sfDir: String, items: Seq[WorkItem]): DataFrame = {
     require(items.nonEmpty)
-    items.head.slice match {
-      case SliceSpec.Logical(keys, n, _) if items.size > 1 &&
-          items.forall(_.slice.isInstanceOf[SliceSpec.Logical]) =>
-        val item = items.head
-        val base = Scans.project(
-          Scans.table(spark, sfDir, item.table.name), item.table.excludedColumns)
-        val key =
-          if (keys.nonEmpty) abs(Scans.sliceKeyPortable(keys))
-          else Scans.sliceKeyHash(base)
-        val fanned = base.repartition(n, pmod(key, lit(n.toLong)))
-        Scans.orderedWithinPartitions(fanned, item.orderHint)
-      case _ =>
-        items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
+    // The single-scan fan-out is only equivalent to the union when the
+    // items are the COMPLETE homogeneous slice set {0..n-1} over one
+    // (keys, n) spec — a subset (e.g. a per-slice retry) or mixed specs
+    // must take the per-slice union path.
+    val completeLogicalSet = items.head.slice match {
+      case SliceSpec.Logical(keys, n, _) if items.size == n =>
+        val specs = items.map(_.slice).collect {
+          case SliceSpec.Logical(k, c, i) if k == keys && c == n => i
+        }
+        specs.size == n && specs.sorted == (0 until n)
+      case _ => false
     }
+    if (completeLogicalSet) {
+      val item = items.head
+      val SliceSpec.Logical(keys, n, _) = item.slice: @unchecked
+      val base = Scans.project(
+        Scans.table(spark, sfDir, item.table.name), item.table.excludedColumns)
+      val key =
+        if (keys.nonEmpty) abs(Scans.sliceKeyPortable(keys))
+        else Scans.sliceKeyHash(base)
+      val fanned = base.repartition(n, pmod(key, lit(n.toLong)))
+      Scans.orderedWithinPartitions(fanned, item.orderHint)
+    } else items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
   }
 
   /** Synthetic physical-partition function over the testdata: ship-year

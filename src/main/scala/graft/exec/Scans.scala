@@ -76,8 +76,14 @@ object Scans {
     * pruning on a date-partitioned layout) — check `.explain`:
     * `PushedFilters: [GreaterThanOrEqual(l_shipdate,…), LessThan(…)]`.
     */
+  /** Year mapped to partition ordinal 0 by the synthetic RANGE partition
+    * function over the testdata (shared with [[SqlGen.whereClause]] so
+    * the SQL-text and DataFrame paths can never drift apart).
+    */
+  val DefaultEpochYear = 1994
+
   def physicalPartitionRange(df: DataFrame, colName: String, n: Int,
-      epochYear: Int = 1994): DataFrame =
+      epochYear: Int = DefaultEpochYear): DataFrame =
     df.filter(col(colName) >= lit(s"${epochYear + n}-01-01").cast("timestamp") &&
       col(colName) < lit(s"${epochYear + n + 1}-01-01").cast("timestamp"))
 

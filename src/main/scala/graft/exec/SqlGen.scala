@@ -26,17 +26,23 @@ object SqlGen {
 
   /** WHERE text for a slice — reference `CopyInfo.cs:47-68`. The logical
     * slice renders the portable arithmetic key (`a*31+b`), the same
-    * expression [[Scans.sliceKeyPortable]] builds as a Column.
+    * expression [[Scans.sliceKeyPortable]] builds as a Column; a
+    * key-less table falls back to `xxhash64` over every selected column
+    * (the [[Scans.sliceKeyHash]] analog — the planner legitimately emits
+    * `Logical(Nil, …)` for key-less heaps).
     */
-  def whereClause(slice: SliceSpec): String = slice match {
+  def whereClause(slice: SliceSpec, allColumns: Seq[String]): String = slice match {
     case SliceSpec.Whole => ""
     case SliceSpec.Physical(pcol, n) =>
       // range form of `$partition.pf(col) = n` (pushdown-friendly)
-      val lo = 1994 + n
+      val lo = Scans.DefaultEpochYear + n
       s"WHERE ${quote(pcol)} >= TIMESTAMP '$lo-01-01' AND ${quote(pcol)} < TIMESTAMP '${lo + 1}-01-01'"
     case SliceSpec.Logical(keys, count, index) =>
-      val key = keys.map(c => s"CAST(${quote(c)} AS BIGINT)")
-        .reduce((a, b) => s"($a * 31 + $b)")
+      val key =
+        if (keys.nonEmpty)
+          keys.map(c => s"CAST(${quote(c)} AS BIGINT)")
+            .reduce((a, b) => s"($a * 31 + $b)")
+        else s"xxhash64(${allColumns.map(quote).mkString(", ")})"
       s"WHERE pmod(abs($key), $count) = $index"
   }
 
@@ -54,7 +60,8 @@ object SqlGen {
     Seq(
       s"SELECT ${selectList(allColumns, item.table.excludedColumns)}",
       s"FROM ${quote(item.table.name)}",
-      whereClause(item.slice),
+      whereClause(item.slice,
+        allColumns.filterNot(item.table.excludedColumns.contains(_))),
       orderByClause(item.orderHint)
     ).filter(_.nonEmpty).mkString(" ")
 

@@ -16,7 +16,7 @@ import graft.plan.{Analyzer, PartitionStrategy, PlanConfig}
   */
 object PipelineQueries {
 
-  private def tmp(name: String): String =
+  private[graft] def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_dest/$name"
 
   /** Destination-side TableMeta: same shape, none of the abort conditions
@@ -165,10 +165,11 @@ object PipelineQueries {
             src, cleanDest(src, Storage.Heap), PlanConfig())
           (r.table, r.srcRows, r.dstRows, r.ok)
         }}
-        Await.result(fut, Duration.Inf)
+        // bounded wait: a wedged copy fails the query instead of hanging
+        Await.result(fut, Duration(10, "min"))
           .toDF("table_name", "src_rows", "dst_rows", "is_match")
           .orderBy(col("table_name"))
-      } finally pool.shutdown()
+      } finally pool.shutdownNow() // don't leave in-flight copies running
     },
 
     // ------------------------------------------------------------------

@@ -59,8 +59,17 @@ object TextQueries {
     * reads it once; the join shuffles on band keys only — never
     * all-pairs over the corpus.
     */
+  // one cached signature table at a time: a new call releases the
+  // previous cache so repeated runs don't pin executor storage forever
+  private var cachedSigs: Option[DataFrame] = None
+
   def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(s, dir).cache()
+    val sigs = synchronized {
+      cachedSigs.foreach(_.unpersist(false))
+      val fresh = minhashSigs(s, dir).cache()
+      cachedSigs = Some(fresh)
+      fresh
+    }
     val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), col(s"sig_${2 * b}").as("k1"),
@@ -309,13 +318,15 @@ object TextQueries {
          |  JOIN tsets tb ON tb.doc_id = c.doc_b) v
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // no broadcast hint: at 100 TB the token-set side is corpus-sized,
+      // so the right plan is a shuffle join on doc ids (candidates are
+      // few); AQE still broadcasts when the side is actually small.
       val tsets = Scans.table(s, dir, "documents")
-        .repartition(col("doc_id"))
         .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
       val cand = lshCandidates(s, dir)
       cand
-        .join(broadcast(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), Seq("doc_a"))
-        .join(broadcast(tsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), Seq("doc_b"))
+        .join(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), Seq("doc_a"))
+        .join(tsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(array_union(ts_a, ts_b)), 1) / 1.0, 6)")
             .as("jaccard"))

@@ -58,9 +58,25 @@ class ExtensionsSpec extends SparkSpecBase {
     val mismatches = pairs.select(
         SimilarityQueries.cosine(col("a.embedding"), col("b.embedding")).as("ref"),
         call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("native"))
-      .filter(col("ref") =!= col("native")) // bit-equal, no tolerance
+      .filter(!(col("ref") <=> col("native"))) // bit-equal incl. NULLs
       .count()
     assert(mismatches == 0)
+  }
+
+  test("native cosine_sim matches the composition's NULL contract") {
+    import spark.implicits._
+    // unequal lengths and a null element must both yield NULL, exactly
+    // like aggregate(zip_with(...)) over padded/null slots
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .withColumn("b2", when(element_at(col("a"), 1) === 1.0f, col("b")))
+    val both = df.select(
+      SimilarityQueries.cosine(col("a"), col("b")).as("ref"),
+      call_function("cosine_sim", col("a"), col("b")).as("native"))
+    assert(both.filter(!(col("ref") <=> col("native"))).count() == 0)
+    // the unequal-length row is NULL on both sides
+    assert(both.filter(col("native").isNull).count() == 1)
   }
 
   test("cosine is 1.0 for identical vectors and symmetric-bounded") {

@@ -69,6 +69,28 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("copyFrame on a SUBSET of logical slices returns only those slices") {
+    val src = Catalog.collect(spark, sfDir, "orders")
+    val keys = Seq("o_orderkey")
+    val items = (0 until 3).map(i => // 3 of 9 slices — e.g. a retry batch
+      WorkItem(src, SliceSpec.Logical(keys, 9, i), orderHint = Nil))
+    val subset = Pipeline.copyFrame(spark, sfDir, items)
+    val key = graft.exec.Scans.sliceKeyPortable(keys)
+    val expected = graft.exec.Scans.table(spark, sfDir, "orders")
+      .filter(pmod(abs(key), lit(9L)) < 3).count()
+    assert(subset.count() == expected)
+    assert(expected < graft.exec.Scans.table(spark, sfDir, "orders").count())
+  }
+
+  test("generated SQL renders a key-less logical slice via xxhash64") {
+    import graft.exec.SqlGen
+    val src = Catalog.collect(spark, sfDir, "region").copy(sortKeys = Nil)
+    val item = WorkItem(src, SliceSpec.Logical(Nil, 3, 1), orderHint = Nil)
+    val df = SqlGen.run(spark, sfDir, item)
+    assert(df.columns.nonEmpty) // renders and analyzes without throwing
+    df.count()
+  }
+
   test("generated SQL text agrees with the DataFrame plan for the same work item") {
     import graft.exec.{Scans, SqlGen}
     val meta = Catalog.collect(spark, sfDir, "lineitem")

@@ -13,9 +13,6 @@ class PlanQualitySpec extends SparkSpecBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  private def optimized(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.toString
-
   test("narrow projections prune the parquet ReadSchema") {
     // scan_project deliberately reads the full column list (reference
     // semantics: explicit list of every portable column); the pruning
@@ -81,7 +78,7 @@ class PlanQualitySpec extends SparkSpecBase {
   test("partitionBy layout turns year filters into directory pruning") {
     import org.apache.spark.sql.functions._
     SparkEntry.queries("bulk_insert_partitioned")(spark, sfDir).collect()
-    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_dest/bulk_insert_partitioned"
+    val dest = graft.ops.PipelineQueries.tmp("bulk_insert_partitioned")
     val pruned = spark.read.parquet(dest).filter(col("ship_year") === 1997)
     val p = pruned.queryExecution.executedPlan.toString
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
