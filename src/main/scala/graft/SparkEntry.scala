@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.exec.{Pipeline, Scans}
+import graft.exec.Scans
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -32,9 +32,12 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
+    // partitions 1..7 expressed as raw shipdate bounds so the predicate
+    // reaches the parquet scan (PushedFilters row-group pruning) instead
+    // of evaluating year() per row
     Scans.table(spark, dir, "lineitem")
-      .withColumn("l_partition", Pipeline.partitionNumber(col("l_shipdate")))
-      .filter(col("l_partition").between(1, 7))
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),

@@ -114,6 +114,9 @@ object PipelineQueries {
       val dest = tmp("bulk_insert_partitioned")
       Scans.table(s, dir, "lineitem")
         .withColumn("ship_year", year(col("l_shipdate")))
+        // co-locate each partition's rows before partitionBy: one file
+        // per partition dir instead of (tasks x partitions) small files
+        .repartition(col("ship_year"))
         .write.mode("overwrite").partitionBy("ship_year").parquet(dest)
       s.read.parquet(dest)
         .groupBy(col("ship_year").cast("long").as("ship_year"))
