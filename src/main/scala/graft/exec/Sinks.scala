@@ -15,11 +15,16 @@ import graft.model.SortKey
 object Sinks {
 
   /** Destination prep: `TRUNCATE TABLE t` — reference
-    * `SmartBulkCopy.cs:391-396`. For a file sink, truncation is
-    * `SaveMode.Overwrite` on the first write.
+    * `SmartBulkCopy.cs:391-396` (issued as its own step before the load,
+    * `:169-176`). For a file sink, truncation removes the destination
+    * footprint; loads that immediately rewrite can instead rely on
+    * `SaveMode.Overwrite` in [[bulkInsert]].
     */
-  def truncate(spark: SparkSession, path: String): Unit =
-    spark.emptyDataFrame.write.mode(SaveMode.Overwrite).format("noop").save()
+  def truncate(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   /** Transactional batch insert — reference `SmartBulkCopy.cs:440-561`.
     * `batchSizeRows` maps the reference's insert batch (default 100000,

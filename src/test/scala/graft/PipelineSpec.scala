@@ -103,6 +103,15 @@ class PipelineSpec extends SparkSpecBase {
     assert(viaSql.count() > 0)
   }
 
+  test("truncate removes the destination footprint") {
+    import graft.exec.{Scans, Sinks}
+    val d = s"$destDir/trunc_target.parquet"
+    Sinks.bulkInsert(Scans.table(spark, sfDir, "region"), d, overwrite = true)
+    assert(spark.read.parquet(d).count() > 0)
+    Sinks.truncate(spark, d)
+    assert(!new java.io.File(d).exists())
+  }
+
   test("safety check fails for a missing table") {
     assert(Pipeline.safetyCheck(spark, sfDir, "lineitem"))
     assert(!Pipeline.safetyCheck(spark, sfDir, "no_such"))
