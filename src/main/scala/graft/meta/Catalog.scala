@@ -144,7 +144,19 @@ object Catalog {
 
   lazy val columnRows: Seq[(Int, Int, String, Int, Int)] =
     tableNames.zipWithIndex.flatMap { case (n, i) =>
-      schemaColumns(n).zipWithIndex.map { case (c, j) => (i + 1, j + 1, c, 0, 0) }
+      val real = schemaColumns(n).zipWithIndex.map { case (c, j) =>
+        (i + 1, j + 1, c, 0, 0)
+      }
+      // catalog-only non-portable columns on lineitem — the reference's
+      // exclusion fixture (computed + rowversion/timestamp columns that
+      // the copy projection must drop, TableInfoCollector.cs:395-408,
+      // tests/sql/setup-reference-sample-test-table.sql)
+      val synthetic =
+        if (n == "lineitem") Seq(
+          (i + 1, real.size + 1, "l_revenue_computed", 1, 0),
+          (i + 1, real.size + 2, "l_rowversion", 0, 189))
+        else Nil
+      real ++ synthetic
     }
 
   /** `sys.columns`-shaped: (object_id, column_id, column_name, is_computed,

@@ -54,6 +54,33 @@ object MetaQueries {
     },
 
     // ------------------------------------------------------------------
+    // meta_column_exclusion — the projection policy that generates every
+    // copy select-list (reference TableInfoCollector.cs:391-414): per
+    // table, total vs portable vs excluded (computed / rowversion)
+    // column counts from the catalog.
+    // ------------------------------------------------------------------
+    QueryDef("meta_column_exclusion",
+      s"""WITH ${Catalog.sysTablesCte},
+         |     ${Catalog.sysColumnsCte}
+         |SELECT t.table_name,
+         |       count(*) AS n_columns,
+         |       count(*) FILTER (WHERE c.is_computed = 0
+         |                          AND c.system_type_id <> 189) AS n_portable,
+         |       count(*) FILTER (WHERE c.is_computed = 1
+         |                           OR c.system_type_id = 189) AS n_excluded
+         |FROM sys_tables t JOIN sys_columns c ON c.object_id = t.object_id
+         |GROUP BY t.table_name ORDER BY t.table_name""".stripMargin) { (s, dir) =>
+      val portable = col("is_computed") === 0 && col("system_type_id") =!= 189
+      Catalog.sysTables(s).select(col("object_id"), col("table_name"))
+        .join(Catalog.sysColumns(s), Seq("object_id"))
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_columns"),
+          count(when(portable, lit(1))).as("n_portable"),
+          count(when(!portable, lit(1))).as("n_excluded"))
+        .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
     // meta_partition_function — 4-way inner equi-join resolving each
     // partitioned table's (partition function, partition column, fanout),
     // filtered partition_ordinal = 1 (reference TableAnalyzer.cs:313-338).
