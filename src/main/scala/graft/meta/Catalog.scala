@@ -47,7 +47,12 @@ object Catalog {
     // partitioned by ship-year (the $partition.pf(col) analog).
     "lineitem" -> TableMeta("main", "lineitem", Storage.ClusteredRowstore,
       sortKeys = Seq(SortKey("l_orderkey"), SortKey("l_linenumber", descending = true)),
-      partitionCol = Some("l_shipdate"), partitionCount = 7, foreignKeyCount = 3),
+      partitionCol = Some("l_shipdate"), partitionCount = 7, foreignKeyCount = 3,
+      // projection drops the catalog-declared non-portable columns
+      // (computed + rowversion — TableInfoCollector.cs:395-408); they are
+      // catalog-only here, so the exclusion is policy-exercising, not
+      // data-changing
+      excludedColumns = Seq("l_revenue_computed", "l_rowversion")),
     "events"     -> TableMeta("main", "events", Storage.ClusteredColumnstore),
     "documents"  -> TableMeta("main", "documents", Storage.ClusteredColumnstore),
     "embeddings" -> TableMeta("main", "embeddings", Storage.ClusteredColumnstore))
