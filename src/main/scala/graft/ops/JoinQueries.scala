@@ -16,6 +16,25 @@ import graft.meta.Catalog
   */
 object JoinQueries {
 
+  /** As-of core: for each purchase, the most recent STRICTLY-earlier
+    * click by the same user. Union+window idiom: one shuffle on user_id,
+    * no per-row range probe. At equal ms the purchase sorts first
+    * (is_click ascending), so the frame ending at the previous row
+    * cannot see an equal-ms click — the strict `<` contract
+    * (tie-tested in JoinSemanticsSpec).
+    */
+  def asOfLastClick(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+      .withColumn("last_click_ms",
+        max(when(col("event_type") === "click", col("ms"))).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ms"), col("is_click"))
+            .rowsBetween(Window.unboundedPreceding, -1L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_click_ms"))
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -95,22 +114,9 @@ object JoinQueries {
         |       (SELECT max(c.ms) FROM c
         |        WHERE c.user_id = p.user_id AND c.ms < p.ms) AS last_click_ms
         |FROM p ORDER BY p.event_id""".stripMargin) { (s, dir) =>
-      val ev = Scans.table(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_millis(col("ts")).as("ms"))
-      val tagged = ev.filter(col("event_type").isin("purchase", "click"))
-      tagged
-        .withColumn("is_click", (col("event_type") === "click").cast("int"))
-        // clicks sort before purchases at equal ms via is_click DESC? No:
-        // strict "<" semantics — at equal ms a click must NOT match, so
-        // purchases (is_click=0) sort first and the frame ends before them
-        .withColumn("last_click_ms",
-          max(when(col("event_type") === "click", col("ms"))).over(
-            Window.partitionBy(col("user_id"))
-              .orderBy(col("ms"), col("is_click"))
-              .rowsBetween(Window.unboundedPreceding, -1L)))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("last_click_ms"))
+      asOfLastClick(Scans.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms")))
         .orderBy(col("event_id"))
     },
 
