@@ -335,6 +335,55 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // dedup_cluster_collapse — collapse near-dup candidate pairs into
+    // clusters: connected components over the LSH pair graph, min doc_id
+    // as the cluster representative (what a pipeline keeps). Spark side:
+    // iterative min-label propagation — per iteration one shuffle on
+    // node id, converges in O(component diameter) steps; at 100 TB this
+    // is the standard CC loop (checkpoint every few iterations to cut
+    // lineage). Oracle: recursive-CTE transitive closure.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_cluster_collapse",
+      s"""WITH RECURSIVE $lshCandDuck,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |nodes AS (SELECT DISTINCT doc_a AS n FROM cand
+         |          UNION SELECT doc_b FROM cand)
+         |SELECT n AS doc_id, least(n, min(r.dst)) AS cluster_id
+         |FROM nodes JOIN reach r ON r.src = n
+         |GROUP BY n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cand = lshCandidates(s, dir).cache()
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val propagated = edges
+          .join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label"))
+          .unionAll(propagated)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .cache()
+        changed = next.as("a")
+          .join(labels.as("b"), col("a.node") === col("b.node"))
+          .filter(col("a.label") =!= col("b.label")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_simhash — 64-bit SimHash signature per document: per-token
     // md5 bits vote ±1, signature bit = sign of the vote sum. Near-dups
     // share most bits (Hamming distance, spec-tested).

@@ -35,6 +35,17 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(pairs.count() == pairs.distinct().count())
   }
 
+  test("cluster collapse assigns both ends of every candidate pair the same cluster") {
+    val clusters = run("dedup_cluster_collapse")
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    val pairs = run("dedup_minhash_lsh")
+    val withA = pairs.join(clusters.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("cluster_id", "ca"), Seq("doc_a"))
+    val both = withA.join(clusters.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("cluster_id", "cb"), Seq("doc_b"))
+    assert(both.filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
   test("verified LSH pairs are a subset of candidates with jaccard >= 0.5") {
     val cand = run("dedup_minhash_lsh").select(col("doc_a"), col("doc_b"))
     val verified = run("dedup_lsh_verified")
