@@ -42,6 +42,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session_window merges events and finalizes by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sessions = mem.toDF.toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("ssw")
+      .outputMode("append").start()
+    try {
+      // three events 10 min apart chain into ONE session for user 1
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 09:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 09:10:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 09:20:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark past 09:50 (session close) to finalize
+      mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ssw").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1 && u1.head.getAs[Long]("n_events") == 3,
+        s"expected one merged 3-event session, got ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("append mode emits a window only after the watermark passes it") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
