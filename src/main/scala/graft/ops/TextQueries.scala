@@ -84,6 +84,68 @@ object TextQueries {
       .distinct()
   }
 
+  /** Connected components over a pair graph, min node id per component
+    * as the cluster representative — the "collapse near-dups to one
+    * kept doc" step.
+    *
+    * Hybrid by edge count, like broadcast-vs-shuffle join selection:
+    * a candidate graph that fits the driver (the common case — LSH
+    * candidates are a sparse subset even of a 100 TB corpus) runs
+    * union-find locally in O(E α(E)); a bigger graph falls back to
+    * distributed min-label propagation, one shuffle per round,
+    * converging in O(component diameter) rounds.
+    */
+  def collapseClusters(pairs: DataFrame, driverMaxEdges: Long = 2000000L): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val cached = pairs.cache()
+    if (cached.count() <= driverMaxEdges) {
+      val edges = cached.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // always root at the smaller id ⇒ final root = component min
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+        .map(n => (n, find(n)))
+        .toDF("doc_id", "cluster_id")
+    } else {
+      val edges = cached.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val propagated = edges
+          .join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label"))
+          .unionAll(propagated)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint() // cut lineage each round
+        changed = next.as("a")
+          .join(labels.as("b"), col("a.node") === col("b.node"))
+          .filter(col("a.label") =!= col("b.label")).count()
+        labels.unpersist(false)
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }
+  }
+
   /** The matching DuckDB CTE chain ending in `cand(doc_a, doc_b)`
     * (also exposes `toks`). */
   private def lshCandDuck: String =
@@ -356,31 +418,7 @@ object TextQueries {
          |SELECT n AS doc_id, least(n, min(r.dst)) AS cluster_id
          |FROM nodes JOIN reach r ON r.src = n
          |GROUP BY n ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val cand = lshCandidates(s, dir).cache()
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .cache()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .cache()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val propagated = edges
-          .join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("label"))
-        val next = labels.select(col("node"), col("label"))
-          .unionAll(propagated)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .cache()
-        changed = next.as("a")
-          .join(labels.as("b"), col("a.node") === col("b.node"))
-          .filter(col("a.label") =!= col("b.label")).count()
-        labels = next
-        iter += 1
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
+      collapseClusters(lshCandidates(s, dir)).orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------

@@ -46,6 +46,15 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(both.filter(col("ca") =!= col("cb")).count() == 0)
   }
 
+  test("distributed label propagation agrees with driver union-find") {
+    import graft.ops.TextQueries
+    val pairs = run("dedup_minhash_lsh").select(col("doc_a"), col("doc_b"))
+    val viaUnionFind = TextQueries.collapseClusters(pairs)
+    val viaPropagation = TextQueries.collapseClusters(pairs, driverMaxEdges = 0L)
+    assert(viaUnionFind.exceptAll(viaPropagation).count() == 0 &&
+      viaPropagation.exceptAll(viaUnionFind).count() == 0)
+  }
+
   test("verified LSH pairs are a subset of candidates with jaccard >= 0.5") {
     val cand = run("dedup_minhash_lsh").select(col("doc_a"), col("doc_b"))
     val verified = run("dedup_lsh_verified")
