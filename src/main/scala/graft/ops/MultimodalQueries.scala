@@ -114,6 +114,35 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
+    // multimodal_resize — batched resize pass: typed Dataset →
+    // mapPartitions(resizeStub) → halved dimensions + downsampled
+    // payload. The STUB "downsample" keeps the first ceil(n/4) bytes (a
+    // real resampler drops into the same signature); dims, byte counts
+    // and payload digest are all verified by the oracle.
+    // ------------------------------------------------------------------
+    QueryDef("multimodal_resize",
+      """SELECT doc_id,
+        |       64 + doc_id % 64 AS width, 64 + doc_id % 48 AS height,
+        |       (64 + doc_id % 64) // 2 AS new_width,
+        |       (64 + doc_id % 48) // 2 AS new_height,
+        |       (length(text) + 3) // 4 AS n_bytes,
+        |       md5(substr(text, 1, (length(text) + 3) // 4)) AS resized_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = mediaTable(s, dir).as[MediaRecord]
+      media.mapPartitions(_.map { r =>
+        val n = (r.blob.length + 3) / 4 // STUB: crop-style 4:1 downsample
+        val out = java.util.Arrays.copyOfRange(r.blob, 0, n)
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(out).map("%02x".format(_)).mkString
+        (r.doc_id, r.width.toLong, r.height.toLong,
+          (r.width / 2).toLong, (r.height / 2).toLong, n.toLong, md5hex)
+      }).toDF("doc_id", "width", "height", "new_width", "new_height",
+        "n_bytes", "resized_md5")
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // multimodal_metadata_agg — metadata-only pass: per media type,
     // payload-size stats computed WITHOUT touching the blob bytes
     // (column pruning keeps the scan narrow — the point of separating
