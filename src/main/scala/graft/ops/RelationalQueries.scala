@@ -154,6 +154,40 @@ object RelationalQueries {
     },
 
     // ------------------------------------------------------------------
+    // bucketed_join_colocated — co-located join via write-time
+    // bucketing: both sides bucketBy(8) + sortBy on the join key, so the
+    // join consumes matching buckets with NO exchange on either side —
+    // the pre-shuffled layout a 100 TB fact/fact join pays for once at
+    // write time and amortizes over every subsequent join
+    // (plan-asserted in PlanQualitySpec).
+    // ------------------------------------------------------------------
+    QueryDef("bucketed_join_colocated",
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      // the in-memory catalog resets per session but the warehouse dir
+      // persists — drop the table AND its stale location before writing
+      def rewrite(src: String, key: String, table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        graft.exec.Sinks.truncate(s,
+          s.conf.get("spark.sql.warehouse.dir") + s"/$table")
+        Scans.table(s, dir, src)
+          .write.mode("overwrite").bucketBy(8, key).sortBy(key)
+          .saveAsTable(table)
+      }
+      rewrite("orders", "o_custkey", "graft_orders_bucketed")
+      rewrite("customer", "c_custkey", "graft_customer_bucketed")
+      val o = s.table("graft_orders_bucketed")
+      val c = s.table("graft_customer_bucketed")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ------------------------------------------------------------------
     // agg_approx_distinct — HyperLogLog++ sketch vs exact distinct:
     // the sketch is mergeable map-side (one small state per partition,
     // no giant shuffle of distinct keys), which is what makes distinct

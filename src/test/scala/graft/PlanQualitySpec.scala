@@ -89,6 +89,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(pruned.count() > 0)
   }
 
+  test("bucketed join has no exchange on either side") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("bucketed_join_colocated")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(1500))
+      // the join keys must not be re-shuffled: bucketed layout satisfies
+      // the join's distribution requirement (only the group-by exchanges)
+      assert(!p.contains("hashpartitioning(o_custkey") &&
+        !p.contains("hashpartitioning(c_custkey"), p.take(2500))
+      assert(p.contains("SelectedBucketsCount"), p.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("jdbc read is partition-parallel and pushes filters to the database") {
     val copy = plan("jdbc_bulk_copy")
     assert(copy.contains("numPartitions=4"),
