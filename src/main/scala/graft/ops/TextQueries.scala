@@ -115,6 +115,7 @@ object TextQueries {
         // always root at the smaller id ⇒ final root = component min
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      cached.unpersist(false) // edges are on the driver now
       edges.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
         .map(n => (n, find(n)))
         .toDF("doc_id", "cluster_id")
@@ -142,6 +143,8 @@ object TextQueries {
         labels = next
         iter += 1
       }
+      edges.unpersist(false)
+      cached.unpersist(false) // labels live on checkpointed blocks now
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }
   }
