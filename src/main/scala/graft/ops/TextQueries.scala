@@ -309,6 +309,41 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // text_ngram_freq — corpus vocabulary statistics: top-20 token
+    // bigrams by frequency. Map-side partial counts per bigram, one
+    // shuffle on the bigram key, a TakeOrdered for the top slice —
+    // never a global sort of the vocabulary.
+    // ------------------------------------------------------------------
+    QueryDef("text_ngram_freq",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
+         |bg AS (SELECT concat(tk[i], ' ', tk[i+1]) AS bigram
+         |       FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i))
+         |SELECT bigram, freq, rank FROM (
+         |  SELECT bigram, count(*) AS freq,
+         |         row_number() OVER (ORDER BY count(*) DESC, bigram) AS rank
+         |  FROM bg GROUP BY bigram) r
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Scans.table(s, dir, "documents")
+        .select(expr(toksSpark).as("tks"))
+        // guard: Spark's sequence(1, 0) is DESCENDING [1,0], not empty —
+        // short docs must yield no bigrams
+        .select(explode(expr(
+          """CASE WHEN size(tks) >= 2
+            |  THEN transform(sequence(1, size(tks) - 1),
+            |         i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1)))
+            |  ELSE cast(array() AS array<string>) END""".stripMargin)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("bigram")))
+            .cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("bigram"), col("freq"), col("rank"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_ngram_jaccard — n-gram Jaccard similarity between candidate
     // pairs (adjacent doc_ids as the deterministic candidate set):
     // |A∩B| / |A∪B| over distinct token sets.
