@@ -145,6 +145,46 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_funnel — conversion funnel: of users who clicked, how many
+    // purchased within 1 hour of any click. The probe is a LEFT SEMI
+    // join on (user_id equality + time range) — shuffle on user_id only,
+    // the range check runs inside each user's partition, and the semi
+    // join never materializes purchase rows.
+    // ------------------------------------------------------------------
+    QueryDef("events_funnel",
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |      WHERE event_type = 'purchase'),
+        |conv AS (SELECT DISTINCT c.user_id FROM c
+        |         WHERE EXISTS (SELECT 1 FROM p
+        |                       WHERE p.user_id = c.user_id
+        |                         AND p.ms > c.ms AND p.ms <= c.ms + 3600000))
+        |SELECT (SELECT count(DISTINCT user_id) FROM c) AS clicking_users,
+        |       (SELECT count(*) FROM conv) AS converting_users,
+        |       round((SELECT count(*) FROM conv) * 1.0 /
+        |             (SELECT count(DISTINCT user_id) FROM c), 6) AS conversion_rate""".stripMargin) {
+      (s, dir) =>
+      val ev = Scans.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ms").as("p_ms"))
+      val converting = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_ms") > col("ms") && col("p_ms") <= col("ms") + 3600000L,
+          "left_semi")
+        .select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("converting_users"))
+      clicks.agg(count_distinct(col("user_id")).as("clicking_users"))
+        .crossJoin(converting)
+        .select(col("clicking_users"), col("converting_users"),
+          round(col("converting_users") * 1.0 / col("clicking_users"), 6)
+            .as("conversion_rate"))
+    },
+
+    // ------------------------------------------------------------------
     // events_json_props — semi-structured extraction: pull the numeric
     // `k` field out of the JSON props column and aggregate per event
     // type (get_json_object / from_json — the props-MapType extension
