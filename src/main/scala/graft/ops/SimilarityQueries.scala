@@ -211,6 +211,40 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_label_centroids — distributed vector mean per label: the
+    // centroid computation behind IVF training / class prototypes.
+    // posexplode fans each vector to (label, dim, value); the mean is a
+    // plain partial-aggregated groupBy on (label, dim) — embarrassingly
+    // parallel, no vector ever assembled on one node until the final
+    // tiny per-label fold.
+    // ------------------------------------------------------------------
+    QueryDef("sim_label_centroids",
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT e.label, u.i - 1 AS dim, e.v[u.i] AS x
+        |      FROM e, unnest(generate_series(1, len(e.v))) AS u(i)),
+        |cent AS (SELECT label, dim, avg(x) AS m FROM d GROUP BY label, dim),
+        |counts AS (SELECT label, count(*) AS n_vectors FROM e GROUP BY label)
+        |SELECT c.label, n.n_vectors,
+        |       round(sqrt(sum(c.m * c.m)), 4) AS centroid_norm,
+        |       round(min(CASE WHEN c.dim = 0 THEN c.m END), 6) AS dim0
+        |FROM cent c JOIN counts n ON n.label = c.label
+        |GROUP BY c.label, n.n_vectors ORDER BY c.label""".stripMargin) { (s, dir) =>
+      val e = Scans.table(s, dir, "embeddings")
+        .select(col("label"), col("embedding"))
+      val d = e.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+      val cent = d.groupBy(col("label"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+      val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+      cent.join(counts, Seq("label"))
+        .groupBy(col("label"), col("n_vectors"))
+        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+          round(min(when(col("dim") === 0, col("m"))), 6).as("dim0"))
+        .orderBy(col("label"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_pairwise_label — supervised-style check: mean cosine within
     // vs across label groups on a bounded sample (labels 0 and 1,
     // vec_id < 100) — the evaluation query of an embedding pipeline.
