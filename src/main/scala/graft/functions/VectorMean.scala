@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregate — the `Aggregator` tier of the operator
+  * preference order (SURVEY.md §4 names a TypedImperativeAggregate for
+  * sketch-style state as the one candidate custom aggregate): element-wise
+  * mean of `Array[Float]` vectors.
+  *
+  * The buffer is a running (sum-per-dimension, count) pair — constant
+  * size per partition and MERGEABLE, so Spark computes partial buffers
+  * map-side and folds them on the reduce side: the same dataflow shape a
+  * minhash/HLL sketch aggregate uses, with no per-row shuffle of vector
+  * elements (contrast the posexplode formulation in
+  * `sim_label_centroids`, which shuffles (label, dim, value) rows).
+  */
+object VectorMean extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+
+  override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+    if (v == null) return b
+    val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    var i = 0
+    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    (sums, b._2 + 1)
+  }
+
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._1.isEmpty) return b
+    if (b._1.isEmpty) return a
+    val out = a._1.clone()
+    var i = 0
+    while (i < out.length && i < b._1.length) { out(i) += b._1(i); i += 1 }
+    (out, a._2 + b._2)
+  }
+
+  override def finish(r: (Array[Double], Long)): Array[Double] =
+    if (r._2 == 0) Array.emptyDoubleArray else r._1.map(_ / r._2)
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+
+  override def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}

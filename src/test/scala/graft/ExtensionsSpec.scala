@@ -133,6 +133,26 @@ class ExtensionsSpec extends SparkSpecBase {
       brute.get(id).foreach(bf => assert(math.abs(bf - c) < 1e-9)) }
   }
 
+  test("typed VectorMean aggregator agrees with the posexplode centroid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val vmean = udaf(graft.functions.VectorMean)
+    val viaAgg = Scans.table(spark, sfDir, "embeddings")
+      .groupBy(col("label"))
+      .agg(vmean(col("embedding")).as("centroid"))
+      .select(col("label"), expr("round(centroid[0], 6)").as("dim0"),
+        expr("round(aggregate(centroid, 0D, (a, x) -> a + x * x), 6)").as("sq"))
+    val viaExplode = Scans.table(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(round(min(when(col("pos") === 0, col("m"))), 6).as("dim0"),
+        round(sum(col("m") * col("m")), 6).as("sq"))
+    assert(viaAgg.exceptAll(viaExplode).count() == 0 &&
+      viaExplode.exceptAll(viaAgg).count() == 0)
+  }
+
   test("sessionization conserves events and durations are non-negative") {
     val events = Scans.table(spark, sfDir, "events")
     val sessions = run("events_sessionize")
