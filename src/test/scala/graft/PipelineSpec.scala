@@ -83,12 +83,19 @@ class PipelineSpec extends SparkSpecBase {
   }
 
   test("generated SQL renders a key-less logical slice via xxhash64") {
-    import graft.exec.SqlGen
+    import graft.exec.{Scans, SqlGen}
     val src = Catalog.collect(spark, sfDir, "region").copy(sortKeys = Nil)
-    val item = WorkItem(src, SliceSpec.Logical(Nil, 3, 1), orderHint = Nil)
-    val df = SqlGen.run(spark, sfDir, item)
-    assert(df.columns.nonEmpty) // renders and analyzes without throwing
-    df.count()
+    val items = (0 until 3).map(i =>
+      WorkItem(src, SliceSpec.Logical(Nil, 3, i), orderHint = Nil))
+    items.foreach { item =>
+      val viaSql = SqlGen.run(spark, sfDir, item)
+      val viaApi = Scans.forWorkItem(spark, sfDir, item)
+      assert(viaSql.exceptAll(viaApi).count() == 0 &&
+        viaApi.exceptAll(viaSql).count() == 0, s"slice ${item.slice} disagrees")
+    }
+    // and the three key-less slices partition the table
+    val total = items.map(SqlGen.run(spark, sfDir, _).count()).sum
+    assert(total == Scans.table(spark, sfDir, "region").count())
   }
 
   test("generated SQL text agrees with the DataFrame plan for the same work item") {
