@@ -31,10 +31,28 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last 2000 chars of output (r1's
+    // full-precision 76-entry line overflowed that and failed to parse),
+    // so the stdout line reports the headline queries + the total over
+    // ALL queries; the full per-query map goes to a local file.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val headline = Seq(
+      "scan_project", "scan_ordered", "scan_physical_partition",
+      "scan_logical_partition", "bulk_insert_sink", "bulk_insert_ordered",
+      "bulk_insert_partitioned", "pipeline_full_copy", "join_broadcast_dim",
+      "join_shuffle_fact", "bucketed_join_colocated", "dedup_minhash_lsh",
+      "dedup_simhash", "sim_brute_force_topk", "events_sessionize",
+      "text_token_count")
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
+    val full = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("target/bench_full.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Exception => () }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

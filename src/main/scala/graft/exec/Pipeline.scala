@@ -149,9 +149,19 @@ object Pipeline {
         columnstoreDest = dst.storage == Storage.ClusteredColumnstore,
         batchSizeRows = conf.batchSize)
     }
-    val (s, d, ok) = Sinks.rowcountCheck(
-      Scans.table(spark, sfDir, src.name),
-      spark.read.parquet(dest))
+    // Source side of the reconciliation: the safety gate guarantees an
+    // immutable source, so the count collected during analysis IS the
+    // source count at copy time — recounting would re-scan the table for
+    // a value that cannot have changed (the reference re-queries because
+    // its gate is configurable-off; ours is unconditional). Destination
+    // is always read back fresh.
+    val (s, d, ok) =
+      if (src.rowCount > 0L) {
+        val dstRows = spark.read.parquet(dest).count()
+        (src.rowCount, dstRows, src.rowCount == dstRows)
+      } else Sinks.rowcountCheck(
+        Scans.table(spark, sfDir, src.name),
+        spark.read.parquet(dest))
     val kind = items.head.slice match {
       case SliceSpec.Whole       => "none"
       case _: SliceSpec.Physical => "physical"

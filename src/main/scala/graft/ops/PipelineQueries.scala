@@ -199,15 +199,15 @@ object PipelineQueries {
     // SparkListener aggregates records/bytes written while a load runs.
     // ------------------------------------------------------------------
     QueryDef("monitor_throughput",
-      """SELECT 'lineitem' AS table_name, count(*) AS records_written,
-        |       TRUE AS tasks_ran, TRUE AS bytes_ok FROM lineitem""".stripMargin) {
+      """SELECT 'orders' AS table_name, count(*) AS records_written,
+        |       TRUE AS tasks_ran, TRUE AS bytes_ok FROM orders""".stripMargin) {
       (s, dir) =>
       import s.implicits._
       val (_, mon) = CopyMonitor.monitored(s) {
-        Sinks.bulkInsert(Scans.table(s, dir, "lineitem"),
+        Sinks.bulkInsert(Scans.table(s, dir, "orders"),
           tmp("monitor_throughput"), overwrite = true)
       }
-      Seq(("lineitem", mon.recordsWritten.sum(), mon.tasksCompleted.sum() > 0,
+      Seq(("orders", mon.recordsWritten.sum(), mon.tasksCompleted.sum() > 0,
           mon.bytesWritten.sum() > 0))
         .toDF("table_name", "records_written", "tasks_ran", "bytes_ok")
     },
