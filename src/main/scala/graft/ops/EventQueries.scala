@@ -185,6 +185,34 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_retention — cohort retention: for each user take their
+    // first active day (d0), then count users active again at each day
+    // offset 0..7. Two aggregations and one equi-join, all shuffling on
+    // user_id — the partitioning is reused across the steps, and the
+    // per-user state is one date, so the shape holds at any scale.
+    // ------------------------------------------------------------------
+    QueryDef("events_retention",
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, day FROM d)
+        |SELECT date_diff('day', f.d0, act.day) AS day_offset,
+        |       count(*) AS n_users
+        |FROM act JOIN f ON act.user_id = f.user_id
+        |WHERE date_diff('day', f.d0, act.day) <= 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = Scans.table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = d.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      d.distinct()
+        .join(first, "user_id")
+        .select(datediff(col("day"), col("d0")).cast("long").as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("day_offset"))
+    },
+
+    // ------------------------------------------------------------------
     // events_json_props — semi-structured extraction: pull the numeric
     // `k` field out of the JSON props column and aggregate per event
     // type (get_json_object / from_json — the props-MapType extension

@@ -161,6 +161,60 @@ object RelationalQueries {
     },
 
     // ------------------------------------------------------------------
+    // window_lag_lead — offset window functions (lag/lead) + ntile
+    // bucketing per customer in order-date order. One shuffle on the
+    // partition key; offset functions carry O(1) state per row.
+    // ------------------------------------------------------------------
+    QueryDef("window_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Scans.table(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .drop("o_orderdate")
+    },
+
+    // ------------------------------------------------------------------
+    // agg_grouping_sets — explicit GROUPING SETS: detail, per-status
+    // subtotal, and grand total in ONE pass (the general form rollup and
+    // cube specialize; partial-aggregated map-side per expanded set).
+    // ------------------------------------------------------------------
+    QueryDef("agg_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |            AS BIGINT) AS grouping_level
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY status, priority, grouping_level""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("grouping_level"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("grouping_level"))
+        .orderBy(col("status"), col("priority"), col("grouping_level"))
+    },
+
+    // ------------------------------------------------------------------
     // bucketed_join_colocated — co-located join via write-time
     // bucketing: both sides bucketBy(8) + sortBy on the join key, so the
     // join consumes matching buckets with NO exchange on either side —

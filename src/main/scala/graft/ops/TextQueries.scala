@@ -297,6 +297,32 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // text_bpe_tokens — BPE-style pre-tokenization accounting: the
+    // GPT-2-ish pre-token split (letter runs | digit runs | punctuation
+    // runs) vs plain whitespace tokens, per document. The regex is
+    // lookaround-free so Java regex (Spark) and RE2 (DuckDB) agree.
+    // ------------------------------------------------------------------
+    QueryDef("text_bpe_tokens",
+      """SELECT doc_id,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
+        |       len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_ws_tokens,
+        |       round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) * 1.0 /
+        |             greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')), 1), 6)
+        |         AS bpe_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bpe = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)"
+      val ws = "filter(split(text, '\\\\s+'), t -> t != '')"
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"size($bpe)").cast("long").as("n_bpe_tokens"),
+          expr(s"size($ws)").cast("long").as("n_ws_tokens"))
+        .select(col("doc_id"), col("n_bpe_tokens"), col("n_ws_tokens"),
+          round(col("n_bpe_tokens") * lit(1.0) /
+            greatest(col("n_ws_tokens"), lit(1L)), 6).as("bpe_per_word"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // text_fingerprint — rolling-hash document fingerprint: min md5 over
     // 8-char shingles at stride 4 of the lowercased text (winnowing-lite).
     // ------------------------------------------------------------------
