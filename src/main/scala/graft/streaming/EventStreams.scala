@@ -29,6 +29,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming dual of `dedup_exact`, and
+    * the idempotent-ingest step of a pipeline fed by an at-least-once
+    * source: keep the first arrival of each `event_id`, dropping
+    * re-deliveries that arrive within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` evicts per-key state once the
+    * watermark passes it — the only way exact dedup stays bounded on an
+    * unbounded stream (plain `dropDuplicates` state grows forever).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class SessionOut(userId: Long, nEvents: Long, durationMs: Long)
 

@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF.toDF("ts", "event_id", "value")
+    val q = EventStreams.dedupStream(events)
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0), // same batch dup
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, 2.0))
+      q.processAllAvailable()
+      // re-delivery in a LATER micro-batch, still inside the watermark
+      mem.addData((Timestamp.valueOf("2024-01-01 10:02:00"), 1L, 1.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM sdedup")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"expected first arrivals only, got $ids")
+    } finally q.stop()
+  }
+
   test("append mode emits a window only after the watermark passes it") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
