@@ -127,6 +127,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
   }
 
+  test("window_lag_lead windows on the partition key, never a single partition") {
+    val p = plan("window_lag_lead")
+    assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
+  }
+
+  test("agg_grouping_sets expands sets with partial aggregation") {
+    // one Expand + map-side partial HashAggregate before the shuffle —
+    // the one-pass form (three separate scans would read the table 3×)
+    val p = plan("agg_grouping_sets")
+    assert(p.contains("Expand"), p.take(1500))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, p.take(1500))
+  }
+
   test("broadcast threshold applies to the salted-dim join too") {
     // the salted join must still resolve as a join on (key, salt); at
     // this dim size Spark may broadcast it — both are acceptable — but
