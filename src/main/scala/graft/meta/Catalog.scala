@@ -63,11 +63,17 @@ object Catalog {
     * from the parquet footprint (`sys.dm_db_partition_stats` analog,
     * `TableInfoCollector.cs:370-389`).
     */
+  // collected (rowCount, sizeBytes) per (sfDir, table): the safety gate
+  // guarantees immutable sources, so physical facts cannot change within
+  // a process — recounting on every copy would re-scan for a constant
+  private val collected =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
+
   def collect(spark: SparkSession, sfDir: String, name: String): TableMeta = {
     val base = declared(name)
-    val df = Scans.table(spark, sfDir, name)
-    val rows = df.count()
-    val bytes = dirSize(s"$sfDir/$name.parquet")
+    val (rows, bytes) = collected.getOrElseUpdate((sfDir, name), {
+      (Scans.table(spark, sfDir, name).count(), dirSize(s"$sfDir/$name.parquet"))
+    })
     base.copy(rowCount = rows, sizeBytes = bytes)
   }
 

@@ -88,13 +88,17 @@ object JoinQueries {
         |SELECT 'without_orders', count(*) FROM customer c WHERE NOT EXISTS (
         |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY cohort""".stripMargin) { (s, dir) =>
-      import s.implicits._
       val c = Scans.table(s, dir, "customer")
       val o = Scans.table(s, dir, "orders")
-      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
-      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
-      Seq(("with_orders", semi), ("without_orders", anti))
-        .toDF("cohort", "n_customers").orderBy(col("cohort"))
+      // both existence joins under one union — a single job, not two
+      // driver-side count() actions
+      def cohort(name: String, joinType: String) =
+        c.join(o, c("c_custkey") === o("o_custkey"), joinType)
+          .agg(count(lit(1)).as("n_customers"))
+          .select(lit(name).as("cohort"), col("n_customers"))
+      cohort("with_orders", "left_semi")
+        .unionAll(cohort("without_orders", "left_anti"))
+        .orderBy(col("cohort"))
     },
 
     // ------------------------------------------------------------------

@@ -54,11 +54,14 @@ object RelationalQueries {
       val eu = inRegion("EUROPE")
       val asia = inRegion("ASIA")
       val high = nation.filter(col("n_nationkey") >= 10).select(col("n_name"))
-      Seq(
-        ("except", eu.except(high).count()),
-        ("intersect", eu.intersect(high).count()),
-        ("union", eu.union(asia).distinct().count()))
-        .toDF("op", "n").orderBy(col("op"))
+      // one declarative plan (three set-op branches under one union), not
+      // three driver-side count() actions — a single job at action time
+      def counted(op: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      counted("except", eu.except(high))
+        .unionAll(counted("intersect", eu.intersect(high)))
+        .unionAll(counted("union", eu.union(asia).distinct()))
+        .orderBy(col("op"))
     },
 
     // ------------------------------------------------------------------

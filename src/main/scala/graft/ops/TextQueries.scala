@@ -59,16 +59,24 @@ object TextQueries {
     * reads it once; the join shuffles on band keys only — never
     * all-pairs over the corpus.
     */
-  // one cached signature table at a time: a new call releases the
-  // previous cache so repeated runs don't pin executor storage forever
-  private var cachedSigs: Option[DataFrame] = None
+  // one cached signature table at a time, keyed by source dir: the
+  // LSH queries (candidates / verified / cluster-collapse) all start
+  // from the same signatures, so within a session the table is computed
+  // once and reused — the "materialize the sketch table" step of an
+  // at-scale near-dedup pipeline. A different dir releases the previous
+  // cache so repeated runs don't pin executor storage forever.
+  private var cachedSigs: Option[(String, DataFrame)] = None
 
   def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val sigs = synchronized {
-      cachedSigs.foreach(_.unpersist(false))
-      val fresh = minhashSigs(s, dir).cache()
-      cachedSigs = Some(fresh)
-      fresh
+      cachedSigs match {
+        case Some((d, df)) if d == dir && df.sparkSession.eq(s) => df
+        case prev =>
+          prev.foreach(_._2.unpersist(false))
+          val fresh = minhashSigs(s, dir).cache()
+          cachedSigs = Some((dir, fresh))
+          fresh
+      }
     }
     val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
