@@ -213,6 +213,38 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_anomaly_zscore — volume anomaly detection: hourly event
+    // counts z-scored against the whole series; |z| > 2 flags the hour.
+    // The stats pass is one tiny aggregate over the (already reduced)
+    // hourly series — at scale the series is small regardless of corpus
+    // size, so the two-pass shape costs one extra job over ~10⁴ rows.
+    // ------------------------------------------------------------------
+    QueryDef("events_anomaly_zscore",
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT avg(n_events * 1.0) AS mu, stddev_samp(n_events * 1.0) AS sigma
+        |  FROM hourly)
+        |SELECT hour_start, n_events,
+        |       round((n_events - mu) / sigma, 3) AS zscore,
+        |       abs((n_events - mu) / sigma) > 2 AS is_anomaly
+        |FROM hourly CROSS JOIN stats
+        |ORDER BY hour_start""".stripMargin) { (s, dir) =>
+      val hourly = Scans.table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = hourly.agg(
+        avg(col("n_events") * lit(1.0)).as("mu"),
+        stddev_samp(col("n_events") * lit(1.0)).as("sigma"))
+      hourly.crossJoin(broadcast(stats))
+        .select(col("hour_start"), col("n_events"),
+          round((col("n_events") - col("mu")) / col("sigma"), 3).as("zscore"),
+          (abs((col("n_events") - col("mu")) / col("sigma")) > 2).as("is_anomaly"))
+        .orderBy(col("hour_start"))
+    },
+
+    // ------------------------------------------------------------------
     // events_json_props — semi-structured extraction: pull the numeric
     // `k` field out of the JSON props column and aggregate per event
     // type (get_json_object / from_json — the props-MapType extension

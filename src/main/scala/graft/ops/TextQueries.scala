@@ -503,6 +503,81 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // dedup_levenshtein — edit-distance verification of candidate pairs
+    // (adjacent doc_ids as the deterministic candidate set): Levenshtein
+    // over an 80-char prefix. Bounding the operand keeps the O(n·m) DP
+    // constant-cost per pair — the at-scale form (full-text edit
+    // distance over a corpus is quadratic in document length; prefix
+    // distance is the standard cheap verifier before an exact pass).
+    // ------------------------------------------------------------------
+    QueryDef("dedup_levenshtein",
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(substr(lower(a.text), 1, 80),
+        |                   substr(lower(b.text), 1, 80)) AS prefix_dist,
+        |       round(1.0 - levenshtein(substr(lower(a.text), 1, 80),
+        |                               substr(lower(b.text), 1, 80)) * 1.0 /
+        |             greatest(length(substr(lower(a.text), 1, 80)),
+        |                      length(substr(lower(b.text), 1, 80)), 1), 6)
+        |         AS prefix_sim
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin) { (s, dir) =>
+      val docs = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), substring(lower(col("text")), 1, 80).as("p"))
+      docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.p"), col("b.p")).cast("long").as("prefix_dist"),
+          round(lit(1.0) - levenshtein(col("a.p"), col("b.p")) * lit(1.0) /
+            greatest(length(col("a.p")), length(col("b.p")), lit(1)), 6)
+            .as("prefix_sim"))
+        .orderBy(col("doc_a"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_tfidf_top_terms — corpus-weighted term importance: top-3
+    // terms per document (doc_id < 20) by tf × N/df. The rarity weight
+    // is the LINEAR idf variant (N/df, exact rational arithmetic) so the
+    // oracle is bit-stable — production would swap in ln(N/df), same
+    // plan shape. Two shuffles: one on token (document frequency), one
+    // on doc_id (per-doc rank); df for the 100 TB case is the
+    // materialized vocabulary table.
+    // ------------------------------------------------------------------
+    QueryDef("text_tfidf_top_terms",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |         round(tf.tf * n.n * 1.0 / df.df, 6) AS tfidf
+         |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+         |  WHERE tf.doc_id < 20)
+         |SELECT doc_id, tok, tfidf, rk FROM (
+         |  SELECT doc_id, tok, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, tok) AS rk
+         |  FROM scored) r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = toks.agg(countDistinct(col("doc_id")).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+      tf.filter(col("doc_id") < 20)
+        .join(df, "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * col("n") * lit(1.0) / col("df"), 6).as("tfidf"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tfidf"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_simhash — 64-bit SimHash signature per document: per-token
     // md5 bits vote ±1, signature bit = sign of the vote sum. Near-dups
     // share most bits (Hamming distance, spec-tested).
