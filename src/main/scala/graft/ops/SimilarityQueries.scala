@@ -68,6 +68,33 @@ object SimilarityQueries {
 
   private val dims = 64
 
+  /** DuckDB rendering of the sign-LSH bucket id: the SAME md5-derived
+    * hyperplanes embedded as literal DOUBLE[] rows (Scala `Double.toString`
+    * is shortest-round-trip, so the literals parse back bit-identical),
+    * and the dot product as a sequential `list_reduce` fold — the same
+    * left-to-right order as Spark's `aggregate(zip_with(...))`, so every
+    * bucket bit matches bitwise (IEEE addition is order-sensitive; the
+    * fold order is part of the contract).
+    */
+  private def planesValuesSql: String =
+    hyperplanes(8, dims).zipWithIndex.map { case (w, p) =>
+      s"($p, [${w.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n         ")
+
+  private def lshBucketsCteSql: String =
+    s"""planes(p, w) AS (VALUES
+       |         $planesValuesSql),
+       |dots AS (
+       |  SELECT e.vec_id, p.p,
+       |         list_reduce(list_transform(range(1, ${dims + 1}),
+       |                                    i -> e.v[i] * p.w[i]),
+       |                     (a, b) -> a + b) AS d
+       |  FROM e CROSS JOIN planes p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -143,11 +170,30 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     // sim_lsh_topk — ANN search with multi-probe: probe the query's LSH
     // bucket plus all buckets at Hamming distance 1 (flip each of the 8
-    // sign bits), then exact cosine within the candidate set. Rows-only
-    // oracle (bucket membership is Spark-side); the spec asserts recall
-    // vs sim_brute_force_topk.
+    // sign bits), then exact cosine within the candidate set. Fully
+    // oracled: the hyperplanes are deterministic literals and the bucket
+    // fold order matches bitwise (see lshBucketsCteSql); the spec
+    // additionally asserts recall vs sim_brute_force_topk.
     // ------------------------------------------------------------------
-    QueryDef.unoracled("sim_lsh_topk") { (s, dir) =>
+    QueryDef("sim_lsh_topk",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$lshBucketsCteSql,
+         |q AS (SELECT b.bucket AS qbucket, e.v AS qv
+         |      FROM e JOIN buckets b ON b.vec_id = e.vec_id
+         |      WHERE e.vec_id = 0),
+         |probes AS (
+         |  SELECT qbucket AS probe FROM q
+         |  UNION ALL
+         |  SELECT xor(q.qbucket, 1 << t.i) FROM q, range(0, 8) t(i)),
+         |cand AS (
+         |  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+         |  FROM e JOIN buckets b ON b.vec_id = e.vec_id CROSS JOIN q
+         |  WHERE b.bucket IN (SELECT probe FROM probes) AND e.vec_id <> 0)
+         |SELECT rank, vec_id, cos_sim FROM (
+         |  SELECT vec_id, cos_sim,
+         |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM cand) r
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
       val planes = hyperplanes(8, dims)
       val emb = Scans.table(s, dir, "embeddings")
         .withColumn("bucket", lshBucket(col("embedding"), planes))
@@ -176,24 +222,56 @@ object SimilarityQueries {
     // broadcast pass; a query probes only its nprobe=4 nearest cells and
     // runs exact cosine inside them. At 100 TB the assignment is a
     // write-time partition key (cell = partition), so a probe touches
-    // 4/16 of the corpus instead of all of it. Rows-only oracle; the
-    // spec checks score agreement with brute force.
+    // 4/16 of the corpus instead of all of it. Fully oracled: the
+    // codebook is data-deterministic, and both engines pick argmax cells
+    // over scores ROUNDED to 6 dp (ties to smaller cid) so a last-ulp
+    // library difference can't flip an assignment. The spec additionally
+    // checks score agreement with brute force.
     // ------------------------------------------------------------------
-    QueryDef.unoracled("sim_ivf_topk") { (s, dir) =>
+    QueryDef("sim_ivf_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id BETWEEN 1 AND 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) a
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT cid AS probe FROM cents CROSS JOIN q
+        |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid
+        |  LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |  FROM e JOIN assign a ON a.vec_id = e.vec_id CROSS JOIN q
+        |  WHERE a.cell IN (SELECT probe FROM probes) AND e.vec_id <> 0)
+        |SELECT rank, vec_id, cos_sim FROM (
+        |  SELECT vec_id, cos_sim,
+        |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM cand) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id").between(1, 16))
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // cell assignment: argmax-cosine centroid, smaller cid wins ties
+      // cell assignment: argmax centroid over 6-dp-rounded cosine,
+      // smaller cid wins ties (same contract as the oracle)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
       val assign = emb
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
-          cosineFast(s)(col("embedding"), col("cv")).as("cs"))
-        .groupBy(col("vec_id"))
-        .agg(expr("max_by(cid, struct(cs, -cid))").as("cell"),
-          first(col("embedding")).as("embedding"))
+          round(cosineFast(s)(col("embedding"), col("cv")), 6).as("cs"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val probes = cents.crossJoin(broadcast(q))
-        .select(col("cid"), cosineFast(s)(col("cv"), col("qv")).as("cs"))
+        .select(col("cid"), round(cosineFast(s)(col("cv"), col("qv")), 6).as("cs"))
         .orderBy(col("cs").desc, col("cid"))
         .limit(4)
         .select(col("cid").as("probe"))
