@@ -102,6 +102,36 @@ object JoinQueries {
     },
 
     // ------------------------------------------------------------------
+    // join_full_outer — full outer equi-join of two aggregates: order
+    // years vs lineitem ship years, coalescing both sides. Each input is
+    // pre-aggregated (tiny) before the join, so the outer join runs over
+    // group keys, never raw fact rows — the at-scale form of a
+    // reconciliation-style comparison.
+    // ------------------------------------------------------------------
+    QueryDef("join_full_outer",
+      """WITH o AS (SELECT date_part('year', o_orderdate) AS y, count(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |l AS (SELECT date_part('year', l_shipdate) AS y, count(*) AS n_ship
+        |      FROM lineitem GROUP BY 1)
+        |SELECT CAST(coalesce(o.y, l.y) AS BIGINT) AS year,
+        |       coalesce(o.n_orders, 0) AS n_orders,
+        |       coalesce(l.n_ship, 0) AS n_ship
+        |FROM o FULL OUTER JOIN l ON o.y = l.y
+        |ORDER BY year""".stripMargin) { (s, dir) =>
+      val o = Scans.table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("oy"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = Scans.table(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("ly"))
+        .agg(count(lit(1)).as("n_ship"))
+      o.join(l, col("oy") === col("ly"), "full_outer")
+        .select(coalesce(col("oy"), col("ly")).cast("long").as("year"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ship"), lit(0L)).as("n_ship"))
+        .orderBy(col("year"))
+    },
+
+    // ------------------------------------------------------------------
     // join_asof — as-of join: for each purchase event, the most recent
     // prior click by the same user. Spark-native idiom: union the two
     // streams, one window pass per user carrying the last click time
