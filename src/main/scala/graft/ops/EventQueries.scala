@@ -98,10 +98,12 @@ object EventQueries {
       Scans.table(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"))
+        // TakeOrdered first — the rank window then covers 5 rows, not
+        // every user through a single partition
+        .orderBy(col("n_events").desc, col("user_id")).limit(5)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("n_events").desc, col("user_id")))
             .cast("long"))
-        .filter(col("rank") <= 5)
         .select(col("rank"), col("user_id"), col("n_events"))
         .orderBy(col("rank"))
     },

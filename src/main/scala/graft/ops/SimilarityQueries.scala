@@ -95,6 +95,20 @@ object SimilarityQueries {
        |         CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
        |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
+    * is a distributed TakeOrdered (`orderBy.limit`) — the rank window
+    * runs single-partition by construction but over exactly 10 rows; a
+    * bare global row_number window would funnel the whole scored corpus
+    * through one task.
+    */
+  private def top10Ranked(scored: DataFrame): DataFrame =
+    scored.orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("rank"))
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -119,13 +133,7 @@ object SimilarityQueries {
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
-      scored
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
-            .cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("rank"), col("vec_id"), col("cos_sim"))
-        .orderBy(col("rank"))
+      top10Ranked(scored)
     },
 
     // ------------------------------------------------------------------
@@ -203,16 +211,10 @@ object SimilarityQueries {
         .select(col("qv"), explode(array(
           col("qbucket") +: (0 until 8).map(i =>
             expr(s"int(qbucket) ^ ${1 << i}")): _*)).as("probe"))
-      emb.join(broadcast(q), col("bucket") === col("probe"))
+      top10Ranked(emb.join(broadcast(q), col("bucket") === col("probe"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
-            .cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("rank"), col("vec_id"), col("cos_sim"))
-        .orderBy(col("rank"))
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim")))
     },
 
     // ------------------------------------------------------------------
@@ -275,17 +277,11 @@ object SimilarityQueries {
         .orderBy(col("cs").desc, col("cid"))
         .limit(4)
         .select(col("cid").as("probe"))
-      assign.join(broadcast(probes), col("cell") === col("probe"))
+      top10Ranked(assign.join(broadcast(probes), col("cell") === col("probe"))
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
-            .cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("rank"), col("vec_id"), col("cos_sim"))
-        .orderBy(col("rank"))
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim")))
     },
 
     // ------------------------------------------------------------------

@@ -378,10 +378,14 @@ object TextQueries {
             |  ELSE cast(array() AS array<string>) END""".stripMargin)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("freq"))
+        // distributed TakeOrdered for the top slice FIRST; the
+        // single-partition rank window then sees only 20 rows (a global
+        // row_number window over the vocabulary would funnel every
+        // bigram through one task)
+        .orderBy(col("freq").desc, col("bigram")).limit(20)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("freq").desc, col("bigram")))
             .cast("long"))
-        .filter(col("rank") <= 20)
         .select(col("bigram"), col("freq"), col("rank"))
         .orderBy(col("rank"))
     },
