@@ -176,6 +176,42 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------------------------
+    // pipeline_incremental_copy — watermark-based delta load: the
+    // destination already holds rows up to a key watermark; the copy
+    // appends only source rows ABOVE it (read the dest max — one tiny
+    // aggregate — then a pushdown-pruned source scan). The reference is
+    // full-copy-only; this is the incremental extension every ETL user
+    // of the surface expects, and at 100 TB the `key > watermark`
+    // predicate prunes row groups / partitions at the scan.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_incremental_copy",
+      """WITH cut AS (SELECT (max(o_orderkey) * 4) // 5 AS w FROM orders)
+        |SELECT 'orders' AS table_name,
+        |       (SELECT count(*) FROM orders, cut WHERE o_orderkey <= cut.w) AS pre_rows,
+        |       (SELECT count(*) FROM orders, cut WHERE o_orderkey > cut.w) AS appended_rows,
+        |       count(*) AS post_rows, TRUE AS is_match
+        |FROM orders""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dest = tmp("pipeline_incremental_copy")
+      val src = Scans.table(s, dir, "orders")
+      // seed the destination with the "already loaded" prefix (watermark
+      // = 80% of the key range — arbitrary but deterministic; integer
+      // arithmetic so both engines compute the identical cut)
+      val w = src.agg(expr("max(o_orderkey) * 4 div 5")).as[Long].head()
+      Sinks.bulkInsert(src.filter(col("o_orderkey") <= w), dest, overwrite = true)
+      val pre = s.read.parquet(dest).count()
+      // incremental step: watermark from the DESTINATION, delta scan on
+      // the source with the predicate pushed to the parquet reader
+      val wmark = Sinks.identityCurrent(s.read.parquet(dest), "o_orderkey")
+      val delta = src.filter(col("o_orderkey") > wmark)
+      Sinks.bulkInsert(delta, dest)
+      val post = s.read.parquet(dest).count()
+      val appended = post - pre
+      Seq(("orders", pre, appended, post, post == pre + delta.count()))
+        .toDF("table_name", "pre_rows", "appended_rows", "post_rows", "is_match")
+    },
+
+    // ------------------------------------------------------------------
     // retry_transient — transient-failure retry with max attempts
     // (reference SmartBulkCopy.cs:33,450-607): first attempt throws a
     // whitelisted transient error, the retry succeeds.
