@@ -215,6 +215,30 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_user_lifetime — per-user lifetime profile: first/last
+    // activity, active-day count, total value. One shuffle on user_id,
+    // O(1) state per user — the profile aggregation of a user-facing
+    // pipeline. Bounded to user_id < 50 to keep the oracle small.
+    // ------------------------------------------------------------------
+    QueryDef("events_user_lifetime",
+      """SELECT user_id,
+        |       min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
+        |       count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(min(unix_millis(col("ts"))).as("first_ms"),
+          max(unix_millis(col("ts"))).as("last_ms"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
     // events_anomaly_zscore — volume anomaly detection: hourly event
     // counts z-scored against the whole series; |z| > 2 flags the hour.
     // The stats pass is one tiny aggregate over the (already reduced)

@@ -285,6 +285,42 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_normalize_vectors — L2 normalization of the embedding column
+    // (the prep step before cosine reduces to dot product): per-row
+    // higher-order transform, no shuffle, codegen'd — embarrassingly
+    // parallel at any scale. Verified by pre/post norms.
+    // ------------------------------------------------------------------
+    QueryDef("sim_normalize_vectors",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id < 100),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce(list_transform(v, x -> x * x),
+        |                              (a, b) -> a + b)) AS norm
+        |      FROM e)
+        |SELECT vec_id, round(norm, 4) AS norm_before,
+        |       round(sqrt(list_reduce(
+        |               list_transform(list_transform(v, x -> x / norm),
+        |                              x -> x * x),
+        |               (a, b) -> a + b)), 4) AS norm_after,
+        |       round(v[1] / norm, 6) AS dim0_normalized
+        |FROM n ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = Scans.table(s, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val withNorm = e.withColumn("norm",
+        sqrt(aggregate(expr("transform(v, x -> x * x)"),
+          lit(0.0), (a, b) => a + b)))
+      withNorm.select(col("vec_id"),
+          round(col("norm"), 4).as("norm_before"),
+          round(sqrt(aggregate(
+            expr("transform(transform(v, x -> x / norm), x -> x * x)"),
+            lit(0.0), (a, b) => a + b)), 4).as("norm_after"),
+          round(element_at(col("v"), 1) / col("norm"), 6).as("dim0_normalized"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_label_centroids — distributed vector mean per label: the
     // centroid computation behind IVF training / class prototypes.
     // posexplode fans each vector to (label, dim, value); the mean is a

@@ -507,6 +507,37 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // pipeline_quality_filter — the composed training-data filter: keep
+    // a document iff it is (a) English, (b) long enough (>= 20 tokens),
+    // and (c) the first copy of its exact text (min doc_id wins). One
+    // window shuffle on the text hash + one aggregation on source — the
+    // end-to-end shape of a corpus-cleaning pass, reported per source.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_quality_filter",
+      s"""WITH d AS (
+         |  SELECT doc_id, source, lang,
+         |         len($toksDuck) AS n_tokens,
+         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS copy_rank
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN lang = 'en' AND n_tokens >= 20
+         |                      AND copy_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept
+         |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          expr(s"size($toksSpark)").as("n_tokens"))
+        .withColumn("copy_rank", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en" && col("n_tokens") >= 20 &&
+            col("copy_rank") === 1, 1).otherwise(0)).cast("long").as("n_kept"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_levenshtein — edit-distance verification of candidate pairs
     // (adjacent doc_ids as the deterministic candidate set): Levenshtein
     // over an 80-char prefix. Bounding the operand keeps the O(n·m) DP
