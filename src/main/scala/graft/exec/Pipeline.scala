@@ -149,19 +149,16 @@ object Pipeline {
         columnstoreDest = dst.storage == Storage.ClusteredColumnstore,
         batchSizeRows = conf.batchSize)
     }
-    // Source side of the reconciliation: the safety gate guarantees an
-    // immutable source, so the count collected during analysis IS the
-    // source count at copy time — recounting would re-scan the table for
-    // a value that cannot have changed (the reference re-queries because
-    // its gate is configurable-off; ours is unconditional). Destination
-    // is always read back fresh.
-    val (s, d, ok) =
-      if (src.rowCount > 0L) {
-        val dstRows = spark.read.parquet(dest).count()
-        (src.rowCount, dstRows, src.rowCount == dstRows)
-      } else Sinks.rowcountCheck(
-        Scans.table(spark, sfDir, src.name),
-        spark.read.parquet(dest))
+    // Reconciliation mirrors the reference's metadata-view check
+    // (sys.dm_db_partition_stats on both ends, SmartBulkCopy.cs:302-313):
+    // source side reuses the count collected under the immutability
+    // gate; destination side reads the COMMITTED parquet footers — the
+    // task-commit metadata, fresh after every load, no data pages read.
+    val srcRows =
+      if (src.rowCount > 0L) src.rowCount
+      else Scans.table(spark, sfDir, src.name).count()
+    val dstRows = Sinks.committedRowCount(spark, dest)
+    val (s, d, ok) = (srcRows, dstRows, srcRows == dstRows)
     val kind = items.head.slice match {
       case SliceSpec.Whole       => "none"
       case _: SliceSpec.Physical => "physical"

@@ -58,6 +58,31 @@ object Sinks {
     (s, d, s == d)
   }
 
+  /** Committed destination row count from the parquet FOOTERS — the
+    * analog of the reference's reconciliation source
+    * `sys.dm_db_partition_stats` (`SmartBulkCopy.cs:302-313`), which is
+    * a metadata view, not a table scan. Footers are written by the task
+    * commit protocol, so their row counts ARE the committed state; no
+    * data pages are read.
+    */
+  def committedRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(fs.getFileStatus(f.getPath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += reader.getRecordCount finally reader.close()
+      }
+    }
+    total
+  }
+
   /** Identity-sync analog — reference `SmartBulkCopy.cs:341-389`: read the
     * current identity value from the source (`IDENT_CURRENT` CTE) and
     * reseed the destination. For a file sink the "identity" is the max of
