@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single-JVM local[32]: driver + all executor threads share one heap.
+  // 8g produced multi-second GC variance between bench runs (sorts,
+  // shuffles and caches of 32 concurrent tasks); the box has 128 GiB.
+  // -Xmx only: preallocating (-Xms) the full heap stalled on first-touch
+  // page faults under the microVM's lazy memory
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
