@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: fuse the built-in dot-product composition
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v) }}}
+  *
+  * into the native [[DotProduct]] expression. The composition is the
+  * public surface (`SimilarityQueries.cosine`, `lshBucket`, and any SQL
+  * user writing the same idiom); the rewrite removes the per-element
+  * interpreted lambda calls and the materialized zipped array while
+  * preserving the numeric contract exactly — same left-to-right fold from
+  * 0.0, same NULL semantics — so it is invisible to results (the DuckDB
+  * oracle gate runs with the rule active and still hash-matches).
+  *
+  * Deliberately conservative: anything that doesn't match the exact
+  * shape (casts to double around the lambda variables are allowed on
+  * either side) is left untouched. Registered via
+  * `SparkSessionExtensions.injectOptimizerRule`
+  * ([[graft.GraftSparkExtensions]]).
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def stripDoubleCast(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == DoubleType => stripDoubleCast(c.child)
+    case other                               => other
+  }
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case _                       => false
+  }
+
+  private def isFloatingArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(l, r,
+            LambdaFunction(mul: Multiply,
+              Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(zero, DoubleType),
+          LambdaFunction(add: Add,
+            Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+          LambdaFunction(finish, Seq(facc: NamedLambdaVariable), _))
+        if zero == 0.0 &&
+          // merge is exactly acc + elem (either operand order)
+          ((isVar(add.left, acc) && isVar(add.right, elem)) ||
+           (isVar(add.left, elem) && isVar(add.right, acc))) &&
+          // finish is the identity lambda
+          isVar(finish, facc) &&
+          // zip lambda is x * y modulo widening casts to double
+          ((isVar(stripDoubleCast(mul.left), x) && isVar(stripDoubleCast(mul.right), y)) ||
+           (isVar(stripDoubleCast(mul.left), y) && isVar(stripDoubleCast(mul.right), x))) &&
+          isFloatingArray(l) && isFloatingArray(r) =>
+      DotProduct(l, r)
+  }
+}

@@ -99,6 +99,48 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(both.filter(col("native").isNull).count() == 1)
   }
 
+  test("RewriteDotProduct fuses the aggregate(zip_with(...)) idiom") {
+    val emb = Scans.table(spark, sfDir, "embeddings")
+    val df = emb.select(
+      SimilarityQueries.cosine(col("embedding"), col("embedding")).as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"),
+      s"expected fused dot_product in: $optimized")
+    assert(!optimized.contains("aggregate("),
+      s"expected no residual lambda aggregate in: $optimized")
+  }
+
+  test("RewriteDotProduct is value-invisible (rule off == rule on)") {
+    val emb = Scans.table(spark, sfDir, "embeddings")
+    val expr = SimilarityQueries.cosine(col("embedding"),
+      reverse(col("embedding"))).as("c")
+    val withRule = emb.select(expr).collect().map(_.getDouble(0)).toSeq
+    val ruleName = graft.functions.RewriteDotProduct.ruleName
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val without = emb.select(expr).collect().map(_.getDouble(0)).toSeq
+      assert(withRule == without) // bit-identical fold
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None    => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
+  test("fused dot_product keeps the composition's NULL contract") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),          // 11.0
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f, 5.0f)))    // unequal -> NULL
+      .toDF("a", "b")
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric-bounded") {
     val emb = Scans.table(spark, sfDir, "embeddings").limit(20)
     val self = emb.select(
