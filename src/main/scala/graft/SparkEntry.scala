@@ -16,7 +16,8 @@ object SparkEntry {
   /** All declared capabilities, core + extensions. */
   def registry: Seq[QueryDef] =
     CoreQueries.entries ++ MetaQueries.entries ++ PipelineQueries.entries ++
-      JdbcQueries.entries ++ JoinQueries.entries ++ RelationalQueries.entries ++
+      JdbcQueries.entries ++ SourceQueries.entries ++
+      JoinQueries.entries ++ RelationalQueries.entries ++
       TextQueries.entries ++ SimilarityQueries.entries ++
       EventQueries.entries ++ MultimodalQueries.entries
 

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.exec.Scans
+
+/** Source-format coverage beyond parquet/JDBC: CSV and JSON-lines round
+  * trips. The reference speaks only TDS; a Spark-native engine's source
+  * surface is `spark.read.<format>` with an EXPLICIT schema (inference
+  * is a full extra pass over 100 TB — never rely on it at scale). Each
+  * query writes a table out in the text format, reads it back, and
+  * aggregates; the oracle recomputes from the original parquet, so the
+  * round trip must be value-lossless.
+  */
+object SourceQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$name"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // source_csv_roundtrip — CSV with header, explicit schema on read
+    // (no inference pass), losslessness proven by aggregate equality.
+    // ------------------------------------------------------------------
+    QueryDef("source_csv_roundtrip",
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |       min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val dest = tmp("nation_csv")
+      val src = Scans.table(s, dir, "nation")
+      src.write.mode("overwrite").option("header", "true").csv(dest)
+      s.read.option("header", "true").schema(src.schema).csv(dest)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"),
+          min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // source_json_roundtrip — JSON lines, explicit schema on read;
+    // timestamps survive as ISO-8601 under the UTC session. Aggregate
+    // per status proves value + type fidelity.
+    // ------------------------------------------------------------------
+    QueryDef("source_json_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price,
+        |       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_date
+        |FROM orders WHERE o_orderkey < 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val dest = tmp("orders_json")
+      val src = Scans.table(s, dir, "orders").filter(col("o_orderkey") < 5000)
+      src.write.mode("overwrite").json(dest)
+      s.read.schema(src.schema).json(dest)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          // ISO string, not DateType: date objects hash differently
+          // across the oracle's and Spark's pandas materializations
+          min(to_date(col("o_orderdate"))).cast("string").as("first_date"))
+        .orderBy(col("o_orderstatus"))
+    })
+}
