@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Headline subset reported on the stdout JSON line (spec-checked
+    * against SparkEntry.queries so a renamed key can't silently drop
+    * out of the report). */
+  val headlineKeys: Seq[String] = Seq(
+    "scan_project", "scan_ordered", "scan_physical_partition",
+    "scan_logical_partition", "bulk_insert_sink", "bulk_insert_ordered",
+    "bulk_insert_partitioned", "pipeline_full_copy", "join_broadcast_dim",
+    "join_shuffle_fact", "bucketed_join_colocated", "dedup_minhash_lsh",
+    "dedup_simhash", "sim_brute_force_topk", "events_sessionize",
+    "text_token_count")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,13 +50,7 @@ object Bench {
     // so the stdout line reports the headline queries + the total over
     // ALL queries; the full per-query map goes to a local file.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val headline = Seq(
-      "scan_project", "scan_ordered", "scan_physical_partition",
-      "scan_logical_partition", "bulk_insert_sink", "bulk_insert_ordered",
-      "bulk_insert_partitioned", "pipeline_full_copy", "join_broadcast_dim",
-      "join_shuffle_fact", "bucketed_join_colocated", "dedup_minhash_lsh",
-      "dedup_simhash", "sim_brute_force_topk", "events_sessionize",
-      "text_token_count")
+    val headline = Bench.headlineKeys
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
     val full = results.toSeq.sortBy(-_._2)

@@ -110,6 +110,15 @@ class PipelineSpec extends SparkSpecBase {
     assert(viaSql.count() > 0)
   }
 
+  test("incremental copy is idempotent across runs and reconciles") {
+    val fn = SparkEntry.queries("pipeline_incremental_copy")
+    val a = fn(spark, sfDir).collect().toSeq
+    val b = fn(spark, sfDir).collect().toSeq
+    assert(a == b) // reseed-and-append is deterministic run to run
+    assert(a.head.getAs[Boolean]("is_match"))
+    assert(a.head.getAs[Long]("appended_rows") > 0)
+  }
+
   test("truncate removes the destination footprint") {
     import graft.exec.{Scans, Sinks}
     val d = s"$destDir/trunc_target.parquet"

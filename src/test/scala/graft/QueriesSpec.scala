@@ -19,6 +19,11 @@ class QueriesSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every Bench headline key is a declared query") {
+    val missing = Bench.headlineKeys.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline keys with no query: $missing")
+  }
+
   // sim_lsh_topk may legitimately return few rows at tiny scale (bucket
   // sparsity); everything else must produce data at sf0.001.
   private val mayBeSparse = Set("sim_lsh_topk")
