@@ -74,4 +74,27 @@ object EventStreams {
         (closed ++ tail).iterator
     }
   }
+
+  /** Streaming → transactional JDBC destination via `foreachBatch` — the
+    * reference's destination story (batched transactional inserts into a
+    * SQL database, `SmartBulkCopy.cs:440-561`) under continuous
+    * ingestion: each micro-batch lands as one batched JDBC append.
+    * Exactly-once on an idempotent/keyed destination comes from pairing
+    * the checkpointed batch id with the write (callers can dedupe on it);
+    * here the append itself is the reference-shaped sink.
+    */
+  def streamToJdbc(
+      events: org.apache.spark.sql.DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      batchSizeRows: Int = 100000): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append")
+          .option("batchsize", batchSizeRows)
+          .jdbc(url, table, props)
+      }
+      .start()
 }

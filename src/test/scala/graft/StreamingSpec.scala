@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch streams micro-batches into a JDBC destination") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
+    System.setProperty("derby.system.home", home)
+    new java.io.File(home).mkdirs()
+    // fresh destination per run: the Derby db persists under tmpdir and
+    // appends would accumulate across test invocations
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$home/stream_sink"))
+    val url = s"jdbc:derby:$home/stream_sink;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val mem = MemoryStream[(Long, Double)]
+    val q = EventStreams.streamToJdbc(
+      mem.toDF.toDF("event_id", "value"), url, "stream_events", props)
+    try {
+      mem.addData((1L, 1.5), (2L, 2.5))
+      q.processAllAvailable()
+      mem.addData((3L, 3.5)) // second micro-batch appends
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.jdbc(url, "stream_events", props)
+    assert(back.count() == 3)
+    assert(back.agg(sum(col("value"))).collect()(0).getDouble(0) == 7.5)
+  }
+
   test("append mode emits a window only after the watermark passes it") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
