@@ -215,6 +215,34 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // window_range_frame — RANGE frame (value-based, not row-based):
+    // per event, activity of the same user in the TRAILING HOUR
+    // (RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW over epoch ms).
+    // The frame extends by timestamp value, so same-ms ties land in the
+    // same frame on every engine. One shuffle on user_id.
+    // ------------------------------------------------------------------
+    QueryDef("window_range_frame",
+      """SELECT event_id, user_id, ms,
+        |       count(*) OVER w AS n_trailing_hour,
+        |       round(sum(value) OVER w, 2) AS sum_trailing_hour
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms, value
+        |      FROM events WHERE user_id < 20) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ms, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Scans.table(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ms"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          round(sum(col("value")).over(w), 2).as("sum_trailing_hour"))
+        .orderBy(col("user_id"), col("ms"), col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
     // events_user_lifetime — per-user lifetime profile: first/last
     // activity, active-day count, total value. One shuffle on user_id,
     // O(1) state per user — the profile aggregation of a user-facing
