@@ -104,6 +104,28 @@ object Pipeline {
         specs.size == n && specs.sorted == (0 until n)
       case _ => false
     }
+    // A complete physical set over a FLAT single-file source gets the
+    // same treatment: with no partition layout on disk there is nothing
+    // for the per-slice range predicates to prune, so N slice scans
+    // decode the same bytes N times. One scan + a shuffle on the
+    // partition ordinal reads once and lands whole partitions per task.
+    // (A directory-partitioned source keeps the per-slice union below —
+    // there the predicates prune disjoint directories, which is strictly
+    // better than shuffling 100 TB.) The ordinal function is total —
+    // every row lands in some partition — matching a real RANGE
+    // partition function; coverage is still enforced by the rowcount
+    // reconciliation.
+    val completePhysicalSet = items.head.slice match {
+      case SliceSpec.Physical(pcol, _) if items.size > 1 =>
+        val ns = items.map(_.slice).collect {
+          case SliceSpec.Physical(c, n) if c == pcol => n
+        }
+        ns.size == items.size && ns.sorted == (1 to items.size)
+      case _ => false
+    }
+    def flatFileSource: Boolean =
+      new java.io.File(s"$sfDir/${items.head.table.name}.parquet").isFile
+
     if (completeLogicalSet) {
       val item = items.head
       val SliceSpec.Logical(keys, n, _) = item.slice: @unchecked
@@ -113,6 +135,13 @@ object Pipeline {
         if (keys.nonEmpty) abs(Scans.sliceKeyPortable(keys))
         else Scans.sliceKeyHash(base)
       val fanned = base.repartition(n, pmod(key, lit(n.toLong)))
+      Scans.orderedWithinPartitions(fanned, item.orderHint)
+    } else if (completePhysicalSet && flatFileSource) {
+      val item = items.head
+      val SliceSpec.Physical(pcol, _) = item.slice: @unchecked
+      val base = Scans.project(
+        Scans.table(spark, sfDir, item.table.name), item.table.excludedColumns)
+      val fanned = base.repartition(items.size, partitionNumber(col(pcol)))
       Scans.orderedWithinPartitions(fanned, item.orderHint)
     } else items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
   }
