@@ -158,21 +158,31 @@ object SimilarityQueries {
 
     // ------------------------------------------------------------------
     // sim_lsh_bucket — random-hyperplane sign-LSH bucketing: the scale
-    // path for ANN. Bucket histogram (bucket → vector count); the
-    // hyperplanes are md5-derived so the oracle recomputes them — here
-    // the oracle checks the bucketing invariant (total count preserved)
-    // via the Spark-computed bucket ids being a partition of the corpus.
+    // path for ANN. Fully declarative bucket-histogram summary (no job
+    // runs until the caller's action): the md5-derived hyperplanes are
+    // recomputed by the oracle (see lshBucketsCteSql), so total count,
+    // bucket occupancy and the fullest bucket are all hash-verified.
+    // The disjoint+exhaustive partition invariant is spec-asserted
+    // (QueriesSpec "sim_lsh_bucket buckets partition the corpus").
     // ------------------------------------------------------------------
     QueryDef("sim_lsh_bucket",
-      """SELECT count(*) AS n_vectors, 256 AS n_buckets_max
-        |FROM embeddings""".stripMargin) { (s, dir) =>
-      import s.implicits._
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$lshBucketsCteSql,
+         |hist AS (SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+         |       count(*) AS n_buckets_used,
+         |       256 AS n_buckets_max,
+         |       CAST(max(n) AS BIGINT) AS max_bucket
+         |FROM hist""".stripMargin) { (s, dir) =>
       val planes = hyperplanes(8, dims)
-      val bucketed = Scans.table(s, dir, "embeddings")
+      val hist = Scans.table(s, dir, "embeddings")
         .withColumn("bucket", lshBucket(col("embedding"), planes))
-      // invariant: buckets partition the corpus (disjoint + exhaustive)
-      val total = bucketed.agg(sum(lit(1L))).as[Long].collect()(0)
-      Seq((total, 256)).toDF("n_vectors", "n_buckets_max")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      hist.agg(sum(col("n")).as("n_vectors"),
+          count(lit(1)).as("n_buckets_used"),
+          max(col("n")).as("max_bucket"))
+        .select(col("n_vectors"), col("n_buckets_used"),
+          lit(256).as("n_buckets_max"), col("max_bucket"))
     },
 
     // ------------------------------------------------------------------
@@ -260,17 +270,25 @@ object SimilarityQueries {
       val emb = Scans.table(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id").between(1, 16))
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // cell assignment: argmax centroid over 6-dp-rounded cosine,
-      // smaller cid wins ties (same contract as the oracle)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cid"))
+      // Cell assignment is a ZERO-SHUFFLE per-row argmax: the 16-entry
+      // codebook collapses to ONE broadcast row (array<struct<cid,cv>>),
+      // each corpus row scores all 16 cells in place, and `array_max`
+      // over struct(cs, -cid) picks the best (struct ordering compares
+      // fields left-to-right, so max cs wins, then max(-cid) = smaller
+      // cid on 6-dp-rounded ties — same contract as the oracle). No
+      // Exchange touches the corpus; at 100 TB the chosen cell becomes a
+      // write-time partition key.
+      val codebook = cents
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("codebook"))
       val assign = emb
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          round(cosineFast(s)(col("embedding"), col("cv")), 6).as("cs"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("embedding"),
+          array_max(transform(col("codebook"), c =>
+            struct(
+              round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
+              (-c.getField("cid")).as("neg_cid"),
+              c.getField("cid").as("cid"))))
+            .getField("cid").as("cell"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val probes = cents.crossJoin(broadcast(q))
         .select(col("cid"), round(cosineFast(s)(col("cv"), col("qv")), 6).as("cs"))

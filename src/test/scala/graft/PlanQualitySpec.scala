@@ -141,6 +141,34 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(hashAggs >= 2, p.take(1500))
   }
 
+  test("sim_ivf_topk assigns cells with zero corpus shuffle") {
+    // IVF cell assignment is a per-row argmax over the broadcast 16-entry
+    // codebook: the corpus side must reach the probe join without ANY
+    // hash-partitioned exchange (the only allowed exchanges are tiny
+    // broadcasts and the 16-row codebook collapse). A regression to the
+    // crossJoin + rank-window shape would shuffle 16× the corpus.
+    val p = plan("sim_ivf_topk")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled during IVF assignment:\n${p.take(3000)}")
+  }
+
+  test("sim_lsh_bucket is declarative: no job until the caller's action") {
+    // building the DataFrame must not run the query (the r2 shape ran a
+    // driver collect() inside the builder). Reading parquet pays a
+    // schema-inference job that EVERY builder pays, so the gate is: no
+    // more jobs than an indisputably declarative builder over the same
+    // table submits.
+    def jobsDuring(body: => Unit): Int = {
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      body
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    val baseline = jobsDuring(SparkEntry.queries("sim_normalize_vectors")(spark, sfDir))
+    val bucket = jobsDuring(SparkEntry.queries("sim_lsh_bucket")(spark, sfDir))
+    assert(bucket <= baseline,
+      s"builder submitted $bucket job(s) vs declarative baseline $baseline")
+  }
+
   test("broadcast threshold applies to the salted-dim join too") {
     // the salted join must still resolve as a join on (key, salt); at
     // this dim size Spark may broadcast it — both are acceptable — but

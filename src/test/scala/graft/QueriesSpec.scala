@@ -38,6 +38,24 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("sim_lsh_bucket buckets partition the corpus") {
+    // the invariant the r2 query computed with a driver collect(), now
+    // where it belongs: every vector lands in exactly one bucket (the
+    // bucket expression is total) and every bucket id is in [0, 256)
+    import graft.exec.Scans
+    import graft.ops.SimilarityQueries
+    val emb = Scans.table(spark, sfDir, "embeddings")
+    val planes = SimilarityQueries.hyperplanes(8, 64)
+    val bucketed = emb.withColumn("bucket",
+      SimilarityQueries.lshBucket(col("embedding"), planes))
+    val row = bucketed.agg(
+      count(lit(1)).as("n"), count(col("bucket")).as("n_nonnull"),
+      min(col("bucket")).as("lo"), max(col("bucket")).as("hi")).collect()(0)
+    assert(row.getLong(0) == emb.count())          // exhaustive
+    assert(row.getLong(1) == row.getLong(0))       // no NULL bucket
+    assert(row.getInt(2) >= 0 && row.getInt(3) < 256)
+  }
+
   test("disjoint+exhaustive slicing holds on real data") {
     import graft.exec.Scans
     val li = Scans.table(spark, sfDir, "lineitem")
