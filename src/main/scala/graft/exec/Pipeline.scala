@@ -36,19 +36,35 @@ object Pipeline {
     * probe is likewise a catalog query, not a table read).
     */
   def safetyCheck(spark: SparkSession, sfDir: String, table: String): Boolean = {
-    def isParquet(f: java.io.File): Boolean = f.length() >= 8 && {
-      val in = new java.io.FileInputStream(f)
-      try {
-        val magic = new Array[Byte](4)
-        in.read(magic) == 4 && new String(magic, "US-ASCII") == "PAR1"
-      } finally in.close()
-    }
-    val root = new java.io.File(s"$sfDir/$table.parquet")
+    // Hadoop FileSystem, not java.io.File: the probe must work against
+    // HDFS/S3 paths exactly like the scans that follow it.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
     try {
-      if (root.isFile) isParquet(root)
-      else if (root.isDirectory)
-        root.listFiles().exists(f => f.getName.endsWith(".parquet") && isParquet(f))
-      else false
+      val fs = root.getFileSystem(conf)
+      def isParquet(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        st.getLen >= 8 && {
+          val in = fs.open(st.getPath)
+          try {
+            val magic = new Array[Byte](4)
+            in.readFully(0L, magic)
+            new String(magic, "US-ASCII") == "PAR1"
+          } finally in.close()
+        }
+      val st = fs.getFileStatus(root)
+      if (st.isFile) isParquet(st)
+      else {
+        // first committed data file anywhere under the root (short-circuits)
+        val it = fs.listFiles(root, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+            found = isParquet(f)
+        }
+        found
+      }
     } catch { case _: Exception => false }
   }
 

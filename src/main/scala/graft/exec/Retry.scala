@@ -14,10 +14,53 @@ package graft.exec
   * its own slice.
   */
 object Retry {
-  /** Exceptions considered transient — the analog of the reference's
-    * 19-code whitelist. Anything else rethrows immediately.
+  /** SQL vendor error codes considered transient — the reference's
+    * whitelist (`SmartBulkCopy.cs:33`): connection severed (53, 64, 121,
+    * 10054, 10051), DNS/net (11001, 10065, 10060), login timeout (258),
+    * backup lock (4891), db unavailable (4060), and the Azure SQL
+    * throttling/failover family (40197, 40501, 40613, 49918-49920).
+    * Matched against `SQLException.getErrorCode`. The reference also
+    * lists 0 (SqlClient's "connection severed"), deliberately DROPPED
+    * here: JDBC's `getErrorCode` defaults to 0 when the driver sets no
+    * vendor code, so keeping it would retry every unclassified error —
+    * connection-severed cases are covered by SQLState class 08 instead.
     */
-  def isTransient(e: Throwable): Boolean = e match {
+  private val transientVendorCodes: Set[Int] = Set(
+    53, 64, 121, 258, 4891, 10054, 4060, 40197, 40501, 40613,
+    49918, 49919, 49920, 11001, 10065, 10060, 10051)
+
+  /** SQLState class prefixes considered transient: 08 (connection
+    * exception), 40 (transaction rollback — deadlock/serialization), 57
+    * (operator intervention — shutdown/cancel), 53 (insufficient
+    * resources). These are the standards-level analog of the vendor list
+    * above, so non-SQL-Server JDBC drivers classify correctly too.
+    */
+  private val transientSqlStateClasses = Seq("08", "40", "53", "57")
+
+  /** Exceptions considered transient — the JDBC-faithful analog of the
+    * reference's whitelist (`SmartBulkCopy.cs:33`, checked at `:583` and
+    * `:745`). Wrapper exceptions (Spark job/write failures) are unwrapped
+    * via the cause chain before classifying. Anything else rethrows
+    * immediately.
+    */
+  def isTransient(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    var cur: Throwable = e
+    while (cur != null && seen.add(cur)) {
+      if (isTransientRoot(cur)) return true
+      cur = cur.getCause
+    }
+    false
+  }
+
+  private def isTransientRoot(e: Throwable): Boolean = e match {
+    // JDBC's own classification: driver says "retry may succeed"
+    case _: java.sql.SQLTransientException   => true
+    case _: java.sql.SQLRecoverableException => true
+    case e: java.sql.SQLException =>
+      val state = Option(e.getSQLState).getOrElse("")
+      transientSqlStateClasses.exists(state.startsWith) ||
+        transientVendorCodes.contains(e.getErrorCode)
     case _: java.io.IOException => true
     case e: RuntimeException =>
       val m = Option(e.getMessage).getOrElse("")

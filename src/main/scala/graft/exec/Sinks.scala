@@ -69,18 +69,45 @@ object Sinks {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    // Only COMMITTED files count: skip any path segment starting with
+    // '_' or '.' below the root — task-attempt output under a leftover
+    // _temporary dir (crashed prior writer) and commit-protocol markers
+    // are exactly what spark.read.parquet itself ignores; counting them
+    // would corrupt reconciliation on a subsequent append.
+    def isHidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootPath)
+      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    }
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     val it = fs.listFiles(root, true)
-    var total = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(fs.getFileStatus(f.getPath), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try total += reader.getRecordCount finally reader.close()
-      }
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !isHidden(f.getPath))
+        files += f
     }
-    total
+    // Footer reads are independent metadata GETs — fan them out on a
+    // bounded pool so reconciliation latency stays ~constant in file
+    // count against an object store (a serial loop would tail every
+    // copy with files × RTT on the driver).
+    if (files.isEmpty) 0L
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try {
+        val futures = files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(f, conf)
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try reader.getRecordCount finally reader.close()
+            }
+          })
+        }
+        futures.map(_.get()).sum
+      } finally pool.shutdown()
+    }
   }
 
   /** Identity-sync analog — reference `SmartBulkCopy.cs:341-389`: read the

@@ -72,7 +72,8 @@ object Catalog {
   def collect(spark: SparkSession, sfDir: String, name: String): TableMeta = {
     val base = declared(name)
     val (rows, bytes) = collected.getOrElseUpdate((sfDir, name), {
-      (Scans.table(spark, sfDir, name).count(), dirSize(s"$sfDir/$name.parquet"))
+      (Scans.table(spark, sfDir, name).count(),
+        dirSize(spark, s"$sfDir/$name.parquet"))
     })
     base.copy(rowCount = rows, sizeBytes = bytes)
   }
@@ -80,11 +81,14 @@ object Catalog {
   def collectAll(spark: SparkSession, sfDir: String): Map[String, TableMeta] =
     tableNames.map(n => n -> collect(spark, sfDir, n)).toMap
 
-  private def dirSize(path: String): Long = {
-    val f = new java.io.File(path)
-    if (f.isFile) f.length()
-    else if (f.isDirectory) f.listFiles().map(_.length()).sum
-    else 0L
+  /** Byte size of the table footprint via Hadoop `FileSystem` (one
+    * `getContentSummary` call — object-store ready, works for a flat
+    * file or a partition-directory tree alike).
+    */
+  private def dirSize(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
   // ---------------------------------------------------------------------

@@ -44,8 +44,15 @@ object JdbcQueries {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
       (s, dir) =>
       val url = s"jdbc:derby:${dbDir("copydb")};create=true"
+      // TRUNCATE-then-append semantics, not drop/recreate: the reference
+      // issues `TRUNCATE TABLE` as its own prep step and bulk-inserts
+      // into the EXISTING table (`SmartBulkCopy.cs:391-396`), preserving
+      // grants/indexes/identity. Spark's truncate option makes overwrite
+      // do exactly that when the table already exists (spec-asserted via
+      // a surviving secondary index in PipelineSpec).
       Scans.table(s, dir, "customer")
         .write.mode("overwrite")
+        .option("truncate", true)
         .option("batchsize", 1000) // SqlBulkCopy BatchSize analog
         .jdbc(url, "graft_customer", props)
       // the reference's logical-partition scan as a JDBC predicates

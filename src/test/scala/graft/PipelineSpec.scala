@@ -69,6 +69,59 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("retry: JDBC SQLState/vendor-code whitelist classifies correctly") {
+    // driver-classified transient type retries
+    var a = 0
+    assert(Retry.withRetry(3) { a += 1
+      if (a < 2) throw new java.sql.SQLTransientConnectionException("conn lost")
+      a } == 2)
+    // vendor code from the reference's whitelist (Azure throttling 40613)
+    var b = 0
+    assert(Retry.withRetry(3) { b += 1
+      if (b < 2) throw new java.sql.SQLException("unavailable", "S0001", 40613)
+      b } == 2)
+    // SQLState class 40 (deadlock) wrapped in a Spark-style outer
+    // exception: the cause chain is unwrapped before classifying
+    var c = 0
+    assert(Retry.withRetry(3) { c += 1
+      if (c < 2) throw new RuntimeException("Job aborted.",
+        new java.sql.SQLException("deadlock victim", "40001", 1205))
+      c } == 2)
+    // non-transient: syntax error rethrows immediately, no retry
+    var m = 0
+    intercept[java.sql.SQLSyntaxErrorException] {
+      Retry.withRetry(3) { m += 1
+        throw new java.sql.SQLSyntaxErrorException("bad sql", "42X01") }
+    }
+    assert(m == 1)
+  }
+
+  test("jdbc overwrite+truncate keeps table identity (secondary index survives)") {
+    import graft.exec.Scans
+    val url = s"jdbc:derby:${destDir}/truncdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Scans.table(spark, sfDir, "region")
+    df.write.mode("overwrite").jdbc(url, "graft_region_t", props) // create
+    // out-of-band DDL the destination owner applied — a drop/recreate
+    // overwrite would silently destroy it; truncate+append must not
+    def withConn[T](f: java.sql.Connection => T): T = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try f(conn) finally conn.close()
+    }
+    withConn(_.createStatement().execute(
+      "CREATE INDEX ix_trunc_probe ON graft_region_t(\"r_regionkey\")"))
+    df.write.mode("overwrite").option("truncate", true)
+      .jdbc(url, "graft_region_t", props)
+    val indexSurvived = withConn { conn =>
+      val rs = conn.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM SYS.SYSCONGLOMERATES WHERE CONGLOMERATENAME = 'IX_TRUNC_PROBE'")
+      rs.next(); rs.getInt(1) == 1
+    }
+    assert(indexSurvived, "overwrite dropped/recreated the table (index lost)")
+    assert(spark.read.jdbc(url, "graft_region_t", props).count() == df.count())
+  }
+
   test("copyFrame on a SUBSET of logical slices returns only those slices") {
     val src = Catalog.collect(spark, sfDir, "orders")
     val keys = Seq("o_orderkey")
@@ -131,5 +184,38 @@ class PipelineSpec extends SparkSpecBase {
   test("safety check fails for a missing table") {
     assert(Pipeline.safetyCheck(spark, sfDir, "lineitem"))
     assert(!Pipeline.safetyCheck(spark, sfDir, "no_such"))
+  }
+
+  test("safety check sees data files nested under partition directories") {
+    import graft.exec.Scans
+    val d = destDir
+    Scans.table(spark, sfDir, "region")
+      .withColumn("pk", col("r_regionkey") % 2)
+      .write.partitionBy("pk").parquet(s"$d/parted.parquet")
+    assert(Pipeline.safetyCheck(spark, d, "parted"))
+  }
+
+  test("committedRowCount: many files in parallel, uncommitted attempts ignored") {
+    import graft.exec.{Scans, Sinks}
+    val d = destDir
+    val dest = s"$d/orders.parquet"
+    val src = Scans.table(spark, sfDir, "orders")
+    src.repartition(24).write.parquet(dest) // 24 committed footers
+    val n = src.count()
+    assert(Sinks.committedRowCount(spark, dest) == n)
+    // plant leftovers a crashed prior writer would leave behind: a
+    // task-attempt file under _temporary and a dot-prefixed stray —
+    // spark.read.parquet ignores both, so reconciliation must too
+    val committed = new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val attempt = new java.io.File(
+      s"$dest/_temporary/0/task_0001/part-crashed.parquet")
+    attempt.getParentFile.mkdirs()
+    java.nio.file.Files.copy(committed.toPath, attempt.toPath)
+    val stray = new java.io.File(s"$dest/.stale.parquet")
+    java.nio.file.Files.copy(committed.toPath, stray.toPath)
+    assert(Sinks.committedRowCount(spark, dest) == n,
+      "uncommitted files inflated the committed count")
+    assert(spark.read.parquet(dest).count() == n) // the contract we mirror
   }
 }
