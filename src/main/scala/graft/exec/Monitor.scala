@@ -1,16 +1,19 @@
 package graft.exec
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
-import java.util.concurrent.atomic.LongAdder
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, LongAdder}
 
 /** Throughput monitor — reference `SmartBulkCopy.cs:665-766`: a side-channel
   * poll of `sys.dm_os_performance_counters` ('Log Bytes Flushed/sec')
   * reporting MB/s, running tasks and queue depth every ~5 s.
   *
-  * Spark-native analog: a `SparkListener` on task-end events aggregating
+  * Spark-native analog: a `SparkListener` on task events aggregating
   * records/bytes written and task time — the same signal, sourced from the
-  * engine's own metrics instead of a server DMV.
+  * engine's own metrics instead of a server DMV. [[CopyMonitor.monitored]]
+  * optionally runs the reference's periodic report loop alongside the
+  * copy: a sampler thread snapshots the counters every `reportEveryMs`
+  * and emits interval rows/s + MB/s + active task count.
   */
 final class CopyMonitor extends SparkListener {
   val recordsWritten = new LongAdder
@@ -18,8 +21,16 @@ final class CopyMonitor extends SparkListener {
   val recordsRead = new LongAdder
   val tasksCompleted = new LongAdder
   val taskTimeMs = new LongAdder
+  val activeTasks = new AtomicInteger(0)
+
+  private val _samples =
+    new java.util.concurrent.CopyOnWriteArrayList[CopyMonitor.Sample]
+
+  override def onTaskStart(taskStart: SparkListenerTaskStart): Unit =
+    activeTasks.incrementAndGet()
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    activeTasks.decrementAndGet()
     val m = taskEnd.taskMetrics
     if (m != null) {
       recordsWritten.add(m.outputMetrics.recordsWritten)
@@ -30,6 +41,16 @@ final class CopyMonitor extends SparkListener {
     }
   }
 
+  private[exec] def record(s: CopyMonitor.Sample): Unit = _samples.add(s)
+
+  /** Periodic samples captured while the monitored body ran (empty when
+    * reporting was off).
+    */
+  def samples: Seq[CopyMonitor.Sample] = {
+    import scala.jdk.CollectionConverters._
+    _samples.asScala.toSeq
+  }
+
   def mbPerSec: Double = {
     val secs = taskTimeMs.sum() / 1000.0
     if (secs <= 0) 0.0 else bytesWritten.sum() / (1024.0 * 1024.0) / secs
@@ -37,10 +58,59 @@ final class CopyMonitor extends SparkListener {
 }
 
 object CopyMonitor {
-  /** Run `body` with a listener attached; returns (result, monitor). */
-  def monitored[T](spark: SparkSession)(body: => T): (T, CopyMonitor) = {
+  /** One periodic report line — the fields of the reference's ~5 s
+    * console report (`SmartBulkCopy.cs:723-743`: MB/s, tasks running,
+    * queue depth): cumulative counters plus interval throughput.
+    */
+  final case class Sample(
+      elapsedMs: Long,
+      recordsWritten: Long,
+      bytesWritten: Long,
+      intervalRowsPerSec: Double,
+      intervalMbPerSec: Double,
+      activeTasks: Int)
+
+  /** Run `body` with a listener attached; returns (result, monitor).
+    *
+    * With `reportEveryMs > 0`, a daemon sampler thread emits a [[Sample]]
+    * every interval while the body runs (recorded on the monitor and
+    * passed to `onReport`) — the live progress report of the reference's
+    * monitor loop. The sampler reads lock-free counters, so it never
+    * perturbs the copy; it is interrupted and joined before returning.
+    */
+  def monitored[T](
+      spark: SparkSession,
+      reportEveryMs: Long = 0L,
+      onReport: Sample => Unit = _ => ())(body: => T): (T, CopyMonitor) = {
     val mon = new CopyMonitor
     spark.sparkContext.addSparkListener(mon)
+    val stop = new AtomicBoolean(false)
+    val sampler =
+      if (reportEveryMs <= 0) None
+      else Some(new Thread(() => {
+        val t0 = System.nanoTime()
+        var lastRecords = 0L
+        var lastBytes = 0L
+        var lastNs = t0
+        try while (!stop.get()) {
+          Thread.sleep(reportEveryMs)
+          val now = System.nanoTime()
+          val rec = mon.recordsWritten.sum()
+          val bytes = mon.bytesWritten.sum()
+          val dt = math.max((now - lastNs) / 1e9, 1e-9)
+          val s = Sample(
+            elapsedMs = (now - t0) / 1000000,
+            recordsWritten = rec,
+            bytesWritten = bytes,
+            intervalRowsPerSec = (rec - lastRecords) / dt,
+            intervalMbPerSec = (bytes - lastBytes) / (1024.0 * 1024.0) / dt,
+            activeTasks = mon.activeTasks.get())
+          lastRecords = rec; lastBytes = bytes; lastNs = now
+          mon.record(s)
+          onReport(s)
+        } catch { case _: InterruptedException => () }
+      }, "graft-copy-monitor"))
+    sampler.foreach { t => t.setDaemon(true); t.start() }
     try {
       val r = body
       // give the async listener bus a moment to drain so counters are
@@ -48,6 +118,10 @@ object CopyMonitor {
       // the post-job snapshot this monitor reports)
       Thread.sleep(200)
       (r, mon)
-    } finally spark.sparkContext.removeSparkListener(mon)
+    } finally {
+      stop.set(true)
+      sampler.foreach { t => t.interrupt(); t.join(1000) }
+      spark.sparkContext.removeSparkListener(mon)
+    }
   }
 }

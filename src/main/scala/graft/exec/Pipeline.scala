@@ -157,7 +157,18 @@ object Pipeline {
       val SliceSpec.Physical(pcol, _) = item.slice: @unchecked
       val base = Scans.project(
         Scans.table(spark, sfDir, item.table.name), item.table.excludedColumns)
-      val fanned = base.repartition(items.size, partitionNumber(col(pcol)))
+      // Keep the union of the slice predicates as a filter BEFORE the
+      // fan-out so the two code paths stay semantically identical: rows
+      // outside the declared 1..N partition ranges (or with a NULL
+      // partition column) are dropped here exactly as every per-slice
+      // range scan would drop them — otherwise this path would silently
+      // absorb them and reconciliation could pass on a source the union
+      // path would flag. Contiguous RANGE slices ⇒ one pushdown-friendly
+      // raw-column range predicate (same form as the slice scans).
+      val lo = lit(s"${Scans.DefaultEpochYear + 1}-01-01").cast("timestamp")
+      val hi = lit(s"${Scans.DefaultEpochYear + items.size + 1}-01-01").cast("timestamp")
+      val fanned = base.filter(col(pcol) >= lo && col(pcol) < hi)
+        .repartition(items.size, partitionNumber(col(pcol)))
       Scans.orderedWithinPartitions(fanned, item.orderHint)
     } else items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
   }

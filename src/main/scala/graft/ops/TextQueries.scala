@@ -185,8 +185,9 @@ object TextQueries {
     * token, so the 64 vote sums are shift/mask arithmetic instead of 64
     * string-slice→conv calls per token (~10× less per-row work; the
     * DuckDB oracle keeps the digit-wise form — identical values).
-    * Digit d sits at nibble 8-d of its half: bit b = 4(d−1)+k ⇒
-    * shiftright(h, 4*(8 - d mod 8) + k) & 1.
+    * Digit d sits at nibble 8−d of its half (per-half offsets, NOT a
+    * mod): bit b = 4(d−1)+k ⇒ shiftright(h1, 4*(8−d)+k) & 1 for d ≤ 8,
+    * shiftright(h2, 4*(16−d)+k) & 1 for d ≥ 9.
     */
   private def simhashSumsSpark: Seq[Column] = (0 until 64).map { b =>
     val d = b / 4 + 1; val k = b % 4

@@ -78,10 +78,13 @@ object EventStreams {
   /** Streaming → transactional JDBC destination via `foreachBatch` — the
     * reference's destination story (batched transactional inserts into a
     * SQL database, `SmartBulkCopy.cs:440-561`) under continuous
-    * ingestion: each micro-batch lands as one batched JDBC append.
-    * Exactly-once on an idempotent/keyed destination comes from pairing
-    * the checkpointed batch id with the write (callers can dedupe on it);
-    * here the append itself is the reference-shaped sink.
+    * ingestion: each micro-batch lands as one batched JDBC append,
+    * stamped with the checkpointed batch id in a `_batch_id` column.
+    * The sink itself is at-least-once (a restart replays the last
+    * uncommitted micro-batch); the stamp is what upgrades it: replayed
+    * rows carry the SAME `_batch_id`, so an idempotent consumer dedupes
+    * with `DELETE WHERE _batch_id = ?` before insert (or a
+    * `MERGE`/distinct-on read).
     */
   def streamToJdbc(
       events: org.apache.spark.sql.DataFrame,
@@ -91,8 +94,9 @@ object EventStreams {
       batchSizeRows: Int = 100000): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("append")
           .option("batchsize", batchSizeRows)
           .jdbc(url, table, props)
       }

@@ -122,6 +122,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(spark.read.jdbc(url, "graft_region_t", props).count() == df.count())
   }
 
+  test("monitor emits periodic live samples while a slow copy runs") {
+    import graft.exec.CopyMonitor
+    import spark.implicits._
+    val d = s"$destDir/slow.parquet"
+    val (_, mon) = CopyMonitor.monitored(spark, reportEveryMs = 25) {
+      spark.range(0, 8, 1, 4).as[Long]
+        .map { x => Thread.sleep(60); x } // ~120 ms per task: a "long" copy
+        .write.mode("overwrite").parquet(d)
+    }
+    assert(mon.samples.nonEmpty, "no periodic sample observed during the copy")
+    assert(mon.samples.last.elapsedMs > 0)
+    assert(mon.recordsWritten.sum() == 8)
+    // and the one-shot (non-reporting) path still collects nothing
+    val (_, quiet) = CopyMonitor.monitored(spark) {
+      spark.range(4).count()
+    }
+    assert(quiet.samples.isEmpty)
+  }
+
   test("copyFrame on a SUBSET of logical slices returns only those slices") {
     val src = Catalog.collect(spark, sfDir, "orders")
     val keys = Seq("o_orderkey")
@@ -133,6 +152,62 @@ class PipelineSpec extends SparkSpecBase {
       .filter(pmod(abs(key), lit(9L)) < 3).count()
     assert(subset.count() == expected)
     assert(expected < graft.exec.Scans.table(spark, sfDir, "orders").count())
+  }
+
+  test("physical fan-out adapts to layout: flat file scans once, dir layout prunes") {
+    import graft.exec.Scans
+    val meta = Catalog.declared("lineitem")
+    val items = (1 to 7).map(n =>
+      WorkItem(meta, SliceSpec.Physical("l_shipdate", n), orderHint = Nil))
+    // flat single-file source (the shipped testdata): ONE scan + ordinal
+    // shuffle — a per-slice union would decode the same bytes 7×
+    val flat = Pipeline.copyFrame(spark, sfDir, items)
+    val fp = flat.queryExecution.executedPlan.toString
+    assert(fp.linesIterator.count(_.contains("Scan parquet")) == 1, fp.take(2000))
+    assert(fp.contains("Exchange"), fp.take(2000))
+    // directory-partitioned copy of the same table (month-truncated ship
+    // dates bound the dir count): per-slice union, every scan pruning
+    // directories via PartitionFilters, and NO shuffle anywhere
+    val root = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    Scans.table(spark, sfDir, "lineitem")
+      .withColumn("l_shipdate", date_trunc("month", col("l_shipdate")))
+      .write.partitionBy("l_shipdate").parquet(s"$root/lineitem.parquet")
+    val parted = Pipeline.copyFrame(spark, root, items)
+    val pp = parted.queryExecution.executedPlan.toString
+    assert(pp.linesIterator.count(_.contains("Scan parquet")) == 7, pp.take(3000))
+    val pfLines = pp.linesIterator.filter(_.contains("PartitionFilters")).toList
+    assert(pfLines.nonEmpty && pfLines.forall(_.contains("l_shipdate")),
+      pfLines.mkString("\n"))
+    assert(!pp.contains("Exchange"), "union path must not shuffle")
+    assert(parted.count() == flat.count())
+  }
+
+  test("flat fan-out drops out-of-range rows exactly as the slice union would") {
+    import graft.exec.Scans
+    // a flat source with one row OUTSIDE the declared 1..7 year ranges
+    // and one with a NULL partition column: both code paths must agree
+    // (the r2 flat path silently absorbed them into the copy)
+    val stage = java.nio.file.Files.createTempDirectory("graft_flat").toString
+    val li = Scans.table(spark, sfDir, "lineitem").limit(100).cache()
+    val outOfRange = li.limit(1)
+      .withColumn("l_shipdate", lit("2010-06-01").cast("timestamp"))
+    val nullPart = li.limit(1)
+      .withColumn("l_shipdate", lit(null).cast("timestamp"))
+    li.union(outOfRange).union(nullPart)
+      .coalesce(1).write.parquet(s"$stage/staged")
+    val part = new java.io.File(s"$stage/staged").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$stage/lineitem.parquet"))
+    val meta = Catalog.declared("lineitem")
+    val items = (1 to 7).map(n =>
+      WorkItem(meta, SliceSpec.Physical("l_shipdate", n), orderHint = Nil))
+    val viaFlat = Pipeline.copyFrame(spark, stage, items)
+    val viaUnion = items.map(Scans.forWorkItem(spark, stage, _))
+      .reduce(_ unionAll _)
+    assert(viaFlat.count() == 100, "flat path absorbed out-of-range rows")
+    assert(viaFlat.count() == viaUnion.count())
+    li.unpersist()
   }
 
   test("generated SQL renders a key-less logical slice via xxhash64") {

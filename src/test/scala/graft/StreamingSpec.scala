@@ -123,6 +123,9 @@ class StreamingSpec extends SparkSpecBase {
     val back = spark.read.jdbc(url, "stream_events", props)
     assert(back.count() == 3)
     assert(back.agg(sum(col("value"))).collect()(0).getDouble(0) == 7.5)
+    // every row is stamped with its micro-batch id — the replay-dedupe
+    // key an idempotent consumer needs (two batches ran → two ids)
+    assert(back.select(col("_batch_id")).distinct().count() == 2)
   }
 
   test("append mode emits a window only after the watermark passes it") {
