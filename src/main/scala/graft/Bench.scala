@@ -35,15 +35,27 @@ object Bench {
     // on individual queries (GC pauses), and 2 runs still leave multi-
     // second noise in the sum-of-mins
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Materialize with the noop sink, not count(): under a count Catalyst
+    // prunes columns and drops top-level sorts, so the measured work
+    // under-states what the oracle path pays. The noop writer evaluates
+    // every output row/column (the honest per-query cost) with zero sink
+    // IO. One extra count() run per query is kept for this transition
+    // round so r2→r3 totals stay comparable; drop it next round.
+    def noopRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    def timed(body: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min over SUCCESSFUL runs only; -1 marks a query with no success
       // (a fast failure must not masquerade as a fast result)
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
+      val times = (1 to runs).flatMap(_ => timed(noopRun(fn)))
       name -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    val countResults = SparkEntry.queries.map { case (name, fn) =>
+      name -> timed(fn(spark, sfDir).count(): Unit).getOrElse(-1.0)
     }
     // The driver keeps only the last 2000 chars of output (r1's
     // full-precision 76-entry line overflowed that and failed to parse),
@@ -60,7 +72,8 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Exception => () }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
+    val countTotal = if (countResults.nonEmpty) countResults.values.sum else 0.0
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","count_total":${f3(countTotal)},"queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
