@@ -301,5 +301,94 @@ object MetaQueries {
               regexp_extract(lp, "^([0-9.]+)", 1).cast("double"))
             .otherwise(lp.cast("double")).as("lp_value"))
         .orderBy(col("config_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // config_stop_if — the stop-if flag surface + safe-check parse +
+    // env-var connection-string fallback (reference
+    // SmartBulkCopyConfig.cs:10-15 [Flags], :141 env fallback, :174-193
+    // safe-check, :194-199 stop-if subtraction: flags default ON and an
+    // explicit false REMOVES one). The parsed flags are then applied the
+    // way the orchestrator applies them: count the catalog tables that
+    // would stop the run (secondary indexes / temporal pairing) — both
+    // engines derive that relationally from the shared catalog rows.
+    // ------------------------------------------------------------------
+    QueryDef("config_stop_if",
+      s"""WITH ${Catalog.sysTablesCte},
+         |${Catalog.sysIndexesCte},
+         |cfg(config_name, stop_secondary_index, stop_temporal_table, safe_check, source_conn) AS (VALUES
+         |  ('both_default', TRUE, TRUE, 'readonly', 'env://source-connection-string'),
+         |  ('no_secondary', FALSE, TRUE, 'snapshot', 'env://source-connection-string'),
+         |  ('none_stop', FALSE, FALSE, 'none', 'cfg://explicit'),
+         |  ('read_only_alias', TRUE, TRUE, 'readonly', 'cfg://explicit')),
+         |blockers AS (
+         |  SELECT DISTINCT object_id, 'secondary' AS kind
+         |  FROM sys_indexes WHERE index_type = 2
+         |  UNION ALL
+         |  SELECT object_id, 'temporal' AS kind
+         |  FROM sys_tables WHERE history_table_id IS NOT NULL)
+         |SELECT c.config_name, c.stop_secondary_index, c.stop_temporal_table,
+         |       c.safe_check, c.source_conn,
+         |       count(DISTINCT b.object_id) AS n_blocking_tables
+         |FROM cfg c LEFT JOIN blockers b
+         |  ON (b.kind = 'secondary' AND c.stop_secondary_index)
+         |  OR (b.kind = 'temporal'  AND c.stop_temporal_table)
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY config_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val confs = Seq(
+        ("both_default",
+          """{"options": {"safe-check": "readonly"}}"""),
+        ("no_secondary",
+          """{"options": {"safe-check": "snapshot", "stop-if": {"secondary-indexes": false}}}"""),
+        ("none_stop",
+          """{"source": {"connection-string": "cfg://explicit"},
+             |"options": {"safe-check": "none",
+             |"stop-if": {"secondary-indexes": false, "temporal-table": false}}}""".stripMargin),
+        ("read_only_alias",
+          """{"source": {"connection-string": "cfg://explicit"},
+             |"options": {"safe-check": "read-only", "stop-if": {"temporal-table": true}}}""".stripMargin))
+        .toDF("config_name", "raw")
+      val schema = StructType(Seq(
+        StructField("source", StructType(Seq(
+          StructField("connection-string", StringType)))),
+        StructField("options", StructType(Seq(
+          StructField("safe-check", StringType),
+          StructField("stop-if", StructType(Seq(
+            StructField("secondary-indexes", BooleanType),
+            StructField("temporal-table", BooleanType)))))))))
+      // env fallback (SmartBulkCopyConfig.cs:141): config value wins,
+      // else the process environment — absent in this container, so the
+      // deterministic env:// sentinel stands in for the variable's value
+      val envSource = sys.env.getOrElse("source-connection-string",
+        "env://source-connection-string")
+      val parsed = confs.withColumn("j", from_json(col("raw"), schema))
+      val stopIf = col("j").getField("options").getField("stop-if")
+      val sc = lower(coalesce(
+        col("j").getField("options").getField("safe-check"), lit("readonly")))
+      val flags = parsed.select(
+        col("config_name"),
+        // flags default ON; only an explicit false removes one
+        coalesce(stopIf.getField("secondary-indexes"), lit(true))
+          .as("stop_secondary_index"),
+        coalesce(stopIf.getField("temporal-table"), lit(true))
+          .as("stop_temporal_table"),
+        when(sc.isin("read-only", "readonly"), lit("readonly")).otherwise(sc)
+          .as("safe_check"),
+        coalesce(col("j").getField("source").getField("connection-string"),
+          lit(envSource)).as("source_conn"))
+      val blockers = Catalog.sysIndexes(s).filter(col("index_type") === 2)
+        .select(col("object_id")).distinct()
+        .withColumn("kind", lit("secondary"))
+        .unionAll(Catalog.sysTables(s).filter(col("history_table_id").isNotNull)
+          .select(col("object_id")).withColumn("kind", lit("temporal")))
+      flags.join(blockers,
+          (blockers("kind") === "secondary" && flags("stop_secondary_index")) ||
+          (blockers("kind") === "temporal" && flags("stop_temporal_table")),
+          "left")
+        .groupBy(col("config_name"), col("stop_secondary_index"),
+          col("stop_temporal_table"), col("safe_check"), col("source_conn"))
+        .agg(count_distinct(col("object_id")).as("n_blocking_tables"))
+        .orderBy(col("config_name"))
     })
 }
