@@ -95,6 +95,95 @@ object SimilarityQueries {
        |         CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
        |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  // ---------------------------------------------------------------
+  // IVF building blocks, shared by sim_ivf_topk (in-memory assignment)
+  // and sim_ivf_write_layout (assignment persisted as a partition key).
+  // ---------------------------------------------------------------
+
+  /** The 16-vector coarse codebook (vec_ids 1..16 standing in for
+    * trained k-means centroids): (cid, cv).
+    */
+  private def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** Zero-shuffle cell assignment: the codebook collapses to ONE
+    * broadcast row (array&lt;struct&lt;cid,cv&gt;&gt;), each corpus row scores all
+    * 16 cells in place, and `array_max` over struct(cs, -cid) picks the
+    * best (struct ordering compares fields left-to-right, so max cs
+    * wins, then max(-cid) = smaller cid on 6-dp-rounded ties — same
+    * contract as the oracle). No Exchange touches the corpus.
+    */
+  private def ivfAssign(s: SparkSession, emb: DataFrame): DataFrame = {
+    val codebook = ivfCentroids(emb)
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("codebook"))
+    emb.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("codebook"), c =>
+          struct(
+            round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
+            (-c.getField("cid")).as("neg_cid"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cell"))
+  }
+
+  /** The nprobe=4 cells nearest the query vector: (probe). */
+  private def ivfProbes(s: SparkSession, emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    ivfCentroids(emb).crossJoin(broadcast(q))
+      .select(col("cid"), round(cosineFast(s)(col("cv"), col("qv")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("cid"))
+      .limit(4)
+      .select(col("cid").as("probe"))
+  }
+
+  /** Exact cosine top-10 within the probed candidate set. */
+  private def ivfSearch(s: SparkSession, emb: DataFrame,
+      candidates: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    top10Ranked(candidates.join(broadcast(ivfProbes(s, emb)),
+        col("cell") === col("probe"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim")))
+  }
+
+  /** Shared oracle for the two IVF variants (identical results: the
+    * layout only changes WHERE the cells live, not what a probe finds).
+    */
+  private val ivfTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+      |          WHERE vec_id BETWEEN 1 AND 16),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT e.vec_id, c.cid,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+      |                      c.cid) AS rn
+      |    FROM e CROSS JOIN cents c) a
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT cid AS probe FROM cents CROSS JOIN q
+      |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid
+      |  LIMIT 4),
+      |cand AS (
+      |  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+      |  FROM e JOIN assign a ON a.vec_id = e.vec_id CROSS JOIN q
+      |  WHERE a.cell IN (SELECT probe FROM probes) AND e.vec_id <> 0)
+      |SELECT rank, vec_id, cos_sim FROM (
+      |  SELECT vec_id, cos_sim,
+      |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      |  FROM cand) r
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // dir whose IVF layout is currently on disk (write once, reuse across
+  // invocations — the layout IS the point: it persists)
+  private var ivfLayoutDir: Option[String] = None
+
   /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
     * is a distributed TakeOrdered (`orderBy.limit`) — the rank window
     * runs single-partition by construction but over exactly 10 rows; a
@@ -240,66 +329,33 @@ object SimilarityQueries {
     // library difference can't flip an assignment. The spec additionally
     // checks score agreement with brute force.
     // ------------------------------------------------------------------
-    QueryDef("sim_ivf_topk",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
-        |          WHERE vec_id BETWEEN 1 AND 16),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |assign AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT e.vec_id, c.cid,
-        |           row_number() OVER (
-        |             PARTITION BY e.vec_id
-        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
-        |                      c.cid) AS rn
-        |    FROM e CROSS JOIN cents c) a
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT cid AS probe FROM cents CROSS JOIN q
-        |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid
-        |  LIMIT 4),
-        |cand AS (
-        |  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
-        |  FROM e JOIN assign a ON a.vec_id = e.vec_id CROSS JOIN q
-        |  WHERE a.cell IN (SELECT probe FROM probes) AND e.vec_id <> 0)
-        |SELECT rank, vec_id, cos_sim FROM (
-        |  SELECT vec_id, cos_sim,
-        |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
-        |  FROM cand) r
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+    QueryDef("sim_ivf_topk", ivfTopkSql) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
-      val cents = emb.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // Cell assignment is a ZERO-SHUFFLE per-row argmax: the 16-entry
-      // codebook collapses to ONE broadcast row (array<struct<cid,cv>>),
-      // each corpus row scores all 16 cells in place, and `array_max`
-      // over struct(cs, -cid) picks the best (struct ordering compares
-      // fields left-to-right, so max cs wins, then max(-cid) = smaller
-      // cid on 6-dp-rounded ties — same contract as the oracle). No
-      // Exchange touches the corpus; at 100 TB the chosen cell becomes a
-      // write-time partition key.
-      val codebook = cents
-        .agg(collect_list(struct(col("cid"), col("cv"))).as("codebook"))
-      val assign = emb
-        .crossJoin(broadcast(codebook))
-        .select(col("vec_id"), col("embedding"),
-          array_max(transform(col("codebook"), c =>
-            struct(
-              round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
-              (-c.getField("cid")).as("neg_cid"),
-              c.getField("cid").as("cid"))))
-            .getField("cid").as("cell"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val probes = cents.crossJoin(broadcast(q))
-        .select(col("cid"), round(cosineFast(s)(col("cv"), col("qv")), 6).as("cs"))
-        .orderBy(col("cs").desc, col("cid"))
-        .limit(4)
-        .select(col("cid").as("probe"))
-      top10Ranked(assign.join(broadcast(probes), col("cell") === col("probe"))
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim")))
+      ivfSearch(s, emb, ivfAssign(s, emb))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_ivf_write_layout — the 100 TB half of the IVF story made
+    // physical: the zero-shuffle cell assignment is PERSISTED as a
+    // partitionBy("cell") parquet layout (written once per source dir,
+    // reused across invocations), and the probe reads back ONLY its
+    // nprobe=4 cell directories — PartitionFilters prune 12/16 cells at
+    // the file listing, so a probe touches 4/16 of the corpus bytes.
+    // Same oracle as sim_ivf_topk: the layout changes where cells live,
+    // not what a probe finds. Plan-asserted in PlanQualitySpec.
+    // ------------------------------------------------------------------
+    QueryDef("sim_ivf_write_layout", ivfTopkSql) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val layout = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout"
+      SimilarityQueries.synchronized {
+        if (!ivfLayoutDir.contains(dir)) {
+          ivfLayoutDir = None
+          ivfAssign(s, emb)
+            .write.mode("overwrite").partitionBy("cell").parquet(layout)
+          ivfLayoutDir = Some(dir)
+        }
+      }
+      ivfSearch(s, emb, s.read.parquet(layout))
     },
 
     // ------------------------------------------------------------------

@@ -152,6 +152,18 @@ class PlanQualitySpec extends SparkSpecBase {
       s"corpus shuffled during IVF assignment:\n${p.take(3000)}")
   }
 
+  test("sim_ivf_write_layout probe prunes cell directories at the listing") {
+    // the persisted IVF layout must be probed via partition pruning:
+    // the scan's PartitionFilters carry a dynamic-pruning expression on
+    // `cell` (fed by the broadcast probe set), so only nprobe=4 of the
+    // 16 cell directories are ever listed/read
+    val p = plan("sim_ivf_write_layout")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(scanLine.contains("dynamicpruning"),
+      s"probe read does not prune the cell layout: $scanLine")
+  }
+
   test("sim_lsh_bucket is declarative: no job until the caller's action") {
     // building the DataFrame must not run the query (the r2 shape ran a
     // driver collect() inside the builder). Reading parquet pays a
