@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches in-window pairs, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF.toDF("event_id", "ts", "user_id")
+    val q = EventStreams.intervalJoin(df(clicks), df(views))
+      .writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (100L, Timestamp.valueOf("2024-01-01 09:40:00"), 1L), // in window
+        (101L, Timestamp.valueOf("2024-01-01 08:00:00"), 1L), // too old
+        (102L, Timestamp.valueOf("2024-01-01 09:50:00"), 2L)) // other user
+      clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT click_id, view_id, user_id FROM ssij").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 100L, 1L)))
+    // and the same transform over batch frames gives the same pairs
+    val bClicks = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("event_id", "ts", "user_id")
+    val bViews = Seq(
+      (100L, Timestamp.valueOf("2024-01-01 09:40:00"), 1L),
+      (101L, Timestamp.valueOf("2024-01-01 08:00:00"), 1L),
+      (102L, Timestamp.valueOf("2024-01-01 09:50:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val batch = EventStreams.intervalJoin(bClicks, bViews)
+      .select(col("click_id"), col("view_id"), col("user_id")).collect()
+    assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 100L, 1L)))
+  }
+
   test("streaming session_window merges events and finalizes by watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
