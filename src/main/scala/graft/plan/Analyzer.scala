@@ -20,7 +20,15 @@ final case class PlanConfig(
     batchSize: Int = 100000,
     strategy: PartitionStrategy = PartitionStrategy.Auto,
     /** reference bound: logical partitions ≤ 128 (`SmartBulkCopyConfig.cs:74`) */
-    maxLogicalPartitions: Int = 128) {
+    maxLogicalPartitions: Int = 128,
+    /** stop-if flags, default ON; an explicit false lets the copy proceed
+      * past that destination condition with degraded load performance —
+      * reference `SmartBulkCopyConfig.cs:10-15` ([Flags] enum, default
+      * `SecondaryIndex | TemporalTable`), enforced at
+      * `TableAnalyzer.cs:66-99`.
+      */
+    stopIfSecondaryIndex: Boolean = true,
+    stopIfTemporalTable: Boolean = true) {
   require(tasks >= 1 && tasks <= 32, "tasks must be in [1,32]") // SmartBulkCopyConfig.cs:55
 }
 
@@ -35,15 +43,17 @@ final case class PlanConfig(
 object Analyzer {
 
   /** Validity gates — reference `TableAnalyzer.cs:39-107`:
-    * destination FKs / secondary indexes / temporal tables abort the plan
-    * (`tests/Misc.cs:14-38`).
+    * destination FKs always abort; secondary indexes and temporal
+    * tables abort only while their stop-if flag is ON
+    * (`TableAnalyzer.cs:66-99`, `tests/Misc.cs:14-38`) — turning a flag
+    * off accepts the slower load instead of stopping.
     */
   def analyze(src: TableMeta, dst: TableMeta, conf: PlanConfig): AnalysisOutcome = {
     if (dst.foreignKeyCount > 0)
       AnalysisOutcome.ForeignKeysFoundOnDestination
-    else if (dst.secondaryIndexCount > 0)
+    else if (dst.secondaryIndexCount > 0 && conf.stopIfSecondaryIndex)
       AnalysisOutcome.SecondaryIndexFoundOnDestination
-    else if (dst.history.nonEmpty)
+    else if (dst.history.nonEmpty && conf.stopIfTemporalTable)
       AnalysisOutcome.TemporalTableOnDestination
     else
       AnalysisOutcome.Success(plan(src, dst, conf))

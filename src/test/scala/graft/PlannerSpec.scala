@@ -87,6 +87,19 @@ class PlannerSpec extends AnyFunSuite {
       AnalysisOutcome.TemporalTableOnDestination)
   }
 
+  test("stop-if flags off let the copy proceed past the gate (FKs still abort)") {
+    val src = heap(100, 0.1)
+    val relaxed = conf.copy(stopIfSecondaryIndex = false, stopIfTemporalTable = false)
+    assert(Analyzer.analyze(src, src.copy(secondaryIndexCount = 2), relaxed)
+      .isInstanceOf[AnalysisOutcome.Success])
+    assert(Analyzer.analyze(src,
+      src.copy(history = Some(HistoryInfo("h", "s", "e", -1))), relaxed)
+      .isInstanceOf[AnalysisOutcome.Success])
+    // FK abort is unconditional in the reference — no flag disables it
+    assert(Analyzer.analyze(src, src.copy(foreignKeyCount = 1), relaxed) ==
+      AnalysisOutcome.ForeignKeysFoundOnDestination)
+  }
+
   // --- small-table bypass (TableAnalyzer.cs:181,212-214) ---------------
   test("small table bypasses partitioning") {
     val items = Analyzer.plan(heap(1000, 0.001), heap(0, 0), conf)
