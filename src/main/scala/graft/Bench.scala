@@ -71,8 +71,10 @@ object Bench {
       val w = new java.io.PrintWriter("target/bench_full.json")
       try w.println(full) finally w.close()
     } catch { case _: Exception => () }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val countTotal = if (countResults.nonEmpty) countResults.values.sum else 0.0
+    // totals over SUCCESSFUL queries only: the -1 failure sentinel must
+    // not subtract from the sum (per-query -1s still show in the maps)
+    val total = results.values.filter(_ >= 0).sum
+    val countTotal = countResults.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","count_total":${f3(countTotal)},"queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }

@@ -107,7 +107,10 @@ object CopyMonitor {
             activeTasks = mon.activeTasks.get())
           lastRecords = rec; lastBytes = bytes; lastNs = now
           mon.record(s)
-          onReport(s)
+          // a throwing callback must not kill the sampler: reporting is
+          // best-effort side-channel, the copy (and sampling) continue
+          try onReport(s)
+          catch { case scala.util.control.NonFatal(_) => () }
         } catch { case _: InterruptedException => () }
       }, "graft-copy-monitor"))
     sampler.foreach { t => t.setDaemon(true); t.start() }

@@ -54,13 +54,20 @@ object Pipeline {
       val st = fs.getFileStatus(root)
       if (st.isFile) isParquet(st)
       else {
-        // first committed data file anywhere under the root (short-circuits)
+        // first COMMITTED data file anywhere under the root
+        // (short-circuits). Hidden-ness is segment-wise below the root —
+        // a part file nested under a leftover _temporary dir is
+        // uncommitted even though its own name looks committed.
+        val rootPath = fs.makeQualified(root).toUri.getPath
+        def hidden(p: org.apache.hadoop.fs.Path): Boolean =
+          fs.makeQualified(p).toUri.getPath.stripPrefix(rootPath)
+            .split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
         val it = fs.listFiles(root, true)
         var found = false
         while (!found && it.hasNext) {
           val f = it.next()
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+              !hidden(f.getPath))
             found = isParquet(f)
         }
         found
@@ -139,8 +146,15 @@ object Pipeline {
         ns.size == items.size && ns.sorted == (1 to items.size)
       case _ => false
     }
-    def flatFileSource: Boolean =
-      new java.io.File(s"$sfDir/${items.head.table.name}.parquet").isFile
+    def flatFileSource: Boolean = try {
+      // Hadoop FS, not java.io.File: the layout probe must see object
+      // stores too, or the one-scan fan-out would never engage exactly
+      // where re-decoding the source N times hurts most
+      val p = new org.apache.hadoop.fs.Path(
+        s"$sfDir/${items.head.table.name}.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isFile
+    } catch { case _: Exception => false }
 
     if (completeLogicalSet) {
       val item = items.head

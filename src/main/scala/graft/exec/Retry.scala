@@ -44,11 +44,21 @@ object Retry {
     * immediately.
     */
   def isTransient(e: Throwable): Boolean = {
+    // walk BOTH linkage kinds: getCause (wrapper exceptions) and, for
+    // SQLException, getNextException — JDBC batch failures
+    // (BatchUpdateException) chain the real error there, not in the cause
     val seen = scala.collection.mutable.Set.empty[Throwable]
-    var cur: Throwable = e
-    while (cur != null && seen.add(cur)) {
-      if (isTransientRoot(cur)) return true
-      cur = cur.getCause
+    val queue = scala.collection.mutable.Queue[Throwable](e)
+    while (queue.nonEmpty) {
+      val cur = queue.dequeue()
+      if (cur != null && seen.add(cur)) {
+        if (isTransientRoot(cur)) return true
+        queue.enqueue(cur.getCause)
+        cur match {
+          case s: java.sql.SQLException => queue.enqueue(s.getNextException)
+          case _ => ()
+        }
+      }
     }
     false
   }
@@ -61,6 +71,10 @@ object Retry {
       val state = Option(e.getSQLState).getOrElse("")
       transientSqlStateClasses.exists(state.startsWith) ||
         transientVendorCodes.contains(e.getErrorCode)
+    // permanent file errors: a missing or truncated source never heals
+    // by retrying — fail fast instead of burning maxAttempts full jobs
+    case _: java.io.FileNotFoundException => false
+    case _: java.io.EOFException          => false
     case _: java.io.IOException => true
     case e: RuntimeException =>
       val m = Option(e.getMessage).getOrElse("")

@@ -81,14 +81,30 @@ object Catalog {
   def collectAll(spark: SparkSession, sfDir: String): Map[String, TableMeta] =
     tableNames.map(n => n -> collect(spark, sfDir, n)).toMap
 
-  /** Byte size of the table footprint via Hadoop `FileSystem` (one
-    * `getContentSummary` call — object-store ready, works for a flat
-    * file or a partition-directory tree alike).
+  /** Byte size of the COMMITTED table footprint via Hadoop `FileSystem`
+    * (object-store ready, flat file or partition-directory tree alike).
+    * Hidden path segments (`_temporary` attempt files, commit markers,
+    * dot-strays) are excluded — junk bytes from a crashed writer must
+    * not inflate the size the planner's partition-count and small-table
+    * decisions read.
     */
   private def dirSize(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    if (!fs.exists(p)) return 0L
+    val st = fs.getFileStatus(p)
+    if (st.isFile) return st.getLen
+    val rootPath = fs.makeQualified(p).toUri.getPath
+    def hidden(q: org.apache.hadoop.fs.Path): Boolean =
+      fs.makeQualified(q).toUri.getPath.stripPrefix(rootPath)
+        .split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !hidden(f.getPath)) total += f.getLen
+    }
+    total
   }
 
   // ---------------------------------------------------------------------

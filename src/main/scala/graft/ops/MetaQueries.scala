@@ -19,6 +19,16 @@ import graft.meta.Catalog
   */
 object MetaQueries {
 
+  /** Env-var connection-string fallback value (reference
+    * `SmartBulkCopyConfig.cs:141`): the real process environment when
+    * set, a deterministic sentinel otherwise. Shared between the Spark
+    * builder and the oracle SQL (interpolated as a literal at build
+    * time) so the gate can never diverge on environment.
+    */
+  private val envSourceConn: String =
+    sys.env.getOrElse("source-connection-string", "env://source-connection-string")
+  private def envSourceConnSql: String = envSourceConn.replace("'", "''")
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -317,8 +327,8 @@ object MetaQueries {
       s"""WITH ${Catalog.sysTablesCte},
          |${Catalog.sysIndexesCte},
          |cfg(config_name, stop_secondary_index, stop_temporal_table, safe_check, source_conn) AS (VALUES
-         |  ('both_default', TRUE, TRUE, 'readonly', 'env://source-connection-string'),
-         |  ('no_secondary', FALSE, TRUE, 'snapshot', 'env://source-connection-string'),
+         |  ('both_default', TRUE, TRUE, 'readonly', '$envSourceConnSql'),
+         |  ('no_secondary', FALSE, TRUE, 'snapshot', '$envSourceConnSql'),
          |  ('none_stop', FALSE, FALSE, 'none', 'cfg://explicit'),
          |  ('read_only_alias', TRUE, TRUE, 'readonly', 'cfg://explicit')),
          |blockers AS (
@@ -358,10 +368,10 @@ object MetaQueries {
             StructField("secondary-indexes", BooleanType),
             StructField("temporal-table", BooleanType)))))))))
       // env fallback (SmartBulkCopyConfig.cs:141): config value wins,
-      // else the process environment — absent in this container, so the
-      // deterministic env:// sentinel stands in for the variable's value
-      val envSource = sys.env.getOrElse("source-connection-string",
-        "env://source-connection-string")
+      // else the process environment (env:// sentinel when unset) — the
+      // shared envSourceConn val is interpolated into the oracle SQL at
+      // build time too, so both sides agree whatever the environment
+      val envSource = envSourceConn
       val parsed = confs.withColumn("j", from_json(col("raw"), schema))
       val stopIf = col("j").getField("options").getField("stop-if")
       val sc = lower(coalesce(

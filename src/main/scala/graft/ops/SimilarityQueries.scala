@@ -180,9 +180,18 @@ object SimilarityQueries {
       |  FROM cand) r
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
-  // dir whose IVF layout is currently on disk (write once, reuse across
-  // invocations — the layout IS the point: it persists)
-  private var ivfLayoutDir: Option[String] = None
+  // source dirs whose IVF layout is already on disk this JVM (write
+  // once, reuse across invocations — the layout IS the point: it
+  // persists). The on-disk path is keyed by the source dir, so layouts
+  // for different dirs never clobber each other and switching dirs can
+  // never serve a stale layout.
+  private val ivfLayoutsWritten = scala.collection.mutable.Set.empty[String]
+
+  private def ivfLayoutPath(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout_$key"
+  }
 
   /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
     * is a distributed TakeOrdered (`orderBy.limit`) — the rank window
@@ -346,13 +355,12 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     QueryDef("sim_ivf_write_layout", ivfTopkSql) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
-      val layout = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout"
+      val layout = ivfLayoutPath(dir)
       SimilarityQueries.synchronized {
-        if (!ivfLayoutDir.contains(dir)) {
-          ivfLayoutDir = None
+        if (!ivfLayoutsWritten.contains(dir)) {
           ivfAssign(s, emb)
             .write.mode("overwrite").partitionBy("cell").parquet(layout)
-          ivfLayoutDir = Some(dir)
+          ivfLayoutsWritten += dir
         }
       }
       ivfSearch(s, emb, s.read.parquet(layout))

@@ -87,6 +87,18 @@ class PipelineSpec extends SparkSpecBase {
       if (c < 2) throw new RuntimeException("Job aborted.",
         new java.sql.SQLException("deadlock victim", "40001", 1205))
       c } == 2)
+    // JDBC batch failures chain the real error via getNextException,
+    // not getCause (BatchUpdateException) — must still classify
+    var d = 0
+    assert(Retry.withRetry(3) { d += 1
+      if (d < 2) {
+        val batch = new java.sql.BatchUpdateException(
+          "batch failed", null, 0, Array.empty[Int])
+        batch.setNextException(
+          new java.sql.SQLException("deadlock victim", "40001", 1205))
+        throw batch
+      }
+      d } == 2)
     // non-transient: syntax error rethrows immediately, no retry
     var m = 0
     intercept[java.sql.SQLSyntaxErrorException] {
@@ -94,6 +106,15 @@ class PipelineSpec extends SparkSpecBase {
         throw new java.sql.SQLSyntaxErrorException("bad sql", "42X01") }
     }
     assert(m == 1)
+    // permanent file errors fail fast even wrapped: a missing source
+    // never heals by retrying the job
+    var f = 0
+    intercept[RuntimeException] {
+      Retry.withRetry(3) { f += 1
+        throw new RuntimeException("Job aborted.",
+          new java.io.FileNotFoundException("gone.parquet")) }
+    }
+    assert(f == 1)
   }
 
   test("jdbc overwrite+truncate keeps table identity (secondary index survives)") {
