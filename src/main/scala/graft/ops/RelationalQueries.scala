@@ -277,6 +277,26 @@ object RelationalQueries {
     },
 
     // ------------------------------------------------------------------
+    // agg_approx_quantile — mergeable quantile sketch per group
+    // (percentile_approx): like the HLL sketch above, the summary is
+    // what makes percentiles feasible at 100 TB — each partition builds
+    // a bounded sketch, sketches merge associatively at the reducer, no
+    // global sort of the value column ever happens. Rows-only oracle
+    // (sketch estimates are engine-specific); the spec brackets each
+    // approximate quantile between exact neighboring percentiles.
+    // ------------------------------------------------------------------
+    QueryDef.unoracled("agg_approx_quantile") { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
     // join_skew_salted — skew-mitigated equi-join: the fact side keeps
     // its rows, the (small, but conceptually large-and-hot-keyed) build
     // side is replicated once per salt, and the join key becomes

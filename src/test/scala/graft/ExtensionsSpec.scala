@@ -70,6 +70,28 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(rel(r.getAs[Long]("exact_orders"), r.getAs[Long]("approx_orders")) < 0.06)
   }
 
+  test("approx quantiles bracket between exact neighboring percentiles") {
+    val approx = run("agg_approx_quantile").collect()
+    val exact = Scans.table(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.90)").as("lo95"),
+        expr("percentile(value, 0.999)").as("hi95"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getAs[Double]("p50") >= e.getAs[Double]("lo50") &&
+        r.getAs[Double]("p50") <= e.getAs[Double]("hi50"),
+        s"${r.getString(0)}: p50 out of bracket")
+      assert(r.getAs[Double]("p95") >= e.getAs[Double]("lo95") &&
+        r.getAs[Double]("p95") <= e.getAs[Double]("hi95"),
+        s"${r.getString(0)}: p95 out of bracket")
+    }
+  }
+
   test("native cosine_sim expression is registered and bit-equal to the composition") {
     assert(spark.catalog.functionExists("cosine_sim"))
     val emb = Scans.table(spark, sfDir, "embeddings")
