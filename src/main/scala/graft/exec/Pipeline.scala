@@ -204,7 +204,12 @@ object Pipeline {
       destDir: String,
       src: TableMeta,
       dst: TableMeta,
-      conf: PlanConfig = PlanConfig()): CopyResult = {
+      conf: PlanConfig = PlanConfig(),
+      /** >0 emits a live throughput sample every interval while the load
+        * runs (reference monitor loop, `SmartBulkCopy.cs:665-766`).
+        */
+      reportEveryMs: Long = 0L,
+      onReport: CopyMonitor.Sample => Unit = _ => ()): CopyResult = {
     require(safetyCheck(spark, sfDir, src.name), s"safety check failed for ${src.name}")
     val items = Analyzer.analyze(src, dst, conf) match {
       case AnalysisOutcome.Success(is) => is
@@ -212,13 +217,16 @@ object Pipeline {
     }
     val df = copyFrame(spark, sfDir, items)
     val dest = s"$destDir/${dst.name}.parquet"
-    Retry.withRetry(maxAttempts = 5) {
+    def load(): Unit = Retry.withRetry(maxAttempts = 5) {
       Sinks.bulkInsert(df, dest,
         orderHint = items.head.orderHint,
         overwrite = true, // truncate_sink semantics (SmartBulkCopy.cs:391-396)
         columnstoreDest = dst.storage == Storage.ClusteredColumnstore,
         batchSizeRows = conf.batchSize)
     }
+    // only pay the listener attach/settle when live reporting is on
+    if (reportEveryMs > 0) CopyMonitor.monitored(spark, reportEveryMs, onReport)(load())
+    else load()
     // Reconciliation mirrors the reference's metadata-view check
     // (sys.dm_db_partition_stats on both ends, SmartBulkCopy.cs:302-313):
     // source side reuses the count collected under the immutability

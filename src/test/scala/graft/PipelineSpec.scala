@@ -155,6 +155,15 @@ class PipelineSpec extends SparkSpecBase {
     assert(mon.samples.nonEmpty, "no periodic sample observed during the copy")
     assert(mon.samples.last.elapsedMs > 0)
     assert(mon.recordsWritten.sum() == 8)
+    // and the pipeline API surfaces the same live reporting end-to-end
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val src = Catalog.collect(spark, sfDir, "lineitem")
+    val dst2 = src.copy(foreignKeyCount = 0, secondaryIndexCount = 0, history = None)
+    val r = Pipeline.copyTable(spark, sfDir, destDir, src, dst2,
+      PlanConfig(batchSize = 1000), reportEveryMs = 20,
+      onReport = _ => { seen.incrementAndGet(); () })
+    assert(r.ok)
+    assert(seen.get() >= 1, "no live report during copyTable")
     // and the one-shot (non-reporting) path still collects nothing
     val (_, quiet) = CopyMonitor.monitored(spark) {
       spark.range(4).count()
