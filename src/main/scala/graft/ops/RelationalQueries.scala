@@ -261,6 +261,83 @@ object RelationalQueries {
     },
 
     // ------------------------------------------------------------------
+    // unpivot_agg — melt wide measure columns into (measure, value)
+    // rows, then aggregate per measure: the inverse of pivot_agg and the
+    // normalization step wide fact tables need before generic per-metric
+    // processing. Spark's native unpivot is a zero-shuffle row expansion
+    // (like Expand); the only exchange is the final tiny group-by.
+    // ------------------------------------------------------------------
+    QueryDef("unpivot_agg",
+      """SELECT measure, count(*) AS n_rows,
+        |       round(avg(value), 4) AS avg_value,
+        |       round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem) m
+        |GROUP BY measure ORDER BY measure""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "lineitem")
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("value")), 4).as("avg_value"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("measure"))
+    },
+
+    // ------------------------------------------------------------------
+    // window_ntile — equi-depth bucketing + relative rank per group:
+    // ntile(4) and percent_rank over customers by balance within each
+    // market segment. One shuffle on the window partition key; the
+    // deterministic (balance, custkey) order makes it oracle-exact.
+    // ------------------------------------------------------------------
+    QueryDef("window_ntile",
+      """SELECT c_custkey, c_mktsegment,
+        |       ntile(4) OVER w AS balance_quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WHERE c_custkey <= 500
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Scans.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("balance_quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // agg_string_concat — ordered string aggregation (LISTAGG/STRING_AGG):
+    // nation names per region, sorted then joined. sort_array over the
+    // collected list makes the result deterministic under any task
+    // order — collect_list alone is partition-order-dependent and would
+    // never hash-match.
+    // ------------------------------------------------------------------
+    QueryDef("agg_string_concat",
+      """SELECT r_name, count(*) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "nation")
+        .join(Scans.table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy(col("r_name"))
+    },
+
+    // ------------------------------------------------------------------
     // agg_approx_distinct — HyperLogLog++ sketch vs exact distinct:
     // the sketch is mergeable map-side (one small state per partition,
     // no giant shuffle of distinct keys), which is what makes distinct
