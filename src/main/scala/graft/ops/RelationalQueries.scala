@@ -261,6 +261,35 @@ object RelationalQueries {
     },
 
     // ------------------------------------------------------------------
+    // subquery_correlated — the classic correlated-scalar-subquery shape
+    // (orders priced above their customer's own average), expressed the
+    // way Catalyst's decorrelation rewrites it anyway: a per-key partial
+    // aggregate joined back on the key. One shuffle for the aggregate,
+    // one equi-join on o_custkey (co-partitioned with the agg output, so
+    // AQE reuses the exchange) — no per-row re-execution ever exists to
+    // begin with, which is the 100 TB-safe form of the subquery.
+    // ------------------------------------------------------------------
+    QueryDef("subquery_correlated",
+      """SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price,
+        |       round(ca.avg_price, 2) AS cust_avg
+        |FROM orders o
+        |JOIN (SELECT o_custkey, avg(o_totalprice) AS avg_price
+        |      FROM orders GROUP BY o_custkey) ca
+        |  ON ca.o_custkey = o.o_custkey
+        |WHERE o.o_totalprice > 2 * ca.avg_price
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Scans.table(s, dir, "orders")
+      val custAvg = orders.groupBy(col("o_custkey").as("ca_custkey"))
+        .agg(avg(col("o_totalprice")).as("avg_price"))
+      orders.join(custAvg, col("o_custkey") === col("ca_custkey"))
+        .filter(col("o_totalprice") > lit(2) * col("avg_price"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(col("avg_price"), 2).as("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
     // unpivot_agg — melt wide measure columns into (measure, value)
     // rows, then aggregate per measure: the inverse of pivot_agg and the
     // normalization step wide fact tables need before generic per-metric
