@@ -24,7 +24,8 @@ object Plans {
       if (args.nonEmpty) args.toSeq
       else Seq("scan_project", "scan_physical_partition", "join_broadcast_dim",
         "join_shuffle_fact", "bucketed_join_colocated", "dedup_minhash_lsh",
-        "sim_brute_force_topk", "events_window_agg")
+        "sim_brute_force_topk", "sim_ivf_topk", "sim_ivf_write_layout",
+        "unpivot_agg", "events_window_agg")
     keys.foreach { k =>
       SparkEntry.queries.get(k) match {
         case Some(fn) =>
