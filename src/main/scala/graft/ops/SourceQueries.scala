@@ -38,6 +38,28 @@ object SourceQueries {
     },
 
     // ------------------------------------------------------------------
+    // source_orc_roundtrip — the second columnar format: ORC write +
+    // read-back with predicate pushdown (ORC carries row-group stats
+    // like parquet, so the filter prunes stripes at scale). Aggregate
+    // proves value fidelity across the format boundary.
+    // ------------------------------------------------------------------
+    QueryDef("source_orc_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer WHERE c_custkey <= 1000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val dest = tmp("customer_orc")
+      val src = Scans.table(s, dir, "customer")
+      src.write.mode("overwrite").orc(dest)
+      s.read.orc(dest)
+        .filter(col("c_custkey") <= 1000) // pushes into the ORC scan
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ------------------------------------------------------------------
     // source_schema_merge — schema evolution across parquet batches: an
     // old batch (key, name) and a new batch (key, regionkey) read back
     // as ONE table under mergeSchema, missing columns null-filled. The

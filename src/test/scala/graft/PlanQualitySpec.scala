@@ -181,6 +181,30 @@ class PlanQualitySpec extends SparkSpecBase {
       s"builder submitted $bucket job(s) vs declarative baseline $baseline")
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // with shuffle.partitions sized for the big stages (32 on the bench
+    // session), small aggregations would otherwise fan into dozens of
+    // near-empty tasks; AQE shrinks them to the data's actual size at
+    // runtime — the behavior that prevents tiny-partition storms when
+    // one plan runs across 9 orders of magnitude of data
+    import org.apache.spark.sql.functions._
+    val df = graft.exec.Scans.table(spark, sfDir, "nation")
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    df.collect() // AQE re-plans on materialization
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"AQE did not coalesce the tiny aggregation:\n${p.take(1500)}")
+  }
+
+  test("source_orc_roundtrip pushes the filter into the ORC scan") {
+    val p = plan("source_orc_roundtrip")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("c_custkey"))
+      .getOrElse("")
+    assert(scanLine.contains("LessThanOrEqual(c_custkey"),
+      s"filter not pushed to ORC: ${p.take(1500)}")
+  }
+
   test("broadcast threshold applies to the salted-dim join too") {
     // the salted join must still resolve as a join on (key, salt); at
     // this dim size Spark may broadcast it — both are acceptable — but
