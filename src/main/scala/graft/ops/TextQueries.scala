@@ -483,6 +483,43 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // dedup_containment — ASYMMETRIC near-dup detection over the same
+    // LSH candidates: containment |A∩B|/|A| catches a document that is
+    // a near-SUBSET of another (boilerplate wrapping, quoted articles —
+    // the web-data case symmetric Jaccard under-scores, since the union
+    // in its denominator is dominated by the larger doc). Same
+    // candidate-proportional cost as the Jaccard verify; the cached
+    // signature table is shared.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_containment",
+      s"""WITH $lshCandDuck,
+         |tsets AS (SELECT doc_id, list_distinct(tk) AS ts FROM toks)
+         |SELECT * FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(len(list_intersect(ta.ts, tb.ts)) /
+         |               greatest(len(ta.ts), 1) / 1.0, 6) AS contain_a,
+         |         round(len(list_intersect(ta.ts, tb.ts)) /
+         |               greatest(len(tb.ts), 1) / 1.0, 6) AS contain_b
+         |  FROM cand c
+         |  JOIN tsets ta ON ta.doc_id = c.doc_a
+         |  JOIN tsets tb ON tb.doc_id = c.doc_b) v
+         |WHERE greatest(contain_a, contain_b) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val tsets = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
+      lshCandidates(s, dir)
+        .join(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), Seq("doc_a"))
+        .join(tsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(ts_a), 1) / 1.0, 6)")
+            .as("contain_a"),
+          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(ts_b), 1) / 1.0, 6)")
+            .as("contain_b"))
+        .filter(greatest(col("contain_a"), col("contain_b")) >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_cluster_collapse — collapse near-dup candidate pairs into
     // clusters: connected components over the LSH pair graph, min doc_id
     // as the cluster representative (what a pipeline keeps). Spark side:
