@@ -39,8 +39,8 @@ object Bench {
     // prunes columns and drops top-level sorts, so the measured work
     // under-states what the oracle path pays. The noop writer evaluates
     // every output row/column (the honest per-query cost) with zero sink
-    // IO. One extra count() run per query is kept for this transition
-    // round so r2→r3 totals stay comparable; drop it next round.
+    // IO. (r3 carried one extra count() pass for r2 comparability; the
+    // noop basis is the baseline now — r3 noop total 49.4 s.)
     def noopRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     def timed(body: => Unit): Option[Double] = {
@@ -53,9 +53,6 @@ object Bench {
       // (a fast failure must not masquerade as a fast result)
       val times = (1 to runs).flatMap(_ => timed(noopRun(fn)))
       name -> (if (times.nonEmpty) times.min else -1.0)
-    }
-    val countResults = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(fn(spark, sfDir).count(): Unit).getOrElse(-1.0)
     }
     // The driver keeps only the last 2000 chars of output (r1's
     // full-precision 76-entry line overflowed that and failed to parse),
@@ -74,8 +71,7 @@ object Bench {
     // totals over SUCCESSFUL queries only: the -1 failure sentinel must
     // not subtract from the sum (per-query -1s still show in the maps)
     val total = results.values.filter(_ >= 0).sum
-    val countTotal = countResults.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","count_total":${f3(countTotal)},"queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -76,8 +76,21 @@ object Pipeline {
   }
 
   /** Wildcard table-list expansion — reference `SmartBulkCopy.cs:812-911`:
-    * `*` patterns against the catalog, `+:`/`-:` prefixed include/exclude
-    * entries applied in order, then distinct.
+    * the table list is an ORDERED add/remove fold, then distinct
+    * (`SmartBulkCopy.cs:138`). Each entry is applied in sequence, so
+    * `["*", "-:e*", "+:events"]` ≠ `["*", "+:events", "-:e*"]` — an
+    * exclude only affects names already added, and a later include can
+    * re-add an excluded name. Fold semantics mirror the reference's
+    * `List` exactly (`SmartBulkCopy.cs:870-904`,
+    * `SmartBulkCopyConfig.cs:199-219`):
+    *   - a wildcard entry (`*` in the pattern) is matched against the
+    *     CATALOG; include appends every match (`List.Add` — duplicates
+    *     possible), exclude calls `List.Remove` per match, which drops
+    *     only the FIRST occurrence of that name;
+    *   - a literal entry appends / first-occurrence-removes the name
+    *     itself, whether or not the catalog contains it (the reference
+    *     adds the quoted name unchecked; a missing table then fails at
+    *     analysis, not here).
     */
   def expandTableList(patterns: Seq[String], catalog: Seq[String] = Catalog.tableNames): Seq[String] = {
     def matches(pat: String, name: String): Boolean = {
@@ -85,15 +98,19 @@ object Pipeline {
       val rx = ("^" + java.util.regex.Pattern.quote(pat).replace("*", "\\E.*\\Q") + "$").r
       rx.findFirstIn(name).isDefined
     }
+    def removeFirst(xs: Vector[String], name: String): Vector[String] = {
+      val i = xs.indexOf(name)
+      if (i < 0) xs else xs.patch(i, Nil, 1)
+    }
     var selected = Vector.empty[String]
     patterns.foreach { p =>
-      if (p.startsWith("-:")) {
-        val pat = p.drop(2)
-        selected = selected.filterNot(matches(pat, _))
-      } else {
-        val pat = if (p.startsWith("+:")) p.drop(2) else p
-        selected = selected ++ catalog.filter(matches(pat, _))
-      }
+      val exclude = p.startsWith("-:")
+      val pat = if (exclude || p.startsWith("+:")) p.drop(2) else p
+      val names =
+        if (pat.contains("*")) catalog.filter(matches(pat, _)) else Seq(pat)
+      selected =
+        if (exclude) names.foldLeft(selected)(removeFirst)
+        else selected ++ names
     }
     selected.distinct
   }

@@ -67,25 +67,7 @@ object Sinks {
     */
   def committedRowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val rootPath = fs.makeQualified(root).toUri.getPath
-    // Only COMMITTED files count: skip any path segment starting with
-    // '_' or '.' below the root — task-attempt output under a leftover
-    // _temporary dir (crashed prior writer) and commit-protocol markers
-    // are exactly what spark.read.parquet itself ignores; counting them
-    // would corrupt reconciliation on a subsequent append.
-    def isHidden(p: org.apache.hadoop.fs.Path): Boolean = {
-      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootPath)
-      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
-    }
-    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !isHidden(f.getPath))
-        files += f
-    }
+    val files = committedFiles(spark, path)
     // Footer reads are independent metadata GETs — fan them out on a
     // bounded pool so reconciliation latency stays ~constant in file
     // count against an object store (a serial loop would tail every
@@ -108,6 +90,38 @@ object Sinks {
         futures.map(_.get()).sum
       } finally pool.shutdown()
     }
+  }
+
+  /** The COMMITTED parquet data files under a destination root, via the
+    * Hadoop `FileSystem` of the path (works identically on local disk,
+    * HDFS and object stores — never `java.io.File`). Only committed files
+    * are returned: any path segment starting with `_` or `.` below the
+    * root is skipped — task-attempt output under a leftover `_temporary`
+    * dir (crashed prior writer) and commit-protocol markers are exactly
+    * what `spark.read.parquet` itself ignores; listing them would corrupt
+    * reconciliation on a subsequent append, and compaction would rewrite
+    * uncommitted rows. Shared by [[committedRowCount]] and the
+    * maintenance ops (`pipeline_compact`).
+    */
+  def committedFiles(
+      spark: SparkSession,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    def isHidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootPath)
+      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    }
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !isHidden(f.getPath))
+        files += f
+    }
+    files.toSeq
   }
 
   /** Identity-sync analog — reference `SmartBulkCopy.cs:341-389`: read the

@@ -122,24 +122,31 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
-    // tables_wildcard_match — catalog scan + wildcard include/exclude
-    // with regex matching and distinct (SmartBulkCopy.cs:812-911).
-    // Patterns: include '*', exclude 'events', exclude 'emb*'.
+    // tables_wildcard_match — catalog scan + ORDERED wildcard
+    // include/exclude fold, then distinct (SmartBulkCopy.cs:812-911,
+    // fold SmartBulkCopy.cs:870-904, `+:`/`-:` encoding
+    // SmartBulkCopyConfig.cs:199-219). The pattern list
+    // ["*", "-:e*", "+:events"] is ORDER-SENSITIVE: the exclude strips
+    // events and embeddings, the later include re-adds events — so the
+    // result keeps every e-table named events and drops embeddings.
+    // Applying the same three entries in any exclude-last order would
+    // drop events too (spec-asserted in PipelineSpec).
     // ------------------------------------------------------------------
     QueryDef("tables_wildcard_match",
       s"""WITH sys_tables(table_name) AS (VALUES ${
           (Catalog.tableNames :+ "orders_history").map(n => s"('$n')").mkString(", ")})
          |SELECT DISTINCT table_name FROM sys_tables
-         |WHERE regexp_matches(table_name, '^.*$$')
-         |  AND NOT regexp_matches(table_name, '^events$$')
-         |  AND NOT regexp_matches(table_name, '^emb.*$$')
+         |WHERE NOT regexp_matches(table_name, '^e.*$$')
+         |   OR table_name = 'events'
          |ORDER BY table_name""".stripMargin) { (s, dir) =>
-      Catalog.sysTables(s)
-        .select(col("table_name"))
-        .filter(col("table_name").rlike("^.*$")
-          && !col("table_name").rlike("^events$")
-          && !col("table_name").rlike("^emb.*$"))
-        .distinct()
+      import s.implicits._
+      // catalog scan first (the reference's sys.tables ⋈ sys.schemas
+      // query, SmartBulkCopy.cs:832-863), then the client-side ordered
+      // fold — exactly the reference's split of work
+      val catalogNames = Catalog.sysTables(s)
+        .select(col("table_name")).as[String].collect().toSeq
+      Pipeline.expandTableList(Seq("*", "-:e*", "+:events"), catalogNames)
+        .toDF("table_name")
         .orderBy(col("table_name"))
     },
 

@@ -280,18 +280,21 @@ object PipelineQueries {
           fragmentedDir = Some(dir)
         }
       }
-      def files(p: String): Array[java.io.File] = new java.io.File(p)
-        .listFiles().filter(_.getName.endsWith(".parquet"))
-      val before = files(fragmented)
+      // Committed-file listing via the shared Hadoop-FS lister (NOT
+      // java.io.File): compaction is precisely an object-store
+      // maintenance op, so its file census must work on the same
+      // HDFS/S3 paths the copy path reconciles against.
+      val before = Sinks.committedFiles(s, fragmented)
       val rowsBefore = Sinks.committedRowCount(s, fragmented)
       // size-targeted file count: total bytes / 32 MB, at least 1
       val target = math.max(1,
-        math.ceil(before.map(_.length()).sum / (32.0 * 1024 * 1024)).toInt)
+        math.ceil(before.map(_.getLen).sum / (32.0 * 1024 * 1024)).toInt)
       s.read.parquet(fragmented).repartition(target)
         .write.mode("overwrite").parquet(compacted)
       val rowsAfter = Sinks.committedRowCount(s, compacted)
       Seq(("orders", rowsBefore, rowsAfter,
-          files(compacted).length < before.length, rowsAfter == rowsBefore))
+          Sinks.committedFiles(s, compacted).size < before.size,
+          rowsAfter == rowsBefore))
         .toDF("table_name", "rows_before", "rows_after", "files_reduced",
           "rows_match")
     },

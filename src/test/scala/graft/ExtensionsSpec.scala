@@ -64,10 +64,16 @@ class ExtensionsSpec extends SparkSpecBase {
   }
 
   test("approx distinct is within the declared error of exact") {
+    // the exact count_distinct lives HERE, not in the declared query —
+    // at 100 TB the exact pass is the cost the sketch exists to avoid
     val r = run("agg_approx_distinct").collect()(0)
-    def rel(e: Long, a: Long) = math.abs(a - e).toDouble / e
-    assert(rel(r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts")) < 0.06)
-    assert(rel(r.getAs[Long]("exact_orders"), r.getAs[Long]("approx_orders")) < 0.06)
+    val e = Scans.table(spark, sfDir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .collect()(0)
+    def rel(exact: Long, a: Long) = math.abs(a - exact).toDouble / exact
+    assert(rel(e.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts")) < 0.06)
+    assert(rel(e.getAs[Long]("exact_orders"), r.getAs[Long]("approx_orders")) < 0.06)
   }
 
   test("approx quantiles bracket between exact neighboring percentiles") {

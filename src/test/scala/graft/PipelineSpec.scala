@@ -54,6 +54,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(Pipeline.expandTableList(Seq("no_match_*")) == Nil)
   }
 
+  test("table-list fold is ORDERED: exclude-then-re-include differs from exclude-last") {
+    // reference semantics (SmartBulkCopy.cs:870-904): entries fold in
+    // sequence over a List, then Distinct. The same three entries give
+    // different results depending on order:
+    val reIncluded = Pipeline.expandTableList(Seq("*", "-:e*", "+:events"))
+    assert(reIncluded.contains("events") && !reIncluded.contains("embeddings"))
+    val excludeLast = Pipeline.expandTableList(Seq("*", "+:events", "-:e*"))
+    // List.Remove drops only the FIRST occurrence: events was added
+    // twice ("*" then "+:events"), so one exclusion leaves it present
+    assert(excludeLast.contains("events") && !excludeLast.contains("embeddings"))
+    val excludedOnce = Pipeline.expandTableList(Seq("*", "-:events", "+:events", "-:events"))
+    assert(!excludedOnce.contains("events"),
+      "add/remove must cancel pairwise, not set-wise")
+    // an exclude before anything is added is a no-op (nothing to remove)
+    assert(Pipeline.expandTableList(Seq("-:orders", "*")).contains("orders"))
+    assert(!Pipeline.expandTableList(Seq("*", "-:orders")).contains("orders"))
+    // literal names append unchecked (the reference adds the quoted name
+    // without consulting the catalog; a missing table fails at analysis)
+    assert(Pipeline.expandTableList(Seq("no_such_table")) == Seq("no_such_table"))
+  }
+
   test("retry: transient errors retry, fatal errors rethrow") {
     var n = 0
     val r = Retry.withRetry(3) {
@@ -322,5 +343,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(Sinks.committedRowCount(spark, dest) == n,
       "uncommitted files inflated the committed count")
     assert(spark.read.parquet(dest).count() == n) // the contract we mirror
+  }
+
+  test("compaction file census works through a file:-scheme Hadoop path") {
+    // pipeline_compact's whole point is object-store hygiene, so its
+    // listing must go through Hadoop FileSystem — drive the same helper
+    // and the same rewrite through an explicit URI scheme (the local
+    // stand-in for s3a://...; java.io.File would see this path as a
+    // literal "file:/..." name and return null)
+    import graft.exec.{Scans, Sinks}
+    val d = destDir
+    val fragmented = s"file://$d/frag.parquet"
+    val compacted = s"file://$d/compact.parquet"
+    val src = Scans.table(spark, sfDir, "nation")
+    src.repartition(8).write.parquet(fragmented)
+    // a crashed-writer leftover must be invisible to the census too
+    val stray = new java.io.File(s"$d/frag.parquet/_temporary/0/part-x.parquet")
+    stray.getParentFile.mkdirs()
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    val before = Sinks.committedFiles(spark, fragmented)
+    // empty partitions may skip their file; fragmentation is what matters
+    assert(before.size > 2, s"expected a fragmented layout, got ${before.size}")
+    assert(before.forall(!_.getPath.toString.contains("_temporary")))
+    val target = math.max(1,
+      math.ceil(before.map(_.getLen).sum / (32.0 * 1024 * 1024)).toInt)
+    spark.read.parquet(fragmented).repartition(target)
+      .write.mode("overwrite").parquet(compacted)
+    assert(Sinks.committedFiles(spark, compacted).size < before.size)
+    assert(Sinks.committedRowCount(spark, compacted) == src.count())
   }
 }
