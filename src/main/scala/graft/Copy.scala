@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.exec.{Pipeline, Scans, Sinks}
+import graft.meta.Catalog
+import graft.model._
+import graft.plan.{Analyzer, PlanConfig}
+
+/** Process entry point for a whole-catalog copy run, mapping the outcome
+  * to the reference's exit-code taxonomy so a caller scripting the engine
+  * can branch on the failure class — reference `Program.cs:9-27` returning
+  * `SmartBulkCopy.Copy()`'s int (`SmartBulkCopy.cs:74-250`):
+  *
+  *   - analysis failure → the `AnalysisOutcome` enum ORDINAL
+  *     (`return (int)(tar.Outcome)`, `SmartBulkCopy.cs:158-161`; enum
+  *     values `TableAnalyzer.cs:10-19`) — e.g. FKs on the destination
+  *     exit with 5, a temporal destination with 6;
+  *   - copy-phase task errors → 3 (`SmartBulkCopy.cs:246-250`);
+  *   - rowcount reconciliation mismatch → 2 (`SmartBulkCopy.cs:220-224`;
+  *     the reference reuses 2 for a missing source table via the enum
+  *     ordinal — a collision we reproduce faithfully);
+  *   - success → 0.
+  *
+  * Phase order mirrors the orchestrator: expand table list → analyze ALL
+  * tables (fail fast before any copy, `SmartBulkCopy.cs:155-161`) → copy
+  * each → reconcile each (`CheckResults`, `SmartBulkCopy.cs:216-245`).
+  */
+object Copy {
+
+  /** Reference `TableAnalyzer.cs:10-19` ordinals (Success=0,
+    * AnalysisNotCompleted=1, SourceTableDoNotExist=2,
+    * DestinationTableDoNotExists=3, SecondaryIndexFoundOnDestination=4,
+    * ForeignKeysFoundOnDestination=5, DestinationIsTemporalTable=6).
+    * Our model merges the two not-found cases into [[AnalysisOutcome.TableNotFound]],
+    * mapped to the source-side ordinal.
+    */
+  def analysisExitCode(o: AnalysisOutcome): Int = o match {
+    case _: AnalysisOutcome.Success                       => 0
+    case AnalysisOutcome.TableNotFound                    => 2
+    case AnalysisOutcome.SecondaryIndexFoundOnDestination => 4
+    case AnalysisOutcome.ForeignKeysFoundOnDestination    => 5
+    case AnalysisOutcome.TemporalTableOnDestination       => 6
+  }
+
+  /** Run a full copy and return the process exit code (testable seam —
+    * `main` wraps it in `sys.exit`).
+    *
+    * `destMeta` overrides the destination-side [[TableMeta]] per table
+    * (the analog of collecting the destination catalog,
+    * `SmartBulkCopy.cs:143-152`); tables without an override get a clean
+    * heap destination. `postCopyHook` runs inside each table's copy
+    * phase, after its load — a throw there is a copy-phase task error
+    * (exit 3), and destination interference it causes (extra committed
+    * files) surfaces in the reconciliation phase (exit 2), exactly the
+    * two runtime failure classes the reference distinguishes.
+    */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      destDir: String,
+      patterns: Seq[String],
+      conf: PlanConfig = PlanConfig(),
+      destMeta: Map[String, TableMeta] = Map.empty,
+      postCopyHook: String => Unit = _ => ()): Int = {
+    val tables = Pipeline.expandTableList(patterns)
+
+    // Analysis phase: collect + analyze every table BEFORE any copy —
+    // the first non-success outcome aborts the whole run with its code.
+    val analyzed: Seq[(TableMeta, TableMeta)] = tables.map { t =>
+      if (!Catalog.declared.contains(t) || !Pipeline.safetyCheck(spark, sfDir, t))
+        return analysisExitCode(AnalysisOutcome.TableNotFound)
+      val src = Catalog.collect(spark, sfDir, t)
+      val dst = destMeta.getOrElse(t,
+        src.copy(storage = Storage.Heap, foreignKeyCount = 0,
+          secondaryIndexCount = 0, history = None))
+      Analyzer.analyze(src, dst, conf) match {
+        case _: AnalysisOutcome.Success => (src, dst)
+        case failure                    => return analysisExitCode(failure)
+      }
+    }
+
+    // Copy phase: per-table errors don't stop the other tables (the
+    // reference's worker pool drains the whole queue; errored items are
+    // counted, `SmartBulkCopy.cs:246-250`).
+    var erroredTasks = 0
+    analyzed.foreach { case (src, dst) =>
+      try {
+        Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf)
+        postCopyHook(src.name)
+      } catch { case _: Exception => erroredTasks += 1 }
+    }
+    if (erroredTasks > 0) return 3
+
+    // CheckResults phase (`SmartBulkCopy.cs:216-245`): recount both ends
+    // — source from the immutable snapshot, destination from committed
+    // parquet footers — after ALL copies are done.
+    val allMatch = analyzed.forall { case (src, dst) =>
+      Scans.table(spark, sfDir, src.name).count() ==
+        Sinks.committedRowCount(spark, s"$destDir/${dst.name}.parquet")
+    }
+    if (allMatch) 0 else 2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    val destDir = args.lift(1).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_copy_run")
+    val patterns = if (args.length > 2) args.drop(2).toSeq else Seq("*")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, sfDir, destDir, patterns) finally spark.stop()
+    println(s"graft.Copy exit=$code")
+    sys.exit(code)
+  }
+}

@@ -164,6 +164,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(spark.read.jdbc(url, "graft_region_t", props).count() == df.count())
   }
 
+  test("identity reseed: post-copy inserts continue the copied sequence") {
+    import graft.exec.Scans
+    // the declared query copies supplier into a Derby identity table,
+    // reseeds, and probes one keyless insert — its row carries the
+    // ACTUAL read-back values
+    val r = SparkEntry.queries("jdbc_identity_reseed")(spark, sfDir).collect()(0)
+    val identCurrent = r.getAs[Long]("ident_current")
+    assert(r.getAs[Boolean]("continues_sequence"),
+      s"reseed not observable on the destination: $r")
+    assert(r.getAs[Long]("next_key") == identCurrent + 1)
+    assert(Scans.table(spark, sfDir, "supplier")
+      .agg(max(col("s_suppkey")).cast("long")).collect()(0).getLong(0) == identCurrent)
+    // the generator must KEEP continuing, not just survive one insert
+    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft_derby/identdb"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val ins = conn.prepareStatement(
+        """INSERT INTO graft_ident ("s_name") VALUES ('second probe')""",
+        java.sql.Statement.RETURN_GENERATED_KEYS)
+      ins.executeUpdate()
+      val keys = ins.getGeneratedKeys
+      keys.next()
+      assert(keys.getLong(1) == identCurrent + 2,
+        "second keyless insert must continue the sequence")
+    } finally conn.close()
+  }
+
   test("monitor emits periodic live samples while a slow copy runs") {
     import graft.exec.CopyMonitor
     import spark.implicits._
