@@ -205,6 +205,34 @@ class PlanQualitySpec extends SparkSpecBase {
       s"filter not pushed to ORC: ${p.take(1500)}")
   }
 
+  test("text_fingerprint is shuffle-free up to the presentation sort") {
+    // per-row shingle hashing is pure CPU over the scan: no groupBy, no
+    // join, nothing to hash-partition. The ONLY exchange allowed is the
+    // rangepartitioning of the oracle-required final ORDER BY — a
+    // regression that introduces a hashpartitioning exchange (e.g. an
+    // explode + re-group of the shingles) would shuffle every shingle of
+    // a 100 TB corpus instead of folding them inside the row.
+    val p = plan("text_fingerprint")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fingerprint hashing shuffled the corpus:\n${p.take(2500)}")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p.take(2500))
+  }
+
+  test("pipeline_incremental_copy pushes the watermark predicate into the scan") {
+    // the delta scan the op builds (PipelineQueries pipeline_incremental_copy:
+    // src.filter(key > watermark)) must reach parquet as a PushedFilter,
+    // pruning row groups / partitions below the watermark — the property
+    // that makes incremental loads O(delta), not O(table), at 100 TB
+    import org.apache.spark.sql.functions._
+    val src = graft.exec.Scans.table(spark, sfDir, "orders")
+    val w = src.agg(expr("max(o_orderkey) * 4 div 5")).collect()(0).getLong(0)
+    val delta = src.filter(col("o_orderkey") > w)
+    val scanLine = delta.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains(s"GreaterThan(o_orderkey,$w)"),
+      s"watermark predicate not pushed into the delta scan: $scanLine")
+  }
+
   test("broadcast threshold applies to the salted-dim join too") {
     // the salted join must still resolve as a join on (key, salt); at
     // this dim size Spark may broadcast it — both are acceptable — but
