@@ -116,10 +116,13 @@ object CopyMonitor {
     sampler.foreach { t => t.setDaemon(true); t.start() }
     try {
       val r = body
-      // give the async listener bus a moment to drain so counters are
-      // complete (the bus is private[spark]; a short settle is enough for
-      // the post-job snapshot this monitor reports)
-      Thread.sleep(200)
+      // drain the async listener bus so the counters are COMPLETE before
+      // the post-job snapshot — a deterministic wait on the bus itself
+      // (via the same-package bridge), falling back to a short timed
+      // settle only if the bus refuses the wait (stopping context)
+      if (!org.apache.spark.GraftSparkInternals.drainListenerBus(
+          spark.sparkContext, 5000L))
+        Thread.sleep(200)
       (r, mon)
     } finally {
       stop.set(true)
