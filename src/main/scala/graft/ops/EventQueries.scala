@@ -318,5 +318,55 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_value_histogram — fixed-width histogram of the value
+    // distribution (bucket = floor(value/25)): the canonical mergeable
+    // summary — each partition emits ≤20 (bucket, count, sum) partials,
+    // the reducer merges tiny state. What monitoring/profiling runs over
+    // 100 TB of metrics instead of sorting values. Double division and
+    // floor are IEEE-exact, so bucket edges agree bit-for-bit across
+    // engines.
+    // ------------------------------------------------------------------
+    QueryDef("events_value_histogram",
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |       CAST(floor(value / 25.0) AS BIGINT) * 25 AS bucket_lo,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val bucket = floor(col("value") / 25.0).cast("long")
+      Scans.table(s, dir, "events")
+        .groupBy(bucket.as("bucket"), (bucket * 25).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_sliding_window — 1-hour windows sliding every 15 minutes:
+    // the overlapping-window class tumbling windows can't express
+    // (hourly trends refreshed at sub-hour latency). Each event lands
+    // in window/slide = 4 windows — Spark's `window(ts, 1h, 15m)`
+    // expands then partially aggregates map-side, so the shuffle
+    // carries per-(window,partition) partials, not the 4× event
+    // expansion. Window starts reported as epoch seconds to keep the
+    // cross-engine compare type-exact. Streaming-identical: the same
+    // expression runs under a watermark in Structured Streaming.
+    // ------------------------------------------------------------------
+    QueryDef("events_sliding_window",
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+        |w AS (SELECT ((ms // 900000) - u.k) * 900 AS window_start_s, value
+        |      FROM e, unnest(generate_series(0, 3)) AS u(k))
+        |SELECT window_start_s, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY window_start_s""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start_s"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start_s"))
     })
 }

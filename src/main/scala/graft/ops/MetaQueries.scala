@@ -400,5 +400,38 @@ object MetaQueries {
           col("stop_temporal_table"), col("safe_check"), col("source_conn"))
         .agg(count_distinct(col("object_id")).as("n_blocking_tables"))
         .orderBy(col("config_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // copy_exit_codes — the process exit-code taxonomy, derived from the
+    // LIVE mapping (graft.Copy.analysisExitCode over every
+    // AnalysisOutcome case, plus the two runtime codes), not literals:
+    // the oracle hash then locks the contract a caller scripts against
+    // (reference TableAnalyzer.cs:10-19 ordinals via
+    // SmartBulkCopy.cs:158-161; runtime codes :216-250).
+    // ------------------------------------------------------------------
+    QueryDef("copy_exit_codes",
+      """SELECT * FROM (VALUES
+        |  ('analysis:ForeignKeysFoundOnDestination', 5),
+        |  ('analysis:SecondaryIndexFoundOnDestination', 4),
+        |  ('analysis:Success', 0),
+        |  ('analysis:TableNotFound', 2),
+        |  ('analysis:TemporalTableOnDestination', 6),
+        |  ('runtime:CopyErrors', 3),
+        |  ('runtime:RowcountMismatch', 2))
+        |  AS t(outcome, exit_code)
+        |ORDER BY outcome""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.model.AnalysisOutcome
+      val analysis: Seq[(String, graft.model.AnalysisOutcome)] = Seq(
+        "Success"                          -> AnalysisOutcome.Success(Nil),
+        "TableNotFound"                    -> AnalysisOutcome.TableNotFound,
+        "SecondaryIndexFoundOnDestination" -> AnalysisOutcome.SecondaryIndexFoundOnDestination,
+        "ForeignKeysFoundOnDestination"    -> AnalysisOutcome.ForeignKeysFoundOnDestination,
+        "TemporalTableOnDestination"       -> AnalysisOutcome.TemporalTableOnDestination)
+      val rows = analysis.map { case (n, o) =>
+        (s"analysis:$n", graft.Copy.analysisExitCode(o))
+      } ++ Seq("runtime:RowcountMismatch" -> 2, "runtime:CopyErrors" -> 3)
+      rows.toDF("outcome", "exit_code").orderBy(col("outcome"))
     })
 }

@@ -678,5 +678,72 @@ object TextQueries {
       votes.select(col("doc_id"),
           expr(simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")).as("simhash64"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_train_split — deterministic train/val/test assignment by
+    // key hash (80/10/10): the split every training pipeline needs, and
+    // it must be a PURE FUNCTION of the document key — reproducible
+    // across runs/engines, stable under re-partitioning, new documents
+    // never reshuffle old ones between splits (an RNG split gives all
+    // of that up). Row-level projection, zero shuffle at 100 TB; the
+    // one tiny aggregation here exists to make the assignment
+    // hash-verifiable per split. Same md5-fold portability trick as
+    // scan_deterministic_sample.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_train_split",
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("split"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_stratified_sample — per-language deterministic 10%
+    // sample: corpus balancing samples WITHIN each stratum, not
+    // globally (a global sample keeps the majority language's
+    // dominance). The membership predicate is a pure row-level hash —
+    // no per-group state, no shuffle to sample; the per-language
+    // report is one tiny aggregation. Salted differently from
+    // pipeline_train_split so the two assignments are independent.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_stratified_sample",
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |         CAST(concat('0x', substr(md5(concat('strat-', CAST(doc_id AS VARCHAR))), 1, 15))
+        |              AS BIGINT) % 10 = 0 AS sampled
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |       CAST(count(CASE WHEN sampled THEN 1 END) AS BIGINT) AS n_sampled,
+        |       CAST(coalesce(sum(CASE WHEN sampled THEN doc_id END), 0) AS BIGINT) AS sum_sampled_ids
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val sampled =
+        expr("cast(conv(substring(md5(concat('strat-', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) % 10 = 0")
+      Scans.table(s, dir, "documents")
+        .withColumn("sampled", sampled)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("sampled"), 1)).cast("long").as("n_sampled"),
+          coalesce(sum(when(col("sampled"), col("doc_id"))), lit(0L))
+            .cast("long").as("sum_sampled_ids"))
+        .orderBy(col("lang"))
     })
 }

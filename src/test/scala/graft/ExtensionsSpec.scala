@@ -275,4 +275,48 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(media.filter(col("n_bytes") <= 0).count() == 0)
     assert(media.filter(col("feat_0") < 0 || col("feat_0") > 1).count() == 0)
   }
+
+  test("train split is exhaustive, disjoint-by-construction and ~80/10/10") {
+    val rows = run("pipeline_train_split").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = Scans.table(spark, sfDir, "documents").count()
+    assert(rows.values.sum == total, "splits must cover every document exactly once")
+    assert(rows.keySet == Set("train", "val", "test"))
+    val trainFrac = rows("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // determinism: the assignment is a pure function of the key
+    assert(run("pipeline_train_split").collect().toSeq ==
+      run("pipeline_train_split").collect().toSeq)
+  }
+
+  test("stratified sample stays within each stratum at ~10%") {
+    val rows = run("pipeline_stratified_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+    }
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    val sampled = rows.map(_.getAs[Long]("n_sampled")).sum
+    val frac = sampled.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac")
+  }
+
+  test("value histogram conserves events and stays in range") {
+    val rows = run("events_value_histogram").collect()
+    val total = Scans.table(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    // value ∈ [0, 490] ⇒ buckets within [0, 19]
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b <= 19 })
+    assert(rows.forall(r => r.getAs[Long]("bucket_lo") == r.getAs[Long]("bucket") * 25))
+  }
+
+  test("sliding windows expand each event into exactly window/slide copies") {
+    val rows = run("events_sliding_window").collect()
+    val total = Scans.table(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 4 * total,
+      "1h window sliding every 15m must count each event in exactly 4 windows")
+    // starts are 15-minute aligned epoch seconds
+    assert(rows.forall(_.getAs[Long]("window_start_s") % 900 == 0))
+  }
 }
