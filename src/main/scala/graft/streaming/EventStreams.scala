@@ -29,6 +29,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes with a 2-hour watermark —
+    * the streaming form of `events_sliding_window`. Each event updates
+    * window/slide = 4 window states; the watermark closes (and evicts)
+    * a window once event time passes its end + delay, which is what
+    * bounds state on an unbounded stream despite the overlap. Batch or
+    * streaming, same expression (parity spec-tested).
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("window_start_s"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup — the streaming dual of `dedup_exact`, and
     * the idempotent-ingest step of a pipeline fed by an at-least-once
     * source: keep the first arrival of each `event_id`, dropping

@@ -258,6 +258,16 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("streaming sliding-window agg matches the batch query on the same data") {
+    val events = Scans.table(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val streamed = graft.streaming.EventStreams.slidingWindowAgg(events)
+      .orderBy(col("window_start_s")).collect().toSeq
+    val batch = run("events_sliding_window")
+      .orderBy(col("window_start_s")).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionization conserves events") {
     import spark.implicits._
     val events = Scans.table(spark, sfDir, "events")

@@ -76,4 +76,52 @@ class SlicePropertiesSpec extends AnyFunSuite {
       c % 2 == 1 && c <= conf.maxLogicalPartitions + 1
     })
   }
+
+  // --- ordered include/exclude table-list fold (SmartBulkCopy.cs:870-904) ---
+
+  private val nameGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "a1", "a2")
+  private val patternGen: Gen[String] = Gen.oneOf(
+    nameGen,                        // literal include
+    nameGen.map("+:" + _),          // explicit include
+    nameGen.map("-:" + _),          // literal exclude
+    Gen.oneOf("*", "a*", "-:*", "-:a*", "+:*")) // wildcards
+
+  test("table-list fold: output is distinct and only from catalog or literal adds") {
+    val catalog = Seq("alpha", "beta", "gamma", "a1", "a2")
+    check("fold-soundness", Prop.forAll(Gen.listOf(patternGen)) { pats =>
+      val out = graft.exec.Pipeline.expandTableList(pats, catalog)
+      val literalAdds = pats.filterNot(_.startsWith("-:"))
+        .map(p => if (p.startsWith("+:")) p.drop(2) else p)
+        .filterNot(_.contains("*"))
+      out.distinct == out &&
+        out.forall(n => catalog.contains(n) || literalAdds.contains(n))
+    })
+  }
+
+  test("table-list fold: a trailing exclude-all always empties the list") {
+    check("fold-exclude-all", Prop.forAll(Gen.listOf(patternGen)) { pats =>
+      // "-:*" removes the first occurrence of every catalog name, and
+      // repeated application must converge to the empty list — so
+      // appending enough exclude-alls (one per possible duplicate = one
+      // per pattern) drains everything that came from the catalog
+      val catalog = Seq("alpha", "beta", "gamma", "a1", "a2")
+      val drained = graft.exec.Pipeline.expandTableList(
+        pats ++ Seq.fill(pats.size + 1)("-:*"), catalog)
+      drained.forall(!catalog.contains(_))
+    })
+  }
+
+  test("table-list fold: add/remove of the same name cancels pairwise") {
+    val catalog = Seq("alpha", "beta")
+    check("fold-cancel", Prop.forAll(Gen.chooseNum(1, 5)) { k =>
+      // k adds followed by k removes leave no copy; k adds and k-1
+      // removes leave exactly one (first-occurrence Remove semantics)
+      val adds = Seq.fill(k)("+:alpha")
+      val none = graft.exec.Pipeline.expandTableList(
+        adds ++ Seq.fill(k)("-:alpha"), catalog)
+      val one = graft.exec.Pipeline.expandTableList(
+        adds ++ Seq.fill(k - 1)("-:alpha"), catalog)
+      !none.contains("alpha") && one.contains("alpha")
+    })
+  }
 }
