@@ -460,5 +460,55 @@ object SimilarityQueries {
         .groupBy(col("pair_kind"))
         .agg(count(lit(1)).as("n_pairs"), round(avg(col("cs")), 4).as("mean_cos"))
         .orderBy(col("pair_kind"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_batch_topk — BATCH ANN: top-3 neighbors for MANY query
+    // vectors at once (vec_id 0..4) through shared LSH buckets — the
+    // offline serving shape (embed a whole batch, retrieve for all of
+    // them in one job). The corpus is bucketed ONCE and joined to the
+    // broadcast query set on bucket equality, so per-query cost is the
+    // query's bucket, not the corpus; the rank window partitions by
+    // q_id — genuinely parallel, never a single-partition funnel (the
+    // single-query entries need the TakeOrdered idiom precisely because
+    // they lack a partition key; this one has it). Bitwise-oracled via
+    // the same literal-hyperplane bucket CTE as sim_lsh_topk.
+    // ------------------------------------------------------------------
+    QueryDef("sim_batch_topk",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$lshBucketsCteSql,
+         |q AS (SELECT b.vec_id AS q_id, b.bucket, e.v AS qv
+         |      FROM buckets b JOIN e ON e.vec_id = b.vec_id
+         |      WHERE b.vec_id < 5),
+         |c AS (SELECT b.vec_id, b.bucket, e.v
+         |      FROM buckets b JOIN e ON e.vec_id = b.vec_id
+         |      WHERE b.vec_id >= 5),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         round(list_cosine_similarity(c.v, q.qv), 4) AS cos_sim
+         |  FROM c JOIN q ON c.bucket = q.bucket)
+         |SELECT q_id, rank, vec_id, cos_sim FROM (
+         |  SELECT q_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val planes = hyperplanes(8, dims)
+      val emb = Scans.table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          lshBucket(col("embedding"), planes).as("bucket"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"),
+          lshBucket(col("embedding"), planes).as("bucket"))
+      val scored = corpus.join(broadcast(queries), "bucket")
+        .select(col("q_id"), col("vec_id"),
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
     })
 }

@@ -286,6 +286,20 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(media.filter(col("feat_0") < 0 || col("feat_0") > 1).count() == 0)
   }
 
+  test("batch top-k: per-query ranks are dense and similarity-monotone") {
+    val rows = run("sim_batch_topk").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.size).toSeq, s"query $q: ranks not dense")
+      val sims = byRank.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims == sims.sorted.reverse, s"query $q: not similarity-ordered")
+      // a query's neighbors never include itself or another query
+      assert(byRank.forall(_.getAs[Long]("vec_id") >= 5))
+    }
+  }
+
   test("train split is exhaustive, disjoint-by-construction and ~80/10/10") {
     val rows = run("pipeline_train_split").collect()
       .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap

@@ -233,6 +233,17 @@ class PlanQualitySpec extends SparkSpecBase {
       s"watermark predicate not pushed into the delta scan: $scanLine")
   }
 
+  test("sim_batch_topk broadcasts queries and windows per query") {
+    // the corpus joins the tiny query batch via broadcast (no corpus
+    // shuffle for the join) and the rank window partitions on q_id —
+    // the per-query top-k parallelizes across the cluster instead of
+    // funneling the scored candidates through one task
+    val p = plan("sim_batch_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.contains("hashpartitioning(q_id"), p.take(2500))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+  }
+
   test("broadcast threshold applies to the salted-dim join too") {
     // the salted join must still resolve as a join on (key, salt); at
     // this dim size Spark may broadcast it — both are acceptable — but
