@@ -745,5 +745,83 @@ object TextQueries {
           coalesce(sum(when(col("sampled"), col("doc_id"))), lit(0L))
             .cast("long").as("sum_sampled_ids"))
         .orderBy(col("lang"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_incremental — dedup a NEW batch against the EXISTING corpus
+    // (the daily-ingest shape: within-batch dedup alone re-admits
+    // everything history already has). History = docs below the 90%
+    // doc_id cut, the new batch = the rest; a new doc is a near-dup if
+    // its winnowing fingerprint (same min-shingle-md5 as
+    // text_fingerprint) already exists in history. The anti join
+    // shuffles 16-byte digests, never text — at 100 TB the history side
+    // is a compact fingerprint index (distinct digests), and the batch
+    // cost is O(batch + matching index partitions), not O(corpus).
+    // ------------------------------------------------------------------
+    QueryDef("dedup_incremental",
+      """WITH f AS (
+        |  SELECT doc_id, min(md5(substr(lower(d.text), u.i, 8))) AS fp
+        |  FROM documents d,
+        |       unnest(generate_series(1, greatest(length(d.text) - 7, 1), 4)) AS u(i)
+        |  GROUP BY doc_id),
+        |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+        |h AS (SELECT DISTINCT fp FROM f, cut WHERE doc_id < cut.c),
+        |n AS (SELECT doc_id, fp FROM f, cut WHERE doc_id >= cut.c),
+        |s AS (SELECT doc_id FROM n WHERE fp NOT IN (SELECT fp FROM h))
+        |SELECT (SELECT count(*) FROM n) AS n_new,
+        |       (SELECT count(*) FROM n) - (SELECT count(*) FROM s) AS n_dupes,
+        |       (SELECT count(*) FROM s) AS n_survivors,
+        |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s)
+        |         AS sum_survivor_ids""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Scans.table(s, dir, "documents")
+      val cut = docs.agg(expr("max(doc_id) * 9 div 10")).as[Long].head()
+      val f = docs.select(col("doc_id"),
+        array_min(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(lower(text), i, 8)))"))
+          .as("fp"))
+      val hist = f.filter(col("doc_id") < cut).select(col("fp")).distinct()
+      val fresh = f.filter(col("doc_id") >= cut)
+      val survivors = fresh.join(hist, Seq("fp"), "left_anti")
+      fresh.agg(count(lit(1)).as("n_new"))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+            .as("sum_survivor_ids")))
+        .select(col("n_new"), (col("n_new") - col("n_survivors")).as("n_dupes"),
+          col("n_survivors"), col("sum_survivor_ids"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_pack_sequences — contiguous sequence packing: assign
+    // consecutive documents (per source, ordered by doc_id) into packs
+    // of ~2048 tokens by binning each doc's cumulative START offset —
+    // the training-sequence assembly step of an LLM data pipeline. The
+    // cumulative sum windows PER SOURCE (a real partition key), so the
+    // plan is one shuffle on source and parallel within-partition
+    // scans — no global sort. Reported as per-pack document/token
+    // totals, which pins the full assignment (any doc moving packs
+    // changes two sums).
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_pack_sequences",
+      s"""WITH t AS (SELECT source, doc_id, len($toksDuck) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                            ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Scans.table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr(s"size($toksSpark)").cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"), col("pack_id"))
     })
 }

@@ -300,6 +300,29 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental dedup partitions the new batch into dupes + survivors") {
+    val r = run("dedup_incremental").collect()(0)
+    val (nNew, nDupes, nSurv) = (r.getAs[Long]("n_new"),
+      r.getAs[Long]("n_dupes"), r.getAs[Long]("n_survivors"))
+    assert(nNew == nDupes + nSurv)
+    // the corpus genuinely exercises both outcomes at this SF
+    assert(nDupes > 0, "no near-dups found against history — weak fixture?")
+    assert(nSurv > 0, "everything deduped — weak fixture?")
+  }
+
+  test("sequence packing conserves tokens and numbers packs densely per source") {
+    val rows = run("pipeline_pack_sequences").collect()
+    val totalTokens = Scans.table(spark, sfDir, "documents")
+      .select(expr("size(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''))")
+        .cast("long").as("n")).agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == totalTokens,
+      "packing must assign every token exactly once")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ids = rs.map(_.getAs[Long]("pack_id")).sorted.toSeq
+      assert(ids == (0L until ids.size).toSeq, s"$src: pack ids not dense: $ids")
+    }
+  }
+
   test("train split is exhaustive, disjoint-by-construction and ~80/10/10") {
     val rows = run("pipeline_train_split").collect()
       .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
