@@ -112,16 +112,42 @@ object EventStreams {
         col("c.ts").as("click_ts"), col("v.ts").as("view_ts"),
         col("c.event_id").as("click_id"), col("v.event_id").as("view_id"))
 
+  /** One micro-batch's idempotent landing: delete any rows a previous
+    * (crashed, replayed) attempt of the SAME batch left behind, then
+    * append the batch stamped with its checkpointed id. Replaying a
+    * micro-batch therefore converges to exactly one copy of its rows —
+    * the delete-then-insert upsert that turns an at-least-once
+    * `foreachBatch` into an exactly-once-EFFECT sink (the standard
+    * pattern for idempotent JDBC sinks). Separated from the stream
+    * wiring so the replay property is directly spec-testable.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      batchId: Long,
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      batchSizeRows: Int = 100000): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "_batch_id" = ?""")
+      try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+    } catch {
+      case _: java.sql.SQLException => () // first batch: table not created yet
+    } finally conn.close()
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("append")
+      .option("batchsize", batchSizeRows)
+      .jdbc(url, table, props)
+  }
+
   /** Streaming → transactional JDBC destination via `foreachBatch` — the
     * reference's destination story (batched transactional inserts into a
     * SQL database, `SmartBulkCopy.cs:440-561`) under continuous
-    * ingestion: each micro-batch lands as one batched JDBC append,
-    * stamped with the checkpointed batch id in a `_batch_id` column.
-    * The sink itself is at-least-once (a restart replays the last
-    * uncommitted micro-batch); the stamp is what upgrades it: replayed
-    * rows carry the SAME `_batch_id`, so an idempotent consumer dedupes
-    * with `DELETE WHERE _batch_id = ?` before insert (or a
-    * `MERGE`/distinct-on read).
+    * ingestion. Each micro-batch lands through [[upsertBatch]]: replayed
+    * batches (restart after a crash between write and checkpoint
+    * commit) first delete their own prior rows by `_batch_id`, so the
+    * destination converges to exactly one copy of every micro-batch.
     */
   def streamToJdbc(
       events: org.apache.spark.sql.DataFrame,
@@ -132,10 +158,7 @@ object EventStreams {
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("append")
-          .option("batchsize", batchSizeRows)
-          .jdbc(url, table, props)
+        upsertBatch(batch, batchId, url, table, props, batchSizeRows)
       }
       .start()
 }

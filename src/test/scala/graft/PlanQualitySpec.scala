@@ -244,6 +244,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SinglePartition"), p.take(2500))
   }
 
+  test("pipeline_pack_sequences windows on the source key, never a single partition") {
+    // the packing cumsum must partition by source (a real key) — a
+    // global-order window would funnel the whole corpus through one task
+    val p = plan("pipeline_pack_sequences")
+    assert(p.contains("hashpartitioning(source"), p.take(2500))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+  }
+
   test("broadcast threshold applies to the salted-dim join too") {
     // the salted join must still resolve as a join on (key, salt); at
     // this dim size Spark may broadcast it — both are acceptable — but

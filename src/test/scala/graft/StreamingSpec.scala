@@ -161,6 +161,16 @@ class StreamingSpec extends SparkSpecBase {
     // every row is stamped with its micro-batch id — the replay-dedupe
     // key an idempotent consumer needs (two batches ran → two ids)
     assert(back.select(col("_batch_id")).distinct().count() == 2)
+    // replay convergence: a crash between JDBC write and checkpoint
+    // commit makes Spark re-run the last micro-batch with the SAME
+    // batchId — the delete-then-insert upsert must converge to one copy
+    import spark.implicits._
+    val replay = Seq((3L, 3.5)).toDF("event_id", "value")
+    EventStreams.upsertBatch(replay, 1L, url, "stream_events", props)
+    EventStreams.upsertBatch(replay, 1L, url, "stream_events", props)
+    val after = spark.read.jdbc(url, "stream_events", props)
+    assert(after.count() == 3, "replayed micro-batch duplicated rows")
+    assert(after.agg(sum(col("value"))).collect()(0).getDouble(0) == 7.5)
   }
 
   test("append mode emits a window only after the watermark passes it") {
