@@ -270,22 +270,34 @@ object RelationalQueries {
     // begin with, which is the 100 TB-safe form of the subquery.
     // ------------------------------------------------------------------
     QueryDef("subquery_correlated",
-      """SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price,
-        |       round(ca.avg_price, 2) AS cust_avg
-        |FROM orders o
-        |JOIN (SELECT o_custkey, avg(o_totalprice) AS avg_price
-        |      FROM orders GROUP BY o_custkey) ca
-        |  ON ca.o_custkey = o.o_custkey
-        |WHERE o.o_totalprice > 2 * ca.avg_price
-        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      // The money arithmetic runs in EXACT integer cents: a double
+      // avg()'s partial sums reorder under parallelism, so its low bits
+      // (and a subsequent round) are engine- and partitioning-dependent
+      // — observed as a cust_avg mismatch at sf0.1. Integer sums are
+      // associative, the predicate compares BIGINTs, and the reported
+      // average rounds half-up in pure integer math ((2s+c) div 2c).
+      """WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |ca AS (SELECT o_custkey AS ca_custkey,
+        |              CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |              count(*) AS cnt
+        |       FROM c GROUP BY 1)
+        |SELECT c.o_orderkey, c.o_custkey, round(c.o_totalprice, 2) AS price,
+        |       (2 * ca.sum_cents + ca.cnt) // (2 * ca.cnt) AS cust_avg_cents
+        |FROM c JOIN ca ON ca.ca_custkey = c.o_custkey
+        |WHERE c.cents * ca.cnt > 2 * ca.sum_cents
+        |ORDER BY c.o_orderkey""".stripMargin) { (s, dir) =>
       val orders = Scans.table(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
       val custAvg = orders.groupBy(col("o_custkey").as("ca_custkey"))
-        .agg(avg(col("o_totalprice")).as("avg_price"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("cnt"))
       orders.join(custAvg, col("o_custkey") === col("ca_custkey"))
-        .filter(col("o_totalprice") > lit(2) * col("avg_price"))
+        .filter(col("cents") * col("cnt") > lit(2) * col("sum_cents"))
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"),
-          round(col("avg_price"), 2).as("cust_avg"))
+          expr("(2 * sum_cents + cnt) div (2 * cnt)").as("cust_avg_cents"))
         .orderBy(col("o_orderkey"))
     },
 
