@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.exec.Scans
 import graft.meta.Catalog
 
 /** Catalog-introspection queries — the Spark re-expression of the
@@ -88,6 +89,56 @@ object MetaQueries {
           count(when(portable, lit(1))).as("n_portable"),
           count(when(!portable, lit(1))).as("n_excluded"))
         .orderBy(col("table_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // meta_schema_diff — name-based source/destination column mapping,
+    // the validation behind the reference's strict by-name one-to-one
+    // mapping (SmartBulkCopy.cs:487-490: every copied column must exist
+    // on the destination; extra destination columns receive no data;
+    // the tool never alters schemas, docs/FAQ.md:10-16). Source =
+    // customer's collected schema; destination = a drifted collected
+    // schema (one column dropped, one added). Full outer join on the
+    // column name classifies each as mapped / source_only (copy would
+    // fail or skip) / dest_only (stays empty); missing-side ordinals
+    // are -1, not NULL, to keep the compare type-exact.
+    // ------------------------------------------------------------------
+    QueryDef("meta_schema_diff", {
+      val srcCols = Catalog.schemaColumns("customer").zipWithIndex
+      val dstCols = Catalog.schemaColumns("customer")
+        .filterNot(_ == "c_comment").:+("c_loyalty_tier").zipWithIndex
+      val srcVals = srcCols.map { case (c, i) => s"('$c', $i)" }.mkString(", ")
+      val dstVals = dstCols.map { case (c, i) => s"('$c', $i)" }.mkString(", ")
+      s"""WITH src(col_name, src_ordinal) AS (VALUES $srcVals),
+         |dst(col_name, dst_ordinal) AS (VALUES $dstVals)
+         |SELECT coalesce(src.col_name, dst.col_name) AS col_name,
+         |       CASE WHEN src.col_name IS NOT NULL AND dst.col_name IS NOT NULL
+         |              THEN 'mapped'
+         |            WHEN src.col_name IS NOT NULL THEN 'source_only'
+         |            ELSE 'dest_only' END AS status,
+         |       CAST(coalesce(src.src_ordinal, -1) AS BIGINT) AS src_ordinal,
+         |       CAST(coalesce(dst.dst_ordinal, -1) AS BIGINT) AS dst_ordinal
+         |FROM src FULL OUTER JOIN dst ON src.col_name = dst.col_name
+         |ORDER BY col_name""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      // source side from the LIVE schema (the collector's view), the
+      // destination as a collected literal — the two-collector shape of
+      // the reference (SmartBulkCopy.cs:143-152)
+      val src = Scans.table(s, dir, "customer").schema.fieldNames.toSeq
+        .zipWithIndex.toDF("s_name", "src_ordinal")
+      val dst = (Catalog.schemaColumns("customer")
+          .filterNot(_ == "c_comment") :+ "c_loyalty_tier")
+        .zipWithIndex.toDF("d_name", "dst_ordinal")
+      src.join(dst, col("s_name") === col("d_name"), "full_outer")
+        .select(
+          coalesce(col("s_name"), col("d_name")).as("col_name"),
+          when(col("s_name").isNotNull && col("d_name").isNotNull, "mapped")
+            .when(col("s_name").isNotNull, "source_only")
+            .otherwise("dest_only").as("status"),
+          coalesce(col("src_ordinal"), lit(-1)).cast("long").as("src_ordinal"),
+          coalesce(col("dst_ordinal"), lit(-1)).cast("long").as("dst_ordinal"))
+        .orderBy(col("col_name"))
     },
 
     // ------------------------------------------------------------------

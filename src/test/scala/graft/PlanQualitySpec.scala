@@ -54,7 +54,8 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("aggregations are partial (map-side combine before the shuffle)") {
-    for (name <- Seq("meta_table_size", "dedup_exact", "join_broadcast_dim")) {
+    for (name <- Seq("meta_table_size", "dedup_exact", "join_broadcast_dim",
+        "events_value_histogram", "events_sliding_window")) {
       val p = plan(name)
       val hashAggs = p.linesIterator.count(l =>
         l.contains("HashAggregate") || l.contains("ObjectHashAggregate") ||
