@@ -368,5 +368,48 @@ object EventQueries {
         .select(col("window.start").cast("long").as("window_start_s"),
           col("n_events"), col("sum_value"))
         .orderBy(col("window_start_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_scd2_intervals — slowly-changing-dimension (type-2)
+    // interval derivation: collapse each user's event stream into
+    // contiguous runs of the same event_type with [valid_from,
+    // valid_to) bounds — the CDC-to-dimension-table transform. Two
+    // windows, both partitioned by user_id (a real key), so the plan
+    // is ONE shuffle on user_id reused by both sorts; the per-type
+    // report is a tiny rollup. Millisecond epochs keep the compare
+    // integer-exact; the open (last) interval per user is counted but
+    // excluded from the duration sum.
+    // ------------------------------------------------------------------
+    QueryDef("events_scd2_intervals",
+      """WITH o AS (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_ms(ts), event_id) AS prev_type
+        |  FROM events WHERE user_id < 50),
+        |ch AS (
+        |  SELECT user_id, event_type, ms,
+        |         lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms
+        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT event_type, count(*) AS n_intervals,
+        |       CAST(count(next_ms) AS BIGINT) AS n_closed,
+        |       CAST(coalesce(sum(next_ms - ms), 0) AS BIGINT) AS sum_ms
+        |FROM ch GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val o = Scans.table(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      o.filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("next_ms", lead(col("ms"), 1).over(byUser))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          count(col("next_ms")).cast("long").as("n_closed"),
+          coalesce(sum(col("next_ms") - col("ms")), lit(0L)).cast("long")
+            .as("sum_ms"))
+        .orderBy(col("event_type"))
     })
 }

@@ -440,5 +440,58 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("c_acctbal")), 2).as("total_acctbal"))
         .orderBy(col("n_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // join_null_safe — null-safe equality join (`<=>`): NULL keys MATCH
+    // each other instead of dropping out — required for joining on
+    // nullable dimension attributes (a plain equi-join silently loses
+    // every NULL-keyed row). Spark plans `<=>` as a hash join on the
+    // coalesced key, so it shuffles/broadcasts exactly like `=` — the
+    // supplier side stays broadcast-sized here. Keys are derived with
+    // nullif so both sides carry real NULLs.
+    // ------------------------------------------------------------------
+    QueryDef("join_null_safe",
+      """WITH c AS (SELECT nullif(c_nationkey % 7, 3) AS k, c_custkey FROM customer),
+        |s AS (SELECT nullif(s_nationkey % 7, 3) AS k, s_suppkey FROM supplier)
+        |SELECT c.k AS k, count(*) AS n_pairs,
+        |       CAST(sum(c.c_custkey + s.s_suppkey) AS BIGINT) AS sum_keys
+        |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+        |GROUP BY c.k ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
+      val c = Scans.table(s, dir, "customer")
+        .select(expr("nullif(c_nationkey % 7, 3)").as("k"), col("c_custkey"))
+      val sup = Scans.table(s, dir, "supplier")
+        .select(expr("nullif(s_nationkey % 7, 3)").as("sk"), col("s_suppkey"))
+      c.join(broadcast(sup), col("k") <=> col("sk"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c_custkey") + col("s_suppkey")).cast("long").as("sum_keys"))
+        .orderBy(col("k"))
+    },
+
+    // ------------------------------------------------------------------
+    // window_percent_rank — relative-position window functions:
+    // percent_rank (rank−1)/(n−1) and cume_dist, per nation over
+    // account balance. Both are exact rational expressions of integer
+    // rank/count, so the doubles agree bit-for-bit across engines
+    // before the 6-dp rounding. One shuffle on the partition key.
+    // ------------------------------------------------------------------
+    QueryDef("window_percent_rank",
+      """SELECT c_nationkey, c_custkey,
+        |       round(percent_rank() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal, c_custkey), 6) AS pr,
+        |       round(cume_dist() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal, c_custkey), 6) AS cd
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Scans.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
     })
 }

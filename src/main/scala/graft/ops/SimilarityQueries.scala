@@ -510,5 +510,67 @@ object SimilarityQueries {
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_kmeans_iter — one Lloyd's iteration of k-means (k=8, cosine
+    // assignment; vec_ids 1..8 as the seed codebook): the centroid
+    // TRAINING step the IVF index assumes has happened. Assignment is
+    // the zero-shuffle broadcast-codebook argmax (same contract as
+    // sim_ivf_topk: 6-dp-rounded score, smaller cid on ties); the
+    // update step posexplodes to (cell, dim, value) and partial-
+    // aggregates the mean — no vector is assembled on one node, and
+    // the corpus is never shuffled except by the (cell, dim) rollup.
+    // At 100 TB each iteration is one scan + one partial agg; rounds
+    // iterate by feeding the reported centroids back as the codebook.
+    // ------------------------------------------------------------------
+    QueryDef("sim_kmeans_iter",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+        |assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cid AS cell, e.v,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) a
+        |  WHERE rn = 1),
+        |d AS (SELECT cell, u.i - 1 AS dim, a.v[u.i] AS x
+        |      FROM assign a, unnest(generate_series(1, len(a.v))) AS u(i)),
+        |cent AS (SELECT cell, dim, avg(x) AS m FROM d GROUP BY cell, dim),
+        |stats AS (SELECT cell, count(*) AS n_members,
+        |                 CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+        |          FROM assign GROUP BY cell)
+        |SELECT c.cell, s.n_members, s.sum_vec_ids,
+        |       round(sqrt(sum(c.m * c.m)), 4) AS centroid_norm,
+        |       round(min(CASE WHEN c.dim = 0 THEN c.m END), 6) AS dim0
+        |FROM cent c JOIN stats s ON s.cell = c.cell
+        |GROUP BY c.cell, s.n_members, s.sum_vec_ids
+        |ORDER BY c.cell""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val codebook = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("codebook"))
+      val assigned = emb.crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("embedding"),
+          array_max(transform(col("codebook"), c =>
+            struct(
+              round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
+              (-c.getField("cid")).as("neg_cid"),
+              c.getField("cid").as("cid"))))
+            .getField("cid").as("cell"))
+      val d = assigned.select(col("cell"), posexplode(col("embedding")))
+        .select(col("cell"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+      val cent = d.groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      val stats = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).cast("long").as("sum_vec_ids"))
+      cent.join(stats, Seq("cell"))
+        .groupBy(col("cell"), col("n_members"), col("sum_vec_ids"))
+        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+          round(min(when(col("dim") === 0, col("m"))), 6).as("dim0"))
+        .orderBy(col("cell"))
     })
 }

@@ -845,5 +845,156 @@ object TextQueries {
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("source"), col("pack_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_repetition_ratio — intra-document repetition signal (the
+    // Gopher-style "repeated content" quality gate): fraction of tokens
+    // that are repeats of an earlier token in the SAME document. Pure
+    // row-level array arithmetic (size − size(distinct)) inside
+    // whole-stage codegen, then one tiny per-language rollup — zero
+    // extra shuffle at 100 TB beyond the report aggregation. All
+    // outputs integer-exact (the >50% flag uses 2·rep > total, never a
+    // float ratio), so the oracle hash is rounding-proof.
+    // ------------------------------------------------------------------
+    QueryDef("text_repetition_ratio",
+      s"""WITH r AS (
+         |  SELECT lang,
+         |         len($toksDuck) AS n_tok,
+         |         len($toksDuck) - len(list_distinct($toksDuck)) AS n_rep
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(n_rep) AS BIGINT) AS sum_repeated,
+         |       CAST(count(CASE WHEN 2 * n_rep > n_tok THEN 1 END) AS BIGINT)
+         |         AS n_high_rep
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .select(col("lang"), expr(toksSpark).as("tk"))
+        .select(col("lang"), expr("size(tk)").as("n_tok"),
+          expr("size(tk) - size(array_distinct(tk))").as("n_rep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tokens"),
+          sum(col("n_rep")).cast("long").as("sum_repeated"),
+          count(when(lit(2) * col("n_rep") > col("n_tok"), 1)).cast("long")
+            .as("n_high_rep"))
+        .orderBy(col("lang"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_chunk_overlap — fixed-size overlapping chunking (256-char
+    // windows, 64-char overlap ⇒ stride 192): the context-window
+    // splitting step that feeds embedding/training jobs. Chunk starts
+    // are generated per row with sequence() and exploded — row-local,
+    // no shuffle; a short tail (<64 chars past the previous window) is
+    // absorbed by the previous chunk rather than emitted, so every
+    // emitted chunk carries ≥64 fresh chars. Reported per source with
+    // integer char sums (hash-stable).
+    // ------------------------------------------------------------------
+    QueryDef("text_chunk_overlap",
+      """WITH c AS (
+        |  SELECT d.source, d.doc_id,
+        |         length(substr(d.text, u.i, 256)) AS chunk_chars
+        |  FROM documents d,
+        |       unnest(generate_series(1, greatest(length(d.text) - 63, 1), 192)) AS u(i))
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |       CAST(sum(chunk_chars) AS BIGINT) AS sum_chunk_chars
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, greatest(length(text) - 63, 1), 192), i -> length(substring(text, i, 256)))"))
+            .as("chunk_chars"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_chars")).cast("long").as("sum_chunk_chars"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_domain_mix — deterministic source-weighted mixing: each
+    // source gets a target sampling rate (here derived from the source
+    // index: 25/50/75/100%) and rows are admitted by a pure hash
+    // predicate against that rate — the "domain reweighting" step of
+    // training-corpus assembly. Like train_split: row-level, stable
+    // under repartitioning, new rows never flip old admissions; the
+    // only shuffle is the tiny per-source report.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_domain_mix",
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |         (CAST(substr(source, 4) AS INT) % 4 + 1) * 25 AS pct,
+        |         CAST(concat('0x', substr(md5(concat('mix-', CAST(doc_id AS VARCHAR))), 1, 15))
+        |              AS BIGINT) % 100 AS h
+        |  FROM documents)
+        |SELECT source, CAST(max(pct) AS BIGINT) AS target_pct, count(*) AS n_total,
+        |       CAST(count(CASE WHEN h < pct THEN 1 END) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN h < pct THEN doc_id END), 0) AS BIGINT)
+        |         AS sum_kept_ids
+        |FROM b GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .withColumn("pct", (expr("cast(substring(source, 4) AS int)") % 4 + 1) * 25)
+        .withColumn("h",
+          expr("cast(conv(substring(md5(concat('mix-', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) % 100"))
+        .groupBy(col("source"))
+        .agg(max(col("pct")).cast("long").as("target_pct"),
+          count(lit(1)).as("n_total"),
+          count(when(col("h") < col("pct"), 1)).cast("long").as("n_kept"),
+          coalesce(sum(when(col("h") < col("pct"), col("doc_id"))), lit(0L))
+            .cast("long").as("sum_kept_ids"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // dedup_decontaminate — benchmark decontamination: drop training
+    // documents that share any 5-token shingle with a held-out
+    // benchmark set (here the deterministic doc_id % 97 slice standing
+    // in for an eval suite) — the step that keeps test data out of the
+    // training corpus. The benchmark shingle set is SMALL by
+    // construction, so the membership probe is a broadcast left-semi
+    // join: the corpus is scanned once, never shuffled on shingles,
+    // and cost at 100 TB is O(corpus scan + benchmark size). Short
+    // docs (<5 tokens) contribute their full-token shingle; empty
+    // shingles are excluded on both engines.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_decontaminate",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |             concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS sh
+         |      FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS u(i)),
+         |gs AS (SELECT doc_id, sh FROM g WHERE sh <> ''),
+         |bench AS (SELECT DISTINCT sh FROM gs WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+         |cont AS (SELECT DISTINCT doc_id FROM gs
+         |         WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM bench)),
+         |clean AS (SELECT doc_id FROM train
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT (SELECT count(*) FROM documents WHERE doc_id % 97 = 0) AS n_benchmark,
+         |       (SELECT count(*) FROM train) AS n_train,
+         |       (SELECT count(*) FROM cont) AS n_contaminated,
+         |       (SELECT count(*) FROM clean) AS n_clean,
+         |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM clean)
+         |         AS sum_clean_ids""".stripMargin) { (s, dir) =>
+      val docs = Scans.table(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), expr(toksSpark).as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, greatest(size(tk) - 4, 1)),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1),
+            |                 element_at(tk, i+2), element_at(tk, i+3), element_at(tk, i+4)))"""
+            .stripMargin)).as("sh"))
+        .filter(col("sh") =!= "")
+      val bench = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
+      val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val train = docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      docs.filter(col("doc_id") % 97 === 0).agg(count(lit(1)).as("n_benchmark"))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("sum_clean_ids")))
     })
 }

@@ -45,6 +45,24 @@ object EventStreams {
       .select(col("window.start").cast("long").as("window_start_s"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked per-window fixed-width value histogram — the streaming
+    * form of `events_value_histogram`. A whole-stream histogram can
+    * never finalize on an unbounded input, so the streaming form
+    * windows it: each (1 h window, bucket) key holds one mergeable
+    * (count, sum) state cell — ≤20 buckets per window — evicted once
+    * the watermark passes the window. Batch or streaming, same
+    * expression (parity spec-tested).
+    */
+  def histogramStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"),
+        floor(col("value") / 25.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup — the streaming dual of `dedup_exact`, and
     * the idempotent-ingest step of a pipeline fed by an at-least-once
     * source: keep the first arrival of each `event_id`, dropping

@@ -261,4 +261,69 @@ class PlanQualitySpec extends SparkSpecBase {
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, p.take(1500))
   }
+
+  test("row-level pipeline ops shuffle only for the tiny report rollup") {
+    // domain mixing / repetition scoring / chunking are row-local
+    // transforms — the ONLY exchange allowed is the per-group report
+    // aggregation (plus its partial map side)
+    for (name <- Seq("pipeline_domain_mix", "text_repetition_ratio",
+        "text_chunk_overlap", "pipeline_train_split")) {
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      // one hashpartitioning for the rollup + one rangepartitioning for
+      // the presentation sort — never a corpus-wide reshuffle beyond
+      // those. text_chunk_overlap's count(DISTINCT doc_id) legitimately
+      // adds one keyed (source, doc_id) partial-dedup exchange.
+      val cap = if (name == "text_chunk_overlap") 3 else 2
+      assert(exchanges <= cap, s"$name: $exchanges exchanges\n${p.take(2000)}")
+      val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+      assert(hashAggs >= 2, s"$name: no partial aggregation\n${p.take(1500)}")
+    }
+  }
+
+  test("dedup_decontaminate probes the benchmark set via broadcast semi join") {
+    // the benchmark shingle set is small by construction — the corpus
+    // must NEVER shuffle on shingles; membership is a broadcast probe
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(2500))
+    // no shingle-keyed SORT-MERGE join anywhere: the only hash-
+    // partitioning on sh is the tiny benchmark side's distinct — the
+    // corpus side must reach the semi join unexchanged (broadcast probe)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled on shingles:\n${p.take(2500)}")
+  }
+
+  test("sim_kmeans_iter assigns cells with zero corpus shuffle") {
+    // same contract as sim_ivf_topk: the codebook collapses to one
+    // broadcast row; no Exchange may touch the corpus before the cell
+    // column exists. The only shuffles are the (cell, dim) mean rollup
+    // and per-cell stats — both keyed, both partial-aggregated.
+    val p = plan("sim_kmeans_iter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2500))
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled before assignment:\n${p.take(2500)}")
+    val hashAggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+    assert(hashAggs >= 2, s"no partial aggregation\n${p.take(1500)}")
+  }
+
+  test("events_scd2_intervals reuses one user_id shuffle for both windows") {
+    // both window functions partition by user_id — Catalyst must plan
+    // ONE hashpartitioning(user_id) exchange and sort once per window,
+    // never a SinglePartition funnel
+    val p = plan("events_scd2_intervals")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"$userExchanges user_id exchanges\n${p.take(2500)}")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+  }
+
+  test("join_null_safe still plans as a broadcast hash join") {
+    // `<=>` must not degrade to a nested-loop: Spark hashes the
+    // coalesced key, so the null-safe join broadcasts like `=` does
+    val p = plan("join_null_safe")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
 }

@@ -56,6 +56,63 @@ class QueriesSpec extends SparkSpecBase {
     assert(row.getInt(2) >= 0 && row.getInt(3) < 256)
   }
 
+  test("dedup_decontaminate partitions train into contaminated + clean") {
+    val r = SparkEntry.queries("dedup_decontaminate")(spark, sfDir).collect()(0)
+    val (nBench, nTrain) = (r.getAs[Long]("n_benchmark"), r.getAs[Long]("n_train"))
+    val (nCont, nClean) = (r.getAs[Long]("n_contaminated"), r.getAs[Long]("n_clean"))
+    assert(nBench > 0 && nTrain > 0)
+    assert(nCont + nClean == nTrain)
+  }
+
+  test("pipeline_domain_mix keeps at most the target rate and is deterministic") {
+    val rows = SparkEntry.queries("pipeline_domain_mix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(Set(25L, 50L, 75L, 100L).contains(r.getAs[Long]("target_pct")))
+      // pct=100 must admit every row (hash % 100 < 100 is total)
+      if (r.getAs[Long]("target_pct") == 100L)
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_total"))
+    }
+    val again = SparkEntry.queries("pipeline_domain_mix")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("text_chunk_overlap emits at least one chunk per document") {
+    import graft.exec.Scans
+    val perSource = SparkEntry.queries("text_chunk_overlap")(spark, sfDir).collect()
+    val nDocs = Scans.table(spark, sfDir, "documents").count()
+    assert(perSource.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    perSource.foreach(r =>
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs")))
+  }
+
+  test("sim_kmeans_iter assignment is exhaustive over the corpus") {
+    import graft.exec.Scans
+    val cells = SparkEntry.queries("sim_kmeans_iter")(spark, sfDir).collect()
+    val n = Scans.table(spark, sfDir, "embeddings").count()
+    assert(cells.map(_.getAs[Long]("n_members")).sum == n)
+    cells.foreach { r =>
+      val c = r.getAs[Long]("cell")
+      assert(c >= 1 && c <= 8)
+      // each seed vector must land in its own cell (cos(v,v)=1 is max)
+      assert(r.getAs[Long]("n_members") >= 1)
+    }
+  }
+
+  test("events_scd2_intervals closes all but the last interval per user") {
+    val rows = SparkEntry.queries("events_scd2_intervals")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nIntervals = rows.map(_.getAs[Long]("n_intervals")).sum
+    val nClosed = rows.map(_.getAs[Long]("n_closed")).sum
+    import graft.exec.Scans
+    val nUsers = Scans.table(spark, sfDir, "events")
+      .filter(col("user_id") < 50).select(col("user_id")).distinct().count()
+    // exactly one open interval per user
+    assert(nIntervals - nClosed == nUsers)
+    rows.foreach(r => assert(r.getAs[Long]("sum_ms") >= 0))
+  }
+
   test("disjoint+exhaustive slicing holds on real data") {
     import graft.exec.Scans
     val li = Scans.table(spark, sfDir, "lineitem")

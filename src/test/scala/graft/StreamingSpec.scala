@@ -42,6 +42,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("file-source readStream windowed histogram equals the batch result") {
+    val batchEvents = Scans.table(spark, sfDir, "events")
+      .select(col("ts"), col("value"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_hist")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(streamDir.toString)
+    val streamEvents = raw
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("ts"), col("value"))
+    val q = EventStreams.histogramStream(streamEvents)
+      .writeStream.format("memory").queryName("shist")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT window_start, bucket, n_events, sum_value FROM shist")
+      .orderBy(col("window_start"), col("bucket")).collect().toSeq
+    val batch = EventStreams.histogramStream(batchEvents)
+      .orderBy(col("window_start"), col("bucket")).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every bucket is a real fixed-width cell: 25*bucket <= sum/n < 25*(bucket+1)
+    streamed.foreach { r =>
+      val (b, n, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(s / n >= 25.0 * b - 1e-9 && s / n < 25.0 * (b + 1) + 1e-9)
+    }
+  }
+
   test("stream-stream interval join matches in-window pairs, state bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
