@@ -371,6 +371,36 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_cdc_merge — latest-state materialization (SCD type-1 /
+    // CDC compaction): collapse each user's change stream to its most
+    // recent row — the MERGE a change-data-capture pipeline applies to
+    // keep a queryable snapshot. One shuffle on user_id; row_number
+    // with a (ms, event_id) DESC order makes the survivor
+    // deterministic even under same-millisecond updates. At 100 TB
+    // this is the compaction job that bounds a CDC table's size.
+    // ------------------------------------------------------------------
+    QueryDef("events_cdc_merge",
+      """SELECT user_id, event_type, ms, round(value, 2) AS value FROM (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id < 50) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").desc, col("event_id").desc)
+      Scans.table(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ms"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
     // events_scd2_intervals — slowly-changing-dimension (type-2)
     // interval derivation: collapse each user's event stream into
     // contiguous runs of the same event_type with [valid_from,

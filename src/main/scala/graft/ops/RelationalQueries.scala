@@ -470,6 +470,35 @@ object RelationalQueries {
     },
 
     // ------------------------------------------------------------------
+    // agg_arg_max — argmax/argmin aggregation: the row attribute AT the
+    // group's extreme (who holds the max balance per nation), computed
+    // as max/min over a (value, key) struct — lexicographic struct
+    // comparison gives a deterministic key tie-break, which bare
+    // max_by/arg_max doesn't guarantee on either engine. Partial-
+    // aggregates like any max: one tiny shuffle, O(1) state per group.
+    // ------------------------------------------------------------------
+    QueryDef("agg_arg_max",
+      """SELECT c_nationkey,
+        |       (max(struct_pack(b := c_acctbal::DOUBLE, k := c_custkey))).k
+        |         AS top_custkey,
+        |       round((max(struct_pack(b := c_acctbal::DOUBLE, k := c_custkey))).b, 2)
+        |         AS top_acctbal,
+        |       (min(struct_pack(b := c_acctbal::DOUBLE, k := c_custkey))).k
+        |         AS bottom_custkey
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val pair = struct(col("c_acctbal").cast("double").as("b"),
+        col("c_custkey").as("k"))
+      Scans.table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(max(pair).as("mx"), min(pair).as("mn"))
+        .select(col("c_nationkey"),
+          col("mx.k").as("top_custkey"),
+          round(col("mx.b"), 2).as("top_acctbal"),
+          col("mn.k").as("bottom_custkey"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // ------------------------------------------------------------------
     // window_percent_rank — relative-position window functions:
     // percent_rank (rank−1)/(n−1) and cume_dist, per nation over
     // account balance. Both are exact rational expressions of integer

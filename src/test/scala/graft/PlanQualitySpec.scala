@@ -326,4 +326,25 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = plan("join_null_safe")
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
   }
+
+  test("agg_arg_max partial-aggregates the struct extremes") {
+    // argmax carries O(1) state (one struct) per group and must
+    // combine map-side like any max (struct-typed agg buffers plan as
+    // SortAggregate — still a partial + final pair)
+    val p = plan("agg_arg_max")
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate") ||
+        l.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"no partial aggregation\n${p.take(1500)}")
+    assert(p.contains("partial_max"), s"no map-side combine\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("events_cdc_merge shuffles once on user_id") {
+    val p = plan("events_cdc_merge")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"$userExchanges user_id exchanges\n${p.take(2500)}")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+  }
 }
