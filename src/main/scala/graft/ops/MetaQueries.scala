@@ -484,5 +484,55 @@ object MetaQueries {
         (s"analysis:$n", graft.Copy.analysisExitCode(o))
       } ++ Seq("runtime:RowcountMismatch" -> 2, "runtime:CopyErrors" -> 3)
       rows.toDF("outcome", "exit_code").orderBy(col("outcome"))
+    },
+
+    // ------------------------------------------------------------------
+    // scan_column_stats — ANALYZE-style column statistics in ONE scan:
+    // min/max/exact-NDV/null-count for the measure columns, the stats
+    // a cost-based optimizer (or the copy planner's partition sizing)
+    // feeds on. Spark plans the multi-distinct aggregate with one
+    // Expand over the single scan — partial-aggregated, never one
+    // pass per column (at 100 TB, N column passes is N× the IO bill).
+    // The wide 1-row aggregate is stack()ed to one row per column for
+    // the report.
+    // ------------------------------------------------------------------
+    QueryDef("scan_column_stats",
+      """SELECT 'l_discount' AS col_name, min(l_discount)::DOUBLE AS min_v,
+        |       max(l_discount)::DOUBLE AS max_v,
+        |       count(DISTINCT l_discount) AS n_distinct,
+        |       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_nulls,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', min(l_extendedprice)::DOUBLE,
+        |       max(l_extendedprice)::DOUBLE, count(DISTINCT l_extendedprice),
+        |       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', min(l_quantity)::DOUBLE, max(l_quantity)::DOUBLE,
+        |       count(DISTINCT l_quantity),
+        |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(*)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      def stats(c: String, p: String) = Seq(
+        min(col(c)).cast("double").as(s"${p}_min"),
+        max(col(c)).cast("double").as(s"${p}_max"),
+        count_distinct(col(c)).as(s"${p}_ndv"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${p}_nulls"))
+      val aggs = stats("l_discount", "d") ++ stats("l_extendedprice", "e") ++
+        stats("l_quantity", "q") :+ count(lit(1)).as("n_rows")
+      Scans.table(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          """stack(3,
+            |  'l_discount',      d_min, d_max, d_ndv, d_nulls,
+            |  'l_extendedprice', e_min, e_max, e_ndv, e_nulls,
+            |  'l_quantity',      q_min, q_max, q_ndv, q_nulls)
+            |AS (col_name, min_v, max_v, n_distinct, n_nulls)""".stripMargin,
+          "n_rows")
+        .orderBy(col("col_name"))
     })
 }

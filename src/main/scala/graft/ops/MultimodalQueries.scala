@@ -161,5 +161,34 @@ object MultimodalQueries {
           min(col("n_bytes")).as("min_bytes"),
           max(col("n_bytes")).as("max_bytes"),
           sum(col("n_bytes")).as("total_bytes"))
+    },
+
+    // ------------------------------------------------------------------
+    // multimodal_content_dedup — exact media dedup by payload digest:
+    // md5 over the opaque binary column groups byte-identical blobs
+    // (the image/audio dedup every multimodal corpus runs before
+    // training). One shuffle on the 16-byte digest — blob bytes are
+    // hashed where they live and never shuffled themselves; the keeper
+    // is the min doc_id per group (same keep-first contract as
+    // dedup_exact). The oracle hashes the same bytes (the blob IS the
+    // utf-8 text payload, so DuckDB's md5(text) agrees).
+    // ------------------------------------------------------------------
+    QueryDef("multimodal_content_dedup",
+      """WITH h AS (
+        |  SELECT md5(text) AS ch, min(doc_id) AS keeper, count(*) AS copies
+        |  FROM documents GROUP BY md5(text))
+        |SELECT count(*) AS n_groups,
+        |       CAST(sum(copies) AS BIGINT) AS n_blobs,
+        |       CAST(count(CASE WHEN copies > 1 THEN 1 END) AS BIGINT)
+        |         AS n_dup_groups,
+        |       CAST(sum(keeper) AS BIGINT) AS sum_keeper_ids
+        |FROM h""".stripMargin) { (s, dir) =>
+      mediaTable(s, dir)
+        .groupBy(md5(col("blob")).as("ch"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("copies")).cast("long").as("n_blobs"),
+          count(when(col("copies") > 1, 1)).cast("long").as("n_dup_groups"),
+          sum(col("keeper")).cast("long").as("sum_keeper_ids"))
     })
 }

@@ -340,6 +340,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
+  test("scan_column_stats computes multi-distinct stats in one scan") {
+    // the stats pass must be ONE table scan with an Expand for the
+    // distinct aggregates — N per-column passes is N× the IO at 100 TB
+    val p = plan("scan_column_stats")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"more than one scan\n${p.take(2000)}")
+    assert(p.contains("Expand"), p.take(2000))
+  }
+
+  test("multimodal_content_dedup shuffles digests, not blobs") {
+    // the groupBy key is md5(blob) computed in place (a Project below
+    // the partial aggregate), so the exchange carries the digest
+    // grouping expression — never the blob/text payload column
+    val p = plan("multimodal_content_dedup")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.exists(_.contains("_groupingexpression")), p.take(2500))
+    assert(!exchangeLines.exists(l => l.contains("text#") || l.contains("blob")),
+      s"payload column crosses an exchange:\n${exchangeLines.mkString("\n")}")
+    assert(p.contains("partial_min"), p.take(2500))
+  }
+
   test("events_cdc_merge shuffles once on user_id") {
     val p = plan("events_cdc_merge")
     val userExchanges = p.linesIterator.count(l =>
