@@ -572,5 +572,60 @@ object SimilarityQueries {
         .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
           round(min(when(col("dim") === 0, col("m"))), 6).as("dim0"))
         .orderBy(col("cell"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_pq_quantize — product-quantization encoding (M=8 subspaces ×
+    // 8 dims, k=4 sub-centroids from vec_ids 1..4): the compression
+    // half of IVF-PQ, the architecture that makes 100 TB ANN feasible
+    // (64 floats → 8 code bytes, 32× smaller candidate storage).
+    // Entirely row-local: the sub-codebook is ONE broadcast row and
+    // each vector computes all 8 argmin codes in place with
+    // slice/zip_with/aggregate — no Exchange touches the corpus before
+    // codes exist; the report rollup shuffles (subspace, code) pairs.
+    // Distances are 6-dp-rounded squared-L2 with a smaller-cid
+    // tie-break — the same determinism contract as the IVF argmax.
+    // ------------------------------------------------------------------
+    QueryDef("sim_pq_quantize",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4),
+        |sub AS (
+        |  SELECT e.vec_id, m.m AS subspace, cb.cid,
+        |         round(list_reduce(list_transform(range(1, 9),
+        |                 i -> (e.v[m.m*8+i] - cb.cv[m.m*8+i])
+        |                      * (e.v[m.m*8+i] - cb.cv[m.m*8+i])),
+        |               (a, b) -> a + b), 6) AS d
+        |  FROM e, unnest(generate_series(0, 7)) AS m(m), cb),
+        |assign AS (
+        |  SELECT vec_id, subspace, cid AS code FROM (
+        |    SELECT vec_id, subspace, cid,
+        |           row_number() OVER (PARTITION BY vec_id, subspace
+        |                              ORDER BY d, cid) AS rn
+        |    FROM sub) t
+        |  WHERE rn = 1)
+        |SELECT subspace, code, count(*) AS n_vectors,
+        |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+        |FROM assign GROUP BY subspace, code
+        |ORDER BY subspace, code""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val codebook = emb.filter(col("vec_id").between(1, 4))
+        .agg(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv"))).as("cb"))
+      emb.crossJoin(broadcast(codebook))
+        .select(col("vec_id"), posexplode(expr(
+          """transform(sequence(0, 7), m ->
+            |  (array_min(transform(cb, c -> struct(
+            |    round(aggregate(
+            |      zip_with(slice(embedding, m*8+1, 8), slice(c.cv, m*8+1, 8),
+            |        (x, y) -> (cast(x AS double) - cast(y AS double))
+            |                  * (cast(x AS double) - cast(y AS double))),
+            |      cast(0 AS double), (acc, v) -> acc + v), 6) AS d,
+            |    c.cid AS cid)))).cid)""".stripMargin)))
+        .select(col("vec_id"), col("pos").cast("long").as("subspace"),
+          col("col").as("code"))
+        .groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("vec_id")).cast("long").as("sum_vec_ids"))
+        .orderBy(col("subspace"), col("code"))
     })
 }

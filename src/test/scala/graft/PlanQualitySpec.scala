@@ -361,6 +361,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_min"), p.take(2500))
   }
 
+  test("sim_pq_quantize encodes with zero corpus shuffle") {
+    // same contract as the IVF/kmeans assignment: one broadcast
+    // codebook row, codes computed row-locally; the only exchanges are
+    // the (subspace, code) rollup and the presentation sort
+    val p = plan("sim_pq_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2500))
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled before encoding:\n${p.take(2500)}")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"no partial aggregation\n${p.take(1500)}")
+  }
+
   test("events_cdc_merge shuffles once on user_id") {
     val p = plan("events_cdc_merge")
     val userExchanges = p.linesIterator.count(l =>
