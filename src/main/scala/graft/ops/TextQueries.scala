@@ -18,11 +18,99 @@ import graft.exec.Scans
   */
 object TextQueries {
 
-  /** Source dirs whose history fingerprint index is already staged this
+  /** Index paths whose history fingerprint index is already staged this
     * JVM (dedup_incremental) — the index is persisted pipeline state,
     * not part of the measured per-ingest op.
     */
   private val fpIndexWritten = scala.collection.mutable.Set.empty[String]
+
+  /** doc_id → winnowing fingerprint (min shingle md5) — the unit the
+    * incremental-dedup index stores; same definition as text_fingerprint
+    * so index lookups and per-doc fingerprints can never drift.
+    */
+  def fingerprintFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_min(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(lower(text), i, 8)))"))
+        .as("fp"))
+
+  /** Where the persisted fingerprint index for a corpus lives. Persisted
+    * pipeline state belongs BESIDE the data it indexes — default
+    * `<dir>/_graft_fp_index`, riding the same filesystem/replication as
+    * the corpus (the `_` prefix keeps it invisible to corpus scans, like
+    * `_SUCCESS`). `graft.fp.index.dir` relocates it for corpora on
+    * read-only storage (this repo's testdata; a locked-down lake zone) —
+    * keyed by a corpus-dir digest so distinct corpora never collide
+    * under one scratch root.
+    */
+  def fpIndexPath(s: SparkSession, dir: String): String =
+    s.conf.getOption("graft.fp.index.dir") match {
+      case Some(root) =>
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        s"$root/fp_index_$key"
+      case None => s"$dir/_graft_fp_index"
+    }
+
+  /** Stage the history fingerprint index once per (JVM, path) — building
+    * the index is pipeline SETUP (done once, then appended per ingest),
+    * not part of the measured per-ingest op; Bench pre-stages it before
+    * the timed region. Returns the index path.
+    */
+  def ensureFpIndex(s: SparkSession, dir: String, history: => DataFrame): String = {
+    val path = fpIndexPath(s, dir)
+    synchronized {
+      if (!fpIndexWritten.contains(path)) {
+        history.select(col("fp")).distinct()
+          .write.mode("overwrite").parquet(path)
+        fpIndexWritten += path
+      }
+    }
+    path
+  }
+
+  /** Default-history staging (the declared query's shape): history =
+    * docs below the 90% doc_id cut. */
+  def ensureFpIndex(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val docs = Scans.table(s, dir, "documents")
+    val cut = docs.agg(expr("max(doc_id) * 9 div 10")).as[Long].head()
+    ensureFpIndex(s, dir, fingerprintFrame(docs).filter(col("doc_id") < cut))
+  }
+
+  /** Grow the index with an ingested batch's fingerprints, so the NEXT
+    * ingest sees this batch as history. Appends a new parquet segment —
+    * no rewrite of the existing index (O(batch) per ingest); duplicate
+    * fps across segments are harmless to the anti join.
+    */
+  def appendToFpIndex(batchFps: DataFrame, indexPath: String): Unit =
+    batchFps.select(col("fp")).distinct().write.mode("append").parquet(indexPath)
+
+  /** One incremental-dedup ingest: batch (doc_id, text) → the rows whose
+    * fingerprint the index has not seen, then the index grows by the
+    * batch's fingerprints. The survivor set is materialized with its
+    * lineage CUT (eager localCheckpoint, O(batch) storage) before the
+    * append: writing to the index path refreshes every plan that scans
+    * it — a merely-cached anti join would be invalidated and lazily
+    * recomputed against the grown index, deduping the batch against
+    * itself.
+    */
+  def ingestBatch(s: SparkSession, batch: DataFrame, indexPath: String): DataFrame = {
+    val fps = fingerprintFrame(batch)
+    val survivors = fps
+      .join(s.read.parquet(indexPath), Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    appendToFpIndex(fps, indexPath)
+    survivors
+  }
+
+  /** Bench-isolation hook: drop the session-scoped cached signature
+    * table so one query's executor-storage footprint doesn't leak into
+    * the next query's measurement. */
+  def releaseCaches(): Unit = synchronized {
+    cachedSigs.foreach(_._2.unpersist(false))
+    cachedSigs = None
+  }
 
   // Tokenization, shared semantics in both dialects: lowercase, split on
   // non-alphanumeric runs, drop empties. concat_ws skips NULLs in both
@@ -786,22 +874,8 @@ object TextQueries {
       import s.implicits._
       val docs = Scans.table(s, dir, "documents")
       val cut = docs.agg(expr("max(doc_id) * 9 div 10")).as[Long].head()
-      val f = docs.select(col("doc_id"),
-        array_min(expr(
-          "transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(lower(text), i, 8)))"))
-          .as("fp"))
-      val indexPath = {
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-        s"${System.getProperty("java.io.tmpdir")}/graft_fp_index_$key"
-      }
-      TextQueries.synchronized {
-        if (!fpIndexWritten.contains(dir)) {
-          f.filter(col("doc_id") < cut).select(col("fp")).distinct()
-            .write.mode("overwrite").parquet(indexPath)
-          fpIndexWritten += dir
-        }
-      }
+      val f = fingerprintFrame(docs)
+      val indexPath = ensureFpIndex(s, dir, f.filter(col("doc_id") < cut))
       val hist = s.read.parquet(indexPath)
       val fresh = f.filter(col("doc_id") >= cut)
       val survivors = fresh.join(hist, Seq("fp"), "left_anti")

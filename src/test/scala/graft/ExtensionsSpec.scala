@@ -310,6 +310,35 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(nSurv > 0, "everything deduped — weak fixture?")
   }
 
+  test("incremental dedup index grows per ingest: batch 2 dedups against batch 1") {
+    import graft.ops.TextQueries
+    // a fresh index in scratch, seeded from two history docs
+    val root = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    val indexPath = s"$root/_graft_fp_index"
+    def docs(rows: (Long, String)*) = {
+      import spark.implicits._
+      rows.toSeq.toDF("doc_id", "text")
+    }
+    val history = docs(1L -> "alpha bravo charlie delta echo foxtrot",
+      2L -> "golf hotel india juliet kilo lima")
+    TextQueries.appendToFpIndex(TextQueries.fingerprintFrame(history), indexPath)
+    // batch 1: one dupe of history doc 1, one genuinely new doc
+    val b1 = docs(10L -> "alpha bravo charlie delta echo foxtrot",
+      11L -> "november oscar papa quebec romeo sierra")
+    val s1 = TextQueries.ingestBatch(spark, b1, indexPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(11L), s"batch 1 survivors: $s1")
+    // batch 2: a dupe of batch 1's SURVIVOR (only the index growth can
+    // catch it — history never contained doc 11) plus one new doc
+    val b2 = docs(20L -> "november oscar papa quebec romeo sierra",
+      21L -> "tango uniform victor whiskey xray yankee")
+    val s2 = TextQueries.ingestBatch(spark, b2, indexPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(21L), s"batch 2 survivors: $s2")
+    // the index grew by APPENDED segments — nothing was rewritten
+    assert(spark.read.parquet(indexPath).count() >= 4)
+  }
+
   test("sequence packing conserves tokens and numbers packs densely per source") {
     val rows = run("pipeline_pack_sequences").collect()
     val totalTokens = Scans.table(spark, sfDir, "documents")
