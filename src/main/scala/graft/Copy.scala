@@ -101,12 +101,31 @@ object Copy {
     if (allMatch) 0 else 2
   }
 
+  /** Config-file entry (testable seam): load the reference-schema JSON at
+    * `path` and run the copy it describes. Any config-load failure exits
+    * 1 — the reference crashes out of `Program.cs` main on
+    * `ArgumentException`, i.e. non-zero to the shell before any copy.
+    */
+  def runFromConfigFile(
+      spark: SparkSession,
+      path: String,
+      env: String => Option[String] = sys.env.get): Int =
+    try {
+      val cfg = CopyConfig.load(path, env)
+      run(spark, cfg.sourceDir, cfg.destDir, cfg.tablePatterns, cfg.plan)
+    } catch {
+      case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
+        System.err.println(s"graft.Copy config error: ${e.getMessage}")
+        1
+    }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse(
+    val viaConfig = args.headOption.contains("--config")
+    val sfDir = args.headOption.filterNot(_ == "--config").getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-    val destDir = args.lift(1).getOrElse(
+    val destDir = args.lift(1).filter(_ => !viaConfig).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_copy_run")
-    val patterns = if (args.length > 2) args.drop(2).toSeq else Seq("*")
+    val patterns = if (!viaConfig && args.length > 2) args.drop(2).toSeq else Seq("*")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 8)
@@ -115,7 +134,16 @@ object Copy {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val code = try run(spark, sfDir, destDir, patterns) finally spark.stop()
+    val code =
+      try {
+        if (viaConfig)
+          runFromConfigFile(spark, args.lift(1).getOrElse(
+            throw new IllegalArgumentException("--config needs a file path")))
+        else run(spark, sfDir, destDir, patterns)
+      } catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"graft.Copy usage error: ${e.getMessage}"); 1
+      } finally spark.stop()
     println(s"graft.Copy exit=$code")
     sys.exit(code)
   }

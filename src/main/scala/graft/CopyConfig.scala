@@ -1,0 +1,153 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.plan.{PartitionStrategy, PlanConfig}
+
+/** JSON config file for the `graft.Copy` entry point — the reference's
+  * `smartbulkcopy.config` surface (`SmartBulkCopyConfig.cs:118-222`,
+  * golden fixture `tests/smartbulkcopy.config.test.json`):
+  *
+  *   - `source` / `destination` → `connection-string`, falling back to
+  *     the `source-connection-string` / `destination-connection-string`
+  *     process environment variables when the key is absent
+  *     (`SmartBulkCopyConfig.cs:141-142`). For this engine a "connection
+  *     string" is the directory holding the parquet tables.
+  *   - `tables`: `include`/`exclude` arrays mapped to ordered `+:`/`-:`
+  *     fold entries (`SmartBulkCopyConfig.cs:204-214`), or the legacy
+  *     flat `tables` array passed through verbatim (`:215-219`) — both
+  *     feed [[graft.exec.Pipeline.expandTableList]]'s ordered fold.
+  *   - `options`: `tasks`, `batch-size`, tri-modal `logical-partitions`
+  *     (`"auto"` | `"<n>gb"` | `"<count>"`, `:152-170`), `safe-check`
+  *     (`none|readonly|read-only|snapshot`, `:174-193`), `stop-if`
+  *     subtraction flags — default ON, an explicit false removes one
+  *     (`:194-199`) — plus `truncate-tables` and
+  *     `retry-connection.max-attempt` / `.delay-increment`.
+  *
+  * Malformed values throw [[IllegalArgumentException]] exactly where the
+  * reference throws `ArgumentException`; `Copy` maps any load failure to
+  * exit 1.
+  */
+final case class CopyConfig(
+    sourceDir: String,
+    destDir: String,
+    tablePatterns: Seq[String],
+    plan: PlanConfig,
+    /** Recorded for fidelity: parquet sources are immutable snapshots, so
+      * every mode degrades to the same existence/well-formedness probe
+      * (the reference's mode picks WHICH server-side immutability query
+      * runs, `SmartBulkCopy.cs:111-133`). */
+    safeCheck: String,
+    truncateTables: Boolean,
+    retryMaxAttempt: Int,
+    retryDelayIncrement: Int)
+
+object CopyConfig {
+
+  def load(path: String, env: String => Option[String] = sys.env.get): CopyConfig =
+    parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)), env)
+
+  def parse(json: String, env: String => Option[String] = sys.env.get): CopyConfig = {
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"config is not valid JSON: ${e.getMessage}")
+      }
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException("config root must be a JSON object")
+
+    def at(node: JsonNode, key: String): Option[JsonNode] =
+      Option(node.get(key)).filterNot(_.isNull)
+
+    def conn(side: String): String =
+      at(root, side).flatMap(at(_, "connection-string")).map(_.asText())
+        .orElse(env(s"$side-connection-string"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no $side connection string in config or environment"))
+
+    // tables: include/exclude form wins; legacy flat array passes through
+    val patterns: Seq[String] = at(root, "tables") match {
+      case Some(t) if t.isObject =>
+        def arr(key: String, prefix: String): Seq[String] = at(t, key).toSeq
+          .flatMap(a => (0 until a.size).map(i => prefix + a.get(i).asText()))
+        val inc = arr("include", "+:")
+        if (inc.isEmpty)
+          throw new IllegalArgumentException("tables.include must be a non-empty array")
+        inc ++ arr("exclude", "-:")
+      case Some(t) if t.isArray =>
+        (0 until t.size).map(i => t.get(i).asText())
+      case Some(_) =>
+        throw new IllegalArgumentException("tables must be an object or an array")
+      case None => Seq("*")
+    }
+
+    val opts = at(root, "options")
+    def opt(key: String): Option[JsonNode] = opts.flatMap(at(_, key))
+
+    // tri-modal logical-partitions (SmartBulkCopyConfig.cs:152-170):
+    // empty/"auto" → Auto; "<n>gb" → Size; integer → Count; else throw
+    val strategy = opt("logical-partitions").map(_.asText().toLowerCase.trim)
+      .filter(_.nonEmpty) match {
+      case None | Some("auto") => PartitionStrategy.Auto
+      case Some(lp) if lp.endsWith("gb") =>
+        val n = lp.dropRight(2)
+        try PartitionStrategy.SizeGb(n.toDouble)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad logical-partitions size: $lp")
+        }
+      case Some(lp) =>
+        try PartitionStrategy.Count(lp.toInt)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "logical-partitions can only contain \"auto\", a number (eg: 7) " +
+              s"or a size in GB (eg: 10GB); got: $lp")
+        }
+    }
+
+    val safeCheck = opt("safe-check").map(_.asText().toLowerCase) match {
+      case None | Some("readonly") | Some("read-only") => "readonly"
+      case Some(v @ ("none" | "snapshot"))             => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"safe-check can only contain 'none', 'readonly' or 'snapshot'; got: $other")
+    }
+
+    // stop-if flags default ON; only an explicit false removes one
+    val stopIf = opt("stop-if")
+    def stopFlag(key: String): Boolean =
+      stopIf.flatMap(at(_, key)).forall(_.asBoolean(true))
+
+    def asIntStrict(n: JsonNode, key: String): Int =
+      if (n.isNumber) n.asInt()
+      else try n.asText().toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$key must be an integer")
+      }
+    def intOpt(key: String, default: Int): Int =
+      opt(key).map(asIntStrict(_, key)).getOrElse(default)
+    def retryOpt(key: String, default: Int): Int =
+      opt("retry-connection").flatMap(at(_, key))
+        .map(asIntStrict(_, s"retry-connection.$key")).getOrElse(default)
+
+    val plan =
+      try PlanConfig(
+        tasks = intOpt("tasks", 7),
+        batchSize = intOpt("batch-size", 100000),
+        strategy = strategy,
+        stopIfSecondaryIndex = stopFlag("secondary-indexes"),
+        stopIfTemporalTable = stopFlag("temporal-table"))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"bad options: ${e.getMessage}")
+      }
+
+    CopyConfig(
+      sourceDir = conn("source"),
+      destDir = conn("destination"),
+      tablePatterns = patterns,
+      plan = plan,
+      safeCheck = safeCheck,
+      // reference default: false (SmartBulkCopyConfig.cs:104)
+      truncateTables = opt("truncate-tables").exists(_.asBoolean(false)),
+      retryMaxAttempt = retryOpt("max-attempt", 5),
+      retryDelayIncrement = retryOpt("delay-increment", 10))
+  }
+}

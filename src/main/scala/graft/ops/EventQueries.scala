@@ -372,32 +372,41 @@ object EventQueries {
 
     // ------------------------------------------------------------------
     // events_cdc_merge — latest-state materialization (SCD type-1 /
-    // CDC compaction): collapse each user's change stream to its most
-    // recent row — the MERGE a change-data-capture pipeline applies to
-    // keep a queryable snapshot. One shuffle on user_id; row_number
-    // with a (ms, event_id) DESC order makes the survivor
-    // deterministic even under same-millisecond updates. At 100 TB
-    // this is the compaction job that bounds a CDC table's size.
+    // CDC compaction) over the FULL population: collapse each user's
+    // change stream to its most recent row — the MERGE a
+    // change-data-capture pipeline applies to keep a queryable
+    // snapshot. One shuffle on user_id; row_number with a
+    // (ms, event_id) DESC order makes the survivor deterministic even
+    // under same-millisecond updates. The declared surface rolls the
+    // per-user snapshot up to (user bucket, surviving type) counts +
+    // the integer-exact sum of survivor timestamps — any user's
+    // survivor changing moves two cells, so the rollup pins the whole
+    // assignment without hashing ~all-users rows. At 100 TB this is
+    // the compaction job that bounds a CDC table's size.
     // ------------------------------------------------------------------
     QueryDef("events_cdc_merge",
-      """SELECT user_id, event_type, ms, round(value, 2) AS value FROM (
-        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, value,
-        |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-        |  FROM events WHERE user_id < 50) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      """WITH s AS (
+        |  SELECT user_id, event_type, ms FROM (
+        |    SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1)
+        |SELECT user_id % 20 AS bucket, event_type,
+        |       count(*) AS n_users, CAST(sum(ms) AS BIGINT) AS sum_ms
+        |FROM s GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ms").desc, col("event_id").desc)
       Scans.table(s, dir, "events")
-        .filter(col("user_id") < 50)
         .select(col("user_id"), col("event_type"),
-          unix_millis(col("ts")).as("ms"), col("value"), col("event_id"))
+          unix_millis(col("ts")).as("ms"), col("event_id"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("ms"),
-          round(col("value"), 2).as("value"))
-        .orderBy(col("user_id"))
+        .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("ms")).cast("long").as("sum_ms"))
+        .orderBy(col("bucket"), col("event_type"))
     },
 
     // ------------------------------------------------------------------
@@ -409,14 +418,15 @@ object EventQueries {
     // is ONE shuffle on user_id reused by both sorts; the per-type
     // report is a tiny rollup. Millisecond epochs keep the compare
     // integer-exact; the open (last) interval per user is counted but
-    // excluded from the duration sum.
+    // excluded from the duration sum. Full population — the rollup
+    // keeps the output per-type-small whatever the user count.
     // ------------------------------------------------------------------
     QueryDef("events_scd2_intervals",
       """WITH o AS (
         |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
         |         lag(event_type) OVER (PARTITION BY user_id
         |                               ORDER BY epoch_ms(ts), event_id) AS prev_type
-        |  FROM events WHERE user_id < 50),
+        |  FROM events),
         |ch AS (
         |  SELECT user_id, event_type, ms,
         |         lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms
@@ -429,7 +439,6 @@ object EventQueries {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ms"), col("event_id"))
       val o = Scans.table(s, dir, "events")
-        .filter(col("user_id") < 50)
         .select(col("user_id"), col("event_type"), col("event_id"),
           unix_millis(col("ts")).as("ms"))
         .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))

@@ -627,5 +627,229 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vectors"),
           sum(col("vec_id")).cast("long").as("sum_vec_ids"))
         .orderBy(col("subspace"), col("code"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_kmeans_train — the FULL Lloyd's training loop (3 rounds, k=8,
+    // cosine assignment, seeds vec_ids 1..8), not just one step: the
+    // IVF codebook training job. Each round is ONE corpus scan + one
+    // partially-aggregated (cell, dim) rollup; between rounds only the
+    // k×d centroid matrix moves, collected to the driver and re-embedded
+    // as plan literals — the Spark MLlib KMeans shape, and the reason
+    // assignment stays a pure Project (zero Exchange, plan-locked) at
+    // any corpus size. Cross-engine trajectory contract: 6-dp-rounded
+    // centroid means, 6-dp-rounded assignment score with smaller-cid
+    // tie-break — DuckDB replays the identical 3 rounds from the same
+    // seeds. Report: round-3 assignment stats + per-cell inertia
+    // (sum of 1−cos) + the round-3 updated centroids.
+    // ------------------------------------------------------------------
+    QueryDef("sim_kmeans_train", kmeansTrainSql(3)) { (s, dir) =>
+      kmeansTrainFrame(s, dir, rounds = 3)
+    },
+
+    // ------------------------------------------------------------------
+    // sim_pq_adc_topk — asymmetric-distance (ADC) top-k over PQ codes:
+    // the retrieval half of IVF-PQ (sim_pq_quantize is the compression
+    // half). The query is never compared to raw corpus vectors — each
+    // corpus row is its 8 code bytes; the query precomputes an 8×4
+    // lookup table of subspace distances (ONE broadcast row, O(M·k)
+    // work per query), and a row's distance is the sum of 8 table
+    // lookups. At 100 TB the scan reads the 32×-compressed code table
+    // and does no vector math per row; the top-k is a distributed
+    // TakeOrdered. Same determinism contract as the encode: 6-dp
+    // squared L2, smaller-cid argmin tie-break, 6-dp ADC sum, vec_id
+    // rank tie-break.
+    // ------------------------------------------------------------------
+    QueryDef("sim_pq_adc_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT m.m AS subspace, cb.cid,
+        |         round(list_reduce(list_transform(range(1, 9),
+        |                 i -> (q.qv[m.m*8+i] - cb.cv[m.m*8+i])
+        |                      * (q.qv[m.m*8+i] - cb.cv[m.m*8+i])),
+        |               (a, b) -> a + b), 6) AS d
+        |  FROM q, unnest(generate_series(0, 7)) AS m(m), cb),
+        |sub AS (
+        |  SELECT e.vec_id, m.m AS subspace, cb.cid,
+        |         round(list_reduce(list_transform(range(1, 9),
+        |                 i -> (e.v[m.m*8+i] - cb.cv[m.m*8+i])
+        |                      * (e.v[m.m*8+i] - cb.cv[m.m*8+i])),
+        |               (a, b) -> a + b), 6) AS d
+        |  FROM e, unnest(generate_series(0, 7)) AS m(m), cb
+        |  WHERE e.vec_id <> 0),
+        |assign AS (
+        |  SELECT vec_id, subspace, cid AS code FROM (
+        |    SELECT vec_id, subspace, cid,
+        |           row_number() OVER (PARTITION BY vec_id, subspace
+        |                              ORDER BY d, cid) AS rn
+        |    FROM sub) t
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT a.vec_id, round(sum(l.d), 6) AS adc_dist
+        |  FROM assign a JOIN lut l ON l.subspace = a.subspace AND l.cid = a.code
+        |  GROUP BY a.vec_id)
+        |SELECT rank, vec_id, adc_dist FROM (
+        |  SELECT vec_id, adc_dist,
+        |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      // sub-codebook sorted by cid so LUT position = cid (1-based)
+      val codebook = emb.filter(col("vec_id").between(1, 4))
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv")))).as("cb"))
+      val sqDist = // 6-dp squared L2 between subspace m of `v` and c.cv
+        """round(aggregate(
+          |  zip_with(slice(%s, m*8+1, 8), slice(c.cv, m*8+1, 8),
+          |    (x, y) -> (cast(x AS double) - cast(y AS double))
+          |              * (cast(x AS double) - cast(y AS double))),
+          |  cast(0 AS double), (acc, v) -> acc + v), 6)""".stripMargin
+      val lutRow = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+        .crossJoin(broadcast(codebook))
+        .select(expr(
+          s"transform(sequence(0, 7), m -> transform(cb, c -> ${sqDist.format("qv")}))")
+          .as("lut"))
+      val codes = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"), expr(
+          s"""transform(sequence(0, 7), m ->
+             |  (array_min(transform(cb, c -> struct(
+             |    ${sqDist.format("embedding")} AS d, c.cid AS cid)))).cid)""".stripMargin)
+          .as("codes"))
+      val scored = codes.crossJoin(broadcast(lutRow))
+        .select(col("vec_id"),
+          round(expr(
+            """aggregate(sequence(0, 7), cast(0 AS double),
+              |  (acc, m) -> acc + element_at(element_at(lut, m + 1),
+              |                               cast(element_at(codes, m + 1) AS int)))"""
+              .stripMargin), 6).as("adc_dist"))
+      // distributed TakeOrdered, then rank over exactly 10 rows
+      scored.orderBy(col("adc_dist"), col("vec_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("adc_dist"), col("vec_id")))
+            .cast("long"))
+        .select(col("rank"), col("vec_id"), col("adc_dist"))
+        .orderBy(col("rank"))
     })
+
+  // ---------------------------------------------------------------
+  // k-means training building blocks (sim_kmeans_train + specs)
+  // ---------------------------------------------------------------
+
+  /** One Lloyd's assignment pass against a driver-held codebook,
+    * embedded as plan literals: a pure Project over the corpus scan —
+    * no Exchange touches the corpus (plan-locked in PlanQualitySpec).
+    * Returns (vec_id, embedding, cell, cs). Uses the generic double
+    * cosine composition, not the float-typed native expression: trained
+    * centroids are double vectors and must not round-trip through
+    * float.
+    */
+  def kmeansAssign(emb: DataFrame, codebook: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cbLit = array(codebook.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    emb.select(col("vec_id"), col("embedding"),
+      array_max(transform(cbLit, c => struct(
+        round(cosine(col("embedding"), c.getField("cv")), 6).as("cs"),
+        (-c.getField("cid")).as("neg_cid"),
+        c.getField("cid").as("cid")))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best").getField("cid").as("cell"),
+        col("best").getField("cs").as("cs"))
+  }
+
+  /** Centroid update: 6-dp-rounded per-(cell, dim) means via posexplode
+    * + partial aggregation, collected to the driver — k×d doubles, the
+    * only thing that moves between rounds.
+    */
+  def kmeansUpdate(assigned: DataFrame): Seq[(Long, Seq[Double])] = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned.select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
+
+  /** Seed centroids: the raw float vectors of vec_ids 1..8, widened to
+    * double (exact — both engines start from identical seeds). */
+  def kmeansSeeds(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    Scans.table(s, dir, "embeddings").filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
+
+  /** R rounds of assign/update from the standard seeds; returns the
+    * report frame (cell, n_members, sum_vec_ids, centroid_norm, dim0,
+    * inertia). */
+  def kmeansTrainFrame(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one training round")
+    import s.implicits._
+    val emb = Scans.table(s, dir, "embeddings")
+    var codebook = kmeansSeeds(s, dir)
+    var assigned: DataFrame = null
+    for (_ <- 1 to rounds) {
+      assigned = kmeansAssign(emb, codebook)
+      codebook = kmeansUpdate(assigned)
+    }
+    val stats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).cast("long").as("sum_vec_ids"),
+        round(sum(lit(1.0) - col("cs")), 4).as("inertia"))
+    // centroid summary from the collected round-R codebook; the norm's
+    // sum runs in dim order (deterministic fold) before the 4-dp round
+    val cents = codebook.toDF("cell", "cv")
+      .select(col("cell"),
+        round(sqrt(aggregate(col("cv"), lit(0.0), (a, m) => a + m * m)), 4)
+          .as("centroid_norm"),
+        round(element_at(col("cv"), 1), 6).as("dim0"))
+    stats.join(cents, Seq("cell"))
+      .select(col("cell"), col("n_members"), col("sum_vec_ids"),
+        col("centroid_norm"), col("dim0"), col("inertia"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB replay of the full training loop, generated for R rounds —
+    * both dialects of a round come from this one definition, so the
+    * trajectory cannot drift between engines.
+    */
+  private def kmeansTrainSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |a$r AS (
+        |  SELECT vec_id, cell, v, cs FROM (
+        |    SELECT e.vec_id, c.cid AS cell, e.v,
+        |           round(list_cosine_similarity(e.v, c.cv), 6) AS cs,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.cid) AS rn
+        |    FROM e CROSS JOIN cb${r - 1} c) t
+        |  WHERE rn = 1),
+        |m$r AS (SELECT cell, u.i - 1 AS dim, round(avg(a.v[u.i]), 6) AS m
+        |        FROM a$r a, unnest(generate_series(1, len(a.v))) AS u(i)
+        |        GROUP BY cell, dim),
+        |cb$r AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM m$r GROUP BY cell)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT s.cell, s.n_members, s.sum_vec_ids, c.centroid_norm, c.dim0, s.inertia
+      |FROM (SELECT cell, count(*) AS n_members,
+      |             CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
+      |             round(sum(1 - cs), 4) AS inertia
+      |      FROM a$rounds GROUP BY cell) s
+      |JOIN (SELECT cell, round(sqrt(sum(m * m)), 4) AS centroid_norm,
+      |             round(min(CASE WHEN dim = 0 THEN m END), 6) AS dim0
+      |      FROM m$rounds GROUP BY cell) c ON c.cell = s.cell
+      |ORDER BY s.cell""".stripMargin
+    sb.toString
+  }
 }

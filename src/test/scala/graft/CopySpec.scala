@@ -59,6 +59,92 @@ class CopySpec extends SparkSpecBase {
         if (t == "nation") throw new RuntimeException("injected task failure")) == 3)
   }
 
+  test("config file drives a full run: include/exclude fold, options parse") {
+    val d = destDir
+    val cfgPath = s"$d/copy.config.json"
+    // modeled on the reference's golden fixture
+    // (tests/smartbulkcopy.config.test.json): include-all + excludes,
+    // tri-modal logical-partitions, stop-if, retry-connection
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "source":      { "connection-string": "$sfDir" },
+         |  "destination": { "connection-string": "$d" },
+         |  "tables": { "include": [ "*" ],
+         |              "exclude": [ "lineitem", "orders", "events",
+         |                           "documents", "embeddings", "part",
+         |                           "customer", "supplier" ] },
+         |  "options": {
+         |    "tasks": 4,
+         |    "logical-partitions": "auto",
+         |    "batch-size": 50000,
+         |    "truncate-tables": true,
+         |    "safe-check": "read-only",
+         |    "stop-if": { "secondary-indexes": true, "temporal-table": false },
+         |    "retry-connection": { "delay-increment": 10, "max-attempt": 5 }
+         |  }
+         |}""".stripMargin)
+    val cfg = CopyConfig.load(cfgPath)
+    assert(cfg.tablePatterns.take(2) == Seq("+:*", "-:lineitem"))
+    assert(cfg.plan.tasks == 4 && cfg.plan.batchSize == 50000)
+    assert(cfg.plan.strategy == graft.plan.PartitionStrategy.Auto)
+    assert(cfg.plan.stopIfSecondaryIndex && !cfg.plan.stopIfTemporalTable)
+    assert(cfg.safeCheck == "readonly" && cfg.truncateTables)
+    assert(Copy.runFromConfigFile(spark, cfgPath) == 0)
+    // only the two small tables survive the exclude fold
+    assert(new java.io.File(s"$d/region.parquet").exists())
+    assert(new java.io.File(s"$d/nation.parquet").exists())
+    assert(!new java.io.File(s"$d/orders.parquet").exists())
+  }
+
+  test("malformed config exits 1 before any copy") {
+    val d = destDir
+    def write(name: String, body: String): String = {
+      val p = s"$d/$name.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), body)
+      p
+    }
+    // the reference's ArgumentException sites: bad logical-partitions,
+    // bad safe-check — plus non-JSON and a missing connection string
+    assert(Copy.runFromConfigFile(spark, write("lp",
+      s"""{"source": {"connection-string": "$sfDir"},
+          |"destination": {"connection-string": "$d"},
+          |"options": {"logical-partitions": "seven"}}""".stripMargin)) == 1)
+    assert(Copy.runFromConfigFile(spark, write("sc",
+      s"""{"source": {"connection-string": "$sfDir"},
+          |"destination": {"connection-string": "$d"},
+          |"options": {"safe-check": "maybe"}}""".stripMargin)) == 1)
+    assert(Copy.runFromConfigFile(spark, write("nj", "not json at all")) == 1)
+    assert(Copy.runFromConfigFile(spark, write("nc", "{}"),
+      env = _ => None) == 1)
+    assert(Copy.runFromConfigFile(spark, s"$d/no_such_file.json") == 1)
+    assert(!new java.io.File(s"$d/region.parquet").exists(),
+      "a malformed config must fail before any copy")
+  }
+
+  test("config parse: env fallback, legacy flat tables, tri-modal lp") {
+    val env = Map(
+      "source-connection-string" -> "/env/src",
+      "destination-connection-string" -> "/env/dst")
+    val cfg = CopyConfig.parse(
+      """{"tables": ["region", "-:nation", "+:nation"],
+        |"options": {"logical-partitions": "24"}}""".stripMargin, env.get)
+    assert(cfg.sourceDir == "/env/src" && cfg.destDir == "/env/dst")
+    // legacy flat array passes through verbatim — order preserved
+    assert(cfg.tablePatterns == Seq("region", "-:nation", "+:nation"))
+    assert(cfg.plan.strategy == graft.plan.PartitionStrategy.Count(24))
+    val sized = CopyConfig.parse(
+      """{"source": {"connection-string": "s"},
+        |"destination": {"connection-string": "d"},
+        |"options": {"logical-partitions": "8GB"}}""".stripMargin, _ => None)
+    assert(sized.plan.strategy == graft.plan.PartitionStrategy.SizeGb(8.0))
+    // no tables section at all → copy everything
+    assert(sized.tablePatterns == Seq("*"))
+    // defaults mirror the reference's field initializers
+    assert(sized.plan.tasks == 7 && sized.plan.batchSize == 100000)
+    assert(sized.retryMaxAttempt == 5 && sized.retryDelayIncrement == 10)
+    assert(!sized.truncateTables && sized.safeCheck == "readonly")
+  }
+
   test("analysis failure aborts BEFORE any table is copied") {
     val d = destDir
     val dst = Catalog.collect(spark, sfDir, "nation")

@@ -339,6 +339,64 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(spark.read.parquet(indexPath).count() >= 4)
   }
 
+  test("kmeans training inertia decreases monotonically over 3 rounds") {
+    import graft.ops.SimilarityQueries
+    val emb = Scans.table(spark, sfDir, "embeddings")
+    var codebook = SimilarityQueries.kmeansSeeds(spark, sfDir)
+    val inertias = (1 to 3).map { _ =>
+      val assigned = SimilarityQueries.kmeansAssign(emb, codebook)
+      val inertia = assigned.agg(sum(lit(1.0) - col("cs")))
+        .collect()(0).getDouble(0)
+      codebook = SimilarityQueries.kmeansUpdate(assigned)
+      inertia
+    }
+    // Lloyd's with the mean-direction update never worsens the cosine
+    // objective; 6-dp rounding allows only epsilon wobble
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-4, s"inertia rose between rounds: $inertias")
+    }
+    assert(inertias.last < inertias.head, s"training made no progress: $inertias")
+    // the declared query reports the same final state
+    val rows = run("sim_kmeans_train").collect()
+    assert(rows.nonEmpty && rows.map(_.getAs[Long]("n_members")).sum ==
+      Scans.table(spark, sfDir, "embeddings").count(),
+      "every vector must belong to exactly one cell")
+  }
+
+  test("ADC top-k recalls brute-force neighbors and orders by distance") {
+    val adc = run("sim_pq_adc_topk").collect()
+    assert(adc.map(_.getAs[Long]("rank")).toSeq == (1L to adc.size),
+      "ranks not dense")
+    val dists = adc.map(_.getAs[Double]("adc_dist")).toSeq
+    assert(dists == dists.sorted, "not distance-ordered")
+    assert(dists.forall(_ >= 0.0))
+    // recall vs the exact scan: PQ with M=8 and a k=4 fixture
+    // sub-codebook is a deliberately coarse 8-byte sketch, so the bound
+    // is weak — but a DISJOINT result would mean the LUT/code wiring is
+    // broken (measured overlap at this SF: 1..2 of 10)
+    val exact = run("sim_brute_force_topk").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val picks = adc.map(_.getAs[Long]("vec_id")).toSeq
+    assert(picks.count(exact.contains) >= 1,
+      s"ADC top-10 disjoint from brute force: $picks vs $exact")
+    // the stronger, fixture-robust property: ADC's picks must be
+    // genuinely closer to the query (true squared L2) than the corpus
+    // average — the 8-byte sketch RANKS, it doesn't sample
+    val emb = Scans.table(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val trueDist = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(
+        """aggregate(zip_with(embedding, qv,
+          |  (x, y) -> (cast(x AS double) - cast(y AS double))
+          |            * (cast(x AS double) - cast(y AS double))),
+          |  cast(0 AS double), (a, v) -> a + v)""".stripMargin).as("d"))
+    val corpusMean = trueDist.agg(avg(col("d"))).collect()(0).getDouble(0)
+    val pickMean = trueDist.filter(col("vec_id").isin(picks: _*))
+      .agg(avg(col("d"))).collect()(0).getDouble(0)
+    assert(pickMean < corpusMean * 0.95,
+      s"ADC picks no closer than random: picks=$pickMean corpus=$corpusMean")
+  }
+
   test("sequence packing conserves tokens and numbers packs densely per source") {
     val rows = run("pipeline_pack_sequences").collect()
     val totalTokens = Scans.table(spark, sfDir, "documents")

@@ -260,11 +260,13 @@ class PipelineSpec extends SparkSpecBase {
     assert(parted.count() == flat.count())
   }
 
-  test("flat fan-out drops out-of-range rows exactly as the slice union would") {
+  /** Stage a FLAT single-file lineitem with 100 clean rows plus one row
+    * OUTSIDE the declared 1..7 year ranges and one with a NULL partition
+    * column — the dirty-data fixture for the fan-out parity and
+    * reconciliation tests. Returns the staged source dir.
+    */
+  private def stageDirtyFlatLineitem(): String = {
     import graft.exec.Scans
-    // a flat source with one row OUTSIDE the declared 1..7 year ranges
-    // and one with a NULL partition column: both code paths must agree
-    // (the r2 flat path silently absorbed them into the copy)
     val stage = java.nio.file.Files.createTempDirectory("graft_flat").toString
     val li = Scans.table(spark, sfDir, "lineitem").limit(100).cache()
     val outOfRange = li.limit(1)
@@ -273,10 +275,19 @@ class PipelineSpec extends SparkSpecBase {
       .withColumn("l_shipdate", lit(null).cast("timestamp"))
     li.union(outOfRange).union(nullPart)
       .coalesce(1).write.parquet(s"$stage/staged")
+    li.unpersist()
     val part = new java.io.File(s"$stage/staged").listFiles()
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.move(part.toPath,
       java.nio.file.Paths.get(s"$stage/lineitem.parquet"))
+    stage
+  }
+
+  test("flat fan-out drops out-of-range rows exactly as the slice union would") {
+    import graft.exec.Scans
+    // both code paths must agree on dirty data (the r2 flat path
+    // silently absorbed out-of-range rows into the copy)
+    val stage = stageDirtyFlatLineitem()
     val meta = Catalog.declared("lineitem")
     val items = (1 to 7).map(n =>
       WorkItem(meta, SliceSpec.Physical("l_shipdate", n), orderHint = Nil))
@@ -285,7 +296,27 @@ class PipelineSpec extends SparkSpecBase {
       .reduce(_ unionAll _)
     assert(viaFlat.count() == 100, "flat path absorbed out-of-range rows")
     assert(viaFlat.count() == viaUnion.count())
-    li.unpersist()
+  }
+
+  test("reconciliation catches the coverage hole a dirty flat source creates") {
+    // End-to-end: copyTable against the dirty flat source plans the
+    // physical fan-out, both paths drop the 2 dirty rows (parity test
+    // above), and the rowcount reconciliation — the reference's
+    // CheckResults contract — must surface the hole instead of
+    // reporting a clean copy.
+    val stage = stageDirtyFlatLineitem()
+    val src = Catalog.collect(spark, stage, "lineitem")
+      .copy(partitionCol = Some("l_shipdate"), partitionCount = 7)
+    val dst = src.copy(storage = Storage.Heap, foreignKeyCount = 0,
+      secondaryIndexCount = 0, history = None)
+    // batchSize below the rowcount so the small-table bypass (a Whole
+    // scan, which keeps every row) cannot engage
+    val r = Pipeline.copyTable(spark, stage, destDir, src, dst,
+      PlanConfig(batchSize = 10))
+    assert(r.sliceKind == "physical" && r.workItems == 7, r.toString)
+    assert(!r.ok, s"coverage hole not flagged: $r")
+    assert(r.srcRows == r.dstRows + 2,
+      s"expected exactly the 2 dirty rows missing: $r")
   }
 
   test("generated SQL renders a key-less logical slice via xxhash64") {

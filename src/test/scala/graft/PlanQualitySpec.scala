@@ -381,4 +381,30 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(userExchanges == 1, s"$userExchanges user_id exchanges\n${p.take(2500)}")
     assert(!p.contains("SinglePartition"), p.take(2500))
   }
+
+  test("kmeans training assignment is a pure Project: zero Exchange per round") {
+    // the literal-codebook design's whole point: a training ROUND scans
+    // the corpus once and nothing else — no broadcast join node, no
+    // shuffle of any kind until the centroid rollup (which is a
+    // separate, partially-aggregated plan)
+    import graft.ops.SimilarityQueries
+    val emb = graft.exec.Scans.table(spark, sfDir, "embeddings")
+    val seeds = SimilarityQueries.kmeansSeeds(spark, sfDir)
+    val p = SimilarityQueries.kmeansAssign(emb, seeds)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment shuffled the corpus:\n${p.take(2500)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(2000))
+  }
+
+  test("sim_pq_adc_topk never shuffles the corpus: LUT broadcast + TakeOrdered") {
+    // codes and ADC sums are row-local against two broadcast rows (the
+    // sub-codebook, the query LUT); the only ordering step is a
+    // distributed TakeOrdered over (dist, vec_id) — no corpus exchange
+    val p = plan("sim_pq_adc_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2500))
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled before scoring:\n${p.take(2500)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+  }
 }
