@@ -40,7 +40,14 @@ final case class CopyConfig(
     safeCheck: String,
     truncateTables: Boolean,
     retryMaxAttempt: Int,
-    retryDelayIncrement: Int)
+    retryDelayIncrement: Int,
+    /** Parsed for surface fidelity (`SmartBulkCopyConfig.cs:93-102`):
+      * no server round-trips to time out against parquet, and identity
+      * sync is always metadata-cheap here — but a reference user's
+      * config file must not silently lose keys. */
+    commandTimeout: Int = 90 * 60, // seconds (SmartBulkCopyConfig.cs:85)
+    syncIdentity: Boolean = false,
+    compatibilityMode: Boolean = false)
 
 object CopyConfig {
 
@@ -148,6 +155,9 @@ object CopyConfig {
       // reference default: false (SmartBulkCopyConfig.cs:104)
       truncateTables = opt("truncate-tables").exists(_.asBoolean(false)),
       retryMaxAttempt = retryOpt("max-attempt", 5),
-      retryDelayIncrement = retryOpt("delay-increment", 10))
+      retryDelayIncrement = retryOpt("delay-increment", 10),
+      commandTimeout = intOpt("command-timeout", 90 * 60),
+      syncIdentity = opt("sync-identity").exists(_.asBoolean(false)),
+      compatibilityMode = opt("compatibility-mode").exists(_.asBoolean(false)))
   }
 }

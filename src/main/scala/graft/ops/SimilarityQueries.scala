@@ -696,44 +696,173 @@ object SimilarityQueries {
         |  FROM scored) r
         |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
-      // sub-codebook sorted by cid so LUT position = cid (1-based)
-      val codebook = emb.filter(col("vec_id").between(1, 4))
-        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-          col("embedding").as("cv")))).as("cb"))
-      val sqDist = // 6-dp squared L2 between subspace m of `v` and c.cv
-        """round(aggregate(
-          |  zip_with(slice(%s, m*8+1, 8), slice(c.cv, m*8+1, 8),
-          |    (x, y) -> (cast(x AS double) - cast(y AS double))
-          |              * (cast(x AS double) - cast(y AS double))),
-          |  cast(0 AS double), (acc, v) -> acc + v), 6)""".stripMargin
+      val codebook = pqCodebook(emb)
       val lutRow = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
         .crossJoin(broadcast(codebook))
         .select(expr(
-          s"transform(sequence(0, 7), m -> transform(cb, c -> ${sqDist.format("qv")}))")
+          s"transform(sequence(0, 7), m -> transform(cb, c -> ${pqSubDistSql("qv")}))")
           .as("lut"))
       val codes = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(codebook))
-        .select(col("vec_id"), expr(
-          s"""transform(sequence(0, 7), m ->
-             |  (array_min(transform(cb, c -> struct(
-             |    ${sqDist.format("embedding")} AS d, c.cid AS cid)))).cid)""".stripMargin)
-          .as("codes"))
+        .select(col("vec_id"), pqCodesCol("embedding"))
       val scored = codes.crossJoin(broadcast(lutRow))
-        .select(col("vec_id"),
-          round(expr(
-            """aggregate(sequence(0, 7), cast(0 AS double),
-              |  (acc, m) -> acc + element_at(element_at(lut, m + 1),
-              |                               cast(element_at(codes, m + 1) AS int)))"""
-              .stripMargin), 6).as("adc_dist"))
-      // distributed TakeOrdered, then rank over exactly 10 rows
-      scored.orderBy(col("adc_dist"), col("vec_id")).limit(10)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("adc_dist"), col("vec_id")))
-            .cast("long"))
-        .select(col("rank"), col("vec_id"), col("adc_dist"))
-        .orderBy(col("rank"))
+        .select(col("vec_id"), adcSumCol)
+      top10ByDist(scored)
+    },
+
+    // ------------------------------------------------------------------
+    // sim_ivf_pq_topk — the COMPLETE IVF-PQ serving path, coarse
+    // quantizer + ADC in one query: assign every vector to its nearest
+    // of 16 coarse cells (6-dp squared L2, smaller-cid ties), probe the
+    // 4 cells nearest the query, and score ONLY the probed candidates
+    // by 8-byte PQ codes against the query's broadcast lookup table.
+    // This is the architecture that serves 100 TB ANN: the cell filter
+    // prunes the corpus to nprobe/16 before any code math, codes are
+    // 32× smaller than vectors, and the query ships as one row
+    // (probes + LUT). Plan: three 1-row broadcasts, row-local
+    // everything, distributed TakeOrdered — the corpus never shuffles.
+    // ------------------------------------------------------------------
+    QueryDef("sim_ivf_pq_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ivf AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 16),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, i.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             round(list_reduce(list_transform(range(1, 65),
+        |                     k -> (e.v[k] - i.cv[k]) * (e.v[k] - i.cv[k])),
+        |                   (a, b) -> a + b), 6), i.cid) AS rn
+        |    FROM e CROSS JOIN ivf i) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT i.cid AS probe FROM ivf i CROSS JOIN q
+        |  ORDER BY round(list_reduce(list_transform(range(1, 65),
+        |              k -> (q.qv[k] - i.cv[k]) * (q.qv[k] - i.cv[k])),
+        |            (a, b) -> a + b), 6), i.cid
+        |  LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, e.v FROM e JOIN cells a ON a.vec_id = e.vec_id
+        |  WHERE a.cell IN (SELECT probe FROM probes) AND e.vec_id <> 0),
+        |lut AS (
+        |  SELECT m.m AS subspace, cb.cid,
+        |         round(list_reduce(list_transform(range(1, 9),
+        |                 i -> (q.qv[m.m*8+i] - cb.cv[m.m*8+i])
+        |                      * (q.qv[m.m*8+i] - cb.cv[m.m*8+i])),
+        |               (a, b) -> a + b), 6) AS d
+        |  FROM q, unnest(generate_series(0, 7)) AS m(m), cb),
+        |sub AS (
+        |  SELECT c.vec_id, m.m AS subspace, cb.cid,
+        |         round(list_reduce(list_transform(range(1, 9),
+        |                 i -> (c.v[m.m*8+i] - cb.cv[m.m*8+i])
+        |                      * (c.v[m.m*8+i] - cb.cv[m.m*8+i])),
+        |               (a, b) -> a + b), 6) AS d
+        |  FROM cand c, unnest(generate_series(0, 7)) AS m(m), cb),
+        |codes AS (
+        |  SELECT vec_id, subspace, cid AS code FROM (
+        |    SELECT vec_id, subspace, cid,
+        |           row_number() OVER (PARTITION BY vec_id, subspace
+        |                              ORDER BY d, cid) AS rn
+        |    FROM sub) t
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT a.vec_id, round(sum(l.d), 6) AS adc_dist
+        |  FROM codes a JOIN lut l ON l.subspace = a.subspace AND l.cid = a.code
+        |  GROUP BY a.vec_id)
+        |SELECT rank, vec_id, adc_dist FROM (
+        |  SELECT vec_id, adc_dist,
+        |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val ivfCb = emb.filter(col("vec_id").between(1, 16))
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv")))).as("icb"))
+      val pqCb = pqCodebook(emb)
+      // the query ships as ONE row: its 4 probe cells + its 8×4 LUT
+      val queryCtx = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+        .crossJoin(broadcast(ivfCb))
+        .crossJoin(broadcast(pqCb))
+        .select(
+          expr(s"""transform(slice(array_sort(transform(icb, c ->
+                  |  struct(${fullSqDistSql("qv")} AS d, c.cid AS cid))), 1, 4),
+                  |  s -> s.cid)""".stripMargin).as("probes"),
+          expr(s"transform(sequence(0, 7), m -> transform(cb, c -> ${pqSubDistSql("qv")}))")
+            .as("lut"))
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(ivfCb))
+        .withColumn("cell", expr(
+          s"""(array_min(transform(icb, c ->
+             |  struct(${fullSqDistSql("embedding")} AS d, c.cid AS cid)))).cid"""
+            .stripMargin))
+        .crossJoin(broadcast(queryCtx))
+        // nprobe pruning happens BEFORE any code math
+        .filter(expr("array_contains(probes, cell)"))
+        .crossJoin(broadcast(pqCb))
+        .withColumn("codes", pqCodesCol("embedding"))
+        .select(col("vec_id"), adcSumCol)
+      top10ByDist(scored)
     })
+
+  // ---------------------------------------------------------------
+  // PQ/ADC building blocks shared by sim_pq_adc_topk + sim_ivf_pq_topk
+  // ---------------------------------------------------------------
+
+  /** The k=4 sub-codebook as ONE row, sorted by cid so LUT position =
+    * cid (1-based). */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id").between(1, 4))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv")))).as("cb"))
+
+  /** SQL fragment: 6-dp squared L2 between subspace `m` (lambda var in
+    * scope) of vector column `v` and sub-codebook entry `c.cv`. */
+  private def pqSubDistSql(v: String): String =
+    s"""round(aggregate(
+       |  zip_with(slice($v, m*8+1, 8), slice(c.cv, m*8+1, 8),
+       |    (x, y) -> (cast(x AS double) - cast(y AS double))
+       |              * (cast(x AS double) - cast(y AS double))),
+       |  cast(0 AS double), (acc, w) -> acc + w), 6)""".stripMargin
+
+  /** SQL fragment: 6-dp squared L2 between the FULL vector column `v`
+    * and coarse-centroid entry `c.cv`. */
+  private def fullSqDistSql(v: String): String =
+    s"""round(aggregate(
+       |  zip_with($v, c.cv,
+       |    (x, y) -> (cast(x AS double) - cast(y AS double))
+       |              * (cast(x AS double) - cast(y AS double))),
+       |  cast(0 AS double), (acc, w) -> acc + w), 6)""".stripMargin
+
+  /** The 8 PQ codes of vector column `v` (argmin over `cb`, smaller-cid
+    * ties), as a `codes` column. */
+  private def pqCodesCol(v: String): Column =
+    expr(
+      s"""transform(sequence(0, 7), m ->
+         |  (array_min(transform(cb, c -> struct(
+         |    ${pqSubDistSql(v)} AS d, c.cid AS cid)))).cid)""".stripMargin)
+      .as("codes")
+
+  /** ADC distance: sum of the 8 LUT lookups selected by `codes`,
+    * 6-dp-rounded, as an `adc_dist` column. */
+  private def adcSumCol: Column =
+    round(expr(
+      """aggregate(sequence(0, 7), cast(0 AS double),
+        |  (acc, m) -> acc + element_at(element_at(lut, m + 1),
+        |                               cast(element_at(codes, m + 1) AS int)))"""
+        .stripMargin), 6).as("adc_dist")
+
+  /** Ascending-distance top-10 with a dense rank: distributed
+    * TakeOrdered, then the rank window over exactly 10 rows. */
+  private def top10ByDist(scored: DataFrame): DataFrame =
+    scored.orderBy(col("adc_dist"), col("vec_id")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("adc_dist"), col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("rank"))
 
   // ---------------------------------------------------------------
   // k-means training building blocks (sim_kmeans_train + specs)

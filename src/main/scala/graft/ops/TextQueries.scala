@@ -118,6 +118,15 @@ object TextQueries {
   private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
   private val toksDuck  = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
 
+
+  // PII patterns — bracket-class-only regex (no backslash classes, no
+  // lookarounds) so Java regex and RE2 agree character for character.
+  // SSN is masked BEFORE phones: 3-2-4 digits must not half-match the
+  // 3-3-4 phone shape after partial replacement.
+  private val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val phoneRx = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  private val ssnRx   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val esStop = Seq("el", "la", "de", "y", "que", "en")
   private val deStop = Seq("der", "die", "das", "und", "ist")
@@ -1070,5 +1079,56 @@ object TextQueries {
         .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
         .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
           coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("sum_clean_ids")))
+    },
+
+    // ------------------------------------------------------------------
+    // text_pii_scrub — PII detection + masking (the privacy-scrub gate
+    // every published training corpus runs): count and replace emails,
+    // phone numbers and SSN-shaped ids with typed mask tokens. Pure
+    // row-local regexp work inside whole-stage codegen — at 100 TB it
+    // rides the ingest scan for free, like the other row-level gates.
+    // The synthetic documents corpus contains no PII by construction,
+    // so the declared surface runs over an inline fixture corpus (the
+    // config_parse pattern); the patterns use the bracket-class regex
+    // subset that Java regex and RE2 interpret identically, and the
+    // Spark side's replace-all default is spelled with the 'g' flag on
+    // the DuckDB side.
+    // ------------------------------------------------------------------
+    QueryDef("text_pii_scrub",
+      s"""WITH docs(doc_id, text) AS (VALUES
+         |  (1, 'contact alice at alice@example.com or 555-867-5309'),
+         |  (2, 'no personal data here at all'),
+         |  (3, 'bob.smith@corp.example.org wrote to carol@example.net'),
+         |  (4, 'call 555 123 4567 and ask for dave'),
+         |  (5, 'ssn 123-45-6789 must never reach training data'))
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRx')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phoneRx')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$ssnRx')) AS BIGINT) AS n_ssn,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailRx', '[EMAIL]', 'g'),
+         |    '$ssnRx', '[SSN]', 'g'),
+         |    '$phoneRx', '[PHONE]', 'g') AS scrubbed
+         |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq(
+        (1, "contact alice at alice@example.com or 555-867-5309"),
+        (2, "no personal data here at all"),
+        (3, "bob.smith@corp.example.org wrote to carol@example.net"),
+        (4, "call 555 123 4567 and ask for dave"),
+        (5, "ssn 123-45-6789 must never reach training data"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRx), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phoneRx), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("text"), lit(ssnRx), lit(0)))
+            .cast("long").as("n_ssn"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            lit(emailRx), lit("[EMAIL]")),
+            lit(ssnRx), lit("[SSN]")),
+            lit(phoneRx), lit("[PHONE]")).as("scrubbed"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -74,10 +74,13 @@ class CopySpec extends SparkSpecBase {
          |                           "documents", "embeddings", "part",
          |                           "customer", "supplier" ] },
          |  "options": {
+         |    "compatibility-mode": true,
+         |    "command-timeout": 5400,
          |    "tasks": 4,
          |    "logical-partitions": "auto",
          |    "batch-size": 50000,
          |    "truncate-tables": true,
+         |    "sync-identity": true,
          |    "safe-check": "read-only",
          |    "stop-if": { "secondary-indexes": true, "temporal-table": false },
          |    "retry-connection": { "delay-increment": 10, "max-attempt": 5 }
@@ -89,6 +92,7 @@ class CopySpec extends SparkSpecBase {
     assert(cfg.plan.strategy == graft.plan.PartitionStrategy.Auto)
     assert(cfg.plan.stopIfSecondaryIndex && !cfg.plan.stopIfTemporalTable)
     assert(cfg.safeCheck == "readonly" && cfg.truncateTables)
+    assert(cfg.commandTimeout == 5400 && cfg.syncIdentity && cfg.compatibilityMode)
     assert(Copy.runFromConfigFile(spark, cfgPath) == 0)
     // only the two small tables survive the exclude fold
     assert(new java.io.File(s"$d/region.parquet").exists())

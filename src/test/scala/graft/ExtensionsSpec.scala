@@ -397,6 +397,26 @@ class ExtensionsSpec extends SparkSpecBase {
       s"ADC picks no closer than random: picks=$pickMean corpus=$corpusMean")
   }
 
+  test("IVF-PQ serving is consistent with plain ADC and only loses by pruning") {
+    val full = run("sim_pq_adc_topk").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_dist")).toMap
+    val pruned = run("sim_ivf_pq_topk").collect()
+    assert(pruned.map(_.getAs[Long]("rank")).toSeq == (1L to pruned.size),
+      "ranks not dense")
+    // the probed candidate set is a SUBSET of the full corpus, so the
+    // pruned best can never beat the exhaustive ADC best…
+    val fullBest = full.values.min
+    assert(pruned.head.getAs[Double]("adc_dist") >= fullBest - 1e-9)
+    // …and wherever the two paths return the same vector, the ADC
+    // distance must be bit-identical (same codes, same LUT)
+    pruned.foreach { r =>
+      full.get(r.getAs[Long]("vec_id")).foreach { d =>
+        assert(d == r.getAs[Double]("adc_dist"),
+          s"ADC disagrees for vec ${r.getAs[Long]("vec_id")}")
+      }
+    }
+  }
+
   test("sequence packing conserves tokens and numbers packs densely per source") {
     val rows = run("pipeline_pack_sequences").collect()
     val totalTokens = Scans.table(spark, sfDir, "documents")

@@ -396,6 +396,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(2000))
   }
 
+  test("sim_ivf_pq_topk prunes cells before code math, zero corpus shuffle") {
+    // the full serving path stacks three 1-row broadcasts (coarse
+    // codebook, query probes+LUT, sub-codebook); the cell filter sits
+    // BELOW the PQ encode so pruned rows never pay code math, and the
+    // corpus reaches the TakeOrdered without ever being exchanged
+    val p = plan("sim_ivf_pq_topk")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled:\n${p.take(2500)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(p.contains("array_contains"), s"no cell pruning filter\n${p.take(2500)}")
+  }
+
   test("sim_pq_adc_topk never shuffles the corpus: LUT broadcast + TakeOrdered") {
     // codes and ADC sums are row-local against two broadcast rows (the
     // sub-codebook, the query LUT); the only ordering step is a
