@@ -109,6 +109,32 @@ object EventStreams {
     }
   }
 
+  final case class LatestIn(userId: Long, ms: Long, eventId: Long, eventType: String)
+  final case class LatestOut(userId: Long, ms: Long, eventType: String)
+
+  /** Keyed latest-state materialization — the streaming dual of
+    * `events_cdc_merge` via `flatMapGroupsWithState`: per-key state
+    * holds the single current survivor (O(1) per key, never the change
+    * history), and each micro-batch emits the keys whose survivor
+    * CHANGED — the update stream a downstream snapshot table applies.
+    * The survivor contract is the batch operator's exactly:
+    * max (ms, event_id), so same-millisecond updates and replayed
+    * micro-batches converge on the identical row.
+    */
+  def latestState(events: Dataset[LatestIn]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId).flatMapGroupsWithState[LatestIn, LatestOut](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      case (userId, rows, state: GroupState[LatestIn]) =>
+        val best = (rows ++ state.getOption.iterator)
+          .maxBy(r => (r.ms, r.eventId))
+        val changed = !state.getOption.contains(best)
+        state.update(best)
+        if (changed) Iterator(LatestOut(userId, best.ms, best.eventType))
+        else Iterator.empty
+    }
+  }
+
   /** Stream-stream interval join — the continuous form of the batch
     * enrichment joins ([[graft.ops.JoinQueries]] `join_asof` /
     * `join_range`): two watermarked event streams joined on key with an

@@ -73,6 +73,34 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("latest-state stream emits only changed survivors across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{LatestIn, LatestOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[LatestIn]
+    val q = EventStreams.latestState(in.toDS())
+      .writeStream.format("memory").queryName("slatest")
+      .outputMode("append").start()
+    def emitted(): Seq[LatestOut] = spark.sql("SELECT * FROM slatest")
+      .as[LatestOut].collect().toSeq
+    try {
+      // batch 1: two updates for user 1 (same ms — event_id breaks the
+      // tie), one for user 2
+      in.addData(LatestIn(1L, 1000L, 7L, "view"), LatestIn(1L, 1000L, 9L, "click"),
+        LatestIn(2L, 500L, 3L, "view"))
+      q.processAllAvailable()
+      assert(emitted().toSet ==
+        Set(LatestOut(1L, 1000L, "click"), LatestOut(2L, 500L, "view")))
+      // batch 2: a LATE update for user 1 (older ms — must not emit) and
+      // a genuinely newer state for user 2 (must emit)
+      in.addData(LatestIn(1L, 900L, 20L, "stale"), LatestIn(2L, 800L, 4L, "click"))
+      q.processAllAvailable()
+      assert(emitted().toSet ==
+        Set(LatestOut(1L, 1000L, "click"), LatestOut(2L, 500L, "view"),
+          LatestOut(2L, 800L, "click")))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches in-window pairs, state bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
