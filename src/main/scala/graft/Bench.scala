@@ -30,6 +30,8 @@ object Bench {
     // scratch instead of its production default beside the corpus
     spark.conf.set("graft.fp.index.dir",
       System.getProperty("java.io.tmpdir") + "/graft_fp_index")
+    spark.conf.set("graft.ivf.layout.dir",
+      System.getProperty("java.io.tmpdir") + "/graft_ivf_layout")
     // Untimed warm-up: JVM classloading, codegen compiler, parquet reader
     // init — one-time session costs, not per-query cost.
     spark.read.parquet(s"$sfDir/region.parquet").count()

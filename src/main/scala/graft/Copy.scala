@@ -61,7 +61,12 @@ object Copy {
       patterns: Seq[String],
       conf: PlanConfig = PlanConfig(),
       destMeta: Map[String, TableMeta] = Map.empty,
-      postCopyHook: String => Unit = _ => ()): Int = {
+      postCopyHook: String => Unit = _ => (),
+      /** reference `truncate-tables` (default false there; true here
+        * keeps the argv entry point's historical truncate-first
+        * behavior): OFF appends, so a non-empty destination surfaces as
+        * a reconciliation mismatch (exit 2). */
+      truncateTables: Boolean = true): Int = {
     val tables = Pipeline.expandTableList(patterns)
 
     // Analysis phase: collect + analyze every table BEFORE any copy —
@@ -85,7 +90,8 @@ object Copy {
     var erroredTasks = 0
     analyzed.foreach { case (src, dst) =>
       try {
-        Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf)
+        Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf,
+          truncateDest = truncateTables)
         postCopyHook(src.name)
       } catch { case _: Exception => erroredTasks += 1 }
     }
@@ -112,7 +118,8 @@ object Copy {
       env: String => Option[String] = sys.env.get): Int =
     try {
       val cfg = CopyConfig.load(path, env)
-      run(spark, cfg.sourceDir, cfg.destDir, cfg.tablePatterns, cfg.plan)
+      run(spark, cfg.sourceDir, cfg.destDir, cfg.tablePatterns, cfg.plan,
+        truncateTables = cfg.truncateTables)
     } catch {
       case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
         System.err.println(s"graft.Copy config error: ${e.getMessage}")

@@ -25,6 +25,8 @@ object Verify {
     // scratch instead of its production default beside the corpus
     spark.conf.set("graft.fp.index.dir",
       System.getProperty("java.io.tmpdir") + "/graft_fp_index")
+    spark.conf.set("graft.ivf.layout.dir",
+      System.getProperty("java.io.tmpdir") + "/graft_ivf_layout")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -226,7 +226,14 @@ object Pipeline {
         * runs (reference monitor loop, `SmartBulkCopy.cs:665-766`).
         */
       reportEveryMs: Long = 0L,
-      onReport: CopyMonitor.Sample => Unit = _ => ()): CopyResult = {
+      onReport: CopyMonitor.Sample => Unit = _ => (),
+      /** `truncate-tables` (reference `SmartBulkCopy.cs:391-396`,
+        * default false there): ON truncates the destination first; OFF
+        * appends, and any leftover rows from a previous load surface as
+        * a reconciliation mismatch — exactly `CheckResults`' behavior
+        * against a non-empty destination.
+        */
+      truncateDest: Boolean = true): CopyResult = {
     require(safetyCheck(spark, sfDir, src.name), s"safety check failed for ${src.name}")
     val items = Analyzer.analyze(src, dst, conf) match {
       case AnalysisOutcome.Success(is) => is
@@ -237,7 +244,7 @@ object Pipeline {
     def load(): Unit = Retry.withRetry(maxAttempts = 5) {
       Sinks.bulkInsert(df, dest,
         orderHint = items.head.orderHint,
-        overwrite = true, // truncate_sink semantics (SmartBulkCopy.cs:391-396)
+        overwrite = truncateDest,
         columnstoreDest = dst.storage == Storage.ClusteredColumnstore,
         batchSizeRows = conf.batchSize)
     }

@@ -182,16 +182,24 @@ object SimilarityQueries {
 
   // source dirs whose IVF layout is already on disk this JVM (write
   // once, reuse across invocations — the layout IS the point: it
-  // persists). The on-disk path is keyed by the source dir, so layouts
-  // for different dirs never clobber each other and switching dirs can
-  // never serve a stale layout.
+  // persists).
   private val ivfLayoutsWritten = scala.collection.mutable.Set.empty[String]
 
-  private def ivfLayoutPath(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout_$key"
-  }
+  /** Where the persisted IVF cell layout for a corpus lives. Like the
+    * fingerprint index, a serving layout is pipeline state that belongs
+    * BESIDE the corpus it indexes (default `<dir>/_graft_ivf_layout`,
+    * the `_` prefix hidden from corpus scans); `graft.ivf.layout.dir`
+    * relocates it for read-only corpus storage, keyed by a corpus-dir
+    * digest so distinct corpora never collide under one scratch root.
+    */
+  def ivfLayoutPath(s: SparkSession, dir: String): String =
+    s.conf.getOption("graft.ivf.layout.dir") match {
+      case Some(root) =>
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        s"$root/ivf_layout_$key"
+      case None => s"$dir/_graft_ivf_layout"
+    }
 
   /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
     * is a distributed TakeOrdered (`orderBy.limit`) — the rank window
@@ -355,12 +363,12 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     QueryDef("sim_ivf_write_layout", ivfTopkSql) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
-      val layout = ivfLayoutPath(dir)
+      val layout = ivfLayoutPath(s, dir)
       SimilarityQueries.synchronized {
-        if (!ivfLayoutsWritten.contains(dir)) {
+        if (!ivfLayoutsWritten.contains(layout)) {
           ivfAssign(s, emb)
             .write.mode("overwrite").partitionBy("cell").parquet(layout)
-          ivfLayoutsWritten += dir
+          ivfLayoutsWritten += layout
         }
       }
       ivfSearch(s, emb, s.read.parquet(layout))

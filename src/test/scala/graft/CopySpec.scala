@@ -125,6 +125,18 @@ class CopySpec extends SparkSpecBase {
       "a malformed config must fail before any copy")
   }
 
+  test("truncate-tables off appends, so a re-run fails reconciliation with 2") {
+    val d = destDir
+    // first load into an empty destination reconciles clean either way
+    assert(Copy.run(spark, sfDir, d, Seq("region"), truncateTables = false) == 0)
+    // truncate ON: the re-run replaces the destination and reconciles
+    assert(Copy.run(spark, sfDir, d, Seq("region"), truncateTables = true) == 0)
+    // truncate OFF into the now-non-empty destination: rows double and
+    // CheckResults flags the mismatch — the reference's exact failure
+    // mode for forgetting truncate-tables
+    assert(Copy.run(spark, sfDir, d, Seq("region"), truncateTables = false) == 2)
+  }
+
   test("config parse: env fallback, legacy flat tables, tri-modal lp") {
     val env = Map(
       "source-connection-string" -> "/env/src",

@@ -310,6 +310,30 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(nSurv > 0, "everything deduped — weak fixture?")
   }
 
+  test("persisted state paths live beside the corpus unless relocated") {
+    import graft.ops.{SimilarityQueries, TextQueries}
+    // default: pipeline state (fingerprint index, IVF layout) belongs
+    // beside the data it indexes; the conf relocates it for read-only
+    // corpus storage, keyed so distinct corpora never collide
+    val conf = spark.conf
+    val (fp, ivf) = (conf.get("graft.fp.index.dir"), conf.get("graft.ivf.layout.dir"))
+    try {
+      conf.unset("graft.fp.index.dir")
+      conf.unset("graft.ivf.layout.dir")
+      assert(TextQueries.fpIndexPath(spark, "/data/corpus") ==
+        "/data/corpus/_graft_fp_index")
+      assert(SimilarityQueries.ivfLayoutPath(spark, "/data/corpus") ==
+        "/data/corpus/_graft_ivf_layout")
+    } finally {
+      conf.set("graft.fp.index.dir", fp)
+      conf.set("graft.ivf.layout.dir", ivf)
+    }
+    assert(TextQueries.fpIndexPath(spark, "/a") !=
+      TextQueries.fpIndexPath(spark, "/b"))
+    assert(SimilarityQueries.ivfLayoutPath(spark, "/a") !=
+      SimilarityQueries.ivfLayoutPath(spark, "/b"))
+  }
+
   test("incremental dedup index grows per ingest: batch 2 dedups against batch 1") {
     import graft.ops.TextQueries
     // a fresh index in scratch, seeded from two history docs

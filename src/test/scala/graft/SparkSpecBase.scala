@@ -33,6 +33,8 @@ object SparkSpecBase {
     // scratch instead of its production default beside the corpus
     s.conf.set("graft.fp.index.dir",
       System.getProperty("java.io.tmpdir") + "/graft_fp_index")
+    s.conf.set("graft.ivf.layout.dir",
+      System.getProperty("java.io.tmpdir") + "/graft_ivf_layout")
     s
   }
 }
