@@ -11,8 +11,9 @@ import graft.functions.{CosineSim, RewriteDotProduct}
   * engine's native Catalyst expressions in the session function registry
   * (so they resolve from SQL text and `call_function` alike) and the
   * [[RewriteDotProduct]] optimizer rule that fuses the public
-  * `aggregate(zip_with(...))` dot-product idiom into the native
-  * [[graft.functions.DotProduct]] loop.
+  * `aggregate(zip_with(...))` dot-product and squared-difference idioms
+  * into the native [[graft.functions.DotProduct]] /
+  * [[graft.functions.SquaredL2]] loops.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -5,17 +5,20 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-/** Optimizer rule: fuse the built-in dot-product composition
+/** Optimizer rule: fuse the built-in fold-over-zip compositions
   *
   * {{{ aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v) }}}
+  * {{{ aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), 0.0,
+  *               (acc, v) => acc + v) }}}
   *
-  * into the native [[DotProduct]] expression. The composition is the
-  * public surface (`SimilarityQueries.cosine`, `lshBucket`, and any SQL
-  * user writing the same idiom); the rewrite removes the per-element
-  * interpreted lambda calls and the materialized zipped array while
-  * preserving the numeric contract exactly — same left-to-right fold from
-  * 0.0, same NULL semantics — so it is invisible to results (the DuckDB
-  * oracle gate runs with the rule active and still hash-matches).
+  * into the native [[DotProduct]] / [[SquaredL2]] expressions. The
+  * compositions are the public surface (`SimilarityQueries.cosine`,
+  * `lshBucket`, the PQ/ADC distance fragments, and any SQL user writing
+  * the same idiom); the rewrite removes the per-element interpreted
+  * lambda calls and the materialized zipped array while preserving the
+  * numeric contract exactly — same left-to-right fold from 0.0, same
+  * NULL semantics — so it is invisible to results (the DuckDB oracle
+  * gate runs with the rule active and still hash-matches).
   *
   * Deliberately conservative: anything that doesn't match the exact
   * shape (casts to double around the lambda variables are allowed on
@@ -40,6 +43,25 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _                                    => false
   }
 
+  /** Both multiply operands are the SAME `x - y` subtraction (modulo
+    * widening casts): the squared-difference zip lambda. Requiring the
+    * same orientation on both factors keeps the match trivially
+    * value-exact (and `(y-x)*(y-x)` matches via the reversed case). */
+  private def isSqDiff(mul: Multiply, x: NamedLambdaVariable,
+      y: NamedLambdaVariable): Boolean = {
+    def sub(e: Expression): Option[(Expression, Expression)] =
+      stripDoubleCast(e) match {
+        case s: Subtract => Some((stripDoubleCast(s.left), stripDoubleCast(s.right)))
+        case _           => None
+      }
+    (sub(mul.left), sub(mul.right)) match {
+      case (Some((l1, r1)), Some((l2, r2))) =>
+        (isVar(l1, x) && isVar(r1, y) && isVar(l2, x) && isVar(r2, y)) ||
+        (isVar(l1, y) && isVar(r1, x) && isVar(l2, y) && isVar(r2, x))
+      case _ => false
+    }
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(l, r,
@@ -55,10 +77,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
            (isVar(add.left, elem) && isVar(add.right, acc))) &&
           // finish is the identity lambda
           isVar(finish, facc) &&
-          // zip lambda is x * y modulo widening casts to double
-          ((isVar(stripDoubleCast(mul.left), x) && isVar(stripDoubleCast(mul.right), y)) ||
-           (isVar(stripDoubleCast(mul.left), y) && isVar(stripDoubleCast(mul.right), x))) &&
-          isFloatingArray(l) && isFloatingArray(r) =>
-      DotProduct(l, r)
+          isFloatingArray(l) && isFloatingArray(r) &&
+          // zip lambda is x * y or (x-y)*(x-y), modulo widening casts
+          (((isVar(stripDoubleCast(mul.left), x) && isVar(stripDoubleCast(mul.right), y)) ||
+            (isVar(stripDoubleCast(mul.left), y) && isVar(stripDoubleCast(mul.right), x))) ||
+           isSqDiff(mul, x, y)) =>
+      if (isSqDiff(mul, x, y)) SquaredL2(l, r) else DotProduct(l, r)
   }
 }

@@ -155,6 +155,40 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("squared-L2 idiom fuses to the native loop and is value-invisible") {
+    // the ADC/PQ hot loop: (x-y)*(x-y) folded from 0.0 must fuse to
+    // squared_l2 (HOF lambdas never codegen; the fused loop does)
+    val emb = Scans.table(spark, sfDir, "embeddings")
+    def sq(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) =>
+        (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val df = emb.select(sq(col("embedding"), reverse(col("embedding"))).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("squared_l2"),
+      s"expected fused squared_l2 in: $optimized")
+    // bit-identical with the rule excluded (same left-to-right fold)
+    val withRule = df.collect().map(_.getDouble(0)).toSeq
+    val ruleName = graft.functions.RewriteDotProduct.ruleName
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val without = df.collect().map(_.getDouble(0)).toSeq
+      assert(withRule == without)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None    => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+    // the declared PQ queries pick the fusion up with no query changes
+    val adc = run("sim_pq_adc_topk").queryExecution.optimizedPlan.toString
+    assert(adc.contains("squared_l2"),
+      s"ADC distance math not fused:\n${adc.take(2000)}")
+    // NULL contract: unequal lengths stay NULL through the fused loop
+    import spark.implicits._
+    val dirty = Seq((Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+    assert(dirty.select(sq(col("a"), col("b")).as("d")).collect()(0).isNullAt(0))
+  }
+
   test("fused dot_product keeps the composition's NULL contract") {
     import spark.implicits._
     val df = Seq(
