@@ -29,10 +29,14 @@ object TextQueries {
     * so index lookups and per-doc fingerprints can never drift.
     */
   def fingerprintFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_min(expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(lower(text), i, 8)))"))
-        .as("fp"))
+    // lower(text) hoisted below the transform: HOF lambdas evaluate
+    // interpreted with no cross-invocation CSE, so an in-lambda
+    // lower(text) would re-lowercase the document once PER SHINGLE
+    docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"),
+        array_min(expr(
+          "transform(sequence(1, greatest(length(lt) - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
+          .as("fp"))
 
   /** Where the persisted fingerprint index for a corpus lives. Persisted
     * pipeline state belongs BESIDE the data it indexes — default
@@ -446,8 +450,10 @@ object TextQueries {
         |     unnest(generate_series(1, greatest(length(d.text) - 7, 1), 4)) AS u(i)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       Scans.table(s, dir, "documents")
+        // lower(text) hoisted out of the lambda (see fingerprintFrame)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
         .select(col("doc_id"),
-          expr("transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(lower(text), i, 8)))")
+          expr("transform(sequence(1, greatest(length(lt) - 7, 1), 4), i -> md5(substring(lt, i, 8)))")
             .as("hashes"))
         .select(col("doc_id"),
           array_min(col("hashes")).as("fingerprint"),
