@@ -1088,6 +1088,49 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // text_unigram_perplexity — language-model quality gate (the
+    // CCNet/Gopher-style perplexity filter): score each document by its
+    // cross-entropy under the corpus's own unigram model, the classic
+    // "drop gibberish and boilerplate" signal. Two corpus passes: one
+    // tokenize + partial-aggregated token-frequency rollup (the model),
+    // one tokenize + frequency join + per-doc average. The vocabulary
+    // shuffles on the token key (map-side combined — ≤|vocab| partials
+    // per task); at 100 TB the model table is vocabulary-sized, not
+    // corpus-sized, and the scoring join lets AQE broadcast it when it
+    // fits. Declared per-doc for doc_id < 20 (hash-stable rounding:
+    // ln/avg at 4 dp, perplexity at 2 dp).
+    // ------------------------------------------------------------------
+    QueryDef("text_unigram_perplexity",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+         |tot AS (SELECT count(*) AS n FROM toks),
+         |scored AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |         avg(-ln(f.tf * 1.0 / tot.n)) AS ce
+         |  FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN tot
+         |  WHERE t.doc_id < 20
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       round(ce, 4) AS cross_entropy,
+         |       round(exp(ce), 2) AS perplexity
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks.filter(col("doc_id") < 20)
+        .join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          avg(-log(col("tf") * lit(1.0) / col("n"))).as("ce"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ce"), 4).as("cross_entropy"),
+          round(exp(col("ce")), 2).as("perplexity"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // text_pii_scrub — PII detection + masking (the privacy-scrub gate
     // every published training corpus runs): count and replace emails,
     // phone numbers and SSN-shaped ids with typed mask tokens. Pure

@@ -344,6 +344,21 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(nSurv > 0, "everything deduped — weak fixture?")
   }
 
+  test("unigram perplexity is exp(cross-entropy) and positive per doc") {
+    val rows = run("text_unigram_perplexity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      val ppl = r.getAs[Double]("perplexity")
+      // every token has corpus probability < 1, so CE > 0 and PPL > 1;
+      // the two columns are one contract: ppl = exp(ce) (up to rounding)
+      assert(ce > 0.0 && ppl > 1.0)
+      assert(math.abs(ppl - math.exp(ce)) / ppl < 0.01,
+        s"perplexity $ppl drifted from exp($ce)")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("persisted state paths live beside the corpus unless relocated") {
     import graft.ops.{SimilarityQueries, TextQueries}
     // default: pipeline state (fingerprint index, IVF layout) belongs
