@@ -225,7 +225,12 @@ object CoreQueries {
          |FROM lineitem
          |WHERE abs($liSliceKeySql) % 9 = 3
          |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-      val meta = Catalog.collect(s, dir, "lineitem")
+      // declared metadata only: SqlGen renders from name/columns/slice/
+      // order — the rowcount/size probes of Catalog.collect belong to
+      // the collect-info phase, not the generated-SQL scan being
+      // measured (the reference likewise renders from already-collected
+      // TableInfo, SmartBulkCopy.cs:422-438)
+      val meta = Catalog.declared("lineitem")
       val item = WorkItem(meta,
         SliceSpec.Logical(Seq("l_orderkey", "l_linenumber"), 9, 3),
         orderHint = Seq(SortKey("l_orderkey"), SortKey("l_linenumber")))
