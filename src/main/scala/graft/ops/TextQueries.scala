@@ -1103,7 +1103,7 @@ object TextQueries {
     QueryDef("text_unigram_perplexity",
       s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents),
          |freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
-         |tot AS (SELECT count(*) AS n FROM toks),
+         |tot AS (SELECT sum(tf) AS n FROM freq),
          |scored AS (
          |  SELECT t.doc_id, count(*) AS n_tokens,
          |         avg(-ln(f.tf * 1.0 / tot.n)) AS ce
@@ -1117,7 +1117,9 @@ object TextQueries {
       val toks = Scans.table(s, dir, "documents")
         .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      val tot = toks.agg(count(lit(1)).as("n"))
+      // total tokens from the vocabulary-sized model table — never a
+      // third tokenization pass over the corpus
+      val tot = freq.agg(sum(col("tf")).as("n"))
       toks.filter(col("doc_id") < 20)
         .join(freq, "tok")
         .crossJoin(broadcast(tot))

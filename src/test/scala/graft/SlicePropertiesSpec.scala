@@ -124,4 +124,39 @@ class SlicePropertiesSpec extends AnyFunSuite {
       !none.contains("alpha") && one.contains("alpha")
     })
   }
+
+  test("CopyConfig round-trips any well-formed options block") {
+    // generate a config JSON from typed values, parse it back, and the
+    // typed values must survive — the reference's parse matrix
+    // (SmartBulkCopyConfig.cs:118-222) as a property, not five examples
+    val genLp = Gen.oneOf(
+      Gen.const("auto"),
+      Gen.chooseNum(1, 128).map(_.toString),
+      Gen.chooseNum(1, 64).map(n => s"${n}gb"))
+    check("config-roundtrip", Prop.forAll(
+      Gen.chooseNum(1, 32), Gen.chooseNum(1, 1000000), genLp,
+      Gen.oneOf("none", "readonly", "read-only", "snapshot"),
+      Gen.oneOf(true, false), Gen.oneOf(true, false), Gen.oneOf(true, false)
+    ) { (tasks, batch, lp, safe, stopSec, stopTemp, trunc) =>
+      val json =
+        s"""{"source": {"connection-string": "/src"},
+           |"destination": {"connection-string": "/dst"},
+           |"options": {"tasks": $tasks, "batch-size": $batch,
+           |  "logical-partitions": "$lp", "safe-check": "$safe",
+           |  "truncate-tables": $trunc,
+           |  "stop-if": {"secondary-indexes": $stopSec,
+           |              "temporal-table": $stopTemp}}}""".stripMargin
+      val cfg = CopyConfig.parse(json, _ => None)
+      val lpOk = cfg.plan.strategy match {
+        case PartitionStrategy.Auto       => lp == "auto"
+        case PartitionStrategy.Count(n)   => lp == n.toString
+        case PartitionStrategy.SizeGb(gb) => lp == s"${gb.toInt}gb"
+      }
+      cfg.plan.tasks == tasks && cfg.plan.batchSize == batch && lpOk &&
+        cfg.safeCheck == (if (safe == "read-only") "readonly" else safe) &&
+        cfg.truncateTables == trunc &&
+        cfg.plan.stopIfSecondaryIndex == stopSec &&
+        cfg.plan.stopIfTemporalTable == stopTemp
+    })
+  }
 }
