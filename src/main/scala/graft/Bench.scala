@@ -26,12 +26,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // testdata is read-only: persisted fingerprint-index state goes to
-    // scratch instead of its production default beside the corpus
-    spark.conf.set("graft.fp.index.dir",
-      System.getProperty("java.io.tmpdir") + "/graft_fp_index")
-    spark.conf.set("graft.ivf.layout.dir",
-      System.getProperty("java.io.tmpdir") + "/graft_ivf_layout")
+    // testdata is read-only: persisted pipeline state goes to scratch
+    // instead of its production default beside the corpus
+    graft.ops.PersistedState.relocateToScratch(spark)
     // Untimed warm-up: JVM classloading, codegen compiler, parquet reader
     // init — one-time session costs, not per-query cost.
     spark.read.parquet(s"$sfDir/region.parquet").count()

@@ -66,7 +66,9 @@ object Copy {
         * keeps the argv entry point's historical truncate-first
         * behavior): OFF appends, so a non-empty destination surfaces as
         * a reconciliation mismatch (exit 2). */
-      truncateTables: Boolean = true): Int = {
+      truncateTables: Boolean = true,
+      retryMaxAttempts: Int = 5,
+      retryDelayIncrementMs: Long = 0L): Int = {
     val tables = Pipeline.expandTableList(patterns)
 
     // Analysis phase: collect + analyze every table BEFORE any copy —
@@ -91,7 +93,9 @@ object Copy {
     analyzed.foreach { case (src, dst) =>
       try {
         Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf,
-          truncateDest = truncateTables)
+          truncateDest = truncateTables,
+          retryMaxAttempts = retryMaxAttempts,
+          retryDelayIncrementMs = retryDelayIncrementMs)
         postCopyHook(src.name)
       } catch { case _: Exception => erroredTasks += 1 }
     }
@@ -119,7 +123,11 @@ object Copy {
     try {
       val cfg = CopyConfig.load(path, env)
       run(spark, cfg.sourceDir, cfg.destDir, cfg.tablePatterns, cfg.plan,
-        truncateTables = cfg.truncateTables)
+        truncateTables = cfg.truncateTables,
+        retryMaxAttempts = cfg.retryMaxAttempt,
+        // the reference's delay-increment is seconds between attempts
+        // (SmartBulkCopyConfig.cs:112, attempt backoff at SmartBulkCopy.cs)
+        retryDelayIncrementMs = cfg.retryDelayIncrement * 1000L)
     } catch {
       case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
         System.err.println(s"graft.Copy config error: ${e.getMessage}")

@@ -124,7 +124,11 @@ object CopyConfig {
       stopIf.flatMap(at(_, key)).forall(_.asBoolean(true))
 
     def asIntStrict(n: JsonNode, key: String): Int =
-      if (n.isNumber) n.asInt()
+      if (n.isIntegralNumber && n.canConvertToInt) n.asInt()
+      // a fractional number must REJECT, not truncate — batch-size 0.5
+      // silently becoming 0 would change copy behavior with no error
+      else if (n.isNumber)
+        throw new IllegalArgumentException(s"$key must be an integer")
       else try n.asText().toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"$key must be an integer")

@@ -20,6 +20,9 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // testdata is read-only: persisted pipeline state goes to scratch
+    // instead of its production default beside the corpus
+    graft.ops.PersistedState.relocateToScratch(spark)
     val keys =
       if (args.nonEmpty) args.toSeq
       else Seq("scan_project", "scan_physical_partition", "join_broadcast_dim",

@@ -233,7 +233,12 @@ object Pipeline {
         * a reconciliation mismatch — exactly `CheckResults`' behavior
         * against a non-empty destination.
         */
-      truncateDest: Boolean = true): CopyResult = {
+      truncateDest: Boolean = true,
+      /** `retry-connection` policy (reference
+        * `SmartBulkCopyConfig.cs:110-112`): attempts per table load and
+        * the per-attempt delay increment. */
+      retryMaxAttempts: Int = 5,
+      retryDelayIncrementMs: Long = 0L): CopyResult = {
     require(safetyCheck(spark, sfDir, src.name), s"safety check failed for ${src.name}")
     val items = Analyzer.analyze(src, dst, conf) match {
       case AnalysisOutcome.Success(is) => is
@@ -241,7 +246,8 @@ object Pipeline {
     }
     val df = copyFrame(spark, sfDir, items)
     val dest = s"$destDir/${dst.name}.parquet"
-    def load(): Unit = Retry.withRetry(maxAttempts = 5) {
+    def load(): Unit = Retry.withRetry(
+      maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
       Sinks.bulkInsert(df, dest,
         orderHint = items.head.orderHint,
         overwrite = truncateDest,

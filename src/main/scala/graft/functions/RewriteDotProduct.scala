@@ -62,26 +62,37 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     }
   }
 
+  /** The fold-over-zip scaffold: `aggregate(zip_with(a, b, λ), 0.0, +)`
+    * with an identity finish — returns (a, b, zip lambda) when the
+    * scaffold matches, leaving only the zip lambda's shape to decide
+    * which native expression to emit. */
+  private object FoldOverZip {
+    def unapply(e: Expression): Option[(Expression, Expression, Multiply,
+        NamedLambdaVariable, NamedLambdaVariable)] = e match {
+      case ArrayAggregate(
+            ZipWith(l, r,
+              LambdaFunction(mul: Multiply,
+                Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(add: Add,
+              Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+            LambdaFunction(finish, Seq(facc: NamedLambdaVariable), _))
+          if zero == 0.0 &&
+            ((isVar(add.left, acc) && isVar(add.right, elem)) ||
+             (isVar(add.left, elem) && isVar(add.right, acc))) &&
+            isVar(finish, facc) &&
+            isFloatingArray(l) && isFloatingArray(r) =>
+        Some((l, r, mul, x, y))
+      case _ => None
+    }
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case ArrayAggregate(
-          ZipWith(l, r,
-            LambdaFunction(mul: Multiply,
-              Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
-          Literal(zero, DoubleType),
-          LambdaFunction(add: Add,
-            Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
-          LambdaFunction(finish, Seq(facc: NamedLambdaVariable), _))
-        if zero == 0.0 &&
-          // merge is exactly acc + elem (either operand order)
-          ((isVar(add.left, acc) && isVar(add.right, elem)) ||
-           (isVar(add.left, elem) && isVar(add.right, acc))) &&
-          // finish is the identity lambda
-          isVar(finish, facc) &&
-          isFloatingArray(l) && isFloatingArray(r) &&
-          // zip lambda is x * y or (x-y)*(x-y), modulo widening casts
-          (((isVar(stripDoubleCast(mul.left), x) && isVar(stripDoubleCast(mul.right), y)) ||
-            (isVar(stripDoubleCast(mul.left), y) && isVar(stripDoubleCast(mul.right), x))) ||
-           isSqDiff(mul, x, y)) =>
-      if (isSqDiff(mul, x, y)) SquaredL2(l, r) else DotProduct(l, r)
+    case FoldOverZip(l, r, mul, x, y) if isSqDiff(mul, x, y) =>
+      SquaredL2(l, r)
+    case FoldOverZip(l, r, mul, x, y)
+        if (isVar(stripDoubleCast(mul.left), x) && isVar(stripDoubleCast(mul.right), y)) ||
+           (isVar(stripDoubleCast(mul.left), y) && isVar(stripDoubleCast(mul.right), x)) =>
+      DotProduct(l, r)
   }
 }

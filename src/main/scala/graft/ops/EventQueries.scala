@@ -381,7 +381,11 @@ object EventQueries {
     // per-user snapshot up to (user bucket, surviving type) counts +
     // the integer-exact sum of survivor timestamps — any user's
     // survivor changing moves two cells, so the rollup pins the whole
-    // assignment without hashing ~all-users rows. At 100 TB this is
+    // assignment without hashing ~all-users rows. The summed unit is
+    // epoch SECONDS: election keeps full (ms, event_id) precision, but
+    // a BIGINT millisecond sum would wrap silently past ~5.4M survivors
+    // per cell (while DuckDB's HUGEINT accumulator errors instead);
+    // seconds push the wrap past 5 billion per cell. At 100 TB this is
     // the compaction job that bounds a CDC table's size.
     // ------------------------------------------------------------------
     QueryDef("events_cdc_merge",
@@ -393,7 +397,7 @@ object EventQueries {
         |    FROM events) t
         |  WHERE rn = 1)
         |SELECT user_id % 20 AS bucket, event_type,
-        |       count(*) AS n_users, CAST(sum(ms) AS BIGINT) AS sum_ms
+        |       count(*) AS n_users, CAST(sum(ms // 1000) AS BIGINT) AS sum_s
         |FROM s GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -405,7 +409,7 @@ object EventQueries {
         .filter(col("rn") === 1)
         .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n_users"),
-          sum(col("ms")).cast("long").as("sum_ms"))
+          sum(expr("ms div 1000")).cast("long").as("sum_s"))
         .orderBy(col("bucket"), col("event_type"))
     },
 

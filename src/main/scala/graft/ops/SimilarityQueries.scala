@@ -193,7 +193,7 @@ object SimilarityQueries {
     * digest so distinct corpora never collide under one scratch root.
     */
   def ivfLayoutPath(s: SparkSession, dir: String): String =
-    s.conf.getOption("graft.ivf.layout.dir") match {
+    s.conf.getOption(PersistedState.IvfLayoutDirKey) match {
       case Some(root) =>
         val key = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString

@@ -31,11 +31,16 @@ object TextQueries {
   def fingerprintFrame(docs: DataFrame): DataFrame =
     // lower(text) hoisted below the transform: HOF lambdas evaluate
     // interpreted with no cross-invocation CSE, so an in-lambda
-    // lower(text) would re-lowercase the document once PER SHINGLE
-    docs.select(col("doc_id"), lower(col("text")).as("lt"))
+    // lower(text) would re-lowercase the document once PER SHINGLE.
+    // The sequence bound stays on the RAW text length — lowercasing is
+    // not length-preserving in Unicode (İ → i̇), and the cross-engine
+    // contract (the DuckDB twin) derives shingle starts from the raw
+    // length.
+    docs.select(col("doc_id"), length(col("text")).as("len"),
+        lower(col("text")).as("lt"))
       .select(col("doc_id"),
         array_min(expr(
-          "transform(sequence(1, greatest(length(lt) - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
+          "transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
           .as("fp"))
 
   /** Where the persisted fingerprint index for a corpus lives. Persisted
@@ -48,7 +53,7 @@ object TextQueries {
     * under one scratch root.
     */
   def fpIndexPath(s: SparkSession, dir: String): String =
-    s.conf.getOption("graft.fp.index.dir") match {
+    s.conf.getOption(PersistedState.FpIndexDirKey) match {
       case Some(root) =>
         val key = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
@@ -450,10 +455,12 @@ object TextQueries {
         |     unnest(generate_series(1, greatest(length(d.text) - 7, 1), 4)) AS u(i)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       Scans.table(s, dir, "documents")
-        // lower(text) hoisted out of the lambda (see fingerprintFrame)
-        .select(col("doc_id"), lower(col("text")).as("lt"))
+        // lower(text) hoisted out of the lambda; sequence bound on the
+        // RAW length — see fingerprintFrame for both contracts
+        .select(col("doc_id"), length(col("text")).as("len"),
+          lower(col("text")).as("lt"))
         .select(col("doc_id"),
-          expr("transform(sequence(1, greatest(length(lt) - 7, 1), 4), i -> md5(substring(lt, i, 8)))")
+          expr("transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))")
             .as("hashes"))
         .select(col("doc_id"),
           array_min(col("hashes")).as("fingerprint"),

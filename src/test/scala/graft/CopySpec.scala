@@ -118,6 +118,11 @@ class CopySpec extends SparkSpecBase {
           |"destination": {"connection-string": "$d"},
           |"options": {"safe-check": "maybe"}}""".stripMargin)) == 1)
     assert(Copy.runFromConfigFile(spark, write("nj", "not json at all")) == 1)
+    // a fractional number must reject, never truncate (0.5 -> 0)
+    assert(Copy.runFromConfigFile(spark, write("fr",
+      s"""{"source": {"connection-string": "$sfDir"},
+          |"destination": {"connection-string": "$d"},
+          |"options": {"batch-size": 0.5}}""".stripMargin)) == 1)
     assert(Copy.runFromConfigFile(spark, write("nc", "{}"),
       env = _ => None) == 1)
     assert(Copy.runFromConfigFile(spark, s"$d/no_such_file.json") == 1)

@@ -29,12 +29,9 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // testdata is read-only: persisted fingerprint-index state goes to
-    // scratch instead of its production default beside the corpus
-    s.conf.set("graft.fp.index.dir",
-      System.getProperty("java.io.tmpdir") + "/graft_fp_index")
-    s.conf.set("graft.ivf.layout.dir",
-      System.getProperty("java.io.tmpdir") + "/graft_ivf_layout")
+    // testdata is read-only: persisted pipeline state goes to scratch
+    // instead of its production default beside the corpus
+    graft.ops.PersistedState.relocateToScratch(s)
     s
   }
 }
