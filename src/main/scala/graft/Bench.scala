@@ -36,8 +36,13 @@ object Bench {
     // fingerprint index (dedup_incremental) and the fragmented layout
     // (pipeline_compact) are built once in a real pipeline's life, so
     // their staging I/O must not land inside any query's measurement.
-    graft.ops.TextQueries.ensureFpIndex(spark, sfDir)
-    graft.ops.PipelineQueries.ensureFragmented(spark, sfDir)
+    // Best-effort: a staging failure must not abort the other ~130
+    // queries — the affected query then stages (and pays) for itself
+    // under its own failure isolation, as before.
+    try graft.ops.TextQueries.ensureFpIndex(spark, sfDir)
+    catch { case e: Exception => System.err.println(s"[bench] fp pre-stage: $e") }
+    try graft.ops.PipelineQueries.ensureFragmented(spark, sfDir)
+    catch { case e: Exception => System.err.println(s"[bench] compact pre-stage: $e") }
     // best-of-2 per query: strips one-off JIT/GC/page-cache noise from
     // the report (all queries are idempotent; writes use overwrite mode)
     // best-of-3: single-run variance on a busy 32-thread box reaches 4×

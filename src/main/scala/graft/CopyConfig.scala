@@ -44,10 +44,11 @@ final case class CopyConfig(
     /** Parsed for surface fidelity (`SmartBulkCopyConfig.cs:93-102`):
       * no server round-trips to time out against parquet, and identity
       * sync is always metadata-cheap here — but a reference user's
-      * config file must not silently lose keys. */
-    commandTimeout: Int = 90 * 60, // seconds (SmartBulkCopyConfig.cs:85)
-    syncIdentity: Boolean = false,
-    compatibilityMode: Boolean = false)
+      * config file must not silently lose keys. Defaults live in
+      * [[CopyConfig.parse]], the only constructor. */
+    commandTimeout: Int,
+    syncIdentity: Boolean,
+    compatibilityMode: Boolean)
 
 object CopyConfig {
 
@@ -75,8 +76,16 @@ object CopyConfig {
     // tables: include/exclude form wins; legacy flat array passes through
     val patterns: Seq[String] = at(root, "tables") match {
       case Some(t) if t.isObject =>
-        def arr(key: String, prefix: String): Seq[String] = at(t, key).toSeq
-          .flatMap(a => (0 until a.size).map(i => prefix + a.get(i).asText()))
+        // a wrongly-typed include/exclude must THROW, not silently
+        // vanish — a scalar exclude that parses as "no excludes" would
+        // copy (and with truncate on, destroy) tables the user excluded
+        def arr(key: String, prefix: String): Seq[String] = at(t, key) match {
+          case Some(a) if a.isArray =>
+            (0 until a.size).map(i => prefix + a.get(i).asText())
+          case Some(_) =>
+            throw new IllegalArgumentException(s"tables.$key must be an array")
+          case None => Nil
+        }
         val inc = arr("include", "+:")
         if (inc.isEmpty)
           throw new IllegalArgumentException("tables.include must be a non-empty array")

@@ -44,16 +44,20 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   }
 
   /** Both multiply operands are the SAME `x - y` subtraction (modulo
-    * widening casts): the squared-difference zip lambda. Requiring the
-    * same orientation on both factors keeps the match trivially
-    * value-exact (and `(y-x)*(y-x)` matches via the reversed case). */
+    * widening casts ON THE VARIABLES): the squared-difference zip
+    * lambda. Requiring the same orientation on both factors keeps the
+    * match trivially value-exact (and `(y-x)*(y-x)` matches via the
+    * reversed case). The Subtract itself must already be double-typed —
+    * a cast AROUND a float subtraction (`cast(x - y as double)`) rounds
+    * the difference to float first, which SquaredL2's widen-then-
+    * subtract would silently change; that shape is left unfused. */
   private def isSqDiff(mul: Multiply, x: NamedLambdaVariable,
       y: NamedLambdaVariable): Boolean = {
-    def sub(e: Expression): Option[(Expression, Expression)] =
-      stripDoubleCast(e) match {
-        case s: Subtract => Some((stripDoubleCast(s.left), stripDoubleCast(s.right)))
-        case _           => None
-      }
+    def sub(e: Expression): Option[(Expression, Expression)] = e match {
+      case s: Subtract if s.dataType == DoubleType =>
+        Some((stripDoubleCast(s.left), stripDoubleCast(s.right)))
+      case _ => None
+    }
     (sub(mul.left), sub(mul.right)) match {
       case (Some((l1, r1)), Some((l2, r2))) =>
         (isVar(l1, x) && isVar(r1, y) && isVar(l2, x) && isVar(r2, y)) ||

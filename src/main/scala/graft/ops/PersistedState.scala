@@ -23,4 +23,38 @@ object PersistedState {
     spark.conf.set(FpIndexDirKey, s"$tmp/graft_fp_index")
     spark.conf.set(IvfLayoutDirKey, s"$tmp/graft_ivf_layout")
   }
+
+  /** Short corpus-dir digest — the collision key for relocated state
+    * roots, shared by every store so their layouts can never diverge. */
+  def corpusKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Last-resort scratch location for `subdir` state of `dir`, used when
+    * the beside-the-corpus default is unwritable (read-only storage and
+    * no relocation conf set — e.g. a driver that never calls
+    * [[relocateToScratch]]). */
+  def scratchFallback(dir: String, subdir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$subdir/${corpusKey(dir)}"
+
+  /** Write persisted state via `write(path)` at the preferred location,
+    * falling back to scratch when the BESIDE-THE-CORPUS DEFAULT is
+    * unwritable (read-only corpus storage, no relocation conf). An
+    * explicitly configured location (`confKey` set) never falls back —
+    * a misconfigured conf must fail loudly, not silently divert state.
+    * Returns the path actually written. */
+  def writeWithFallback(spark: SparkSession, confKey: String,
+      preferred: String, dir: String, subdir: String)(
+      write: String => Unit): String =
+    try { write(preferred); preferred }
+    catch {
+      case e: Exception if spark.conf.getOption(confKey).isEmpty =>
+        val fallback = scratchFallback(dir, subdir)
+        System.err.println(
+          s"[graft] cannot write persisted state at $preferred " +
+            s"(${e.getMessage}); using $fallback — set $confKey " +
+            s"to silence this")
+        write(fallback)
+        fallback
+    }
 }

@@ -180,10 +180,11 @@ object SimilarityQueries {
       |  FROM cand) r
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
-  // source dirs whose IVF layout is already on disk this JVM (write
+  // preferred layout path → the path actually written this JVM (write
   // once, reuse across invocations — the layout IS the point: it
-  // persists).
-  private val ivfLayoutsWritten = scala.collection.mutable.Set.empty[String]
+  // persists; differs from preferred only when the beside-the-corpus
+  // default was unwritable and the scratch fallback engaged).
+  private val ivfLayoutStaged = scala.collection.mutable.Map.empty[String, String]
 
   /** Where the persisted IVF cell layout for a corpus lives. Like the
     * fingerprint index, a serving layout is pipeline state that belongs
@@ -194,11 +195,8 @@ object SimilarityQueries {
     */
   def ivfLayoutPath(s: SparkSession, dir: String): String =
     s.conf.getOption(PersistedState.IvfLayoutDirKey) match {
-      case Some(root) =>
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-        s"$root/ivf_layout_$key"
-      case None => s"$dir/_graft_ivf_layout"
+      case Some(root) => s"$root/ivf_layout_${PersistedState.corpusKey(dir)}"
+      case None       => s"$dir/_graft_ivf_layout"
     }
 
   /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
@@ -363,13 +361,13 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     QueryDef("sim_ivf_write_layout", ivfTopkSql) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
-      val layout = ivfLayoutPath(s, dir)
-      SimilarityQueries.synchronized {
-        if (!ivfLayoutsWritten.contains(layout)) {
-          ivfAssign(s, emb)
-            .write.mode("overwrite").partitionBy("cell").parquet(layout)
-          ivfLayoutsWritten += layout
-        }
+      val layout = SimilarityQueries.synchronized {
+        ivfLayoutStaged.getOrElseUpdate(ivfLayoutPath(s, dir),
+          PersistedState.writeWithFallback(s, PersistedState.IvfLayoutDirKey,
+            ivfLayoutPath(s, dir), dir, "ivf_layout") { p =>
+            ivfAssign(s, emb)
+              .write.mode("overwrite").partitionBy("cell").parquet(p)
+          })
       }
       ivfSearch(s, emb, s.read.parquet(layout))
     },
@@ -932,8 +930,15 @@ object SimilarityQueries {
     val emb = Scans.table(s, dir, "embeddings")
     var codebook = kmeansSeeds(s, dir)
     var assigned: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       assigned = kmeansAssign(emb, codebook)
+      // the final assignment feeds BOTH the last centroid update and the
+      // stats rollup — persist it (spill-safe) so training is exactly R
+      // corpus scans, not R+1; the bench's between-query clearCache
+      // releases it
+      if (r == rounds)
+        assigned = assigned.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       codebook = kmeansUpdate(assigned)
     }
     val stats = assigned.groupBy(col("cell"))

@@ -18,11 +18,13 @@ import graft.exec.Scans
   */
 object TextQueries {
 
-  /** Index paths whose history fingerprint index is already staged this
-    * JVM (dedup_incremental) — the index is persisted pipeline state,
-    * not part of the measured per-ingest op.
+  /** Preferred index path → the path actually staged this JVM
+    * (dedup_incremental; differs from preferred only when the
+    * beside-the-corpus default was unwritable and the scratch fallback
+    * engaged). The index is persisted pipeline state, not part of the
+    * measured per-ingest op.
     */
-  private val fpIndexWritten = scala.collection.mutable.Set.empty[String]
+  private val fpIndexStaged = scala.collection.mutable.Map.empty[String, String]
 
   /** doc_id → winnowing fingerprint (min shingle md5) — the unit the
     * incremental-dedup index stores; same definition as text_fingerprint
@@ -54,29 +56,26 @@ object TextQueries {
     */
   def fpIndexPath(s: SparkSession, dir: String): String =
     s.conf.getOption(PersistedState.FpIndexDirKey) match {
-      case Some(root) =>
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-        s"$root/fp_index_$key"
-      case None => s"$dir/_graft_fp_index"
+      case Some(root) => s"$root/fp_index_${PersistedState.corpusKey(dir)}"
+      case None       => s"$dir/_graft_fp_index"
     }
 
   /** Stage the history fingerprint index once per (JVM, path) — building
     * the index is pipeline SETUP (done once, then appended per ingest),
     * not part of the measured per-ingest op; Bench pre-stages it before
-    * the timed region. Returns the index path.
+    * the timed region. Returns the path actually staged: a read-only
+    * corpus with no relocation conf degrades to local scratch instead of
+    * failing the query.
     */
-  def ensureFpIndex(s: SparkSession, dir: String, history: => DataFrame): String = {
-    val path = fpIndexPath(s, dir)
+  def ensureFpIndex(s: SparkSession, dir: String, history: => DataFrame): String =
     synchronized {
-      if (!fpIndexWritten.contains(path)) {
-        history.select(col("fp")).distinct()
-          .write.mode("overwrite").parquet(path)
-        fpIndexWritten += path
-      }
+      fpIndexStaged.getOrElseUpdate(fpIndexPath(s, dir),
+        PersistedState.writeWithFallback(s, PersistedState.FpIndexDirKey,
+          fpIndexPath(s, dir), dir, "fp_index") { p =>
+          history.select(col("fp")).distinct()
+            .write.mode("overwrite").parquet(p)
+        })
     }
-    path
-  }
 
   /** Default-history staging (the declared query's shape): history =
     * docs below the 90% doc_id cut. */

@@ -118,6 +118,12 @@ class CopySpec extends SparkSpecBase {
           |"destination": {"connection-string": "$d"},
           |"options": {"safe-check": "maybe"}}""".stripMargin)) == 1)
     assert(Copy.runFromConfigFile(spark, write("nj", "not json at all")) == 1)
+    // a scalar exclude must reject — silently parsing as "no excludes"
+    // would copy (and with truncate on, destroy) excluded tables
+    assert(Copy.runFromConfigFile(spark, write("ex",
+      s"""{"source": {"connection-string": "$sfDir"},
+          |"destination": {"connection-string": "$d"},
+          |"tables": {"include": ["*"], "exclude": "lineitem"}}""".stripMargin)) == 1)
     // a fractional number must reject, never truncate (0.5 -> 0)
     assert(Copy.runFromConfigFile(spark, write("fr",
       s"""{"source": {"connection-string": "$sfDir"},

@@ -383,6 +383,24 @@ class ExtensionsSpec extends SparkSpecBase {
       SimilarityQueries.ivfLayoutPath(spark, "/b"))
   }
 
+  test("persisted state falls back to scratch when the corpus is unwritable") {
+    import graft.ops.{PersistedState, TextQueries}
+    import spark.implicits._
+    // no relocation conf + an unwritable beside-the-corpus default
+    // (parent is a FILE) must degrade to scratch, not fail the query
+    val conf = spark.conf
+    val fp = conf.get(PersistedState.FpIndexDirKey)
+    val blocker = java.nio.file.Files.createTempFile("graft_block", ".dat").toString
+    try {
+      conf.unset(PersistedState.FpIndexDirKey)
+      val history = Seq(1L -> "alpha bravo charlie delta").toDF("doc_id", "text")
+      val actual = TextQueries.ensureFpIndex(spark, blocker,
+        TextQueries.fingerprintFrame(history))
+      assert(actual == PersistedState.scratchFallback(blocker, "fp_index"))
+      assert(spark.read.parquet(actual).count() == 1)
+    } finally conf.set(PersistedState.FpIndexDirKey, fp)
+  }
+
   test("incremental dedup index grows per ingest: batch 2 dedups against batch 1") {
     import graft.ops.TextQueries
     // a fresh index in scratch, seeded from two history docs

@@ -171,10 +171,15 @@ class PlanQualitySpec extends SparkSpecBase {
     // schema-inference job that EVERY builder pays, so the gate is: no
     // more jobs than an indisputably declarative builder over the same
     // table submits.
+    // count via the MONOTONE max job id, not the tracked-job-list size:
+    // the status tracker evicts old jobs, so a length delta can go
+    // negative in a long-lived test session
     def jobsDuring(body: => Unit): Int = {
-      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      def maxId = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+      val before = maxId
       body
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+      maxId - before
     }
     val baseline = jobsDuring(SparkEntry.queries("sim_normalize_vectors")(spark, sfDir))
     val bucket = jobsDuring(SparkEntry.queries("sim_lsh_bucket")(spark, sfDir))
