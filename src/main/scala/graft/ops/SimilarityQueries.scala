@@ -718,6 +718,76 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_pq_train — the SUB-QUANTIZER training step (one Lloyd's
+    // update per subspace): assign every vector's 8-dim slice to its
+    // nearest sub-centroid (exactly sim_pq_quantize's encode — same
+    // 6-dp squared-L2 argmin, same ties) and recompute each
+    // (subspace, code) sub-centroid as the 6-dp mean of its members.
+    // With sim_kmeans_train (the coarse codebook) this completes IVF-PQ
+    // training end-to-end. Plan shape matches the other training ops:
+    // broadcast codebook, row-local encode, two posexploded partial-
+    // aggregated rollups — the corpus never shuffles, only
+    // (subspace, code[, dim]) partials do. At 100 TB the assign pass
+    // would read the persisted code table pq_quantize writes.
+    // ------------------------------------------------------------------
+    QueryDef("sim_pq_train",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4),
+        |sub AS (
+        |  SELECT e.vec_id, m.m AS subspace, cb.cid,
+        |         round(list_reduce(list_transform(range(1, 9),
+        |                 i -> (e.v[m.m*8+i] - cb.cv[m.m*8+i])
+        |                      * (e.v[m.m*8+i] - cb.cv[m.m*8+i])),
+        |               (a, b) -> a + b), 6) AS d
+        |  FROM e, unnest(generate_series(0, 7)) AS m(m), cb),
+        |assign AS (
+        |  SELECT vec_id, subspace, cid AS code FROM (
+        |    SELECT vec_id, subspace, cid,
+        |           row_number() OVER (PARTITION BY vec_id, subspace
+        |                              ORDER BY d, cid) AS rn
+        |    FROM sub) t
+        |  WHERE rn = 1),
+        |dd AS (
+        |  SELECT a.subspace, a.code, u.i - 1 AS dim,
+        |         e.v[a.subspace*8 + u.i] AS x
+        |  FROM assign a JOIN e ON e.vec_id = a.vec_id,
+        |       unnest(generate_series(1, 8)) AS u(i)),
+        |cent AS (SELECT subspace, code, dim, round(avg(x), 6) AS m
+        |         FROM dd GROUP BY subspace, code, dim),
+        |stats AS (SELECT subspace, code, count(*) AS n_vectors,
+        |                 CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+        |          FROM assign GROUP BY subspace, code)
+        |SELECT s.subspace, s.code, s.n_vectors, s.sum_vec_ids,
+        |       round(sqrt(sum(c.m * c.m)), 4) AS centroid_norm,
+        |       round(min(CASE WHEN c.dim = 0 THEN c.m END), 6) AS dim0
+        |FROM cent c JOIN stats s ON s.subspace = c.subspace AND s.code = c.code
+        |GROUP BY s.subspace, s.code, s.n_vectors, s.sum_vec_ids
+        |ORDER BY s.subspace, s.code""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val coded = emb.crossJoin(broadcast(pqCodebook(emb)))
+        .select(col("vec_id"), col("embedding"), pqCodesCol("embedding"))
+        .select(col("vec_id"), col("embedding"), posexplode(col("codes")))
+        .select(col("vec_id"), col("embedding"),
+          col("pos").cast("long").as("subspace"), col("col").as("code"))
+      val d = coded
+        .select(col("subspace"), col("code"),
+          posexplode(expr("slice(embedding, cast(subspace*8+1 AS int), 8)")))
+        .select(col("subspace"), col("code"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+      val cent = d.groupBy(col("subspace"), col("code"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"))
+      val stats = coded.groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("vec_id")).cast("long").as("sum_vec_ids"))
+      cent.join(stats, Seq("subspace", "code"))
+        .groupBy(col("subspace"), col("code"), col("n_vectors"),
+          col("sum_vec_ids"))
+        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+          round(min(when(col("dim") === 0, col("m"))), 6).as("dim0"))
+        .orderBy(col("subspace"), col("code"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_ivf_pq_topk — the COMPLETE IVF-PQ serving path, coarse
     // quantizer + ADC in one query: assign every vector to its nearest
     // of 16 coarse cells (6-dp squared L2, smaller-cid ties), probe the

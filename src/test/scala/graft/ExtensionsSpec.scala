@@ -488,6 +488,30 @@ class ExtensionsSpec extends SparkSpecBase {
       s"ADC picks no closer than random: picks=$pickMean corpus=$corpusMean")
   }
 
+  test("PQ sub-quantizer training agrees with the encode's code assignment") {
+    // the (subspace, code) membership stats of sim_pq_train must equal
+    // sim_pq_quantize's rows exactly — training updates the centroids
+    // OF the encode's own assignment, never a different one
+    val enc = run("sim_pq_quantize").collect()
+      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("sum_vec_ids"))).toMap
+    val trained = run("sim_pq_train").collect()
+    assert(trained.nonEmpty)
+    trained.foreach { r =>
+      val key = (r.getAs[Long]("subspace"), r.getAs[Long]("code"))
+      assert(enc(key) ==
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("sum_vec_ids")),
+        s"membership drifted for $key")
+      assert(r.getAs[Double]("centroid_norm") >= 0.0)
+    }
+    // every subspace's codes partition the corpus
+    val total = Scans.table(spark, sfDir, "embeddings").count()
+    trained.groupBy(_.getAs[Long]("subspace")).foreach { case (m, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vectors")).sum == total,
+        s"subspace $m does not partition the corpus")
+    }
+  }
+
   test("IVF-PQ serving is consistent with plain ADC and only loses by pruning") {
     val full = run("sim_pq_adc_topk").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_dist")).toMap
