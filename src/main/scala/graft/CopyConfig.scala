@@ -81,7 +81,14 @@ object CopyConfig {
         // copy (and with truncate on, destroy) tables the user excluded
         def arr(key: String, prefix: String): Seq[String] = at(t, key) match {
           case Some(a) if a.isArray =>
-            (0 until a.size).map(i => prefix + a.get(i).asText())
+            (0 until a.size).map { i =>
+              val e = a.get(i)
+              // a container element stringifies to "" — an exclude of
+              // "" matches nothing, silently un-excluding the table
+              if (!e.isTextual) throw new IllegalArgumentException(
+                s"tables.$key entries must be strings")
+              prefix + e.asText()
+            }
           case Some(_) =>
             throw new IllegalArgumentException(s"tables.$key must be an array")
           case None => Nil

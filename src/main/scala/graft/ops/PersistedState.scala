@@ -39,22 +39,32 @@ object PersistedState {
 
   /** Write persisted state via `write(path)` at the preferred location,
     * falling back to scratch when the BESIDE-THE-CORPUS DEFAULT is
-    * unwritable (read-only corpus storage, no relocation conf). An
+    * unwritable (read-only corpus storage, no relocation conf). The
+    * location is chosen by an up-front writability PROBE (mkdirs of the
+    * state dir), never by catching the write's own failure: a transient
+    * compute error mid-write must propagate, not silently divert
+    * durable state to node-local scratch for the rest of the JVM. An
     * explicitly configured location (`confKey` set) never falls back —
-    * a misconfigured conf must fail loudly, not silently divert state.
-    * Returns the path actually written. */
+    * a misconfigured conf must fail loudly. Returns the path written.
+    */
   def writeWithFallback(spark: SparkSession, confKey: String,
       preferred: String, dir: String, subdir: String)(
-      write: String => Unit): String =
-    try { write(preferred); preferred }
-    catch {
-      case e: Exception if spark.conf.getOption(confKey).isEmpty =>
+      write: String => Unit): String = {
+    def preferredWritable: Boolean =
+      try {
+        val p = new org.apache.hadoop.fs.Path(preferred)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      } catch { case _: Exception => false }
+    val target =
+      if (spark.conf.getOption(confKey).nonEmpty || preferredWritable) preferred
+      else {
         val fallback = scratchFallback(dir, subdir)
         System.err.println(
-          s"[graft] cannot write persisted state at $preferred " +
-            s"(${e.getMessage}); using $fallback — set $confKey " +
-            s"to silence this")
-        write(fallback)
+          s"[graft] persisted-state location $preferred is not writable; " +
+            s"using $fallback — set $confKey to choose explicitly")
         fallback
-    }
+      }
+    write(target)
+    target
+  }
 }

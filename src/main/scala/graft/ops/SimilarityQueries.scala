@@ -993,36 +993,34 @@ object SimilarityQueries {
 
   /** R rounds of assign/update from the standard seeds; returns the
     * report frame (cell, n_members, sum_vec_ids, centroid_norm, dim0,
-    * inertia). */
+    * inertia). Exactly R corpus scans: rounds 1..R-1 each fuse their
+    * zero-exchange assignment into the update's aggregation scan, and
+    * the FINAL round computes the centroid means and the per-cell stats
+    * in ONE exploded aggregation (every per-cell stat repeats
+    * identically across that cell's 64 dim rows, so the per-cell rollup
+    * reads it back with max) — no extra stats pass, no persisted
+    * residue left in the session.
+    */
   def kmeansTrainFrame(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "at least one training round")
-    import s.implicits._
     val emb = Scans.table(s, dir, "embeddings")
     var codebook = kmeansSeeds(s, dir)
-    var assigned: DataFrame = null
-    for (r <- 1 to rounds) {
-      assigned = kmeansAssign(emb, codebook)
-      // the final assignment feeds BOTH the last centroid update and the
-      // stats rollup — persist it (spill-safe) so training is exactly R
-      // corpus scans, not R+1; the bench's between-query clearCache
-      // releases it
-      if (r == rounds)
-        assigned = assigned.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codebook = kmeansUpdate(assigned)
-    }
-    val stats = assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"),
+    for (_ <- 1 until rounds)
+      codebook = kmeansUpdate(kmeansAssign(emb, codebook))
+    val fin = kmeansAssign(emb, codebook)
+      .select(col("cell"), col("cs"), col("vec_id"),
+        posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("m"),
+        count(lit(1)).as("n_members"),
         sum(col("vec_id")).cast("long").as("sum_vec_ids"),
         round(sum(lit(1.0) - col("cs")), 4).as("inertia"))
-    // centroid summary from the collected round-R codebook; the norm's
-    // sum runs in dim order (deterministic fold) before the 4-dp round
-    val cents = codebook.toDF("cell", "cv")
-      .select(col("cell"),
-        round(sqrt(aggregate(col("cv"), lit(0.0), (a, m) => a + m * m)), 4)
-          .as("centroid_norm"),
-        round(element_at(col("cv"), 1), 6).as("dim0"))
-    stats.join(cents, Seq("cell"))
+    fin.groupBy(col("cell"))
+      .agg(max(col("n_members")).as("n_members"),
+        max(col("sum_vec_ids")).as("sum_vec_ids"),
+        round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+        round(min(when(col("pos") === 0, col("m"))), 6).as("dim0"),
+        max(col("inertia")).as("inertia"))
       .select(col("cell"), col("n_members"), col("sum_vec_ids"),
         col("centroid_norm"), col("dim0"), col("inertia"))
       .orderBy(col("cell"))
