@@ -62,13 +62,42 @@ object Copy {
       conf: PlanConfig = PlanConfig(),
       destMeta: Map[String, TableMeta] = Map.empty,
       postCopyHook: String => Unit = _ => (),
-      /** reference `truncate-tables` (default false there; true here
-        * keeps the argv entry point's historical truncate-first
-        * behavior): OFF appends, so a non-empty destination surfaces as
-        * a reconciliation mismatch (exit 2). */
-      truncateTables: Boolean = true,
+      /** reference `truncate-tables` (default false,
+        * `SmartBulkCopyConfig.cs:104` — matched here so a caller porting
+        * a reference workflow gets append-not-destroy semantics unless
+        * they opt in): OFF appends, so a non-empty destination surfaces
+        * as a reconciliation mismatch (exit 2). The argv entry point
+        * passes true explicitly to keep its historical truncate-first
+        * behavior. */
+      truncateTables: Boolean = false,
       retryMaxAttempts: Int = 5,
-      retryDelayIncrementMs: Long = 0L): Int = {
+      retryDelayIncrementMs: Long = 0L,
+      /** reference `safe-check` (`SmartBulkCopy.cs:111-133`):
+        * `"readonly"` snapshots each source's committed-file footprint
+        * (mtime+length) before the copy phase and re-stats after — any
+        * delta fails the run with 2, the immutability violation the gate
+        * exists for. `"snapshot"` trusts an external snapshot (parquet
+        * inputs are immutable paths; nothing to re-check); `"none"`
+        * skips the stability probe entirely. */
+      safeCheck: String = "readonly",
+      /** reference `command-timeout` (`SmartBulkCopyConfig.cs:93-102`,
+        * applied per SQL command): a per-table bound on the copy. Each
+        * table's load runs under its own Spark job group; a table still
+        * loading at the deadline has its job group cancelled and counts
+        * as a copy-phase task error (exit 3) instead of wedging the run.
+        * <=0 disables the bound. */
+      commandTimeoutSec: Int = 0,
+      /** reference `sync-identity` (`SmartBulkCopy.cs:227-244`): after a
+        * clean CheckResults, for every copied table with an identity
+        * column read the source `IDENT_CURRENT`, reseed the destination,
+        * and read the seed back — an unverifiable reseed fails the run
+        * with 2 (`:375-384`). */
+      syncIdentity: Boolean = false,
+      /** reseed executor (testable seam, defaults to the real sidecar
+        * write): the spec injects a faulty reseed to prove the read-back
+        * verify catches it, the reference's error branch. */
+      reseedIdentity: (SparkSession, String, String, Long) => Unit =
+        Sinks.reseedIdentity): Int = {
     val tables = Pipeline.expandTableList(patterns)
 
     // Analysis phase: collect + analyze every table BEFORE any copy —
@@ -86,20 +115,39 @@ object Copy {
       }
     }
 
+    // safe-check "readonly": footprint snapshot BEFORE the first slice
+    // reads — stability is re-verified after the copy phase.
+    val preFootprint: Map[String, Map[String, (Long, Long)]] =
+      if (safeCheck == "readonly")
+        analyzed.map { case (src, _) =>
+          src.name -> Pipeline.sourceFootprint(spark, sfDir, src.name)
+        }.toMap
+      else Map.empty
+
     // Copy phase: per-table errors don't stop the other tables (the
     // reference's worker pool drains the whole queue; errored items are
     // counted, `SmartBulkCopy.cs:246-250`).
     var erroredTasks = 0
     analyzed.foreach { case (src, dst) =>
       try {
-        Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf,
-          truncateDest = truncateTables,
-          retryMaxAttempts = retryMaxAttempts,
-          retryDelayIncrementMs = retryDelayIncrementMs)
-        postCopyHook(src.name)
+        withCommandTimeout(spark, src.name, commandTimeoutSec) {
+          Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf,
+            truncateDest = truncateTables,
+            retryMaxAttempts = retryMaxAttempts,
+            retryDelayIncrementMs = retryDelayIncrementMs)
+          postCopyHook(src.name)
+        }
       } catch { case _: Exception => erroredTasks += 1 }
     }
     if (erroredTasks > 0) return 3
+
+    // safe-check "readonly" re-stat: a source whose committed footprint
+    // changed under the running slices may have fed different slices
+    // different data — fail hard even if rowcounts happen to agree.
+    val mutatedSources = preFootprint.exists { case (name, before) =>
+      Pipeline.sourceFootprint(spark, sfDir, name) != before
+    }
+    if (mutatedSources) return 2
 
     // CheckResults phase (`SmartBulkCopy.cs:216-245`): recount both ends
     // — source from the immutable snapshot, destination from committed
@@ -108,7 +156,61 @@ object Copy {
       Scans.table(spark, sfDir, src.name).count() ==
         Sinks.committedRowCount(spark, s"$destDir/${dst.name}.parquet")
     }
-    if (allMatch) 0 else 2
+    if (!allMatch) return 2
+
+    // SyncIdentity (`SmartBulkCopy.cs:227-244`): only after ALL rowcounts
+    // check out; tables without an identity column are skipped (the
+    // reference CTE's TableHasIdentity filter). Reseed to the source's
+    // current value, then verify by reading the destination back.
+    if (syncIdentity) {
+      val synced = analyzed.forall { case (src, dst) =>
+        Catalog.identityColumns.get(src.name).forall { idCol =>
+          val ic = Sinks.identityCurrent(
+            Scans.table(spark, sfDir, src.name), idCol)
+          val dest = s"$destDir/${dst.name}.parquet"
+          reseedIdentity(spark, dest, idCol, ic)
+          Sinks.identitySeed(spark, dest).contains((idCol, ic))
+        }
+      }
+      if (!synced) return 2
+    }
+    0
+  }
+
+  /** Per-table copy bound — the reference's `command-timeout` realized on
+    * Spark's cancellation surface: the body runs on a dedicated thread
+    * whose jobs all carry one job group; at the deadline the group is
+    * cancelled (`interruptOnCancel = true` interrupts running tasks) and
+    * a [[java.util.concurrent.TimeoutException]] propagates to the
+    * copy-phase error counter. Thread-locality of `setJobGroup` is the
+    * reason for the dedicated thread: the group must tag exactly this
+    * table's jobs, not whatever else the caller's thread submits next.
+    */
+  private def withCommandTimeout[T](
+      spark: SparkSession, table: String, timeoutSec: Int)(body: => T): T = {
+    if (timeoutSec <= 0) return body
+    val sc = spark.sparkContext
+    val groupId = s"graft-copy-$table"
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val fut = exec.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = {
+        sc.setJobGroup(groupId, s"graft copy $table", interruptOnCancel = true)
+        try body finally sc.clearJobGroup()
+      }
+    })
+    try fut.get(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(groupId)
+        fut.cancel(true)
+        throw new java.util.concurrent.TimeoutException(
+          s"command-timeout: copy of $table exceeded ${timeoutSec}s")
+      case e: java.util.concurrent.ExecutionException =>
+        e.getCause match {
+          case ex: Exception => throw ex
+          case _             => throw e
+        }
+    } finally exec.shutdownNow()
   }
 
   /** Config-file entry (testable seam): load the reference-schema JSON at
@@ -119,20 +221,27 @@ object Copy {
   def runFromConfigFile(
       spark: SparkSession,
       path: String,
-      env: String => Option[String] = sys.env.get): Int =
-    try {
-      val cfg = CopyConfig.load(path, env)
-      run(spark, cfg.sourceDir, cfg.destDir, cfg.tablePatterns, cfg.plan,
-        truncateTables = cfg.truncateTables,
-        retryMaxAttempts = cfg.retryMaxAttempt,
-        // the reference's delay-increment is seconds between attempts
-        // (SmartBulkCopyConfig.cs:112, attempt backoff at SmartBulkCopy.cs)
-        retryDelayIncrementMs = cfg.retryDelayIncrement * 1000L)
-    } catch {
-      case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
-        System.err.println(s"graft.Copy config error: ${e.getMessage}")
-        1
-    }
+      env: String => Option[String] = sys.env.get): Int = {
+    // only the LOAD maps to exit 1 — a runtime failure during the copy
+    // itself must keep its own class (crash, or run()'s 2/3), never be
+    // mislabeled a config error
+    val cfg =
+      try CopyConfig.load(path, env)
+      catch {
+        case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
+          System.err.println(s"graft.Copy config error: ${e.getMessage}")
+          return 1
+      }
+    run(spark, cfg.sourceDir, cfg.destDir, cfg.tablePatterns, cfg.plan,
+      truncateTables = cfg.truncateTables,
+      retryMaxAttempts = cfg.retryMaxAttempt,
+      // the reference's delay-increment is seconds between attempts
+      // (SmartBulkCopyConfig.cs:112, attempt backoff at SmartBulkCopy.cs)
+      retryDelayIncrementMs = cfg.retryDelayIncrement * 1000L,
+      safeCheck = cfg.safeCheck,
+      commandTimeoutSec = cfg.commandTimeout,
+      syncIdentity = cfg.syncIdentity)
+  }
 
   def main(args: Array[String]): Unit = {
     val viaConfig = args.headOption.contains("--config")
@@ -154,7 +263,9 @@ object Copy {
         if (viaConfig)
           runFromConfigFile(spark, args.lift(1).getOrElse(
             throw new IllegalArgumentException("--config needs a file path")))
-        else run(spark, sfDir, destDir, patterns)
+        // argv path keeps its historical truncate-first behavior; the
+        // config path uses the reference's false default
+        else run(spark, sfDir, destDir, patterns, truncateTables = true)
       } catch {
         case e: IllegalArgumentException =>
           System.err.println(s"graft.Copy usage error: ${e.getMessage}"); 1

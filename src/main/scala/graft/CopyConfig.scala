@@ -33,20 +33,24 @@ final case class CopyConfig(
     destDir: String,
     tablePatterns: Seq[String],
     plan: PlanConfig,
-    /** Recorded for fidelity: parquet sources are immutable snapshots, so
-      * every mode degrades to the same existence/well-formedness probe
-      * (the reference's mode picks WHICH server-side immutability query
-      * runs, `SmartBulkCopy.cs:111-133`). */
+    /** `none | readonly | snapshot` — the reference's mode picks WHICH
+      * server-side immutability query runs (`SmartBulkCopy.cs:111-133`).
+      * Here every mode keeps the existence/well-formedness probe;
+      * `readonly` additionally snapshots each source's committed-file
+      * footprint before the copy and re-verifies it after (mutation ⇒
+      * exit 2); `snapshot`/`none` trust the source. */
     safeCheck: String,
     truncateTables: Boolean,
     retryMaxAttempt: Int,
     retryDelayIncrement: Int,
-    /** Parsed for surface fidelity (`SmartBulkCopyConfig.cs:93-102`):
-      * no server round-trips to time out against parquet, and identity
-      * sync is always metadata-cheap here — but a reference user's
-      * config file must not silently lose keys. Defaults live in
-      * [[CopyConfig.parse]], the only constructor. */
+    /** Per-table copy bound in seconds (`SmartBulkCopyConfig.cs:93-102`,
+      * the reference applies it per SQL command): enforced by
+      * [[graft.Copy]] as a job-group cancellation deadline around each
+      * table's load — a wedged copy exits 3 instead of hanging. */
     commandTimeout: Int,
+    /** Post-check identity synchronization (`SmartBulkCopy.cs:227-244`):
+      * reseed each identity table's destination to the source's current
+      * value and verify by read-back; a failed verify exits 2. */
     syncIdentity: Boolean,
     compatibilityMode: Boolean)
 
@@ -113,8 +117,10 @@ object CopyConfig {
       .filter(_.nonEmpty) match {
       case None | Some("auto") => PartitionStrategy.Auto
       case Some(lp) if lp.endsWith("gb") =>
-        val n = lp.dropRight(2)
-        try PartitionStrategy.SizeGb(n.toDouble)
+        // integer GB only — the reference int.Parses the size
+        // (SmartBulkCopyConfig.cs:152-170), so "8.5gb"/"1e2gb" reject
+        val n = lp.dropRight(2).trim
+        try PartitionStrategy.SizeGb(n.toInt.toDouble)
         catch { case _: NumberFormatException =>
           throw new IllegalArgumentException(s"bad logical-partitions size: $lp")
         }

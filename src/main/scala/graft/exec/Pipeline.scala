@@ -75,6 +75,22 @@ object Pipeline {
     } catch { case _: Exception => false }
   }
 
+  /** Immutability footprint of one source table: committed data file →
+    * (mtime, length). `safe-check: readonly` snapshots this before the
+    * copy phase and re-stats after — any delta means the source was NOT
+    * read-only while the parallel slices ran, the exact inconsistency
+    * the reference's immutability gate exists to rule out
+    * (`SmartBulkCopy.cs:111-133`; its readonly mode checks the database
+    * flag server-side — a file source has no flag, so stability of the
+    * footprint IS the property). Metadata-only: footer stats, no data
+    * pages read.
+    */
+  def sourceFootprint(
+      spark: SparkSession, sfDir: String, table: String): Map[String, (Long, Long)] =
+    Sinks.committedFiles(spark, s"$sfDir/$table.parquet")
+      .map(f => f.getPath.toString -> (f.getModificationTime, f.getLen))
+      .toMap
+
   /** Wildcard table-list expansion — reference `SmartBulkCopy.cs:812-911`:
     * the table list is an ORDERED add/remove fold, then distinct
     * (`SmartBulkCopy.cs:138`). Each entry is applied in sequence, so

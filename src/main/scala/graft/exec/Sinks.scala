@@ -132,4 +132,42 @@ object Sinks {
     */
   def identityCurrent(df: DataFrame, idCol: String): Long =
     df.agg(max(col(idCol)).cast("long")).collect()(0).getLong(0)
+
+  /** Reseed the destination's identity generator — the file-sink analog of
+    * `dbcc checkident('t', reseed, ic)` (reference `SmartBulkCopy.cs:
+    * 372-374`): a table directory has no live generator, so the seed is
+    * recorded in a `_graft_identity_seed.json` sidecar under the table
+    * root. The `_` prefix keeps it invisible to every scan and to
+    * [[committedRowCount]]/[[committedFiles]] — it is destination catalog
+    * state, not data. A writer appending to the copied table continues
+    * the sequence from here, exactly what the reseed buys a SQL user.
+    */
+  def reseedIdentity(spark: SparkSession, tablePath: String, idCol: String, seed: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tablePath, "_graft_identity_seed.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"column":"$idCol","seed":$seed}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read-back of the destination identity seed — the second
+    * `IDENT_CURRENT` probe of the reference's sync
+    * (`SmartBulkCopy.cs:375-384`): the reseed must be OBSERVABLE on the
+    * destination, never assumed. `None` when no seed was ever recorded
+    * (the destination's `TableHasIdentity = 0` case).
+    */
+  def identitySeed(spark: SparkSession, tablePath: String): Option[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath, "_graft_identity_seed.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(buf, "UTF-8"))
+      Some((node.get("column").asText(), node.get("seed").asLong()))
+    }
+  }
 }

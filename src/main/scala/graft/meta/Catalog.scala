@@ -57,6 +57,18 @@ object Catalog {
     "documents"  -> TableMeta("main", "documents", Storage.ClusteredColumnstore),
     "embeddings" -> TableMeta("main", "embeddings", Storage.ClusteredColumnstore))
 
+  /** Tables whose key is an IDENTITY column — the `TableHasIdentity = 1`
+    * set the reference's identity sync filters on (its per-table CTE
+    * returns NULL for the rest and the sync skips them,
+    * `SmartBulkCopy.cs:347-370`). Shared by `identity_sync` and
+    * [[graft.Copy]]'s post-check sync step.
+    */
+  val identityColumns: Map[String, String] = Map(
+    "customer" -> "c_custkey",
+    "orders"   -> "o_orderkey",
+    "part"     -> "p_partkey",
+    "supplier" -> "s_suppkey")
+
   /** Collect physical facts for one table — reference
     * `TableInfoCollector.cs:170-188` (`CollectAsync`: existence → index
     * topology → counts → size → columns). Row count and byte size come

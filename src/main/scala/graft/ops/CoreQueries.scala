@@ -248,8 +248,7 @@ object CoreQueries {
         |UNION ALL SELECT 'part', max(p_partkey) FROM part
         |UNION ALL SELECT 'supplier', max(s_suppkey) FROM supplier
         |ORDER BY table_name""".stripMargin) { (s, dir) =>
-      Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
-          "part" -> "p_partkey", "supplier" -> "s_suppkey")
+      graft.meta.Catalog.identityColumns.toSeq.sortBy(_._1)
         .map { case (n, c) =>
           t(s, dir, n).agg(max(col(c)).cast("long").as("ident_current"))
             .select(lit(n).as("table_name"), col("ident_current"))

@@ -409,7 +409,11 @@ object EventQueries {
         .filter(col("rn") === 1)
         .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n_users"),
-          sum(expr("ms div 1000")).cast("long").as("sum_s"))
+          // FLOOR division, integer-exact: Spark's `div` truncates toward
+          // zero but DuckDB's `//` floors, so a pre-1970 (negative) epoch
+          // would diverge; subtracting the non-negative pmod first makes
+          // both engines floor identically with no double rounding
+          sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
         .orderBy(col("bucket"), col("event_type"))
     },
 

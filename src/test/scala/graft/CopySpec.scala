@@ -172,6 +172,100 @@ class CopySpec extends SparkSpecBase {
     assert(!sized.truncateTables && sized.safeCheck == "readonly")
   }
 
+  test("sync-identity reseeds the destination and verifies by read-back") {
+    val d = destDir
+    // supplier HAS an identity column; region does not — the sync must
+    // reseed the one and skip the other (TableHasIdentity filter)
+    val code = Copy.run(spark, sfDir, d, Seq("region", "supplier"),
+      truncateTables = true, syncIdentity = true)
+    assert(code == 0)
+    val expected = exec.Sinks.identityCurrent(
+      Scans.table(spark, sfDir, "supplier"), "s_suppkey")
+    assert(exec.Sinks.identitySeed(spark, s"$d/supplier.parquet")
+      .contains(("s_suppkey", expected)))
+    assert(exec.Sinks.identitySeed(spark, s"$d/region.parquet").isEmpty,
+      "a table without an identity column must not be reseeded")
+    // the sidecar must stay invisible to scans and reconciliation
+    assert(exec.Sinks.committedRowCount(spark, s"$d/supplier.parquet") ==
+      Scans.table(spark, sfDir, "supplier").count())
+  }
+
+  test("sync-identity read-back mismatch exits 2 (reference :375-384)") {
+    val d = destDir
+    // a reseed that lands one short: the verify probe must catch it —
+    // the reference's 'Unable to sync identity value' error branch
+    val code = Copy.run(spark, sfDir, d, Seq("supplier"),
+      truncateTables = true, syncIdentity = true,
+      reseedIdentity = (s, path, col, seed) =>
+        exec.Sinks.reseedIdentity(s, path, col, seed - 1))
+    assert(code == 2)
+  }
+
+  test("config file with sync-identity: true drives the reseed end-to-end") {
+    val d = destDir
+    val cfgPath = s"$d/ident.config.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "source":      { "connection-string": "$sfDir" },
+         |  "destination": { "connection-string": "$d" },
+         |  "tables": [ "supplier" ],
+         |  "options": { "truncate-tables": true, "sync-identity": true }
+         |}""".stripMargin)
+    assert(Copy.runFromConfigFile(spark, cfgPath) == 0)
+    val expected = exec.Sinks.identityCurrent(
+      Scans.table(spark, sfDir, "supplier"), "s_suppkey")
+    assert(exec.Sinks.identitySeed(spark, s"$d/supplier.parquet")
+      .contains(("s_suppkey", expected)))
+  }
+
+  test("command-timeout cancels a wedged copy and exits 3") {
+    val start = System.nanoTime()
+    // the hook wedges INSIDE the table's copy phase (the retry_transient
+    // injection pattern); the 2s deadline must cancel it and classify
+    // the table as a copy-phase task error
+    val code = Copy.run(spark, sfDir, destDir, Seq("region"),
+      truncateTables = true, commandTimeoutSec = 2,
+      postCopyHook = _ => Thread.sleep(120000))
+    val elapsedSec = (System.nanoTime() - start) / 1e9
+    assert(code == 3)
+    assert(elapsedSec < 60, s"timeout must cancel, not wait out the wedge ($elapsedSec s)")
+  }
+
+  test("command-timeout leaves a fast copy untouched") {
+    assert(Copy.run(spark, sfDir, destDir, Seq("region"),
+      truncateTables = true, commandTimeoutSec = 600) == 0)
+  }
+
+  test("safe-check readonly detects a source mutated mid-copy; none skips") {
+    // stage a MUTABLE copy of the source (testdata is read-only)
+    def stage(): String = {
+      val s = java.nio.file.Files.createTempDirectory("graft_mut_src").toString
+      Scans.table(spark, sfDir, "region").coalesce(1)
+        .write.parquet(s"$s/region.parquet")
+      s
+    }
+    // rewrite one committed source file in place with identical bytes:
+    // rowcounts still reconcile, ONLY the footprint mtime changes — the
+    // exact violation the immutability gate must catch and a rowcount
+    // check cannot
+    def touchSource(src: String): Unit = {
+      val f = new java.io.File(s"$src/region.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      Thread.sleep(1100) // outlast coarse mtime granularity
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    val s1 = stage()
+    assert(Copy.run(spark, s1, destDir, Seq("region"), truncateTables = true,
+      safeCheck = "readonly", postCopyHook = _ => touchSource(s1)) == 2)
+    val s2 = stage()
+    assert(Copy.run(spark, s2, destDir, Seq("region"), truncateTables = true,
+      safeCheck = "none", postCopyHook = _ => touchSource(s2)) == 0)
+    // and an unmutated readonly run stays clean
+    assert(Copy.run(spark, s2, destDir, Seq("region"), truncateTables = true,
+      safeCheck = "readonly") == 0)
+  }
+
   test("analysis failure aborts BEFORE any table is copied") {
     val d = destDir
     val dst = Catalog.collect(spark, sfDir, "nation")
