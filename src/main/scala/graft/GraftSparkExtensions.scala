@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, RewriteDotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CosineSim, MinShingleMd5, RewriteDotProduct, SimhashVotes}
 
 /** Engine extension point — install with
   * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` (done
@@ -23,6 +24,26 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSim(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("min_shingle_md5"),
+      new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinShingleMd5(t, 8, 4)
+        case Seq(t, Literal(l: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+          MinShingleMd5(t, l, s)
+        case _ => throw new IllegalArgumentException(
+          "min_shingle_md5 expects (text) or (text, <int literal len>, <int literal stride>)")
+      }))
+    // aggregate functions registered here are wrapped in an
+    // AggregateExpression by the analyzer's function resolution, same as
+    // Spark's own registry-built aggregates
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_votes"),
+      new ExpressionInfo(classOf[SimhashVotes].getName, "simhash_votes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_votes expects exactly 2 arguments")
+        SimhashVotes(args.head, args(1))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }

@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      // our TypedImperativeAggregates (simhash_votes) hold one small
+      // fixed-size long[64] buffer per group: let ObjectHashAggregateExec
+      // keep hashing far past its 128-group default before the sort-based
+      // fallback (64k groups x ~600B buffers ~ 40MB/partition, and the
+      // fallback remains the graceful path beyond that)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
       .config("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")

@@ -30,20 +30,29 @@ object TextQueries {
     * incremental-dedup index stores; same definition as text_fingerprint
     * so index lookups and per-doc fingerprints can never drift.
     */
+  /** Preferred path: the native fused expression
+    * ([[graft.functions.MinShingleMd5]], registered by
+    * [[graft.GraftSparkExtensions]]) — one codegen'd loop per row.
+    * Sessions without the extension fall back to the equivalent built-in
+    * composition (equivalence property-tested in ExtensionsSpec):
+    * lower(text) hoisted below the transform — HOF lambdas evaluate
+    * interpreted with no cross-invocation CSE, so an in-lambda
+    * lower(text) would re-lowercase the document once PER SHINGLE. The
+    * sequence bound stays on the RAW text length — lowercasing is not
+    * length-preserving in Unicode (İ → i̇), and the cross-engine contract
+    * (the DuckDB twin) derives shingle starts from the raw length.
+    */
   def fingerprintFrame(docs: DataFrame): DataFrame =
-    // lower(text) hoisted below the transform: HOF lambdas evaluate
-    // interpreted with no cross-invocation CSE, so an in-lambda
-    // lower(text) would re-lowercase the document once PER SHINGLE.
-    // The sequence bound stays on the RAW text length — lowercasing is
-    // not length-preserving in Unicode (İ → i̇), and the cross-engine
-    // contract (the DuckDB twin) derives shingle starts from the raw
-    // length.
-    docs.select(col("doc_id"), length(col("text")).as("len"),
-        lower(col("text")).as("lt"))
-      .select(col("doc_id"),
-        array_min(expr(
-          "transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
-          .as("fp"))
+    if (docs.sparkSession.catalog.functionExists("min_shingle_md5"))
+      docs.select(col("doc_id"),
+        call_function("min_shingle_md5", col("text")).as("fp"))
+    else
+      docs.select(col("doc_id"), length(col("text")).as("len"),
+          lower(col("text")).as("lt"))
+        .select(col("doc_id"),
+          array_min(expr(
+            "transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
+            .as("fp"))
 
   /** Where the persisted fingerprint index for a corpus lives. Persisted
     * pipeline state belongs BESIDE the data it indexes — default
@@ -453,17 +462,28 @@ object TextQueries {
         |FROM documents d,
         |     unnest(generate_series(1, greatest(length(d.text) - 7, 1), 4)) AS u(i)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      Scans.table(s, dir, "documents")
-        // lower(text) hoisted out of the lambda; sequence bound on the
-        // RAW length — see fingerprintFrame for both contracts
-        .select(col("doc_id"), length(col("text")).as("len"),
-          lower(col("text")).as("lt"))
-        .select(col("doc_id"),
-          expr("transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))")
-            .as("hashes"))
-        .select(col("doc_id"),
-          array_min(col("hashes")).as("fingerprint"),
-          size(col("hashes")).cast("long").as("n_shingles"))
+      // One row-local projection. n_shingles is the shingle-start count
+      // — the length of sequence(1, greatest(len - 7, 1), 4) as plain
+      // arithmetic, never a materialized array. The fingerprint uses the
+      // native fused loop when registered (see fingerprintFrame — same
+      // definition as the incremental-dedup index, so the two can never
+      // drift); the HOF fallback keeps lower(text) hoisted out of the
+      // lambda (no cross-invocation CSE in interpreted HOFs).
+      val nShingles =
+        expr("cast((greatest(len - 7, 1) - 1) div 4 + 1 AS bigint)").as("n_shingles")
+      val docs = Scans.table(s, dir, "documents")
+      val fp =
+        if (s.catalog.functionExists("min_shingle_md5"))
+          docs.select(col("doc_id"), length(col("text")).as("len"),
+              call_function("min_shingle_md5", col("text")).as("fingerprint"))
+        else
+          docs.select(col("doc_id"), length(col("text")).as("len"),
+              lower(col("text")).as("lt"))
+            .select(col("doc_id"), col("len"),
+              array_min(expr(
+                "transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
+                .as("fingerprint"))
+      fp.select(col("doc_id"), col("fingerprint"), nShingles)
         .orderBy(col("doc_id"))
     },
 
@@ -781,15 +801,27 @@ object TextQueries {
          |SELECT doc_id,
          |       ${simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")} AS simhash64
          |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val votes = Scans.table(s, dir, "documents")
+      val halves = Scans.table(s, dir, "documents")
         .repartition(col("doc_id")) // full-width digest work (see minhashSigs)
         .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
         .select(col("doc_id"), md5(col("tok")).as("th"))
         .select(col("doc_id"),
           expr("cast(conv(substring(th, 1, 8), 16, 10) AS BIGINT)").as("h1"),
           expr("cast(conv(substring(th, 9, 8), 16, 10) AS BIGINT)").as("h2"))
-        .groupBy(col("doc_id"))
-        .agg(simhashSumsSpark.head, simhashSumsSpark.tail: _*)
+      // One narrow vote-vector aggregate (long[64] buffer, compiled
+      // shift/mask update loop) instead of 64 independent sum(CASE)
+      // columns — the engine's widest hash-aggregate state before r6;
+      // identical integer vote sums (see SimhashVotes), DuckDB oracle
+      // unchanged. Unregistered sessions fall back to the column form.
+      val votes =
+        if (s.catalog.functionExists("simhash_votes"))
+          halves.groupBy(col("doc_id"))
+            .agg(call_function("simhash_votes", col("h1"), col("h2")).as("sv"))
+            .select(col("doc_id") +:
+              (0 until 64).map(b => element_at(col("sv"), b + 1).as(s"s_$b")): _*)
+        else
+          halves.groupBy(col("doc_id"))
+            .agg(simhashSumsSpark.head, simhashSumsSpark.tail: _*)
       votes.select(col("doc_id"),
           expr(simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")).as("simhash64"))
         .orderBy(col("doc_id"))

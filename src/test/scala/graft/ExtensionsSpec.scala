@@ -203,6 +203,81 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(rows(1).isNullAt(0))
   }
 
+  test("native min_shingle_md5 is registered and bit-equal to the HOF composition") {
+    assert(spark.catalog.functionExists("min_shingle_md5"))
+    import spark.implicits._
+    // seeded generator over an alphabet that exercises every tricky
+    // class: ASCII, case-folding, multi-byte (é, Σ, 中), the Turkish İ
+    // whose lowercase is TWO code points (lowered length > raw length),
+    // and an astral-plane emoji (4-byte UTF-8, surrogate pair in UTF-16)
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcXYZ 0189éİßΣ中🙂\n\t"
+    val tricky = Seq("", "a", "abcdefg", "abcdefgh", "abcdefghi", "ABCDEFGH",
+      "İİİİİİİİİİ", "🙂🙂🙂🙂🙂🙂🙂🙂🙂", "ÄÖÜ straße ΣΊΣΥΦΟΣ", " \t\n  ")
+    val rand = (1 to 300).map { _ =>
+      val n = rng.nextInt(80)
+      (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+    def compare(df: org.apache.spark.sql.DataFrame): Unit = {
+      val hof = df
+        .select(col("doc_id"), length(col("text")).as("len"),
+          lower(col("text")).as("lt"))
+        .select(col("doc_id"), array_min(expr(
+          "transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
+          .as("fp"))
+      val native = df.select(col("doc_id"),
+        call_function("min_shingle_md5", col("text")).as("fp"))
+      assert(native.exceptAll(hof).count() == 0 &&
+        hof.exceptAll(native).count() == 0)
+    }
+    compare((tricky ++ rand).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+    // and over the real corpus
+    compare(Scans.table(spark, sfDir, "documents").select(col("doc_id"), col("text")))
+    // NULL in, NULL out — same as the composition
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("hello world")))
+      .toDF("doc_id", "text")
+      .select(call_function("min_shingle_md5", col("text")).as("fp"))
+    assert(withNull.filter(col("fp").isNull).count() == 1)
+    // the declared query actually uses the fused expression
+    val plan = run("text_fingerprint").queryExecution.optimizedPlan.toString
+    assert(plan.contains("min_shingle_md5"),
+      s"text_fingerprint not using the native expression:\n${plan.take(2000)}")
+    assert(!plan.contains("lambdafunction"),
+      s"residual interpreted HOF in text_fingerprint:\n${plan.take(2000)}")
+  }
+
+  test("native simhash_votes agrees with the 64-column sum(CASE) aggregate") {
+    assert(spark.catalog.functionExists("simhash_votes"))
+    val halves = Scans.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("th"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(th, 1, 8), 16, 10) AS BIGINT)").as("h1"),
+        expr("cast(conv(substring(th, 9, 8), 16, 10) AS BIGINT)").as("h2"))
+    val native = halves.groupBy(col("doc_id"))
+      .agg(call_function("simhash_votes", col("h1"), col("h2")).as("sv"))
+    // the column form, reassembled into the same array shape
+    val columns = (0 until 64).map { b =>
+      val d = b / 4 + 1; val k = b % 4
+      val (h, shift) = if (d <= 8) ("h1", 4 * (8 - d) + k) else ("h2", 4 * (16 - d) + k)
+      expr(s"sum(CASE WHEN (shiftright($h, $shift) & 1L) = 1 THEN 1 ELSE -1 END)").as(s"s_$b")
+    }
+    val viaColumns = halves.groupBy(col("doc_id"))
+      .agg(columns.head, columns.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(b => col(s"s_$b")): _*).as("sv"))
+    assert(native.exceptAll(viaColumns).count() == 0 &&
+      viaColumns.exceptAll(native).count() == 0)
+    // the declared query runs the narrow aggregate (object hash agg path)
+    val qe = run("dedup_simhash").queryExecution
+    assert(qe.optimizedPlan.toString.contains("simhash_votes"),
+      "dedup_simhash not using the vote-vector aggregate")
+    assert(qe.executedPlan.toString.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregateExec:\n${qe.executedPlan.toString.take(2000)}")
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric-bounded") {
     val emb = Scans.table(spark, sfDir, "embeddings").limit(20)
     val self = emb.select(

@@ -24,6 +24,9 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      // same ObjectHashAggregate headroom as Verify/Bench (simhash_votes
+      // holds one small fixed-size buffer per group)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
       .config("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
