@@ -68,6 +68,17 @@ object Bench {
       try { body; Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }
+    // lower-median over successful runs: with min alone, a noisy
+    // measurement window (the r5 driver/builder 57-vs-44 s delta) is
+    // indistinguishable from a code regression; {min, median} together
+    // make a noisy record self-diagnosing — median >> min says
+    // environment contention, median ≈ min ≫ last round says real
+    // regression
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Per-query isolation (r4 finding: cross-query state pollution):
       // cached state a previous query left behind — the LSH signature
@@ -77,10 +88,10 @@ object Bench {
       // materialized-sketch-table semantics the dedup family declares).
       spark.catalog.clearCache()
       graft.ops.TextQueries.releaseCaches()
-      // min over SUCCESSFUL runs only; -1 marks a query with no success
+      // stats over SUCCESSFUL runs only; -1 marks a query with no success
       // (a fast failure must not masquerade as a fast result)
       val times = (1 to runs).flatMap(_ => timed(noopRun(fn)))
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (times.nonEmpty) (times.min, median(times)) else (-1.0, -1.0))
     }
     // The driver keeps only the last 2000 chars of output (r1's
     // full-precision 76-entry line overflowed that and failed to parse),
@@ -88,10 +99,13 @@ object Bench {
     // ALL queries; the full per-query map goes to a local file.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val headline = Bench.headlineKeys
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
+    // stdout line: min only (driver parse compatibility — format unchanged)
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v._1)}"))
       .mkString("{", ",", "}")
-    val full = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    // committed full map: {min, median} per query, ordered by min desc
+    val full = results.toSeq.sortBy(-_._2._1)
+      .map { case (k, (mn, md)) => s"\"$k\":{\"min\":${f3(mn)},\"median\":${f3(md)}}" }
+      .mkString("{", ",", "}")
     // The full per-query map is a committed artifact (BENCH_full.json in
     // the repo root) so every query's round-over-round trend is auditable
     // — the stdout line only survives truncated to its last 2000 chars.
@@ -105,7 +119,7 @@ object Bench {
       }
     // totals over SUCCESSFUL queries only: the -1 failure sentinel must
     // not subtract from the sum (per-query -1s still show in the maps)
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }

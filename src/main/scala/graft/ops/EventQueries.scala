@@ -18,6 +18,26 @@ import graft.exec.Scans
   */
 object EventQueries {
 
+  /** Shared by `events_cdc_merge` (the batch operator) and
+    * `events_cdc_stream_equiv` (the streaming materializer's replay):
+    * one oracle, two execution paths — the equivalence IS the contract.
+    */
+  private val cdcMergeOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type, ms FROM (
+      |    SELECT user_id, event_type, epoch_ms(ts) AS ms,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |    FROM events) t
+      |  WHERE rn = 1)
+      |SELECT user_id % 20 AS bucket, event_type,
+      |       count(*) AS n_users, CAST(sum(ms // 1000) AS BIGINT) AS sum_s
+      |FROM s GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** Distinct memory-sink names per stream replay (Bench runs the same
+    * query several times in one session). */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong()
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -388,17 +408,7 @@ object EventQueries {
     // seconds push the wrap past 5 billion per cell. At 100 TB this is
     // the compaction job that bounds a CDC table's size.
     // ------------------------------------------------------------------
-    QueryDef("events_cdc_merge",
-      """WITH s AS (
-        |  SELECT user_id, event_type, ms FROM (
-        |    SELECT user_id, event_type, epoch_ms(ts) AS ms,
-        |           row_number() OVER (PARTITION BY user_id
-        |             ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-        |    FROM events) t
-        |  WHERE rn = 1)
-        |SELECT user_id % 20 AS bucket, event_type,
-        |       count(*) AS n_users, CAST(sum(ms // 1000) AS BIGINT) AS sum_s
-        |FROM s GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, dir) =>
+    QueryDef("events_cdc_merge", cdcMergeOracle) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ms").desc, col("event_id").desc)
@@ -415,6 +425,61 @@ object EventQueries {
           // both engines floor identically with no double rounding
           sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
         .orderBy(col("bucket"), col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_cdc_stream_equiv — the STREAMING CDC materializer under
+    // the batch oracle: replay the events table through the
+    // flatMapGroupsWithState latest-state operator
+    // (graft.streaming.EventStreams.latestState) as a real Structured
+    // Streaming query (parquet file source → memory sink), recover the
+    // snapshot from the emitted change stream, and roll it up EXACTLY
+    // like events_cdc_merge — same oracle SQL, so the hash compare
+    // proves stream replay ≡ batch merge. Snapshot recovery is exact
+    // whatever the micro-batch split: per user the emissions are
+    // strictly increasing in (ms, event_id), so the final state is the
+    // per-user max — one small aggregation over the change stream
+    // (≈ one row per user, never the event history).
+    // ------------------------------------------------------------------
+    QueryDef("events_cdc_stream_equiv", cdcMergeOracle) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.EventStreams
+      // the parquet file source wants a directory: stage the events
+      // file behind a scratch symlink (same trick as StreamingSpec)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(streamDir.toString)
+      // identical ts derivation to the batch path: ns-as-long → µs
+      // timestamp (Scans.table's conversion) → unix_millis
+      val in = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
+          col("event_id").as("eventId"), col("event_type").as("eventType"))
+        .as[EventStreams.LatestIn]
+      val sink = s"graft_cdc_stream_equiv_${streamRuns.incrementAndGet()}"
+      val q = EventStreams.latestState(in)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val snapshot = s.table(sink)
+        .groupBy(col("userId"))
+        .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
+        .select(col("userId").as("user_id"), col("b.ms").as("ms"),
+          col("b.eventType").as("event_type"))
+      val result = snapshot
+        .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
+        .orderBy(col("bucket"), col("event_type"))
+        // materialize before dropping the memory sink the plan reads;
+        // ≤ (20 buckets × types) rows — O(1) driver footprint
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      result
     },
 
     // ------------------------------------------------------------------

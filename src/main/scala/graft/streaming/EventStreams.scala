@@ -110,7 +110,7 @@ object EventStreams {
   }
 
   final case class LatestIn(userId: Long, ms: Long, eventId: Long, eventType: String)
-  final case class LatestOut(userId: Long, ms: Long, eventType: String)
+  final case class LatestOut(userId: Long, ms: Long, eventId: Long, eventType: String)
 
   /** Keyed latest-state materialization — the streaming dual of
     * `events_cdc_merge` via `flatMapGroupsWithState`: per-key state
@@ -119,7 +119,12 @@ object EventStreams {
     * CHANGED — the update stream a downstream snapshot table applies.
     * The survivor contract is the batch operator's exactly:
     * max (ms, event_id), so same-millisecond updates and replayed
-    * micro-batches converge on the identical row.
+    * micro-batches converge on the identical row. Emissions carry the
+    * survivor's event_id: per user they are strictly increasing in
+    * (ms, event_id), so a downstream snapshot recovers the final state
+    * as the per-user max — exactly, whatever the micro-batch split
+    * (the declared `events_cdc_stream_equiv` hash-checks this replay
+    * against the batch operator's snapshot).
     */
   def latestState(events: Dataset[LatestIn]): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
@@ -130,7 +135,7 @@ object EventStreams {
           .maxBy(r => (r.ms, r.eventId))
         val changed = !state.getOption.contains(best)
         state.update(best)
-        if (changed) Iterator(LatestOut(userId, best.ms, best.eventType))
+        if (changed) Iterator(LatestOut(userId, best.ms, best.eventId, best.eventType))
         else Iterator.empty
     }
   }

@@ -73,6 +73,18 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("declared events_cdc_stream_equiv replay equals the batch cdc merge") {
+    // the declared key runs a REAL streaming replay (file source →
+    // flatMapGroupsWithState → memory sink) and must reproduce the batch
+    // operator's rollup row for row — the equivalence the shared oracle
+    // hash-checks, asserted engine-side here
+    val streamed = SparkEntry.queries("events_cdc_stream_equiv")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("events_cdc_merge")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("latest-state stream emits only changed survivors across micro-batches") {
     import spark.implicits._
     import graft.streaming.EventStreams.{LatestIn, LatestOut}
@@ -90,14 +102,14 @@ class StreamingSpec extends SparkSpecBase {
         LatestIn(2L, 500L, 3L, "view"))
       q.processAllAvailable()
       assert(emitted().toSet ==
-        Set(LatestOut(1L, 1000L, "click"), LatestOut(2L, 500L, "view")))
+        Set(LatestOut(1L, 1000L, 9L, "click"), LatestOut(2L, 500L, 3L, "view")))
       // batch 2: a LATE update for user 1 (older ms — must not emit) and
       // a genuinely newer state for user 2 (must emit)
       in.addData(LatestIn(1L, 900L, 20L, "stale"), LatestIn(2L, 800L, 4L, "click"))
       q.processAllAvailable()
       assert(emitted().toSet ==
-        Set(LatestOut(1L, 1000L, "click"), LatestOut(2L, 500L, "view"),
-          LatestOut(2L, 800L, "click")))
+        Set(LatestOut(1L, 1000L, 9L, "click"), LatestOut(2L, 500L, 3L, "view"),
+          LatestOut(2L, 800L, 4L, "click")))
     } finally q.stop()
   }
 
