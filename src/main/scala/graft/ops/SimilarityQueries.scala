@@ -969,6 +969,19 @@ object SimilarityQueries {
   /** Centroid update: 6-dp-rounded per-(cell, dim) means via posexplode
     * + partial aggregation, collected to the driver — k×d doubles, the
     * only thing that moves between rounds.
+    *
+    * Accepted fragility (r5 ADVICE): the unrounded avg() depends on
+    * float-summation order, which differs between Spark's partial
+    * aggregation and DuckDB, so a mean landing within one summation-ulp
+    * of a 0.5e-6 rounding boundary could round differently per engine
+    * and flip an assignment. Quantified: the order-dependent wobble is
+    * ~1e-10 relative, so the per-component flip probability is ~1e-10;
+    * across k×d×rounds ≈ 1.5e3 components that is ~1e-7 per training
+    * run — and the correctness gate would surface it loudly, not
+    * silently. The exact alternatives (Kahan via a typed aggregate, or
+    * DECIMAL(38,18) sums) make summation order-independent but put a
+    * 2-3× tax on the training hot loop — the wrong trade at 100 TB for
+    * a one-in-ten-million cross-engine test flake.
     */
   def kmeansUpdate(assigned: DataFrame): Seq[(Long, Seq[Double])] = {
     val s = assigned.sparkSession
