@@ -125,10 +125,11 @@ case class MinShingleMd5(child: Expression, shingleLen: Int, stride: Int)
       s"$prettyName expects a string input, got ${other.catalogString}")
   }
 
-  // resolved once on the driver, exactly like the built-in Lower — so
-  // the fused loop lowercases identically to the lower() this session
-  // would run
-  private lazy val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
+  // strict val: captured at construction (analysis time, on the driver),
+  // exactly like the built-in Lower — so the fused loop lowercases
+  // identically to the lower() this session would run, even if the
+  // expression is serialized before first evaluation
+  private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
     .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
 
   override protected def nullSafeEval(input: Any): Any =

@@ -34,9 +34,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * The vote sums are bit-for-bit identical to the column form (integer
   * arithmetic only), so the DuckDB oracle's digit-wise form is unchanged.
   *
-  * A null input half skips the row (the md5-fold inputs are provably
-  * non-null: md5 of a non-null token; exploded tokens are non-null by
-  * the tokenizer's filter).
+  * Null semantics match the column form exactly: in `sum(CASE WHEN
+  * shiftright(h, s) & 1 = 1 THEN 1 ELSE -1 END)` a null hash half makes
+  * the predicate null, which takes the ELSE branch — a −1 vote — so a
+  * null half here votes −1 on each of its 32 bits (the other half still
+  * votes normally). The md5-fold inputs are provably non-null in the
+  * engine's own pipeline (md5 of a non-null token), but if that contract
+  * ever weakens the two paths stay bit-identical instead of silently
+  * diverging.
   */
 case class SimhashVotes(
     left: Expression,
@@ -61,17 +66,21 @@ case class SimhashVotes(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v1 = left.eval(input)
     val v2 = right.eval(input)
-    if (v1 == null || v2 == null) return buf
-    val h1 = v1.asInstanceOf[Long]
-    val h2 = v2.asInstanceOf[Long]
     var b = 0
     while (b < 64) {
       // bit b = 4*(d-1)+k: digit d sits at nibble 8-d of its 8-digit half
       val d = (b >> 2) + 1
       val k = b & 3
+      // a null half votes −1 on its 32 bits, matching the CASE fallback
+      // (null predicate -> ELSE -1); the other half is unaffected
       val bit =
-        if (d <= 8) (h1 >>> (4 * (8 - d) + k)) & 1L
-        else (h2 >>> (4 * (16 - d) + k)) & 1L
+        if (d <= 8) {
+          if (v1 == null) 0L
+          else (v1.asInstanceOf[Long] >>> (4 * (8 - d) + k)) & 1L
+        } else {
+          if (v2 == null) 0L
+          else (v2.asInstanceOf[Long] >>> (4 * (16 - d) + k)) & 1L
+        }
       buf(b) += (bit << 1) - 1L // 1 -> +1, 0 -> -1
       b += 1
     }

@@ -38,6 +38,37 @@ object EventQueries {
     * query several times in one session). */
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Stage `$dir/events.parquet` behind a scratch directory (the parquet
+    * file source wants a directory, not a file): one symlink with an
+    * ABSOLUTE target, so a relative `SPARK_GRAFT_SF_DIR` still resolves
+    * (a relative symlink target would resolve against the temp dir and
+    * dangle). Callers must clean up via [[dropStagedEventsDir]] — Bench
+    * replays the query several times per session, so leaking one scratch
+    * dir per run would accumulate.
+    */
+  private def stageEventsDir(dir: String): java.nio.file.Path = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
+    streamDir
+  }
+
+  private def dropStagedEventsDir(streamDir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+  }
+
+  /** Recursive scratch cleanup for file-sink + checkpoint replays (sink
+    * and checkpoint directories nest metadata/state files). */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -444,12 +475,7 @@ object EventQueries {
     QueryDef("events_cdc_stream_equiv", cdcMergeOracle) { (s, dir) =>
       import s.implicits._
       import graft.streaming.EventStreams
-      // the parquet file source wants a directory: stage the events
-      // file behind a scratch symlink (same trick as StreamingSpec)
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val streamDir = stageEventsDir(dir)
       val raw = s.readStream
         .schema(s.read.parquet(s"$dir/events.parquet").schema)
         .parquet(streamDir.toString)
@@ -464,7 +490,8 @@ object EventQueries {
       val q = EventStreams.latestState(in)
         .writeStream.format("memory").queryName(sink).outputMode("append")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable()
+      finally { q.stop(); dropStagedEventsDir(streamDir) }
       val snapshot = s.table(sink)
         .groupBy(col("userId"))
         .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
@@ -477,6 +504,147 @@ object EventQueries {
         .orderBy(col("bucket"), col("event_type"))
         // materialize before dropping the memory sink the plan reads;
         // ≤ (20 buckets × types) rows — O(1) driver footprint
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      result
+    },
+
+    // ------------------------------------------------------------------
+    // events_cdc_stream_files — the SAME streaming CDC replay, but
+    // through the sink a 100 TB pipeline actually runs: a parquet FILE
+    // sink with a checkpointLocation instead of a driver-resident
+    // memory sink. The snapshot is recovered from the COMMITTED files
+    // (`spark.read` over a file-sink directory consults its
+    // `_spark_metadata` transaction log, so only files the checkpoint
+    // committed are visible — the restart-safe recovery path), then
+    // rolled up under events_cdc_merge's OWN oracle: stream replay to
+    // durable files ≡ batch merge, hash-checked. Restart-from-
+    // checkpoint behavior of this exact sink/state pairing is pinned
+    // in StreamingSpec.
+    // ------------------------------------------------------------------
+    QueryDef("events_cdc_stream_files", cdcMergeOracle) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val streamDir = stageEventsDir(dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_files")
+      try {
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(streamDir.toString)
+        val in = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
+            col("event_id").as("eventId"), col("event_type").as("eventType"))
+          .as[EventStreams.LatestIn]
+        val q = EventStreams.latestState(in)
+          .writeStream.format("parquet")
+          .option("path", scratch.resolve("sink").toString)
+          .option("checkpointLocation", scratch.resolve("ckpt").toString)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val snapshot = s.read.parquet(scratch.resolve("sink").toString)
+          .groupBy(col("userId"))
+          .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
+          .select(col("userId").as("user_id"), col("b.ms").as("ms"),
+            col("b.eventType").as("event_type"))
+        snapshot
+          .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
+          .orderBy(col("bucket"), col("event_type"))
+          // materialize before the finally deletes the sink files it reads
+          .localCheckpoint(true)
+      } finally {
+        dropStagedEventsDir(streamDir)
+        deleteTree(scratch)
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // events_stream_join_equiv — the stream-stream interval join
+    // (graft.streaming.EventStreams.intervalJoin) under a batch oracle:
+    // replay the events table as TWO streams (clicks and views filtered
+    // from one file source — a streaming self-join), join each click to
+    // the same user's views in the preceding 30 minutes, and roll the
+    // matched pairs up per user bucket. Inner stream-stream joins emit
+    // matches eagerly (the watermark+interval bound only evicts state),
+    // so the replayed pairs are exactly the batch join's — which is
+    // what the DuckDB oracle computes. Epoch math stays integer-exact
+    // via the same pmod-floor second truncation as the CDC rollup.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_join_equiv",
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS cms, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT user_id, epoch_ms(ts) AS vms, event_id AS view_id
+        |           FROM events WHERE event_type = 'view')
+        |SELECT c.user_id % 20 AS bucket, count(*) AS n_pairs,
+        |       CAST(sum(c.cms // 1000 - v.vms // 1000) AS BIGINT) AS sum_lag_s,
+        |       CAST(sum(c.click_id + v.view_id) AS BIGINT) AS id_sum
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.vms >= c.cms - 30*60*1000 AND v.vms <= c.cms
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      val streamDir = stageEventsDir(dir)
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val clicks = raw.filter(col("event_type") === "click").drop("event_type")
+      val views = raw.filter(col("event_type") === "view").drop("event_type")
+      val sink = s"graft_stream_join_${streamRuns.incrementAndGet()}"
+      val q = EventStreams.intervalJoin(clicks, views)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); dropStagedEventsDir(streamDir) }
+      val result = s.table(sink)
+        .groupBy((col("user_id") % 20).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("""(unix_millis(click_ts) - pmod(unix_millis(click_ts), 1000)) div 1000
+                    - (unix_millis(view_ts) - pmod(unix_millis(view_ts), 1000)) div 1000"""))
+            .cast("long").as("sum_lag_s"),
+          sum(col("click_id") + col("view_id")).cast("long").as("id_sum"))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      result
+    },
+
+    // ------------------------------------------------------------------
+    // events_stream_histogram_equiv — the watermarked windowed value
+    // histogram (graft.streaming.EventStreams.histogramStream) under a
+    // batch oracle: replay the events table through the streaming
+    // aggregation (complete mode — a finite replay finalizes every
+    // window; on an unbounded stream the same query runs append-mode
+    // with watermark eviction) and compare the per-(hour, bucket)
+    // cells against DuckDB's batch rollup. Same construct Structured
+    // Streaming runs continuously — `window()` + watermark — so the
+    // declared surface now covers all three streaming operator shapes:
+    // stateful flatMapGroups (CDC), stream-stream join, windowed agg.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_histogram_equiv",
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      val streamDir = stageEventsDir(dir)
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("ts"), col("value"))
+      val sink = s"graft_stream_hist_${streamRuns.incrementAndGet()}"
+      val q = EventStreams.histogramStream(raw)
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); dropStagedEventsDir(streamDir) }
+      val result = s.table(sink)
+        .select(col("window_start"), col("bucket"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("bucket"))
         .localCheckpoint(true)
       s.catalog.dropTempView(sink)
       result

@@ -31,13 +31,24 @@ final case class MediaFeatures(
   * columns with typed metadata, decoded/feature-extracted in batched
   * executor-side passes (SURVEY.md extension mandate).
   *
-  * The real media codecs are not in this container, so `decodeStub` is a
-  * clearly-marked deterministic FAKE decoder (first bytes → features);
-  * everything around it — binary column, metadata schema, partition-wise
-  * batched extraction via `mapPartitions` on a typed `Dataset`, and the
-  * frame-sampling fan-out — is the real Spark plumbing a production
-  * decoder would drop into. On a cluster each partition's records are
-  * decoded in one executor pass (the JVM analog of a
+  * Two decode paths coexist, mirroring a production corpus with mixed
+  * codec availability:
+  *  - **PNG is decoded for real** via the JDK's `javax.imageio` (no
+  *    external dependency): [[PngFixtures]] synthesizes a deterministic
+  *    two-band RGB image per document, encodes it to real PNG bytes on
+  *    the executor, and [[decodePng]] reads the bytes back through
+  *    `ImageIO`, deriving width/height and per-channel mean features
+  *    from the ACTUAL decoded pixels — a misread dimension or channel
+  *    fails the DuckDB hash-compare, which predicts the same values
+  *    arithmetically.
+  *  - Formats whose codecs are genuinely absent from this container
+  *    (JPEG/video/audio) keep [[decodeStub]], a clearly-marked
+  *    deterministic FAKE (first bytes → features).
+  * Everything around both — binary column, typed metadata schema,
+  * partition-wise batched extraction via `mapPartitions` on a typed
+  * `Dataset`, the frame-sampling fan-out — is the real Spark plumbing a
+  * production decoder drops into. On a cluster each partition's records
+  * decode in one executor pass (the JVM analog of a
   * `mapInPandas`/Arrow-batch UDF), so a 100 TB media corpus decodes
   * embarrassingly parallel with no shuffle.
   */
@@ -55,6 +66,80 @@ object MultimodalQueries {
       else 0.0
     MediaFeatures(r.doc_id, r.media_type, r.blob.length.toLong,
       r.width.toLong, r.height.toLong, feat(0), feat(1), feat(2), feat(3))
+  }
+
+  /** Deterministic PNG fixture synthesis + REAL decode via the JDK's
+    * `javax.imageio` — no external imaging dependency. The fixture for
+    * `doc_id` is a `(8 + id%8) × (8 + id%6)` RGB image whose top
+    * `h/2` rows are one solid color and bottom rows another (both
+    * colors pure functions of the id), so the per-channel pixel sums —
+    * and therefore the mean-pixel features — are arithmetic in the id
+    * and the DuckDB oracle can predict them without any image library.
+    * Decode derives every output from the decoded raster, not the
+    * metadata: dimensions from `getWidth/getHeight`, features from
+    * summing `getRGB` over every pixel.
+    */
+  object PngFixtures {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
+
+    def dims(id: Long): (Int, Int) = ((8 + id % 8).toInt, (8 + id % 6).toInt)
+
+    def topColor(id: Long): (Int, Int, Int) =
+      (((id % 256).toInt, ((id * 7 + 1) % 256).toInt, ((id * 13 + 2) % 256).toInt))
+
+    def bottomColor(id: Long): (Int, Int, Int) =
+      ((((id * 3 + 5) % 256).toInt, ((id * 11 + 7) % 256).toInt,
+        ((id * 17 + 11) % 256).toInt))
+
+    /** Real PNG bytes for the fixture image (encoded with ImageIO). */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val (r1, g1, b1) = topColor(id)
+      val (r2, g2, b2) = bottomColor(id)
+      var y = 0
+      while (y < h) {
+        val (r, g, b) = if (y < h / 2) (r1, g1, b1) else (r2, g2, b2)
+        val rgb = (r << 16) | (g << 8) | b
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** REAL decode: parse the PNG payload with `ImageIO`, then derive
+    * dimensions and features from the decoded raster. `n_bytes` reports
+    * the decoded raster size (w·h·3 channel bytes — the decoder's
+    * output, not the compressed payload, whose length is
+    * codec-dependent); features are per-channel mean pixel intensities
+    * in [0,1] (feat_3 = all-channel mean), rounded like the stub's.
+    */
+  def decodePng(r: MediaRecord): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+    require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    def round6(v: Double): Double = math.round(v * 1e6) / 1e6
+    MediaFeatures(r.doc_id, r.media_type, w.toLong * h * 3, w.toLong, h.toLong,
+      round6(sumR / (w * h * 255.0)),
+      round6(sumG / (w * h * 255.0)),
+      round6(sumB / (w * h * 255.0)),
+      round6((sumR + sumG + sumB) / (3.0 * w * h * 255.0)))
   }
 
   /** The media table: documents' text re-encoded as an opaque binary
@@ -75,7 +160,13 @@ object MultimodalQueries {
 
     // ------------------------------------------------------------------
     // multimodal_decode — batched feature extraction over the binary
-    // media column: typed Dataset → mapPartitions(decodeStub) → features.
+    // media column, one decode dispatch per format: 'png' records carry
+    // REAL PNG payloads (synthesized per doc on the executor) and are
+    // decoded for real through javax.imageio — dimensions and features
+    // come from the decoded raster, and the oracle predicts them
+    // arithmetically, so a decoder that misread a pixel fails the hash;
+    // 'image' records keep the labeled stub (codec-less formats).
+    // Typed Dataset → mapPartitions → features; no shuffle either way.
     // ------------------------------------------------------------------
     QueryDef("multimodal_decode",
       """SELECT doc_id, 'image' AS media_type,
@@ -86,12 +177,43 @@ object MultimodalQueries {
         |       round(ascii(substr(text, 2, 1)) / 255.0, 6) AS feat_1,
         |       round(ascii(substr(text, 3, 1)) / 255.0, 6) AS feat_2,
         |       round(ascii(substr(text, 4, 1)) / 255.0, 6) AS feat_3
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'png' AS media_type,
+        |       (8 + doc_id % 8) * (8 + doc_id % 6) * 3 AS n_bytes,
+        |       8 + doc_id % 8 AS width,
+        |       8 + doc_id % 6 AS height,
+        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2) * (doc_id % 256)
+        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2) * ((doc_id * 3 + 5) % 256)))
+        |             / ((8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_0,
+        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2) * ((doc_id * 7 + 1) % 256)
+        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2) * ((doc_id * 11 + 7) % 256)))
+        |             / ((8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_1,
+        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2) * ((doc_id * 13 + 2) % 256)
+        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2) * ((doc_id * 17 + 11) % 256)))
+        |             / ((8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_2,
+        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2)
+        |                 * ((doc_id % 256) + (doc_id * 7 + 1) % 256 + (doc_id * 13 + 2) % 256)
+        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2)
+        |                 * ((doc_id * 3 + 5) % 256 + (doc_id * 11 + 7) % 256 + (doc_id * 17 + 11) % 256)))
+        |             / (3.0 * (8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_3
+        |FROM documents
+        |ORDER BY doc_id, media_type""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = mediaTable(s, dir).as[MediaRecord]
       // one executor pass per partition — batch boundary = partition
-      media.mapPartitions(_.map(decodeStub)).toDF()
-        .orderBy(col("doc_id"))
+      val stub = media.mapPartitions(_.map(decodeStub))
+      // real-PNG frame: payloads are encoded AND decoded on the executor
+      // (fixture synthesis stands in for reading media files; the decode
+      // is the genuine article). Metadata dims are deliberately 0 — the
+      // decoder must recover them from the pixels.
+      val png = Scans.table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          MediaRecord(id, "png", PngFixtures.encode(id), 0, 0, 3)
+        })
+        .mapPartitions(_.map(decodePng))
+      stub.union(png).toDF()
+        .orderBy(col("doc_id"), col("media_type"))
     },
 
     // ------------------------------------------------------------------

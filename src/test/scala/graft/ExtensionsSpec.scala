@@ -278,6 +278,61 @@ class ExtensionsSpec extends SparkSpecBase {
       s"expected ObjectHashAggregateExec:\n${qe.executedPlan.toString.take(2000)}")
   }
 
+  test("simhash_votes matches the sum(CASE) null semantics on null halves") {
+    import spark.implicits._
+    // a null half must vote −1 on each of its 32 bits, exactly like the
+    // CASE form's null-predicate ELSE branch — pinned so the native and
+    // column paths can never silently diverge if the non-null input
+    // contract weakens
+    val rows = Seq[(Long, Option[Long], Option[Long])](
+      (1L, Some(0xffffffffL), None), (1L, None, Some(0L)),
+      (2L, None, None), (3L, Some(0x12345678L), Some(0x9abcdef0L)))
+      .toDF("doc_id", "h1", "h2")
+    val native = rows.groupBy(col("doc_id"))
+      .agg(call_function("simhash_votes", col("h1"), col("h2")).as("sv"))
+    val columns = (0 until 64).map { b =>
+      val d = b / 4 + 1; val k = b % 4
+      val (h, shift) = if (d <= 8) ("h1", 4 * (8 - d) + k) else ("h2", 4 * (16 - d) + k)
+      expr(s"sum(CASE WHEN (shiftright($h, $shift) & 1L) = 1 THEN 1 ELSE -1 END)").as(s"s_$b")
+    }
+    val viaColumns = rows.groupBy(col("doc_id"))
+      .agg(columns.head, columns.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(b => col(s"s_$b")): _*).as("sv"))
+    assert(native.exceptAll(viaColumns).count() == 0 &&
+      viaColumns.exceptAll(native).count() == 0)
+  }
+
+  test("png decode derives dims and features from real decoded pixels") {
+    import graft.ops.{MediaRecord, MultimodalQueries}
+    import MultimodalQueries.PngFixtures
+    for (id <- Seq(0L, 7L, 13L, 254L, 255L, 9999L)) {
+      val bytes = PngFixtures.encode(id)
+      // a real PNG container: magic bytes, not our fake payload
+      assert(bytes.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+        s"doc $id: payload is not a PNG")
+      val f = MultimodalQueries.decodePng(MediaRecord(id, "png", bytes, 0, 0, 3))
+      val (w, h) = PngFixtures.dims(id)
+      assert(f.width == w && f.height == h,
+        s"doc $id: decoded ${f.width}x${f.height}, expected ${w}x$h")
+      assert(f.n_bytes == w.toLong * h * 3)
+      // mean-channel features match the two-band construction exactly
+      val (r1, g1, b1) = PngFixtures.topColor(id)
+      val (r2, g2, b2) = PngFixtures.bottomColor(id)
+      val (top, bot) = (h / 2, h - h / 2)
+      def exp(c1: Int, c2: Int): Double =
+        math.round(w * (top.toLong * c1 + bot.toLong * c2) / (w * h * 255.0) * 1e6) / 1e6
+      assert(f.feat_0 == exp(r1, r2) && f.feat_1 == exp(g1, g2) &&
+        f.feat_2 == exp(b1, b2), s"doc $id: feature mismatch")
+    }
+    // decode failure is loud, not a silent stub fallback
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.decodePng(
+        MediaRecord(1L, "png", Array[Byte](1, 2, 3), 0, 0, 3))
+    }
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric-bounded") {
     val emb = Scans.table(spark, sfDir, "embeddings").limit(20)
     val self = emb.select(

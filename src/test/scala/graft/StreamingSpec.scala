@@ -85,6 +85,87 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("parquet-sink CDC replay restarts from checkpoint and converges") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    // stage the events table as TWO source files with the SAME users in
+    // each (split on event_id parity), so the restarted query must
+    // recover per-user flatMapGroupsWithState state from the checkpoint
+    // to produce the correct survivors for the second batch
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ckpt_restart")
+    val srcDir = java.nio.file.Files.createDirectory(scratch.resolve("src"))
+    val sinkDir = scratch.resolve("sink").toString
+    val ckptDir = scratch.resolve("ckpt").toString
+    val events = Scans.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def stageHalf(parity: Int, name: String): Unit = {
+      val tmp = scratch.resolve(s"half$parity")
+      events.filter(col("event_id") % 2 === parity)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, srcDir.resolve(name)); moved = true
+        }
+      }
+      assert(moved, s"no part file written for half $parity")
+    }
+    def runStream(): Unit = {
+      val in = spark.readStream
+        .schema(events.schema)
+        .parquet(srcDir.toString)
+        .withColumn("ms", unix_millis(col("ts")))
+        .select(col("user_id").as("userId"), col("ms"),
+          col("event_id").as("eventId"), col("event_type").as("eventType"))
+        .as[EventStreams.LatestIn]
+      val q = EventStreams.latestState(in)
+        .writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      stageHalf(0, "a.parquet")
+      runStream() // run 1: even event_ids only; checkpoint commits batch 0
+      val afterFirst = spark.read.parquet(sinkDir).count()
+      assert(afterFirst > 0, "first run emitted nothing")
+      stageHalf(1, "b.parquet")
+      runStream() // run 2: RESTART from the checkpoint, sees only b.parquet
+      // recover the snapshot from the committed files and compare to the
+      // batch CDC merge over the full table — restart must converge on
+      // the identical survivors
+      val recovered = spark.read.parquet(sinkDir)
+        .groupBy(col("userId"))
+        .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
+        .select(col("userId").as("user_id"), col("b.ms").as("ms"),
+          col("b.eventType").as("event_type"))
+        .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
+        .orderBy(col("bucket"), col("event_type"))
+        .collect().toSeq
+      val batch = SparkEntry.queries("events_cdc_merge")(spark, sfDir)
+        .collect().toSeq
+      assert(recovered == batch,
+        "restarted file-sink replay diverged from the batch CDC merge")
+      // the second run appended (did not reprocess batch 0): committed
+      // output grew, proving the checkpoint resumed rather than restarted
+      assert(spark.read.parquet(sinkDir).count() > afterFirst)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(x => java.nio.file.Files.deleteIfExists(x))
+      }
+      rm(scratch)
+    }
+  }
+
   test("latest-state stream emits only changed survivors across micro-batches") {
     import spark.implicits._
     import graft.streaming.EventStreams.{LatestIn, LatestOut}
