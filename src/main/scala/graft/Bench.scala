@@ -32,6 +32,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Scoped, bench-only silence for WindowExec's no-partition warning:
+    // every global window in the engine runs AFTER an orderBy().limit(N<=20)
+    // TakeOrdered (single partition of <=20 rows by construction — audited
+    // per-plan in PlanQualitySpec), so the warning is pure noise here and
+    // drowns the bench tail. Plan-shape regressions stay caught where they
+    // belong (the 36 PlanQualitySpec locks); Verify keeps the warning live.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // testdata is read-only: persisted pipeline state goes to scratch
     // instead of its production default beside the corpus
     graft.ops.PersistedState.relocateToScratch(spark)
@@ -79,7 +88,12 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter (comma-separated names); unset = all queries
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Per-query isolation (r4 finding: cross-query state pollution):
       // cached state a previous query left behind — the LSH signature
       // table, any .cache() inside a query body — competes for executor

@@ -45,6 +45,13 @@ object Copy {
   /** Run a full copy and return the process exit code (testable seam —
     * `main` wraps it in `sys.exit`).
     *
+    * `destDir` selects the sink kind: a filesystem path lands parquet
+    * tables; a `jdbc:` URL lands batched partition-parallel INSERTs into
+    * the live database (the reference's actual destination shape), with
+    * reconciliation counting the destination table and `sync-identity`
+    * reseeding the real generator via `ALTER TABLE … RESTART WITH`
+    * ([[Sinks.reseedIdentityJdbc]]) instead of the sidecar.
+    *
     * `destMeta` overrides the destination-side [[TableMeta]] per table
     * (the analog of collecting the destination catalog,
     * `SmartBulkCopy.cs:143-152`); tables without an override get a clean
@@ -98,6 +105,18 @@ object Copy {
         * verify catches it, the reference's error branch. */
       reseedIdentity: (SparkSession, String, String, Long) => Unit =
         Sinks.reseedIdentity): Int = {
+    // Sink-kind switch: a `jdbc:` destination runs the copy, the
+    // reconciliation count, and the identity sync against the LIVE
+    // database (the reference's actual destination shape) instead of the
+    // parquet file sink. Everything source-side — analysis, safe-check
+    // footprints, timeouts — is sink-agnostic and shared.
+    val jdbcDest = destDir.startsWith("jdbc:")
+    def jdbcProps: java.util.Properties = {
+      val p = new java.util.Properties()
+      if (destDir.startsWith("jdbc:derby:"))
+        p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      p
+    }
     val tables = Pipeline.expandTableList(patterns)
 
     // Analysis phase: collect + analyze every table BEFORE any copy —
@@ -131,10 +150,16 @@ object Copy {
     analyzed.foreach { case (src, dst) =>
       try {
         withCommandTimeout(spark, src.name, commandTimeoutSec) {
-          Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf,
-            truncateDest = truncateTables,
-            retryMaxAttempts = retryMaxAttempts,
-            retryDelayIncrementMs = retryDelayIncrementMs)
+          if (jdbcDest)
+            Pipeline.copyTableJdbc(spark, sfDir, destDir, jdbcProps, src, dst,
+              conf, truncateDest = truncateTables,
+              retryMaxAttempts = retryMaxAttempts,
+              retryDelayIncrementMs = retryDelayIncrementMs)
+          else
+            Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf,
+              truncateDest = truncateTables,
+              retryMaxAttempts = retryMaxAttempts,
+              retryDelayIncrementMs = retryDelayIncrementMs)
           postCopyHook(src.name)
         }
       } catch { case _: Exception => erroredTasks += 1 }
@@ -153,8 +178,10 @@ object Copy {
     // — source from the immutable snapshot, destination from committed
     // parquet footers — after ALL copies are done.
     val allMatch = analyzed.forall { case (src, dst) =>
-      Scans.table(spark, sfDir, src.name).count() ==
-        Sinks.committedRowCount(spark, s"$destDir/${dst.name}.parquet")
+      val destRows =
+        if (jdbcDest) spark.read.jdbc(destDir, dst.name, jdbcProps).count()
+        else Sinks.committedRowCount(spark, s"$destDir/${dst.name}.parquet")
+      Scans.table(spark, sfDir, src.name).count() == destRows
     }
     if (!allMatch) return 2
 
@@ -167,9 +194,20 @@ object Copy {
         Catalog.identityColumns.get(src.name).forall { idCol =>
           val ic = Sinks.identityCurrent(
             Scans.table(spark, sfDir, src.name), idCol)
-          val dest = s"$destDir/${dst.name}.parquet"
-          reseedIdentity(spark, dest, idCol, ic)
-          Sinks.identitySeed(spark, dest).contains((idCol, ic))
+          if (jdbcDest) {
+            // live generator: RESTART WITH sets the NEXT value, so the
+            // sequence continues after the source's IDENT_CURRENT; a
+            // destination without the generator (or any reseed failure)
+            // is the reference's unverifiable-reseed branch → 2
+            try {
+              Sinks.reseedIdentityJdbc(destDir, dst.name, idCol, ic + 1)
+              Sinks.identitySeedJdbc(destDir, dst.name, idCol).contains(ic + 1)
+            } catch { case _: java.sql.SQLException => false }
+          } else {
+            val dest = s"$destDir/${dst.name}.parquet"
+            reseedIdentity(spark, dest, idCol, ic)
+            Sinks.identitySeed(spark, dest).contains((idCol, ic))
+          }
         }
       }
       if (!synced) return 2
@@ -186,12 +224,22 @@ object Copy {
     * reason for the dedicated thread: the group must tag exactly this
     * table's jobs, not whatever else the caller's thread submits next.
     */
-  private def withCommandTimeout[T](
+  private[graft] def withCommandTimeout[T](
       spark: SparkSession, table: String, timeoutSec: Int)(body: => T): T = {
     if (timeoutSec <= 0) return body
     val sc = spark.sparkContext
     val groupId = s"graft-copy-$table"
-    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    // named + daemon: the worker is identifiable in thread dumps (the
+    // cleanup spec counts survivors by this prefix) and can never pin a
+    // JVM exit if an interrupt is swallowed mid-shutdown
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-copy-timeout-$table")
+          t.setDaemon(true)
+          t
+        }
+      })
     val fut = exec.submit(new java.util.concurrent.Callable[T] {
       def call(): T = {
         sc.setJobGroup(groupId, s"graft copy $table", interruptOnCancel = true)

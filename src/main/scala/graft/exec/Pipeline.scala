@@ -1,6 +1,6 @@
 package graft.exec
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.plan.{Analyzer, PlanConfig}
@@ -289,5 +289,45 @@ object Pipeline {
       case _: SliceSpec.Logical  => "logical"
     }
     CopyResult(src.name, items.size, kind, s, d, ok)
+  }
+
+  /** The copy phase against a LIVE JDBC destination — the reference's
+    * actual runtime shape (`SqlBulkCopy` into a SQL database,
+    * `SmartBulkCopy.cs:440-561`): the same analyzed plan and single-scan
+    * copy frame as [[copyTable]], landed through Spark's JDBC writer,
+    * where each partition opens its own connection and streams batched
+    * INSERTs — the engine's partition-parallel bulk-insert analog. The
+    * destination table is expected to exist (the reference never creates
+    * destination tables); `truncateDest` maps to Spark's
+    * overwrite+truncate, which issues `TRUNCATE TABLE` — not DROP — so
+    * destination DDL, identity generators included, survives the load
+    * (`SmartBulkCopy.cs:391-396`). Reconciliation and identity sync stay
+    * in the orchestrator ([[graft.Copy.run]]), same as the file sink.
+    */
+  def copyTableJdbc(
+      spark: SparkSession,
+      sfDir: String,
+      url: String,
+      props: java.util.Properties,
+      src: TableMeta,
+      dst: TableMeta,
+      conf: PlanConfig = PlanConfig(),
+      truncateDest: Boolean = true,
+      retryMaxAttempts: Int = 5,
+      retryDelayIncrementMs: Long = 0L): Unit = {
+    require(safetyCheck(spark, sfDir, src.name), s"safety check failed for ${src.name}")
+    val items = Analyzer.analyze(src, dst, conf) match {
+      case AnalysisOutcome.Success(is) => is
+      case other => throw new IllegalStateException(s"${src.name}: $other")
+    }
+    val frame = copyFrame(spark, sfDir, items)
+    val ordered = Scans.orderedWithinPartitions(frame, items.head.orderHint)
+    Retry.withRetry(
+      maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
+      val w = ordered.write.option("batchsize", conf.batchSize)
+      if (truncateDest)
+        w.mode(SaveMode.Overwrite).option("truncate", true).jdbc(url, dst.name, props)
+      else w.mode(SaveMode.Append).jdbc(url, dst.name, props)
+    }
   }
 }

@@ -150,6 +150,56 @@ object Sinks {
     finally out.close()
   }
 
+  /** Live-database reseed — the literal `DBCC CHECKIDENT('t', RESEED, n)`
+    * analog (reference `SmartBulkCopy.cs:372-374`) against a JDBC
+    * destination: `ALTER TABLE … ALTER COLUMN … RESTART WITH n` restarts
+    * the destination's identity GENERATOR (Derby's reseed statement —
+    * Derby is the engine's embedded live-SQL stand-in throughout; another
+    * dialect swaps the statement text here). Generator semantics:
+    * `RESTART WITH n` makes `n` the NEXT generated value, so callers
+    * syncing to a source `IDENT_CURRENT` of `ic` pass `ic + 1` — the
+    * post-copy insert then continues the sequence exactly where the
+    * source left off (proved live by `jdbc_identity_reseed`).
+    */
+  def reseedIdentityJdbc(
+      url: String, table: String, idCol: String, restartWith: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        s"""ALTER TABLE $table ALTER COLUMN "$idCol" RESTART WITH $restartWith""")
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Read-back of a live destination's identity generator from the Derby
+    * catalog (`SYS.SYSCOLUMNS.AUTOINCREMENTVALUE`) — the second
+    * `IDENT_CURRENT` probe (`SmartBulkCopy.cs:375-384`) for the JDBC
+    * sink: the reseed must be OBSERVABLE on the destination, never
+    * assumed. `None` when the column carries no generator (the
+    * destination's `TableHasIdentity = 0` case — and the unverifiable-
+    * reseed failure class when a sync was requested anyway).
+    */
+  def identitySeedJdbc(url: String, table: String, idCol: String): Option[Long] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        """SELECT c.AUTOINCREMENTVALUE FROM SYS.SYSCOLUMNS c
+          |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+          |WHERE UPPER(t.TABLENAME) = UPPER(?) AND c.COLUMNNAME = ?""".stripMargin)
+      try {
+        st.setString(1, table)
+        st.setString(2, idCol)
+        val rs = st.executeQuery()
+        if (!rs.next()) None
+        else {
+          val v = rs.getLong(1)
+          if (rs.wasNull()) None else Some(v)
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Read-back of the destination identity seed — the second
     * `IDENT_CURRENT` probe of the reference's sync
     * (`SmartBulkCopy.cs:375-384`): the reseed must be OBSERVABLE on the

@@ -586,8 +586,17 @@ object EventQueries {
         |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
       val streamDir = stageEventsDir(dir)
-      val raw = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+      // Stream-stream join state cost scales with shuffle partitions
+      // (4 state-store instances per partition per micro-batch, each
+      // with its own checkpoint IO): a child session caps the replay at
+      // 8 partitions — the per-batch key cardinality never warrants 32 —
+      // without touching the caller's conf. At production stream rates
+      // the partition count is sized to the continuous key throughput
+      // instead; the join itself is identical.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 8)
+      val raw = ss.readStream
+        .schema(ss.read.parquet(s"$dir/events.parquet").schema)
         .parquet(streamDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -599,7 +608,7 @@ object EventQueries {
         .start()
       try q.processAllAvailable()
       finally { q.stop(); dropStagedEventsDir(streamDir) }
-      val result = s.table(sink)
+      val result = ss.table(sink)
         .groupBy((col("user_id") % 20).as("bucket"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(expr("""(unix_millis(click_ts) - pmod(unix_millis(click_ts), 1000)) div 1000
@@ -608,7 +617,7 @@ object EventQueries {
           sum(col("click_id") + col("view_id")).cast("long").as("id_sum"))
         .orderBy(col("bucket"))
         .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
+      ss.catalog.dropTempView(sink)
       result
     },
 

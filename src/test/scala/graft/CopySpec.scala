@@ -218,6 +218,90 @@ class CopySpec extends SparkSpecBase {
       .contains(("s_suppkey", expected)))
   }
 
+  private def freshDerbyDb(name: String): String = {
+    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
+    System.setProperty("derby.system.home", home)
+    new java.io.File(home).mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$home/$name"))
+    s"jdbc:derby:$home/$name;create=true"
+  }
+
+  test("jdbc destination: config-driven copy reseeds the live identity generator") {
+    // the reference's true destination shape: a live SQL database whose
+    // supplier table carries an identity generator — sync-identity must
+    // reseed it via ALTER TABLE … RESTART WITH so a post-copy keyless
+    // insert continues the source's sequence
+    val url = freshDerbyDb("copydest")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE supplier (
+          |  "s_suppkey" BIGINT GENERATED BY DEFAULT AS IDENTITY
+          |    (START WITH 1, INCREMENT BY 1),
+          |  "s_name" VARCHAR(128),
+          |  "s_nationkey" INTEGER,
+          |  "s_acctbal" DOUBLE)""".stripMargin)
+      st.close()
+    } finally conn.close()
+    // drive it through the config file — the user path the sink-kind
+    // switch exists for
+    val d = destDir
+    val cfgPath = s"$d/jdbc.config.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "source":      { "connection-string": "$sfDir" },
+         |  "destination": { "connection-string": "$url" },
+         |  "tables": [ "supplier" ],
+         |  "options": { "truncate-tables": true, "sync-identity": true }
+         |}""".stripMargin)
+    assert(Copy.runFromConfigFile(spark, cfgPath) == 0)
+    val srcRows = Scans.table(spark, sfDir, "supplier").count()
+    val identCurrent = exec.Sinks.identityCurrent(
+      Scans.table(spark, sfDir, "supplier"), "s_suppkey")
+    // generator reseeded: next value continues AFTER the copied range
+    assert(exec.Sinks.identitySeedJdbc(url, "supplier", "s_suppkey")
+      .contains(identCurrent + 1))
+    // behavior, not intent: a keyless insert gets exactly max+1
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val ins = c2.prepareStatement(
+        """INSERT INTO supplier ("s_name") VALUES ('post-copy probe')""",
+        java.sql.Statement.RETURN_GENERATED_KEYS)
+      ins.executeUpdate()
+      val ks = ins.getGeneratedKeys
+      ks.next()
+      assert(ks.getLong(1) == identCurrent + 1)
+    } finally c2.close()
+    // the copy itself reconciled: destination rows = source rows (+probe)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    assert(spark.read.jdbc(url, "supplier", props).count() == srcRows + 1)
+  }
+
+  test("jdbc destination without an identity generator fails sync with 2") {
+    // reseed against a plain column throws in the database — the
+    // reference's unverifiable-reseed branch, never a silent success
+    val url = freshDerbyDb("copydest_noident")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE supplier (
+          |  "s_suppkey" BIGINT,
+          |  "s_name" VARCHAR(128),
+          |  "s_nationkey" INTEGER,
+          |  "s_acctbal" DOUBLE)""".stripMargin)
+      st.close()
+    } finally conn.close()
+    assert(Copy.run(spark, sfDir, url, Seq("supplier"),
+      truncateTables = true, syncIdentity = true) == 2)
+  }
+
   test("command-timeout cancels a wedged copy and exits 3") {
     val start = System.nanoTime()
     // the hook wedges INSIDE the table's copy phase (the retry_transient
@@ -234,6 +318,56 @@ class CopySpec extends SparkSpecBase {
   test("command-timeout leaves a fast copy untouched") {
     assert(Copy.run(spark, sfDir, destDir, Seq("region"),
       truncateTables = true, commandTimeoutSec = 600) == 0)
+  }
+
+  test("command-timeout races: cleanup invariants hold across outcomes") {
+    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    // (1) body throws BEFORE the deadline: the ORIGINAL exception class
+    // propagates (not ExecutionException) and the caller thread's job
+    // group is untouched — the group lives only on the worker thread
+    val boom = intercept[IllegalStateException] {
+      Copy.withCommandTimeout(spark, "race_throw", 30) {
+        throw new IllegalStateException("nope")
+      }: Unit
+    }
+    assert(boom.getMessage == "nope")
+    assert(sc.getLocalProperty("spark.jobGroup.id") == null)
+    // (2) repeated timeout/complete races, a REAL distributed job (and a
+    // real parquet task-commit) inside the group each round: outcome is
+    // the value or the classified TimeoutException, never a wedge or a
+    // foreign exception; the caller's job group is clean after every round
+    val scratch = java.nio.file.Files.createTempDirectory("graft_race").toString
+    // untimed warm-up: codegen + committer init, so the fast rounds'
+    // writes fit comfortably inside the deadline
+    spark.range(1000).toDF("x").write.mode("overwrite").parquet(s"$scratch/warm")
+    (1 to 6).foreach { i =>
+      val fast = i % 2 == 0
+      try {
+        val v = Copy.withCommandTimeout(spark, s"race$i", 2) {
+          spark.range(1000).toDF("x").write.mode("overwrite")
+            .parquet(s"$scratch/r$i") // commit protocol inside the group
+          if (!fast) Thread.sleep(5000)
+          i
+        }
+        assert(fast && v == i, s"round $i: unexpected completion $v")
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          assert(!fast, s"round $i: fast body must not time out")
+      }
+      assert(sc.getLocalProperty("spark.jobGroup.id") == null,
+        s"round $i leaked a job group onto the caller thread")
+    }
+    // (3) the session stays fully usable after cancellations — no
+    // orphaned cancelled group swallows new jobs
+    assert(spark.range(100).count() == 100)
+    // (4) no leaked worker threads: every call shuts its executor down
+    // (shutdownNow interrupts a wedged body; give reaping a moment)
+    val deadline = System.nanoTime() + 5e9.toLong
+    def survivors(): Int = Thread.getAllStackTraces.keySet.asScala
+      .count(t => t.getName.startsWith("graft-copy-timeout-") && t.isAlive)
+    while (survivors() > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(survivors() == 0, "command-timeout worker threads leaked")
   }
 
   test("safe-check readonly detects a source mutated mid-copy; none skips") {

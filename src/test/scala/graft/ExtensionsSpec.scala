@@ -445,7 +445,13 @@ class ExtensionsSpec extends SparkSpecBase {
   test("multimodal decode preserves every record with full metadata") {
     val media = run("multimodal_decode")
     val docs = Scans.table(spark, sfDir, "documents")
-    assert(media.count() == docs.count())
+    // two frames per document now: the stub 'image' record + the real
+    // ImageIO-decoded 'png' record
+    assert(media.count() == 2 * docs.count())
+    Seq("image", "png").foreach { mt =>
+      assert(media.filter(col("media_type") === mt).count() == docs.count(),
+        s"missing $mt records")
+    }
     assert(media.filter(col("n_bytes") <= 0).count() == 0)
     assert(media.filter(col("feat_0") < 0 || col("feat_0") > 1).count() == 0)
   }
