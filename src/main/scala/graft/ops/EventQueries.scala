@@ -34,6 +34,30 @@ object EventQueries {
       |       count(*) AS n_users, CAST(sum(ms // 1000) AS BIGINT) AS sum_s
       |FROM s GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** Shared by `events_session_window` (batch) and
+    * `events_stream_session_equiv` (the append-mode streaming replay):
+    * one oracle, two execution paths.
+    */
+  private val sessionWindowOracle: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |marked AS (
+      |  SELECT user_id, ms,
+      |         CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+      |              OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+      |                 >= 1800000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sessions AS (
+      |  SELECT user_id, ms,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |           AS session_seq
+      |  FROM marked)
+      |SELECT user_id, min(ms) AS session_start_ms,
+      |       max(ms) + 1800000 AS session_end_ms, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** Distinct memory-sink names per stream replay (Bench runs the same
     * query several times in one session). */
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong()
@@ -168,25 +192,7 @@ object EventQueries {
     // note >= gap starts a new session (session_window merges only
     // strictly-overlapping extents).
     // ------------------------------------------------------------------
-    QueryDef("events_session_window",
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
-        |marked AS (
-        |  SELECT user_id, ms,
-        |         CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
-        |              OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
-        |                 >= 1800000
-        |              THEN 1 ELSE 0 END AS is_new
-        |  FROM e),
-        |sessions AS (
-        |  SELECT user_id, ms,
-        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms
-        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |           AS session_seq
-        |  FROM marked)
-        |SELECT user_id, min(ms) AS session_start_ms,
-        |       max(ms) + 1800000 AS session_end_ms, count(*) AS n_events
-        |FROM sessions GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_start_ms""".stripMargin) { (s, dir) =>
+    QueryDef("events_session_window", sessionWindowOracle) { (s, dir) =>
       Scans.table(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -656,6 +662,186 @@ object EventQueries {
         .orderBy(col("window_start"), col("bucket"))
         .localCheckpoint(true)
       s.catalog.dropTempView(sink)
+      result
+    },
+
+    // ------------------------------------------------------------------
+    // events_stream_jdbc_sink — the streaming → transactional JDBC
+    // destination (graft.streaming.EventStreams.streamToJdbc) under a
+    // batch oracle: replay the purchase/signup events through
+    // foreachBatch into a LIVE embedded-Derby table (each micro-batch
+    // lands via the delete-then-insert upsert that makes an
+    // at-least-once sink exactly-once-in-effect — replay convergence
+    // itself is pinned in StreamingSpec), then read the DESTINATION
+    // back and roll it up: what landed in the database must be exactly
+    // what DuckDB computes from the source table. This is the
+    // reference's own destination story (batched transactional inserts
+    // into a SQL database) under continuous ingestion, hash-checked.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_jdbc_sink",
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
+      System.setProperty("derby.system.home", home)
+      new java.io.File(home).mkdirs()
+      val url = s"jdbc:derby:$home/stream_sink_equiv;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      // fresh destination per run (Bench replays the query): the sink
+      // table persists in the Derby db across runs
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE stream_events_equiv")
+        catch { case _: java.sql.SQLException => () } // first run: absent
+        finally st.close()
+      } finally conn.close()
+      val streamDir = stageEventsDir(dir)
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(streamDir.toString)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val q = EventStreams.streamToJdbc(raw, url, "stream_events_equiv", props)
+      try q.processAllAvailable()
+      finally { q.stop(); dropStagedEventsDir(streamDir) }
+      s.read.jdbc(url, "stream_events_equiv", props)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).cast("long").as("id_sum"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+    },
+
+    // ------------------------------------------------------------------
+    // events_stream_dedup_equiv — streaming exact dedup
+    // (graft.streaming.EventStreams.dedupStream,
+    // `dropDuplicatesWithinWatermark`) under a batch oracle: the events
+    // table is staged TWICE behind the file source (two symlinks) with
+    // maxFilesPerTrigger=1, so every event is re-delivered in a LATER
+    // micro-batch — the at-least-once source shape. The dedup operator
+    // must collapse the doubled stream back to exactly the original
+    // set: second-file rows are dropped either as in-state duplicates
+    // or as late arrivals (below the batch-1 watermark) — both drops
+    // are correct for an idempotent ingest, and the rollup hash-checks
+    // the survivor set against DuckDB over the single table.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_dedup_equiv",
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(epoch_ms(ts) // 1000) AS BIGINT) AS sum_s
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+      val target =
+        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
+      Seq("a.parquet", "b.parquet").foreach { n =>
+        java.nio.file.Files.createSymbolicLink(streamDir.resolve(n), target)
+      }
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("maxFilesPerTrigger", 1) // re-delivery lands in batch 2
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+      val sink = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
+      val q = EventStreams.dedupStream(raw)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        Seq("a.parquet", "b.parquet").foreach(n =>
+          java.nio.file.Files.deleteIfExists(streamDir.resolve(n)))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
+      val result = s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(expr("(unix_millis(ts) - pmod(unix_millis(ts), 1000)) div 1000"))
+            .cast("long").as("sum_s"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      result
+    },
+
+    // ------------------------------------------------------------------
+    // events_stream_session_equiv — streaming session_window in APPEND
+    // mode under the batch oracle: a session only emits once the
+    // watermark passes its close, so a finite replay needs the
+    // watermark DRIVEN past the data — a sentinel file (one event for
+    // the out-of-band user -1, 10 h after the corpus max, staged as
+    // batch 2 via maxFilesPerTrigger=1 and ordered mtimes) finalizes
+    // every real session; the sentinel's own open session never emits,
+    // exactly the unbounded-stream behavior. The emitted sessions are
+    // rolled up with events_session_window's OWN oracle: append-mode
+    // finalization ≡ batch session_window, hash-checked.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_session_equiv", sessionWindowOracle) { (s, dir) =>
+      // same state-store economics as the stream-stream join replay: a
+      // child session caps the session-window state at 8 partitions
+      val ss0 = s.newSession()
+      ss0.conf.set("spark.sql.shuffle.partitions", 8)
+      val s2: SparkSession = ss0
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+      val rawSchema = s2.read.parquet(s"$dir/events.parquet").schema
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
+      // sentinel: one far-future event for user -1 (real user_ids are
+      // >= 0), written with the raw schema's (ts-as-nanos, user_id)
+      val maxNanos = s.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).collect()(0).getLong(0)
+      import s.implicits._
+      val sentinelDir = streamDir.resolve("sentinel_build")
+      Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, -1L))
+        .toDF("ts", "user_id")
+        .coalesce(1).write.parquet(sentinelDir.toString)
+      val part = java.nio.file.Files.list(sentinelDir).iterator()
+      var staged = false
+      while (part.hasNext && !staged) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, streamDir.resolve("z_sentinel.parquet"))
+          staged = true
+        }
+      }
+      require(staged, "sentinel parquet not written")
+      // deterministic batch order whatever the source's tie-break:
+      // events strictly older than the sentinel by both name and mtime
+      java.nio.file.Files.setLastModifiedTime(
+        streamDir.resolve("a_events.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+      val raw = s2.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("ts"), col("user_id"))
+      val sessions = raw
+        .withWatermark("ts", "1 second")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val sink = s"graft_stream_sess_${streamRuns.incrementAndGet()}"
+      val q = sessions
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); deleteTree(streamDir) }
+      val result = s2.table(sink)
+        .filter(col("user_id") >= 0) // the sentinel's session never emits anyway
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_ms"))
+        .localCheckpoint(true)
+      s2.catalog.dropTempView(sink)
       result
     },
 

@@ -85,6 +85,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("declared stream dedup replay equals the batch distinct set") {
+    // the declared key re-delivers every event in a second micro-batch;
+    // the surviving set must be exactly the single table's rollup
+    val streamed = SparkEntry.queries("events_stream_dedup_equiv")(spark, sfDir)
+      .collect().toSeq
+    val batch = Scans.table(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("id_sum"),
+        sum(expr("(unix_millis(ts) - pmod(unix_millis(ts), 1000)) div 1000"))
+          .cast("long").as("sum_s"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("declared stream session replay equals the batch session_window") {
+    val streamed = SparkEntry.queries("events_stream_session_equiv")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("events_session_window")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("parquet-sink CDC replay restarts from checkpoint and converges") {
     import spark.implicits._
     import graft.streaming.EventStreams
