@@ -123,8 +123,13 @@ object Bench {
     // The full per-query map is a committed artifact (BENCH_full.json in
     // the repo root) so every query's round-over-round trend is auditable
     // — the stdout line only survives truncated to its last 2000 chars.
+    // A SPARK_GRAFT_BENCH_ONLY subset must never clobber the committed
+    // full-run artifact: with the filter active, the default landing spot
+    // stays in target/ unless the caller names a path explicitly.
+    val fullDefault =
+      if (only.isEmpty) "BENCH_full.json" else "target/bench_only.json"
     Seq("target/bench_full.json",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", fullDefault))
       .foreach { p =>
         try {
           val w = new java.io.PrintWriter(p)

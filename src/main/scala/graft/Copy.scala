@@ -102,7 +102,10 @@ object Copy {
       syncIdentity: Boolean = false,
       /** reseed executor (testable seam, defaults to the real sidecar
         * write): the spec injects a faulty reseed to prove the read-back
-        * verify catches it, the reference's error branch. */
+        * verify catches it, the reference's error branch. FILE-SINK ONLY:
+        * a `jdbc:` destination always reseeds the live generator via
+        * [[Sinks.reseedIdentityJdbc]] (its failure branch is exercised
+        * against a real generator-less Derby table in CopySpec). */
       reseedIdentity: (SparkSession, String, String, Long) => Unit =
         Sinks.reseedIdentity): Int = {
     // Sink-kind switch: a `jdbc:` destination runs the copy, the

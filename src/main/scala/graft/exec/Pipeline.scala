@@ -322,12 +322,41 @@ object Pipeline {
     }
     val frame = copyFrame(spark, sfDir, items)
     val ordered = Scans.orderedWithinPartitions(frame, items.head.orderHint)
-    Retry.withRetry(
-      maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
-      val w = ordered.write.option("batchsize", conf.batchSize)
-      if (truncateDest)
-        w.mode(SaveMode.Overwrite).option("truncate", true).jdbc(url, dst.name, props)
-      else w.mode(SaveMode.Append).jdbc(url, dst.name, props)
+    if (truncateDest)
+      // overwrite+truncate is retry-idempotent: every attempt re-truncates
+      // before inserting, so a partial failure leaves nothing behind
+      Retry.withRetry(
+        maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
+        ordered.write.option("batchsize", conf.batchSize)
+          .mode(SaveMode.Overwrite).option("truncate", true)
+          .jdbc(url, dst.name, props)
+      }
+    else {
+      // Append mode is NOT blindly retryable: each Spark partition commits
+      // its own transaction, so a failed attempt may have landed a subset
+      // of partitions, and re-running the append would duplicate them —
+      // rows reconciliation can't distinguish from real data. Guard every
+      // attempt on the destination still holding its pre-load count; a
+      // partial attempt fails the guard loudly (-> copy-phase error, exit
+      // 3) instead of silently double-loading. (The reference's retry is
+      // safe because its bulk insert is one transaction per table,
+      // `SmartBulkCopy.cs:440-561`; per-partition JDBC commits trade that
+      // for parallelism, so the guard restores the safety.)
+      val preRows =
+        try spark.read.jdbc(url, dst.name, props).count()
+        catch { case _: Exception => -1L } // destination table absent yet
+      Retry.withRetry(
+        maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
+        val nowRows =
+          try spark.read.jdbc(url, dst.name, props).count()
+          catch { case _: Exception => -1L }
+        if (nowRows != preRows)
+          throw new IllegalStateException(
+            s"${dst.name}: partial append detected (rows $preRows -> $nowRows); " +
+              "append-mode JDBC load is not safely retryable")
+        ordered.write.option("batchsize", conf.batchSize)
+          .mode(SaveMode.Append).jdbc(url, dst.name, props)
+      }
     }
   }
 }

@@ -88,8 +88,9 @@ object EventQueries {
   private def deleteTree(root: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(root) // stream holds an open dir fd
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
@@ -482,22 +483,24 @@ object EventQueries {
       import s.implicits._
       import graft.streaming.EventStreams
       val streamDir = stageEventsDir(dir)
-      val raw = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .parquet(streamDir.toString)
-      // identical ts derivation to the batch path: ns-as-long → µs
-      // timestamp (Scans.table's conversion) → unix_millis
-      val in = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
-          col("event_id").as("eventId"), col("event_type").as("eventType"))
-        .as[EventStreams.LatestIn]
-      val sink = s"graft_cdc_stream_equiv_${streamRuns.incrementAndGet()}"
-      val q = EventStreams.latestState(in)
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .start()
-      try q.processAllAvailable()
-      finally { q.stop(); dropStagedEventsDir(streamDir) }
+      val sink = try {
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(streamDir.toString)
+        // identical ts derivation to the batch path: ns-as-long → µs
+        // timestamp (Scans.table's conversion) → unix_millis
+        val in = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
+            col("event_id").as("eventId"), col("event_type").as("eventType"))
+          .as[EventStreams.LatestIn]
+        val name = s"graft_cdc_stream_equiv_${streamRuns.incrementAndGet()}"
+        val q = EventStreams.latestState(in)
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        name
+      } finally dropStagedEventsDir(streamDir)
       val snapshot = s.table(sink)
         .groupBy(col("userId"))
         .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
@@ -531,8 +534,8 @@ object EventQueries {
     QueryDef("events_cdc_stream_files", cdcMergeOracle) { (s, dir) =>
       import s.implicits._
       import graft.streaming.EventStreams
-      val streamDir = stageEventsDir(dir)
       val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_files")
+      val streamDir = stageEventsDir(dir)
       try {
         val raw = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
@@ -601,19 +604,26 @@ object EventQueries {
       // instead; the join itself is identical.
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", 8)
-      val raw = ss.readStream
-        .schema(ss.read.parquet(s"$dir/events.parquet").schema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      val clicks = raw.filter(col("event_type") === "click").drop("event_type")
-      val views = raw.filter(col("event_type") === "view").drop("event_type")
-      val sink = s"graft_stream_join_${streamRuns.incrementAndGet()}"
-      val q = EventStreams.intervalJoin(clicks, views)
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .start()
-      try q.processAllAvailable()
-      finally { q.stop(); dropStagedEventsDir(streamDir) }
+      val sink = try {
+        val raw = ss.readStream
+          .schema(ss.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(streamDir.toString)
+          // MILLISECOND event time, matching the oracle's epoch_ms bounds
+          // exactly: the interval predicate must evaluate on the same
+          // truncation both engines use, or a same-millisecond pair whose
+          // sub-ms micros straddle the bound would count on one side only
+          // (ns → ms floor composes with the oracle's µs → ms floor)
+          .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val clicks = raw.filter(col("event_type") === "click").drop("event_type")
+        val views = raw.filter(col("event_type") === "view").drop("event_type")
+        val name = s"graft_stream_join_${streamRuns.incrementAndGet()}"
+        val q = EventStreams.intervalJoin(clicks, views)
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        name
+      } finally dropStagedEventsDir(streamDir)
       val result = ss.table(sink)
         .groupBy((col("user_id") % 20).as("bucket"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -646,17 +656,19 @@ object EventQueries {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
       val streamDir = stageEventsDir(dir)
-      val raw = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("ts"), col("value"))
-      val sink = s"graft_stream_hist_${streamRuns.incrementAndGet()}"
-      val q = EventStreams.histogramStream(raw)
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .start()
-      try q.processAllAvailable()
-      finally { q.stop(); dropStagedEventsDir(streamDir) }
+      val sink = try {
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(streamDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("ts"), col("value"))
+        val name = s"graft_stream_hist_${streamRuns.incrementAndGet()}"
+        val q = EventStreams.histogramStream(raw)
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        name
+      } finally dropStagedEventsDir(streamDir)
       val result = s.table(sink)
         .select(col("window_start"), col("bucket"), col("n_events"), col("sum_value"))
         .orderBy(col("window_start"), col("bucket"))
@@ -700,14 +712,15 @@ object EventQueries {
         finally st.close()
       } finally conn.close()
       val streamDir = stageEventsDir(dir)
-      val raw = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .parquet(streamDir.toString)
-        .filter(col("event_type").isin("purchase", "signup"))
-        .select(col("event_id"), col("user_id"), col("event_type"))
-      val q = EventStreams.streamToJdbc(raw, url, "stream_events_equiv", props)
-      try q.processAllAvailable()
-      finally { q.stop(); dropStagedEventsDir(streamDir) }
+      try {
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(streamDir.toString)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val q = EventStreams.streamToJdbc(raw, url, "stream_events_equiv", props)
+        try q.processAllAvailable() finally q.stop()
+      } finally dropStagedEventsDir(streamDir)
       s.read.jdbc(url, "stream_events_equiv", props)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -736,28 +749,25 @@ object EventQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
       val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-      val target =
-        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
-      Seq("a.parquet", "b.parquet").foreach { n =>
-        java.nio.file.Files.createSymbolicLink(streamDir.resolve(n), target)
-      }
-      val raw = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .option("maxFilesPerTrigger", 1) // re-delivery lands in batch 2
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
-      val sink = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
-      val q = EventStreams.dedupStream(raw)
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        Seq("a.parquet", "b.parquet").foreach(n =>
-          java.nio.file.Files.deleteIfExists(streamDir.resolve(n)))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
+      val sink = try {
+        val target =
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
+        Seq("a.parquet", "b.parquet").foreach { n =>
+          java.nio.file.Files.createSymbolicLink(streamDir.resolve(n), target)
+        }
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .option("maxFilesPerTrigger", 1) // re-delivery lands in batch 2
+          .parquet(streamDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+        val name = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
+        val q = EventStreams.dedupStream(raw)
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        name
+      } finally deleteTree(streamDir)
       val result = s.table(sink)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -789,60 +799,73 @@ object EventQueries {
       ss0.conf.set("spark.sql.shuffle.partitions", 8)
       val s2: SparkSession = ss0
       val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
-      val rawSchema = s2.read.parquet(s"$dir/events.parquet").schema
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("a_events.parquet"),
-        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
-      // sentinel: one far-future event for user -1 (real user_ids are
-      // >= 0), written with the raw schema's (ts-as-nanos, user_id)
-      val maxNanos = s.read.parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).collect()(0).getLong(0)
-      import s.implicits._
-      val sentinelDir = streamDir.resolve("sentinel_build")
-      Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, -1L))
-        .toDF("ts", "user_id")
-        .coalesce(1).write.parquet(sentinelDir.toString)
-      val part = java.nio.file.Files.list(sentinelDir).iterator()
-      var staged = false
-      while (part.hasNext && !staged) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(p, streamDir.resolve("z_sentinel.parquet"))
-          staged = true
-        }
-      }
-      require(staged, "sentinel parquet not written")
-      // deterministic batch order whatever the source's tie-break:
-      // events strictly older than the sentinel by both name and mtime
-      java.nio.file.Files.setLastModifiedTime(
-        streamDir.resolve("a_events.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
-      val raw = s2.readStream
-        .schema(rawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("ts"), col("user_id"))
-      val sessions = raw
-        .withWatermark("ts", "1 second")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-      val sink = s"graft_stream_sess_${streamRuns.incrementAndGet()}"
-      val q = sessions
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .start()
-      try q.processAllAvailable()
-      finally { q.stop(); deleteTree(streamDir) }
-      val result = s2.table(sink)
-        .filter(col("user_id") >= 0) // the sentinel's session never emits anyway
-        .select(col("user_id"),
-          unix_millis(col("session_window.start")).as("session_start_ms"),
-          unix_millis(col("session_window.end")).as("session_end_ms"),
-          col("n_events"))
-        .orderBy(col("user_id"), col("session_start_ms"))
-        .localCheckpoint(true)
-      s2.catalog.dropTempView(sink)
-      result
+      // everything after the scratch dir exists runs under its cleanup —
+      // a staging failure must not leak the dir (or the symlink into the
+      // corpus) any more than a replay failure would
+      try {
+        val rawSchema = s2.read.parquet(s"$dir/events.parquet").schema
+        val eventsLink = streamDir.resolve("a_events.parquet")
+        java.nio.file.Files.createSymbolicLink(eventsLink,
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
+        // sentinel: one far-future event for user -1 (real user_ids are
+        // >= 0), written with the raw schema's (ts-as-nanos, user_id)
+        val maxNanos = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).collect()(0).getLong(0)
+        import s.implicits._
+        val sentinelDir = streamDir.resolve("sentinel_build")
+        Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, -1L))
+          .toDF("ts", "user_id")
+          .coalesce(1).write.parquet(sentinelDir.toString)
+        val sentinel = streamDir.resolve("z_sentinel.parquet")
+        val listing = java.nio.file.Files.list(sentinelDir)
+        val staged =
+          try {
+            val it = listing.iterator()
+            var moved = false
+            while (it.hasNext && !moved) {
+              val p = it.next()
+              if (p.getFileName.toString.endsWith(".parquet")) {
+                java.nio.file.Files.move(p, sentinel); moved = true
+              }
+            }
+            moved
+          } finally listing.close()
+        require(staged, "sentinel parquet not written")
+        // deterministic batch order whatever the source's tie-break: the
+        // sentinel — a file THIS query owns — is stamped strictly newer
+        // than the (untouched, read-only) corpus file on both name and
+        // mtime axes
+        val eventsMtime = java.nio.file.Files
+          .getLastModifiedTime(eventsLink).toMillis // follows to the target
+        java.nio.file.Files.setLastModifiedTime(sentinel,
+          java.nio.file.attribute.FileTime.fromMillis(
+            math.max(System.currentTimeMillis(), eventsMtime + 60000)))
+        val raw = s2.readStream
+          .schema(rawSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(streamDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("ts"), col("user_id"))
+        val sessions = raw
+          .withWatermark("ts", "1 second")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        val sink = s"graft_stream_sess_${streamRuns.incrementAndGet()}"
+        val q = sessions
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val result = s2.table(sink)
+          .filter(col("user_id") >= 0) // the sentinel's session never emits anyway
+          .select(col("user_id"),
+            unix_millis(col("session_window.start")).as("session_start_ms"),
+            unix_millis(col("session_window.end")).as("session_end_ms"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_ms"))
+          .localCheckpoint(true)
+        s2.catalog.dropTempView(sink)
+        result
+      } finally deleteTree(streamDir)
     },
 
     // ------------------------------------------------------------------

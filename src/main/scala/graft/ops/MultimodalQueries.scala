@@ -201,18 +201,17 @@ object MultimodalQueries {
         |ORDER BY doc_id, media_type""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = mediaTable(s, dir).as[MediaRecord]
-      // one executor pass per partition — batch boundary = partition
-      val stub = media.mapPartitions(_.map(decodeStub))
-      // real-PNG frame: payloads are encoded AND decoded on the executor
+      // ONE scan, one executor pass per partition: each record yields its
+      // stub 'image' features AND a real-PNG sibling — the payload is
+      // encoded and immediately decoded through ImageIO on the executor
       // (fixture synthesis stands in for reading media files; the decode
-      // is the genuine article). Metadata dims are deliberately 0 — the
-      // decoder must recover them from the pixels.
-      val png = Scans.table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          MediaRecord(id, "png", PngFixtures.encode(id), 0, 0, 3)
+      // is the genuine article). Metadata dims on the png record are
+      // deliberately 0 — the decoder must recover them from the pixels.
+      media.mapPartitions(_.flatMap { r =>
+          Iterator(decodeStub(r),
+            decodePng(MediaRecord(r.doc_id, "png", PngFixtures.encode(r.doc_id), 0, 0, 3)))
         })
-        .mapPartitions(_.map(decodePng))
-      stub.union(png).toDF()
+        .toDF()
         .orderBy(col("doc_id"), col("media_type"))
     },
 

@@ -344,7 +344,10 @@ class CopySpec extends SparkSpecBase {
     (1 to 6).foreach { i =>
       val fast = i % 2 == 0
       try {
-        val v = Copy.withCommandTimeout(spark, s"race$i", 2) {
+        // fast rounds get a wide deadline (the write must never lose to a
+        // GC pause on a loaded box — the timeout BEHAVIOR is proven by
+        // the slow rounds, whose sleep dwarfs their 2 s deadline)
+        val v = Copy.withCommandTimeout(spark, s"race$i", if (fast) 60 else 2) {
           spark.range(1000).toDF("x").write.mode("overwrite")
             .parquet(s"$scratch/r$i") // commit protocol inside the group
           if (!fast) Thread.sleep(5000)
