@@ -343,6 +343,59 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // dedup_chunk_exact — SUB-document exact dedup: the line/paragraph-
+    // level pass of a training pipeline (the FineWeb/RefinedWeb shape —
+    // documents are mostly unique while their fragments repeat). Chunks
+    // use text_chunk_overlap's exact lattice (256 chars, stride 192);
+    // identity is the chunk md5; the keeper is the corpus-wide first
+    // instance by (doc_id, position). Plan: the explode keeps only the
+    // 16-byte digest + a long instance key per chunk (text never leaves
+    // its row); the ownership aggregate shuffles those ~40-byte rows on
+    // the digest, and at bench scale Spark then BROADCASTS the ownership
+    // table back over the probe side (observed plan: BroadcastHashJoin
+    // over one digest Exchange). At 100 TB ownership outgrows the
+    // broadcast threshold and both sides hash-partition on the digest —
+    // still only digest-width rows in flight, never chunk text.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_chunk_exact",
+      """WITH c AS (
+        |  SELECT d.source, d.doc_id, d.doc_id * 1000000 + u.i AS inst_key,
+        |         md5(substr(d.text, u.i, 256)) AS h
+        |  FROM documents d,
+        |       unnest(generate_series(1, greatest(length(d.text) - 63, 1), 192)) AS u(i)),
+        |o AS (
+        |  SELECT h, count(*) AS copies, min(inst_key) AS owner_key
+        |  FROM c GROUP BY h)
+        |SELECT c.source, count(*) AS n_chunks,
+        |       CAST(count(CASE WHEN o.copies > 1 AND c.inst_key <> o.owner_key
+        |                       THEN 1 END) AS BIGINT) AS n_dup_chunks,
+        |       CAST(count(DISTINCT CASE WHEN o.copies > 1 AND c.inst_key <> o.owner_key
+        |                                THEN c.doc_id END) AS BIGINT) AS n_docs_affected
+        |FROM c JOIN o USING (h)
+        |GROUP BY c.source ORDER BY c.source""".stripMargin) { (s, dir) =>
+      val chunks = Scans.table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(1, greatest(length(text) - 63, 1), 192), i -> md5(substring(text, i, 256)))")))
+        .select(col("source"), col("doc_id"),
+          // instance key = doc_id * 1e6 + char position (1 + 192*ordinal):
+          // the deterministic keep-first tie-break, same on both engines
+          (col("doc_id") * 1000000L + lit(1) + col("pos") * 192).as("inst_key"),
+          col("col").as("h"))
+      val owners = chunks.groupBy(col("h"))
+        .agg(count(lit(1)).as("copies"), min(col("inst_key")).as("owner_key"))
+      chunks.join(owners, "h")
+        .withColumn("is_dup",
+          col("copies") > 1 && col("inst_key") =!= col("owner_key"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("is_dup"), 1)).cast("long").as("n_dup_chunks"),
+          countDistinct(when(col("is_dup"), col("doc_id"))).cast("long")
+            .as("n_docs_affected"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
     // text_token_count — whitespace/punct tokenizer + counts: the
     // token-accounting pass of a data pipeline.
     // ------------------------------------------------------------------
