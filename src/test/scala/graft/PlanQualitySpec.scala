@@ -424,4 +424,24 @@ class PlanQualitySpec extends SparkSpecBase {
       s"corpus shuffled before scoring:\n${p.take(2500)}")
     assert(p.contains("TakeOrderedAndProject"), p.take(2500))
   }
+
+  test("dedup_chunk_exact shuffles digests, never chunk text") {
+    // the 100 TB property of sub-document dedup: only the 16-byte chunk
+    // digest + a long instance key travel through any Exchange — the
+    // text column is consumed by the row-local explode and must not
+    // appear in a shuffle's output schema
+    val qe = SparkEntry.queries("dedup_chunk_exact")(spark, sfDir).queryExecution
+    val formatted = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted explain lists every node with its Input/Arguments column
+    // set; slice out each Exchange's detail block and scan it for the
+    // text column (AQE wraps the plan, so node collection can't see the
+    // exchanges before execution — the explain text can)
+    val blocks = formatted.split("\\n\\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    assert(blocks.nonEmpty, s"expected at least the ownership shuffle:\n$formatted")
+    blocks.foreach { b =>
+      assert(!b.contains("text#"),
+        s"chunk text entered a shuffle:\n$b")
+    }
+  }
 }
