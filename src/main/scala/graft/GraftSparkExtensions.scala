@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, MinShingleMd5, RewriteDotProduct, SimhashVotes}
+import graft.functions.{CosineSim, MinShingleMd5, RewriteDotProduct, SimhashText, SimhashVotes}
 
 /** Engine extension point — install with
   * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` (done
@@ -34,6 +34,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           MinShingleMd5(t, l, s)
         case _ => throw new IllegalArgumentException(
           "min_shingle_md5 expects (text) or (text, <int literal len>, <int literal stride>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimhashText].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 expects exactly 1 argument")
+        SimhashText(args.head)
       }))
     // aggregate functions registered here are wrapped in an
     // AggregateExpression by the analyzer's function resolution, same as

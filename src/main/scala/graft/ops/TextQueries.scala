@@ -854,30 +854,43 @@ object TextQueries {
          |SELECT doc_id,
          |       ${simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")} AS simhash64
          |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val halves = Scans.table(s, dir, "documents")
-        .repartition(col("doc_id")) // full-width digest work (see minhashSigs)
-        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("th"))
-        .select(col("doc_id"),
-          expr("cast(conv(substring(th, 1, 8), 16, 10) AS BIGINT)").as("h1"),
-          expr("cast(conv(substring(th, 9, 8), 16, 10) AS BIGINT)").as("h2"))
-      // One narrow vote-vector aggregate (long[64] buffer, compiled
-      // shift/mask update loop) instead of 64 independent sum(CASE)
-      // columns — the engine's widest hash-aggregate state before r6;
-      // identical integer vote sums (see SimhashVotes), DuckDB oracle
-      // unchanged. Unregistered sessions fall back to the column form.
-      val votes =
-        if (s.catalog.functionExists("simhash_votes"))
-          halves.groupBy(col("doc_id"))
-            .agg(call_function("simhash_votes", col("h1"), col("h2")).as("sv"))
-            .select(col("doc_id") +:
-              (0 until 64).map(b => element_at(col("sv"), b + 1).as(s"s_$b")): _*)
-        else
-          halves.groupBy(col("doc_id"))
-            .agg(simhashSumsSpark.head, simhashSumsSpark.tail: _*)
-      votes.select(col("doc_id"),
-          expr(simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")).as("simhash64"))
-        .orderBy(col("doc_id"))
+      // Fused row-local path (r7): `simhash64(text)` computes tokenize →
+      // md5-per-token → vote fold → signature in one codegen'd call per
+      // document, removing the ~50× token explode AND the operator's
+      // only Exchange (the doc_id aggregate) — the signature needs no
+      // cross-row state, so it never deserved a shuffle. NULL marks a
+      // token-less document (the explode pipeline drops those rows —
+      // same output set). Bit-equivalence against the composed pipeline
+      // is spec-pinned (ExtensionsSpec); DuckDB oracle unchanged.
+      if (s.catalog.functionExists("simhash64"))
+        Scans.table(s, dir, "documents")
+          .select(col("doc_id"),
+            call_function("simhash64", col("text")).as("simhash64"))
+          .filter(col("simhash64").isNotNull)
+          .orderBy(col("doc_id"))
+      else {
+        // composed fallback for unregistered sessions: explode + narrow
+        // vote-vector aggregate (or 64 sum(CASE) columns without it)
+        val halves = Scans.table(s, dir, "documents")
+          .repartition(col("doc_id")) // full-width digest work (see minhashSigs)
+          .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+          .select(col("doc_id"), md5(col("tok")).as("th"))
+          .select(col("doc_id"),
+            expr("cast(conv(substring(th, 1, 8), 16, 10) AS BIGINT)").as("h1"),
+            expr("cast(conv(substring(th, 9, 8), 16, 10) AS BIGINT)").as("h2"))
+        val votes =
+          if (s.catalog.functionExists("simhash_votes"))
+            halves.groupBy(col("doc_id"))
+              .agg(call_function("simhash_votes", col("h1"), col("h2")).as("sv"))
+              .select(col("doc_id") +:
+                (0 until 64).map(b => element_at(col("sv"), b + 1).as(s"s_$b")): _*)
+          else
+            halves.groupBy(col("doc_id"))
+              .agg(simhashSumsSpark.head, simhashSumsSpark.tail: _*)
+        votes.select(col("doc_id"),
+            expr(simhashAssemble(b => s"CASE WHEN s_$b > 0 THEN 1 ELSE 0 END")).as("simhash64"))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // ------------------------------------------------------------------

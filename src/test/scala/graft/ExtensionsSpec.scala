@@ -270,12 +270,47 @@ class ExtensionsSpec extends SparkSpecBase {
         array((0 until 64).map(b => col(s"s_$b")): _*).as("sv"))
     assert(native.exceptAll(viaColumns).count() == 0 &&
       viaColumns.exceptAll(native).count() == 0)
-    // the declared query runs the narrow aggregate (object hash agg path)
+  }
+
+  test("fused simhash64 equals the composed explode+votes pipeline, shuffle-free") {
+    assert(spark.catalog.functionExists("simhash64"))
+    // signature equivalence over the whole corpus: one row-local call
+    // vs tokenize → md5 → vote aggregate → per-digit majority assemble
+    val fused = Scans.table(spark, sfDir, "documents")
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val halves = Scans.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("th"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(th, 1, 8), 16, 10) AS BIGINT)").as("h1"),
+        expr("cast(conv(substring(th, 9, 8), 16, 10) AS BIGINT)").as("h2"))
+    val assemble = (1 to 16).map { d =>
+      val v = (0 until 4)
+        .map(k => s"(CASE WHEN element_at(sv, ${4 * (d - 1) + k + 1}) > 0 THEN 1 ELSE 0 END) * ${1 << k}")
+        .mkString(" + ")
+      s"substring('0123456789abcdef', ($v) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+    val composed = halves.groupBy(col("doc_id"))
+      .agg(call_function("simhash_votes", col("h1"), col("h2")).as("sv"))
+      .select(col("doc_id"), expr(assemble).as("sig"))
+    assert(fused.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(fused).count() == 0)
+    // a token-less document returns NULL (the composed pipeline drops it)
+    import spark.implicits._
+    val edge = Seq((1L, "!!! ???"), (2L, "Abc 123")).toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+      .collect().sortBy(_.getLong(0))
+    assert(edge(0).isNullAt(1) && !edge(1).isNullAt(1))
+    // the declared query is the row-local path: no Exchange anywhere
+    // before the presentation sort, no explode, no aggregate
     val qe = run("dedup_simhash").queryExecution
-    assert(qe.optimizedPlan.toString.contains("simhash_votes"),
-      "dedup_simhash not using the vote-vector aggregate")
-    assert(qe.executedPlan.toString.contains("ObjectHashAggregate"),
-      s"expected ObjectHashAggregateExec:\n${qe.executedPlan.toString.take(2000)}")
+    val p = qe.executedPlan.toString
+    assert(qe.optimizedPlan.toString.contains("simhash64"),
+      "dedup_simhash not using the fused expression")
+    assert(!p.contains("Generate") && !p.contains("HashAggregate"),
+      s"expected a row-local plan:\n${p.take(2000)}")
   }
 
   test("simhash_votes matches the sum(CASE) null semantics on null halves") {
