@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, MinShingleMd5, RewriteDotProduct, SimhashText, SimhashVotes}
+import graft.functions.{CosineSim, MinShingleMd5, MinhashSigs, RewriteDotProduct, SimhashText, SimhashVotes}
 
 /** Engine extension point — install with
   * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` (done
@@ -34,6 +34,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           MinShingleMd5(t, l, s)
         case _ => throw new IllegalArgumentException(
           "min_shingle_md5 expects (text) or (text, <int literal len>, <int literal stride>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "minhash_sigs expects exactly 1 argument")
+        MinhashSigs(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),

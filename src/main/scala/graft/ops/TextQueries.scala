@@ -160,17 +160,27 @@ object TextQueries {
     // split here; at 100 TB still often CPU-bound vs split count), so fan
     // the per-row digest work out to full cluster width first — the tiny
     // (doc_id, text) shuffle buys hash computation at full parallelism.
-    Scans.table(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(toksSpark).as("tk"))
-      .select(col("doc_id"),
-        expr("""transform(sequence(1, greatest(size(tk) - 2, 1), 2),
-               |  i -> pmod(cast(conv(substring(md5(concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2))), 1, 15), 16, 10) AS BIGINT), 1000000007L))"""
-          .stripMargin).as("hs"))
-      .select(col("doc_id") +:
-        (0 until 8).map(i =>
-          expr(s"array_min(transform(hs, h -> (h * ${2 * i + 1}L + ${i}L) % 1000000007L))")
-            .as(s"sig_$i")): _*)
+    val docs = Scans.table(s, dir, "documents").repartition(col("doc_id"))
+    // Fused row-local path (r7): `minhash_sigs(text)` computes tokenize →
+    // shingle → md5 → fold → 8 affine minima in one codegen'd kernel call
+    // (bit-identical to the HOF composition below — spec-pinned); the
+    // interpreted transform lambdas re-paid expression-tree dispatch per
+    // shingle and never entered whole-stage codegen.
+    if (s.catalog.functionExists("minhash_sigs"))
+      docs.select(col("doc_id"), call_function("minhash_sigs", col("text")).as("mh"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"sig_$i")): _*)
+    else
+      docs
+        .select(col("doc_id"), expr(toksSpark).as("tk"))
+        .select(col("doc_id"),
+          expr("""transform(sequence(1, greatest(size(tk) - 2, 1), 2),
+                 |  i -> pmod(cast(conv(substring(md5(concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i+1), try_element_at(tk, i+2))), 1, 15), 16, 10) AS BIGINT), 1000000007L))"""
+            .stripMargin).as("hs"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i =>
+            expr(s"array_min(transform(hs, h -> (h * ${2 * i + 1}L + ${i}L) % 1000000007L))")
+              .as(s"sig_$i")): _*)
   }
 
   /** LSH band buckets → distinct candidate pairs: 4 bands × 2 signature

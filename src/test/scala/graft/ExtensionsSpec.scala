@@ -313,6 +313,36 @@ class ExtensionsSpec extends SparkSpecBase {
       s"expected a row-local plan:\n${p.take(2000)}")
   }
 
+  test("fused minhash_sigs equals the HOF composition on the corpus + edges") {
+    assert(spark.catalog.functionExists("minhash_sigs"))
+    def hof(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("tk"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(1, greatest(size(tk) - 2, 1), 2),
+               |  i -> pmod(cast(conv(substring(md5(concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i+1), try_element_at(tk, i+2))), 1, 15), 16, 10) AS BIGINT), 1000000007L))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id") +:
+        (0 until 8).map(i =>
+          expr(s"array_min(transform(hs, h -> (h * ${2 * i + 1}L + ${i}L) % 1000000007L))")
+            .as(s"sig_$i")): _*)
+    def fused(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), call_function("minhash_sigs", col("text")).as("mh"))
+      .select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"sig_$i")): _*)
+    val corpus = Scans.table(spark, sfDir, "documents")
+    assert(fused(corpus).exceptAll(hof(corpus)).count() == 0 &&
+      hof(corpus).exceptAll(fused(corpus)).count() == 0)
+    // edge documents: empty, token-less, 1 token, 2 tokens, 3, 4, 5 —
+    // every shingle-bound branch of the sequence/concat_ws contract
+    import spark.implicits._
+    val edges = Seq((0L, ""), (1L, "!!! ???"), (2L, "one"), (3L, "one two"),
+      (4L, "one two three"), (5L, "a b c d"), (6L, "a b c d e"))
+      .toDF("doc_id", "text")
+    assert(fused(edges).exceptAll(hof(edges)).count() == 0 &&
+      hof(edges).exceptAll(fused(edges)).count() == 0)
+  }
+
   test("simhash_votes matches the sum(CASE) null semantics on null halves") {
     import spark.implicits._
     // a null half must vote −1 on each of its 32 bits, exactly like the
