@@ -311,5 +311,58 @@ object MultimodalQueries {
           sum(col("copies")).cast("long").as("n_blobs"),
           count(when(col("copies") > 1, 1)).cast("long").as("n_dup_groups"),
           sum(col("keeper")).cast("long").as("sum_keeper_ids"))
+    },
+
+    // ------------------------------------------------------------------
+    // multimodal_text_pair — image-text pair ASSEMBLY, the step that
+    // builds a contrastive-training corpus (caption + image) out of the
+    // two modalities: decode each document's PNG for real (dimensions
+    // from the raster, exactly like multimodal_decode), join it to its
+    // caption, and admit the pair only when BOTH sides clear the gate —
+    // image area ≥ 60 px and caption length inside the [150, 450] char
+    // window (tiny images and degenerate captions are what pair
+    // filtering drops in practice). One doc_id equi-join between two
+    // same-keyed scans (broadcast- or shuffle-planned, either is
+    // key-local), per-pair math row-local, full-population rollup per
+    // id bucket — any admit flip moves its bucket's sums. The oracle
+    // predicts the decoded dimensions arithmetically, so a decoder that
+    // misread a size breaks the admission hash.
+    // ------------------------------------------------------------------
+    QueryDef("multimodal_text_pair",
+      """WITH pairs AS (
+        |  SELECT doc_id,
+        |         (8 + doc_id % 8) * (8 + doc_id % 6) AS area,
+        |         length(text) AS cap_len,
+        |         ((8 + doc_id % 8) * (8 + doc_id % 6) >= 60
+        |          AND length(text) BETWEEN 150 AND 450) AS admitted
+        |  FROM documents)
+        |SELECT doc_id % 10 AS bucket, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_admitted,
+        |       CAST(sum(CASE WHEN admitted THEN area ELSE 0 END) AS BIGINT)
+        |         AS area_sum,
+        |       CAST(sum(CASE WHEN admitted THEN cap_len ELSE 0 END) AS BIGINT)
+        |         AS cap_len_sum
+        |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val images = mediaTable(s, dir).as[MediaRecord]
+        .mapPartitions(_.map { r =>
+          decodePng(MediaRecord(r.doc_id, "png", PngFixtures.encode(r.doc_id), 0, 0, 3))
+        })
+        .toDF()
+        .select(col("doc_id"), (col("width") * col("height")).as("area"))
+      val captions = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("cap_len"))
+      images.join(captions, "doc_id")
+        .withColumn("admitted",
+          col("area") >= 60 && col("cap_len").between(150, 450))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).cast("long").as("n_admitted"),
+          sum(when(col("admitted"), col("area")).otherwise(0L)).cast("long")
+            .as("area_sum"),
+          sum(when(col("admitted"), col("cap_len")).otherwise(0L)).cast("long")
+            .as("cap_len_sum"))
+        .orderBy(col("bucket"))
     })
 }

@@ -261,6 +261,71 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // dedup_semantic — SemDeDup-style semantic dedup (public recipe:
+    // cluster the embedding space, then search for near-duplicates only
+    // WITHIN a cluster — the cells bound the quadratic, so pairwise
+    // cosine never touches cross-cell pairs and the only corpus shuffle
+    // is on the cell key). Cells come from the same deterministic
+    // 16-centroid coarse quantizer as the IVF family (zero-Exchange
+    // broadcast assignment); a vector is dropped when a lower-vec_id
+    // cellmate sits at-or-above the epsilon (smallest id in a dup group
+    // survives — same canonical-survivor contract as dedup_exact). The
+    // synthetic corpus has no true semantic dups, so epsilon is set at
+    // 0.35 — inside the observed within-cell tail — to exercise the
+    // whole mark-and-drop path; production tunes epsilon per corpus.
+    // Rollup: per cell (size, drops, survivor id-sum) — any survivor
+    // flip moves a cell's id_sum, so the hash pins the assignment. At
+    // 100 TB, k grows with the corpus (cells stay ~constant-size), the
+    // pairwise stays cell-local, and the cell join is AQE-skew-safe.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_semantic",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id BETWEEN 1 AND 16),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) a
+        |  WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a
+        |       JOIN e ON e.vec_id = a.vec_id),
+        |dups AS (SELECT DISTINCT y.vec_id
+        |         FROM av x JOIN av y
+        |           ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |         WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35)
+        |SELECT av.cell, count(*) AS n_vectors,
+        |       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN d.vec_id IS NULL THEN av.vec_id ELSE 0 END)
+        |            AS BIGINT) AS id_sum_kept
+        |FROM av LEFT JOIN dups d ON d.vec_id = av.vec_id
+        |GROUP BY av.cell ORDER BY cell""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val assigned = ivfAssign(s, emb)
+      val cellMates = assigned
+        .select(col("cell"), col("vec_id"), col("embedding"))
+      val dups = cellMates.as("x")
+        .join(cellMates.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .filter(round(cosineFast(s)(col("x.embedding"), col("y.embedding")), 4)
+          >= 0.35)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).cast("long").as("n_dropped"),
+          sum(when(col("is_dup"), 0L).otherwise(col("vec_id"))).cast("long")
+            .as("id_sum_kept"))
+        .orderBy(col("cell"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_lsh_bucket — random-hyperplane sign-LSH bucketing: the scale
     // path for ANN. Fully declarative bucket-histogram summary (no job
     // runs until the caller's action): the md5-derived hyperplanes are

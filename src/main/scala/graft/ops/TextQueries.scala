@@ -135,6 +135,13 @@ object TextQueries {
   private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
   private val toksDuck  = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
 
+  /** text_bm25_topk's fixed query: one rare term (`dup` appears only in
+    * the synthetic corpus's duplicated documents) + two common ones, so
+    * the (N−df+½)/(df+½) rarity weight separates documents instead of
+    * collapsing to a constant.
+    */
+  private val bm25Terms = Seq("dup", "vector", "customer")
+
 
   // PII patterns — bracket-class-only regex (no backslash classes, no
   // lookarounds) so Java regex and RE2 agree character for character.
@@ -849,6 +856,82 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // text_bm25_topk — BM25 retrieval over the corpus: score every
+    // document against a fixed 3-term query (one rare term, two common
+    // ones, so the rarity weight actually discriminates) and return the
+    // top-10 with ranks. Okapi shape (k1 = 1.2, b = 0.75) with the
+    // LINEAR idf variant ((N − df + ½)/(df + ½), no ln) — the same
+    // rational-arithmetic trade text_tfidf_top_terms makes so the
+    // oracle compare is bit-stable; production swaps in ln(·), same
+    // plan. Per-doc tf and length are ROW-LOCAL (size/filter over the
+    // token array — no explode, no token shuffle); the corpus stats
+    // (N, Σdl, per-term df) are ONE tiny agg broadcast back, so the
+    // whole query is two corpus scans + a TakeOrdered — no shuffle
+    // touches a data-sized key at any scale. The 100 TB variant only
+    // changes where the stats row comes from (the materialized corpus
+    // statistics table a production index maintains).
+    // ------------------------------------------------------------------
+    QueryDef("text_bm25_topk", {
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter($toksDuck, t -> t = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(",\n         |       ")
+      val dfs = bm25Terms.indices.map { i =>
+        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(", ")
+      val score = bm25Terms.indices.map { i =>
+        s"(n - df_$i + 0.5) / (df_$i + 0.5) * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n)))"
+      }.mkString("\n         |           + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksDuck) AS DOUBLE) AS dl,
+         |       $tfs
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sum_dl, $dfs
+         |  FROM d),
+         |scored AS (
+         |  SELECT doc_id,
+         |         round($score, 4) AS bm25
+         |  FROM d CROSS JOIN stats)
+         |SELECT rank, doc_id, bm25 FROM (
+         |  SELECT doc_id, bm25,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = Scans.table(s, dir, "documents")
+        .select(col("doc_id") +:
+          expr(s"size($toksSpark)").cast("double").as("dl") +:
+          bm25Terms.zipWithIndex.map { case (t, i) =>
+            expr(s"size(filter($toksSpark, t -> t = '$t'))")
+              .cast("double").as(s"tf_$i")
+          }: _*)
+      val stats = perDoc.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dl")).as("sum_dl") +:
+          bm25Terms.indices.map(i =>
+            sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("double")
+              .as(s"df_$i")): _*)
+      // identical association order to the oracle text: every +/*/'/' is
+      // correctly-rounded IEEE double, so same order ⇒ same bits ⇒ the
+      // 4-dp round can't straddle engines
+      val score = bm25Terms.indices.map { i =>
+        (col("n") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)) *
+          (col(s"tf_$i") * lit(2.2)) /
+          (col(s"tf_$i") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n"))))
+      }.reduce(_ + _)
+      perDoc.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_simhash — 64-bit SimHash signature per document: per-token
     // md5 bits vote ±1, signature bit = sign of the vote sum. Near-dups
     // share most bits (Hamming distance, spec-tested).
@@ -1148,6 +1231,62 @@ object TextQueries {
           coalesce(sum(when(col("h") < col("pct"), col("doc_id"))), lit(0L))
             .cast("long").as("sum_kept_ids"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_temperature_sample — temperature-flattened domain
+    // sampling (the multilingual/multi-domain balancing step: small
+    // domains keep everything, large domains are downsampled toward
+    // equal effective counts). Domain d is admitted at rate
+    // r_d = sqrt(n_min / n_d) — the α = ½ point of the p ∝ n^α
+    // temperature family, anchored at the SMALLEST domain so no
+    // cross-domain float normalization sum exists: n_min and n_d are
+    // exact integers, one correctly-rounded division + sqrt gives the
+    // SAME bits on both engines. Domains are the first digit character
+    // of the source name — deliberately SKEWED (domain '1' absorbs
+    // src1 + src10..src19, 11× the rest), so the big domain really is
+    // downsampled (r ≈ 0.30) and the drop branch is exercised, unlike a
+    // per-source grouping where the synthetic corpus is uniform and
+    // every rate collapses to 1. Admission is the domain_mix hash
+    // predicate widened to 40 bits (rate is real-valued, not a percent)
+    // — row-level, stable under repartitioning, new rows never flip old
+    // admissions. Corpus path: one broadcast join of the tiny per-domain
+    // stats + a row-local predicate; the only corpus shuffle is the
+    // per-domain report's partial agg.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_temperature_sample",
+      """WITH d0 AS (SELECT doc_id, substr(source, 4, 1) AS domain FROM documents),
+        |ns AS (SELECT domain, count(*) AS n_d FROM d0 GROUP BY domain),
+        |mn AS (SELECT min(n_d) AS n_min FROM ns),
+        |b AS (
+        |  SELECT d.domain, d.doc_id,
+        |         sqrt(CAST(mn.n_min AS DOUBLE) / CAST(ns.n_d AS DOUBLE)) AS r,
+        |         CAST(concat('0x', substr(md5(concat('temp-', CAST(d.doc_id AS VARCHAR))), 1, 15))
+        |              AS BIGINT) % 1099511627776 AS h
+        |  FROM d0 d JOIN ns ON d.domain = ns.domain CROSS JOIN mn)
+        |SELECT domain, count(*) AS n_total, round(max(r), 6) AS rate,
+        |       CAST(count(CASE WHEN CAST(h AS DOUBLE) < r * 1099511627776.0
+        |                       THEN 1 END) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN CAST(h AS DOUBLE) < r * 1099511627776.0
+        |                              THEN doc_id END), 0) AS BIGINT)
+        |         AS sum_kept_ids
+        |FROM b GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val docs = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), substring(col("source"), 4, 1).as("domain"))
+      val ns = docs.groupBy(col("domain")).agg(count(lit(1)).as("n_d"))
+      val mn = ns.agg(min(col("n_d")).as("n_min"))
+      docs.join(broadcast(ns), "domain").crossJoin(broadcast(mn))
+        .withColumn("r", sqrt(col("n_min").cast("double") / col("n_d").cast("double")))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(concat('temp-', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) % 1099511627776"))
+        .withColumn("keep", col("h").cast("double") < col("r") * lit(1099511627776.0))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_total"),
+          round(max(col("r")), 6).as("rate"),
+          count(when(col("keep"), 1)).cast("long").as("n_kept"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L)).cast("long")
+            .as("sum_kept_ids"))
+        .orderBy(col("domain"))
     },
 
     // ------------------------------------------------------------------

@@ -444,4 +444,54 @@ class PlanQualitySpec extends SparkSpecBase {
         s"chunk text entered a shuffle:\n$b")
     }
   }
+
+  test("text_bm25_topk scores row-locally: no token explode, TakeOrdered top-k") {
+    // tf and dl come from size/filter over the in-row token array — a
+    // Generate (explode) node would mean the corpus paid a token-grain
+    // shuffle for what is row-local arithmetic; the stats row joins back
+    // as a broadcast and the top-10 is a distributed TakeOrdered
+    val p = plan("text_bm25_topk")
+    assert(!p.contains("Generate"), s"token explode in the plan:\n${p.take(2500)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"corpus shuffled before scoring:\n${p.take(2500)}")
+  }
+
+  test("pipeline_temperature_sample: stats broadcast back, one corpus rollup") {
+    // the per-domain stats and the global min are tiny broadcast sides;
+    // the corpus itself is shuffled ONLY by the per-domain report agg
+    // (one hashpartitioning + one presentation rangepartitioning) — a
+    // corpus-wide join shuffle here would be the 100 TB bottleneck
+    val p = plan("pipeline_temperature_sample")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // the stats subtree plans twice (broadcast-join side + global min),
+    // so exchange counting is unstable — the invariant that matters is
+    // that the corpus joins its per-domain stats WITHOUT a corpus-
+    // carrying shuffle: both joins broadcast, no sort-merge join
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled into the stats join:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no partial aggregation:\n${p.take(1500)}")
+  }
+
+  test("dedup_semantic bounds the pairwise search to cells: no cartesian") {
+    // the SemDeDup property: candidate pairs come from an equi-join on
+    // the cell key (broadcast or cell-partitioned — either is cell-
+    // bounded), NEVER a cross product over the corpus; cell assignment
+    // itself is the zero-Exchange broadcast-codebook scorer, so no
+    // exchange keys on vec_id before pair generation (the dedup-mark
+    // distinct afterwards is candidate-proportional, not corpus-sized)
+    val qe = SparkEntry.queries("dedup_semantic")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"unbounded pairwise:\n${p.take(2500)}")
+    val formatted = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val blocks = formatted.split("\\n\\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    blocks.foreach { b =>
+      assert(!b.contains("embedding#") || b.contains("cell#"),
+        s"embeddings exchanged on a non-cell key:\n$b")
+    }
+  }
 }

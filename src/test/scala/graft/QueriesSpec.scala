@@ -113,6 +113,65 @@ class QueriesSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getAs[Long]("sum_ms") >= 0))
   }
 
+  test("pipeline_temperature_sample flattens the skewed domain, keeps the rest") {
+    val rows = SparkEntry.queries("pipeline_temperature_sample")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // domain '1' absorbs src1 + src10..src19 — it must be the strict
+    // majority domain and the ONLY one below rate 1.0; every rate-1.0
+    // domain keeps all its rows (the hash predicate is total at r=1)
+    val big = rows.filter(_.getAs[Double]("rate") < 1.0)
+    assert(big.map(_.getAs[String]("domain")).toSeq == Seq("1"))
+    val b = big.head
+    assert(b.getAs[Long]("n_kept") < b.getAs[Long]("n_total"))
+    // α=½ flattening: kept count concentrates near rate*total (loose
+    // 2σ-ish band — the admission hash is uniform over 2^40)
+    val expected = b.getAs[Double]("rate") * b.getAs[Long]("n_total")
+    assert(math.abs(b.getAs[Long]("n_kept") - expected) <= 3 * math.sqrt(expected))
+    rows.filterNot(_.getAs[String]("domain") == "1").foreach(r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_total")))
+    // deterministic: same admissions on a re-run
+    val again = SparkEntry.queries("pipeline_temperature_sample")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("text_bm25_topk returns a dense descending top-10") {
+    val rows = SparkEntry.queries("text_bm25_topk")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("bm25")).toSeq
+    assert(scores == scores.sorted.reverse, s"not descending: $scores")
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("dedup_semantic cells partition the corpus and never drop a whole cell") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
+    val n = Scans.table(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == n)
+    rows.foreach { r =>
+      // smallest-id survivor contract: a nonempty cell always keeps at
+      // least its minimum-id member, so drops are strictly fewer than size
+      assert(r.getAs[Long]("n_dropped") < r.getAs[Long]("n_vectors"))
+      assert(r.getAs[Long]("id_sum_kept") > 0)
+    }
+  }
+
+  test("multimodal_text_pair pairs every document and gates both modalities") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("multimodal_text_pair")(spark, sfDir).collect()
+    val nDocs = Scans.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_admitted") <= r.getAs[Long]("n_pairs"))
+      // admitted sums are bounded by the gate: area ≥ 60 per admitted
+      // pair, caption length within [150, 450]
+      val adm = r.getAs[Long]("n_admitted")
+      assert(r.getAs[Long]("area_sum") >= 60L * adm)
+      assert(r.getAs[Long]("cap_len_sum") >= 150L * adm &&
+        r.getAs[Long]("cap_len_sum") <= 450L * adm)
+    }
+  }
+
   test("disjoint+exhaustive slicing holds on real data") {
     import graft.exec.Scans
     val li = Scans.table(spark, sfDir, "lineitem")
