@@ -326,6 +326,64 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_knn_graph — k-nearest-neighbor graph over the corpus, bounded
+    // by the IVF coarse cells (the building block under SemDeDup-style
+    // clustering, label propagation, and dedup diagnostics: every
+    // vector gets its top-3 in-cell neighbors as directed edges). Same
+    // scale contract as dedup_semantic: candidate pairs come from a
+    // cell equi-join (never a corpus cross product), per-source ranking
+    // windows on src_id — a candidate-proportional key, so the shuffle
+    // is edges-sized, not corpus²-sized. A production graph raises k
+    // and probes neighboring cells for recall; the plan shape is
+    // identical. Full directed edge list is the declared result —
+    // every (src, rank) → neighbor binding is hash-pinned.
+    // ------------------------------------------------------------------
+    QueryDef("sim_knn_graph",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id BETWEEN 1 AND 16),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) a
+        |  WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a
+        |       JOIN e ON e.vec_id = a.vec_id),
+        |pairs AS (
+        |  SELECT x.vec_id AS src_id, y.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+        |  FROM av x JOIN av y
+        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+        |SELECT src_id, rank, nbr_id, cos_sim FROM (
+        |  SELECT src_id, nbr_id, cos_sim,
+        |         row_number() OVER (PARTITION BY src_id
+        |                            ORDER BY cos_sim DESC, nbr_id) AS rank
+        |  FROM pairs) r
+        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cellMates = ivfAssign(s, emb)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+      val pairs = cellMates.as("x")
+        .join(cellMates.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"),
+          round(cosineFast(s)(col("x.embedding"), col("y.embedding")), 4)
+            .as("cos_sim"))
+      val w = Window.partitionBy(col("src_id"))
+        .orderBy(col("cos_sim").desc, col("nbr_id"))
+      pairs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("src_id"), col("rank"), col("nbr_id"), col("cos_sim"))
+        .orderBy(col("src_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_lsh_bucket — random-hyperplane sign-LSH bucketing: the scale
     // path for ANN. Fully declarative bucket-histogram summary (no job
     // runs until the caller's action): the md5-derived hyperplanes are

@@ -475,6 +475,16 @@ class PlanQualitySpec extends SparkSpecBase {
       s"no partial aggregation:\n${p.take(1500)}")
   }
 
+  test("sim_knn_graph: cell-bounded pairs, ranking windows on src_id") {
+    // candidate edges come from the cell equi-join (never a corpus cross
+    // product) and the per-source top-k window partitions on src_id — a
+    // partition-less window here would serialize the whole edge set
+    val qe = SparkEntry.queries("sim_knn_graph")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unbounded pairwise:\n${p.take(2500)}")
+    assert(p.contains("windowspecdefinition(src_id"), p.take(2500))
+  }
+
   test("dedup_semantic bounds the pairwise search to cells: no cartesian") {
     // the SemDeDup property: candidate pairs come from an equi-join on
     // the cell key (broadcast or cell-partitioned — either is cell-

@@ -156,6 +156,20 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("sim_knn_graph emits dense descending in-cell edges, no self-loops") {
+    val rows = SparkEntry.queries("sim_knn_graph")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("src_id") != r.getAs[Long]("nbr_id")))
+    rows.groupBy(_.getAs[Long]("src_id")).foreach { case (_, edges) =>
+      val byRank = edges.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to edges.length).toSeq)
+      val sims = byRank.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
   test("multimodal_text_pair pairs every document and gates both modalities") {
     import graft.exec.Scans
     val rows = SparkEntry.queries("multimodal_text_pair")(spark, sfDir).collect()
