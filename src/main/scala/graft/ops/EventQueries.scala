@@ -781,6 +781,58 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_stream_enrich_equiv — stream-STATIC enrichment under the
+    // batch oracle: the continuous-ingest shape where every arriving
+    // event is joined against a slowly-changing dimension snapshot
+    // (here the customer table) before landing. The join is STATELESS
+    // in Spark's model — no watermark, no state store; each micro-batch
+    // broadcast-joins the static side — so unlike the stream-stream
+    // interval join this replay carries zero state cost and any
+    // micro-batch slicing of the source gives the same result set.
+    // Replay the events file source joined to the static dim, land the
+    // enriched rows in the sink, and roll the sink up per market
+    // segment with the SAME aggregate DuckDB computes from the two
+    // batch tables: stream-static enrich ≡ batch join, hash-checked.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_enrich_equiv",
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+        |       CAST(sum(e.event_id) AS BIGINT) AS id_sum,
+        |       round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_enrich_stream")
+      val sink = try {
+        val target =
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"), target)
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(streamDir.toString)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val dim = Scans.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val name = s"graft_stream_enrich_${streamRuns.incrementAndGet()}"
+        val q = raw.join(dim, col("user_id") === col("c_custkey"))
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        name
+      } finally deleteTree(streamDir)
+      val result = s.table(sink)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("c_mktsegment").as("segment"), col("n_events"),
+          col("id_sum"), col("sum_value"))
+        .orderBy(col("segment"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      result
+    },
+
+    // ------------------------------------------------------------------
     // events_stream_session_equiv — streaming session_window in APPEND
     // mode under the batch oracle: a session only emits once the
     // watermark passes its close, so a finite replay needs the
