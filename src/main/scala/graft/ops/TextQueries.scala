@@ -597,6 +597,69 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // text_boilerplate_ngrams — cross-document boilerplate mining (the
+    // C4/RefinedWeb "find the template text" pass): the top-20 8-token
+    // shingles that appear in MORE THAN ONE document, ranked by
+    // document reach then total occurrences. Scale-right two-pass
+    // design: pass 1 aggregates 16-byte md5 digests (never shingle
+    // text) — (digest, doc_id) partial-dedup then digest rollup, both
+    // map-side combined, so the token-grain shuffle carries digest-
+    // width rows and collapses onto the boilerplate head; the top-20
+    // is a distributed TakeOrdered. Pass 2 recovers the 20 shingle
+    // TEXTS by broadcasting the winning digests back over the corpus —
+    // candidate-proportional, no second data-sized shuffle. Ties at
+    // the cut break on the digest hex (identical in both engines), so
+    // the slice is deterministic.
+    // ------------------------------------------------------------------
+    QueryDef("text_boilerplate_ngrams",
+      s"""WITH d AS (SELECT doc_id, $toksDuck AS tk FROM documents),
+         |s AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
+         |      FROM d, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+         |      WHERE len(tk) >= 8),
+         |stats AS (
+         |  SELECT md5(shingle) AS h, min(shingle) AS shingle,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM s GROUP BY md5(shingle)
+         |  HAVING count(DISTINCT doc_id) > 1)
+         |SELECT rank, shingle, n_docs, n_occ FROM (
+         |  SELECT shingle, n_docs, n_occ,
+         |         row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, h)
+         |           AS rank
+         |  FROM stats) r
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def shingles = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSpark).as("tks"))
+        // sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tks) >= 8
+            |  THEN transform(sequence(1, size(tks) - 7),
+            |         i -> array_join(slice(tks, i, 8), ' '))
+            |  ELSE cast(array() AS array<string>) END""".stripMargin))
+          .as("shingle"))
+      val perDoc = shingles
+        .select(md5(col("shingle")).as("h"), col("doc_id"))
+        .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      val top = perDoc.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("h")).limit(20)
+      shingles.select(md5(col("shingle")).as("h"), col("shingle"))
+        .join(broadcast(top), "h")
+        .groupBy(col("h"), col("n_docs"), col("n_occ"))
+        .agg(min(col("shingle")).as("shingle"))
+        .withColumn("rank",
+          row_number().over(
+            Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("h")))
+            .cast("long"))
+        .select(col("rank"), col("shingle"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_occ").cast("long").as("n_occ"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_ngram_jaccard — n-gram Jaccard similarity between candidate
     // pairs (adjacent doc_ids as the deterministic candidate set):
     // |A∩B| / |A∪B| over distinct token sets.

@@ -457,6 +457,25 @@ class PlanQualitySpec extends SparkSpecBase {
       s"corpus shuffled before scoring:\n${p.take(2500)}")
   }
 
+  test("text_boilerplate_ngrams: pass-1 shuffles digests; text only after the cut") {
+    // the 100 TB property of boilerplate mining: the token-grain
+    // aggregation exchanges carry the 16-byte digest (+ doc_id), never
+    // shingle text — text re-enters only via the candidate-proportional
+    // recovery agg behind the broadcast of the 20 winning digests
+    // (those exchanges also carry the joined n_docs/n_occ columns,
+    // which is how we tell the two stages apart)
+    val qe = SparkEntry.queries("text_boilerplate_ngrams")(spark, sfDir).queryExecution
+    val formatted = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("BroadcastExchange"), formatted.take(2000))
+    val blocks = formatted.split("\\n\\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    assert(blocks.nonEmpty)
+    blocks.foreach { b =>
+      assert(!b.contains("shingle#") || b.contains("n_docs#"),
+        s"shingle text entered a pre-cut shuffle:\n$b")
+    }
+  }
+
   test("pipeline_temperature_sample: stats broadcast back, one corpus rollup") {
     // the per-domain stats and the global min are tiny broadcast sides;
     // the corpus itself is shuffled ONLY by the per-domain report agg

@@ -156,6 +156,20 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("text_boilerplate_ngrams finds only multi-document 8-token shingles") {
+    val rows = SparkEntry.queries("text_boilerplate_ngrams")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("shingle").split(" ").length == 8)
+    }
+    // ranked by reach first: n_docs is non-increasing down the list
+    val reach = rows.map(_.getAs[Long]("n_docs")).toSeq
+    assert(reach == reach.sorted.reverse)
+  }
+
   test("sim_knn_graph emits dense descending in-cell edges, no self-loops") {
     val rows = SparkEntry.queries("sim_knn_graph")(spark, sfDir).collect()
     assert(rows.nonEmpty)
