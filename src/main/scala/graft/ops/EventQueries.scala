@@ -429,6 +429,62 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_late_data_audit — out-of-orderness audit per ingest
+    // partition: the measurement that SIZES a watermark. For each
+    // arriving event, lateness = how far its event-time sits behind the
+    // partition's running event-time high-water mark; the per-partition
+    // rollup (late count, max, sum) is exactly what you read before
+    // choosing `withWatermark`'s delay — max_late_s IS the delay that
+    // would lose zero events. The corpus is event-time-ordered, so
+    // arrival is modeled as a deterministic bounded-delay channel:
+    // arrival_seq = event_id + md5-jitter % 32 (same arithmetic in both
+    // engines — the classic bounded-reorder network model; a real
+    // deployment reads arrival order from source offsets instead).
+    // Ingest partition = event_id % 8 (the Kafka-ish shape), so the
+    // audit windows partition 8-way on a real key — never a global
+    // sort; at 100 TB the window runs per partition per time range.
+    // ------------------------------------------------------------------
+    QueryDef("events_late_data_audit",
+      """WITH a AS (
+        |  SELECT event_id % 8 AS part, event_id, ts,
+        |         event_id + CAST(concat('0x', substr(md5(concat('arr-', CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 32 AS arrival
+        |  FROM events),
+        |o AS (
+        |  SELECT part, event_id, ts,
+        |         max(ts) OVER (PARTITION BY part ORDER BY arrival, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM a)
+        |SELECT part, count(*) AS n_events,
+        |       CAST(count(CASE WHEN ts < hwm THEN 1 END) AS BIGINT) AS n_late,
+        |       CAST(coalesce(max(CASE WHEN ts < hwm
+        |                          THEN (epoch_ms(hwm) - epoch_ms(ts)) // 1000 END), 0)
+        |            AS BIGINT) AS max_late_s,
+        |       CAST(coalesce(sum(CASE WHEN ts < hwm
+        |                          THEN (epoch_ms(hwm) - epoch_ms(ts)) // 1000 END), 0)
+        |            AS BIGINT) AS sum_late_s
+        |FROM o GROUP BY part ORDER BY part""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Scans.table(s, dir, "events")
+        .select(expr("event_id % 8").as("part"), col("event_id"), col("ts"),
+          (col("event_id") +
+            expr("cast(conv(substring(md5(concat('arr-', cast(event_id AS string))), 1, 8), 16, 10) AS bigint) % 32")
+          ).as("arrival"))
+        .withColumn("hwm", max(col("ts")).over(w))
+        .withColumn("late_s",
+          when(col("ts") < col("hwm"),
+            expr("(unix_millis(hwm) - unix_millis(ts)) div 1000")))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("late_s")).cast("long").as("n_late"),
+          coalesce(max(col("late_s")), lit(0L)).cast("long").as("max_late_s"),
+          coalesce(sum(col("late_s")), lit(0L)).cast("long").as("sum_late_s"))
+        .orderBy(col("part"))
+    },
+
+    // ------------------------------------------------------------------
     // events_cdc_merge — latest-state materialization (SCD type-1 /
     // CDC compaction) over the FULL population: collapse each user's
     // change stream to its most recent row — the MERGE a

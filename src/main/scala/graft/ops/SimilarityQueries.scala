@@ -473,6 +473,72 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_recall_eval — recall@10 of the IVF(nprobe=4) path against the
+    // exact brute-force top-10: THE tuning metric for every ANN
+    // deployment (nprobe/cell-count trades recall for probe cost; a
+    // production pipeline runs exactly this eval over a query sample to
+    // pick the operating point). Both paths are this engine's own
+    // declared operators; the eval is a 10-row id join — the corpus
+    // cost is the two searches themselves (brute: one scan +
+    // TakeOrdered; IVF: probe-pruned candidates), nothing extra
+    // shuffles. The oracle recomputes both paths in DuckDB, so the
+    // hash pins exact set, approx set, AND the overlap arithmetic.
+    // ------------------------------------------------------------------
+    QueryDef("sim_recall_eval",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id BETWEEN 1 AND 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |exact AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |           row_number() OVER (
+        |             ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+        |                      e.vec_id) AS rank
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> 0) r
+        |  WHERE rank <= 10),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) a
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT cid AS probe FROM cents CROSS JOIN q
+        |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid
+        |  LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |  FROM e JOIN assign a ON a.vec_id = e.vec_id CROSS JOIN q
+        |  WHERE a.cell IN (SELECT probe FROM probes) AND e.vec_id <> 0),
+        |approx AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id,
+        |           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+        |    FROM cand) r
+        |  WHERE rank <= 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |       CAST(count(*) AS BIGINT) AS n_matched,
+        |       round(count(*) / 10.0, 3) AS recall
+        |FROM exact JOIN approx USING (vec_id)""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val exact = top10Ranked(
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim")))
+        .select(col("vec_id"))
+      val approx = ivfSearch(s, emb, ivfAssign(s, emb)).select(col("vec_id"))
+      exact.join(approx, "vec_id")
+        .agg(count(lit(1)).cast("long").as("n_matched"))
+        .select(lit(10L).as("k"), col("n_matched"),
+          round(col("n_matched") / lit(10.0), 3).as("recall"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_ivf_write_layout — the 100 TB half of the IVF story made
     // physical: the zero-shuffle cell assignment is PERSISTED as a
     // partitionBy("cell") parquet layout (written once per source dir,

@@ -457,6 +457,13 @@ class PlanQualitySpec extends SparkSpecBase {
       s"corpus shuffled before scoring:\n${p.take(2500)}")
   }
 
+  test("events_late_data_audit windows per ingest partition, never globally") {
+    // the high-water-mark window must partition on the ingest-partition
+    // key — a global running max would serialize the stream audit
+    val p = plan("events_late_data_audit")
+    assert(p.contains("windowspecdefinition(part"), p.take(2500))
+  }
+
   test("text_boilerplate_ngrams: pass-1 shuffles digests; text only after the cut") {
     // the 100 TB property of boilerplate mining: the token-grain
     // aggregation exchanges carry the 16-byte digest (+ doc_id), never

@@ -156,6 +156,30 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("sim_recall_eval reports a consistent recall fraction") {
+    val r = SparkEntry.queries("sim_recall_eval")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (k, m) = (r(0).getAs[Long]("k"), r(0).getAs[Long]("n_matched"))
+    assert(k == 10L && m >= 0L && m <= 10L)
+    assert(math.abs(r(0).getAs[Double]("recall") - m / 10.0) < 1e-9)
+  }
+
+  test("events_late_data_audit partitions the stream and finds real lateness") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("events_late_data_audit")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("part")).toSeq == (0L to 7L))
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Scans.table(spark, sfDir, "events").count())
+    rows.foreach { r =>
+      // the bounded-delay channel must produce SOME lateness (else the
+      // audit is vacuous) but can never make every event late
+      assert(r.getAs[Long]("n_late") > 0)
+      assert(r.getAs[Long]("n_late") < r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("max_late_s") > 0)
+      assert(r.getAs[Long]("sum_late_s") >= r.getAs[Long]("max_late_s"))
+    }
+  }
+
   test("text_boilerplate_ngrams finds only multi-document 8-token shingles") {
     val rows = SparkEntry.queries("text_boilerplate_ngrams")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
