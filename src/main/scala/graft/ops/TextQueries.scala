@@ -1353,6 +1353,88 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // pipeline_dataset_card — the per-source corpus report a pipeline
+    // publishes as its dataset card: document/token/char volumes,
+    // language cardinality, majority language + its share, and the
+    // quality-gate pass count — ALL from ONE corpus scan (the
+    // (source, lang) partial agg; everything after runs on the tiny
+    // source×lang frame). The quality gate is integer-exact — token
+    // count ≥ 20 AND punct_chars·10 ≤ total_chars·3, a cross-multiplied
+    // rational so no engine ever rounds a ratio — and the majority
+    // language breaks ties (count desc, lang) deterministically.
+    // Language-mix concentration is reported as the top language's
+    // share (one correctly-rounded division), not a log-based entropy —
+    // ln(·) is not guaranteed bit-identical across engines.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_dataset_card",
+      s"""WITH l1 AS (
+         |  SELECT source, lang,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len($toksDuck)) AS BIGINT) AS n_tokens,
+         |         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |         CAST(sum(CASE WHEN len($toksDuck) >= 20
+         |                        AND (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 10
+         |                            <= length(text) * 3
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+         |  FROM documents GROUP BY source, lang),
+         |tot AS (
+         |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |         CAST(sum(n_quality_pass) AS BIGINT) AS n_quality_pass,
+         |         CAST(count(*) AS BIGINT) AS n_langs
+         |  FROM l1 GROUP BY source),
+         |top AS (
+         |  SELECT source, lang AS top_lang, n_docs AS top_cnt FROM (
+         |    SELECT source, lang, n_docs,
+         |           row_number() OVER (PARTITION BY source
+         |                              ORDER BY n_docs DESC, lang) AS rn
+         |    FROM l1) r WHERE rn = 1)
+         |SELECT t.source, t.n_docs, t.n_tokens, t.n_chars, t.n_langs,
+         |       p.top_lang, round(p.top_cnt * 1.0 / t.n_docs, 6) AS top_lang_share,
+         |       t.n_quality_pass
+         |FROM tot t JOIN top p ON t.source = p.source
+         |ORDER BY t.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val l1 = Scans.table(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          expr(s"size($toksSpark)").cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("len"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+            .cast("long").as("punct"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"),
+          sum(col("len")).cast("long").as("n_chars"),
+          sum(when(col("n_toks") >= 20 && col("punct") * 10 <= col("len") * 3,
+            1L).otherwise(0L)).cast("long").as("n_quality_pass"))
+      // per-source totals and the majority row come from WINDOWS over the
+      // one l1 lineage (a groupBy + self-join here would re-scan the
+      // corpus for the second aggregate) — the window frame is the tiny
+      // source×lang grid, partitioned on source
+      val w = Window.partitionBy(col("source"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("n_docs").desc, col("lang"))
+      l1.withColumn("t_docs", sum(col("n_docs")).over(w))
+        .withColumn("t_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("t_chars", sum(col("n_chars")).over(w))
+        .withColumn("t_pass", sum(col("n_quality_pass")).over(w))
+        .withColumn("t_langs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("t_docs").cast("long").as("n_docs"),
+          col("t_tokens").cast("long").as("n_tokens"),
+          col("t_chars").cast("long").as("n_chars"),
+          col("t_langs").cast("long").as("n_langs"),
+          col("lang").as("top_lang"),
+          round(col("n_docs") * lit(1.0) / col("t_docs"), 6)
+            .as("top_lang_share"),
+          col("t_pass").cast("long").as("n_quality_pass"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_decontaminate — benchmark decontamination: drop training
     // documents that share any 5-token shingle with a held-out
     // benchmark set (here the deterministic doc_id % 97 slice standing

@@ -457,6 +457,17 @@ class PlanQualitySpec extends SparkSpecBase {
       s"corpus shuffled before scoring:\n${p.take(2500)}")
   }
 
+  test("pipeline_dataset_card reads the corpus exactly once") {
+    // the card aggregates every metric from ONE (source, lang) partial
+    // agg; totals and the majority row are windows over that tiny frame
+    // — a second corpus scan (groupBy + self-join shape) is the bug
+    val p = plan("pipeline_dataset_card")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"corpus scanned $scans times:\n${p.take(2500)}")
+    assert(p.contains("windowspecdefinition(source"), p.take(2500))
+  }
+
   test("events_late_data_audit windows per ingest partition, never globally") {
     // the high-water-mark window must partition on the ingest-partition
     // key — a global running max would serialize the stream audit

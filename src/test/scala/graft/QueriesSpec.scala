@@ -156,6 +156,21 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("pipeline_dataset_card covers the corpus with consistent per-source stats") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("pipeline_dataset_card")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Scans.table(spark, sfDir, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_quality_pass") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1)
+      val share = r.getAs[Double]("top_lang_share")
+      assert(share > 0.0 && share <= 1.0)
+      // majority share can't be below a uniform split across languages
+      assert(share >= 1.0 / r.getAs[Long]("n_langs") - 1e-9)
+    }
+  }
+
   test("sim_recall_eval reports a consistent recall fraction") {
     val r = SparkEntry.queries("sim_recall_eval")(spark, sfDir).collect()
     assert(r.length == 1)
