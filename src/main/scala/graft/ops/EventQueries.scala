@@ -856,12 +856,8 @@ object EventQueries {
         |       round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_enrich_stream")
+      val streamDir = stageEventsDir(dir)
       val sink = try {
-        val target =
-          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("events.parquet"), target)
         val raw = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
           .parquet(streamDir.toString)
@@ -874,7 +870,7 @@ object EventQueries {
           .start()
         try q.processAllAvailable() finally q.stop()
         name
-      } finally deleteTree(streamDir)
+      } finally dropStagedEventsDir(streamDir)
       val result = s.table(sink)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),

@@ -319,21 +319,24 @@ object MultimodalQueries {
     // two modalities: decode each document's PNG for real (dimensions
     // from the raster, exactly like multimodal_decode), join it to its
     // caption, and admit the pair only when BOTH sides clear the gate —
-    // image area ≥ 60 px and caption length inside the [150, 450] char
+    // image area ≥ 100 px and caption length inside the [150, 450] char
     // window (tiny images and degenerate captions are what pair
-    // filtering drops in practice). One doc_id equi-join between two
-    // same-keyed scans (broadcast- or shuffle-planned, either is
-    // key-local), per-pair math row-local, full-population rollup per
-    // id bucket — any admit flip moves its bucket's sums. The oracle
-    // predicts the decoded dimensions arithmetically, so a decoder that
-    // misread a size breaks the admission hash.
+    // filtering drops in practice; the fixture dims span [64, 195] px,
+    // so the 100 px floor really rejects images — a threshold below 64
+    // would make the image side of the gate dead code). One doc_id
+    // equi-join between two same-keyed scans (broadcast- or
+    // shuffle-planned, either is key-local), per-pair math row-local,
+    // full-population rollup per id bucket — any admit flip moves its
+    // bucket's sums. The oracle predicts the decoded dimensions
+    // arithmetically, so a decoder that misread a size breaks the
+    // admission hash.
     // ------------------------------------------------------------------
     QueryDef("multimodal_text_pair",
       """WITH pairs AS (
         |  SELECT doc_id,
         |         (8 + doc_id % 8) * (8 + doc_id % 6) AS area,
         |         length(text) AS cap_len,
-        |         ((8 + doc_id % 8) * (8 + doc_id % 6) >= 60
+        |         ((8 + doc_id % 8) * (8 + doc_id % 6) >= 100
         |          AND length(text) BETWEEN 150 AND 450) AS admitted
         |  FROM documents)
         |SELECT doc_id % 10 AS bucket, count(*) AS n_pairs,
@@ -345,9 +348,12 @@ object MultimodalQueries {
         |         AS cap_len_sum
         |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val images = mediaTable(s, dir).as[MediaRecord]
-        .mapPartitions(_.map { r =>
-          decodePng(MediaRecord(r.doc_id, "png", PngFixtures.encode(r.doc_id), 0, 0, 3))
+      // only doc_id feeds the fixture encode — scanning the id column
+      // alone keeps the blob/text bytes out of the typed pipeline
+      val images = Scans.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          decodePng(MediaRecord(id, "png", PngFixtures.encode(id), 0, 0, 3))
         })
         .toDF()
         .select(col("doc_id"), (col("width") * col("height")).as("area"))
@@ -355,7 +361,7 @@ object MultimodalQueries {
         .select(col("doc_id"), length(col("text")).cast("long").as("cap_len"))
       images.join(captions, "doc_id")
         .withColumn("admitted",
-          col("area") >= 60 && col("cap_len").between(150, 450))
+          col("area") >= 100 && col("cap_len").between(150, 450))
         .groupBy((col("doc_id") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("admitted"), 1L).otherwise(0L)).cast("long").as("n_admitted"),

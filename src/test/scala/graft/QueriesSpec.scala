@@ -230,13 +230,18 @@ class QueriesSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == nDocs)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_admitted") <= r.getAs[Long]("n_pairs"))
-      // admitted sums are bounded by the gate: area ≥ 60 per admitted
+      // admitted sums are bounded by the gate: area ≥ 100 per admitted
       // pair, caption length within [150, 450]
       val adm = r.getAs[Long]("n_admitted")
-      assert(r.getAs[Long]("area_sum") >= 60L * adm)
+      assert(r.getAs[Long]("area_sum") >= 100L * adm)
       assert(r.getAs[Long]("cap_len_sum") >= 150L * adm &&
         r.getAs[Long]("cap_len_sum") <= 450L * adm)
     }
+    // the image side of the gate must really fire: fixture areas span
+    // [64, 195], so some pairs fail the 100 px floor even with a good
+    // caption — admitted strictly below the pair count overall
+    assert(rows.map(_.getAs[Long]("n_admitted")).sum <
+      rows.map(_.getAs[Long]("n_pairs")).sum)
   }
 
   test("disjoint+exhaustive slicing holds on real data") {
