@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, MinShingleMd5, MinhashSigs, RewriteDotProduct, SimhashText, SimhashVotes}
+import graft.functions.{CosineSim, MinShingleMd5, MinhashSigs, RewriteDotProduct, ShingleMd5s, SimhashText, SimhashVotes}
 
 /** Engine extension point — install with
   * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` (done
@@ -41,6 +41,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "minhash_sigs expects exactly 1 argument")
         MinhashSigs(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_md5s"),
+      new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_md5s expects exactly 1 argument")
+        ShingleMd5s(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),

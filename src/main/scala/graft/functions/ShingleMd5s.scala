@@ -1,0 +1,136 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused 8-token-shingle digest kernel: tokenize → stride-1 8-token
+  * shingles → md5 hex, in ONE row-local pass. Static-forwarder object so
+  * generated code calls `graft.functions.ShingleMd5sKernel.compute(...)`
+  * directly (the [[MinhashSigsKernel]] shape).
+  *
+  * Contract is bit-identical to the engine's HOF composition (the
+  * `text_boilerplate_ngrams` pass-1 pipeline):
+  *
+  * {{{ tk = filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')
+  *     CASE WHEN size(tk) >= 8
+  *       THEN transform(sequence(1, size(tk) - 7),
+  *              i -> md5(array_join(slice(tk, i, 8), ' ')))
+  *       ELSE array() END }}}
+  *
+  * replicated detail by detail:
+  *  - tokens: maximal `[a-z0-9]` byte runs over the CollationSupport
+  *    lowering (see [[SimhashTextKernel]] for why the byte scan equals
+  *    the regex split);
+  *  - shingle i (1-based) joins tokens i..i+7 with single spaces — all
+  *    8 always present because i ≤ #tokens − 7; fewer than 8 tokens →
+  *    EMPTY array (unlike the minhash kernel, which pads short docs);
+  *  - digest: lowercase 32-hex-char md5 of the joined UTF-8 bytes,
+  *    byte-identical to `md5()` in Spark and DuckDB.
+  */
+object ShingleMd5sKernel {
+
+  final val ShingleTokens = 8
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+  private val space = Array[Byte](' ')
+  private val hex = "0123456789abcdef".getBytes
+
+  @inline private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  def compute(text: UTF8String, useICU: Boolean): ArrayData = {
+    val lt =
+      if (useICU) org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
+      else org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinary(text)
+    val bytes = lt.getBytes
+    val n = bytes.length
+    var nTok = 0
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var i = 0
+    while (i < n) {
+      if (isAlnum(bytes(i))) {
+        var j = i + 1
+        while (j < n && isAlnum(bytes(j))) j += 1
+        if (nTok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nTok) = i; ends(nTok) = j; nTok += 1
+        i = j
+      } else i += 1
+    }
+    val nShingles = nTok - ShingleTokens + 1
+    if (nShingles <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = mdLocal.get()
+    val out = new Array[Any](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      md.reset()
+      var t = s
+      val tEnd = s + ShingleTokens
+      while (t < tEnd) {
+        if (t > s) md.update(space, 0, 1)
+        md.update(bytes, starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      val dig = md.digest()
+      val hx = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hx(2 * b) = hex((dig(b) >> 4) & 0xf)
+        hx(2 * b + 1) = hex(dig(b) & 0xf)
+        b += 1
+      }
+      out(s) = UTF8String.fromBytes(hx)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native fused shingle digests — `shingle_md5s(text)`, registered by
+  * [[graft.GraftSparkExtensions]]: array&lt;string&gt; of the lowercase md5
+  * hex of every 8-token shingle (stride 1). One codegen'd call per
+  * document replaces the interpreted HOF pipeline (a transform lambda
+  * per shingle materializing the joined string, then md5) that fed
+  * `text_boilerplate_ngrams`' digest pass. Row-local: digests are
+  * computed where the text lives, so the mining shuffle carries only
+  * digest-width rows.
+  */
+case class ShingleMd5s(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5s"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.catalogString}")
+  }
+
+  // strict val: captured at construction on the driver (see MinShingleMd5)
+  private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
+    .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMd5sKernel.compute(input.asInstanceOf[UTF8String], useICU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleMd5sKernel.compute($c, $useICU)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5s =
+    copy(child = newChild)
+}

@@ -629,23 +629,57 @@ object TextQueries {
          |  FROM stats) r
          |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      def shingles = Scans.table(s, dir, "documents")
-        .select(col("doc_id"), expr(toksSpark).as("tks"))
-        // sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(tks) >= 8
-            |  THEN transform(sequence(1, size(tks) - 7),
-            |         i -> array_join(slice(tks, i, 8), ' '))
-            |  ELSE cast(array() AS array<string>) END""".stripMargin))
-          .as("shingle"))
-      val perDoc = shingles
-        .select(md5(col("shingle")).as("h"), col("doc_id"))
+      // per-doc shingle digests: the native fused kernel when registered
+      // (one codegen'd pass: tokenize → 8-token shingle → md5 hex), else
+      // the bit-identical HOF composition. sequence(1, 0) is DESCENDING
+      // [1, 0], not empty — the CASE guards short docs in the fallback
+      // (the kernel returns an empty array itself).
+      val hsCol =
+        if (s.catalog.functionExists("shingle_md5s"))
+          call_function("shingle_md5s", col("text"))
+        else expr(
+          s"""CASE WHEN size($toksSpark) >= 8
+             |  THEN transform(sequence(1, size($toksSpark) - 7),
+             |         i -> md5(array_join(slice($toksSpark, i, 8), ' ')))
+             |  ELSE cast(array() AS array<string>) END""".stripMargin)
+      def docsHs = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), hsCol.as("hs"))
+      val perDoc = docsHs
+        .select(col("doc_id"), explode(col("hs")).as("h"))
         .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
-      val top = perDoc.groupBy(col("h"))
+      // materialize the 20-winner cut ONCE: the recovery pass references
+      // it three ways (the prefilter array, the membership test, the
+      // stats join), and a lazy frame would re-run the whole digest
+      // aggregation for each — 20 rows collected to a LocalRelation is
+      // the k-means-centroid precedent, not a driver-side data loop
+      val topRows = perDoc.groupBy(col("h"))
         .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
         .filter(col("n_docs") > 1)
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("h")).limit(20)
-      shingles.select(md5(col("shingle")).as("h"), col("shingle"))
+        .collect()
+      val top = s.createDataFrame(
+        java.util.Arrays.asList(topRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_occ",
+            org.apache.spark.sql.types.LongType))))
+      val topHs = typedlit(topRows.map(_.getAs[String]("h")).toSeq)
+      // recovery pass: prefilter docs to those holding a winning digest
+      // (arrays_overlap against the literal 20-digest array) BEFORE
+      // exploding, so the text column is only unpacked per shingle for
+      // the handful of matching documents; the shingle string itself is
+      // rebuilt row-locally from (text, pos) for survivors only — all
+      // instances of a digest are the same string, so min() over the
+      // surviving instances equals min() over all of them
+      docsHs
+        .filter(arrays_overlap(col("hs"), topHs))
+        .select(col("text"), posexplode(col("hs")).as(Seq("pos", "h")))
+        .filter(array_contains(topHs, col("h")))
+        .select(col("h"),
+          expr(s"array_join(slice($toksSpark, pos + 1, 8), ' ')").as("shingle"))
         .join(broadcast(top), "h")
         .groupBy(col("h"), col("n_docs"), col("n_occ"))
         .agg(min(col("shingle")).as("shingle"))

@@ -343,6 +343,33 @@ class ExtensionsSpec extends SparkSpecBase {
       hof(edges).exceptAll(fused(edges)).count() == 0)
   }
 
+  test("fused shingle_md5s equals the HOF composition on the corpus + edges") {
+    assert(spark.catalog.functionExists("shingle_md5s"))
+    def hof(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("tk"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(tk) >= 8
+               |  THEN transform(sequence(1, size(tk) - 7),
+               |         i -> md5(array_join(slice(tk, i, 8), ' ')))
+               |  ELSE cast(array() AS array<string>) END""".stripMargin).as("hs"))
+    def fused(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), call_function("shingle_md5s", col("text")).as("hs"))
+    val corpus = Scans.table(spark, sfDir, "documents")
+    assert(fused(corpus).exceptAll(hof(corpus)).count() == 0 &&
+      hof(corpus).exceptAll(fused(corpus)).count() == 0)
+    // edges: empty, token-less, exactly 7 tokens (no shingle), exactly 8
+    // (one shingle), 9 (two, stride 1), mixed-case + punctuation runs —
+    // every branch of the size guard and the lowering
+    import spark.implicits._
+    val edges = Seq((0L, ""), (1L, "!!! ???"),
+      (2L, "a b c d e f g"), (3L, "a b c d e f g h"),
+      (4L, "a b c d e f g h i"), (5L, "The QUICK brown-fox:jumps,over 2 lazy DOGS now"))
+      .toDF("doc_id", "text")
+    assert(fused(edges).exceptAll(hof(edges)).count() == 0 &&
+      hof(edges).exceptAll(fused(edges)).count() == 0)
+  }
+
   test("simhash_votes matches the sum(CASE) null semantics on null halves") {
     import spark.implicits._
     // a null half must vote −1 on each of its 32 bits, exactly like the
