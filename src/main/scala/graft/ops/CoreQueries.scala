@@ -213,6 +213,59 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // rowhash_check — CONTENT reconciliation, the upgrade over the
+    // reference's rowcount-only check (SmartBulkCopy.cs compares counts;
+    // a corrupted or truncated-and-padded copy passes that). Each row
+    // folds a canonical rendering of its identity + payload columns
+    // through md5 into a 28-bit integer; the order-INDEPENDENT sum of
+    // those is the table's content checksum, so source and the
+    // slice-union destination can be compared without any global sort —
+    // one scan + one integer sum each side, embarrassingly parallel at
+    // any scale. 28-bit terms keep the BIGINT sum exact past 3e10 rows
+    // (HUGEINT on the DuckDB side, so both engines agree bit-for-bit);
+    // integer columns + strings only in the rendering — float formatting
+    // is not cross-engine canonical.
+    // ------------------------------------------------------------------
+    QueryDef("rowhash_check",
+      s"""WITH src AS (
+         |  SELECT count(*) AS c,
+         |         CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+         |           CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+         |           CAST(l_partkey AS VARCHAR), l_returnflag, l_linestatus)),
+         |           1, 7)) AS BIGINT)) AS BIGINT) AS h
+         |  FROM lineitem),
+         |dst AS (
+         |  SELECT count(*) AS c,
+         |         CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+         |           CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+         |           CAST(l_partkey AS VARCHAR), l_returnflag, l_linestatus)),
+         |           1, 7)) AS BIGINT)) AS BIGINT) AS h
+         |  FROM (SELECT *, $liSliceKeySql % 9 AS slice FROM lineitem) sl)
+         |SELECT 'lineitem' AS table_name,
+         |       src.c AS src_rows, dst.c AS dst_rows,
+         |       src.h AS src_hash, dst.h AS dst_hash,
+         |       src.c = dst.c AND src.h = dst.h AS is_match
+         |FROM src, dst""".stripMargin) { (s, dir) =>
+      val rowHash = expr(
+        """cast(conv(substring(md5(concat_ws('|',
+          |  cast(l_orderkey AS string), cast(l_linenumber AS string),
+          |  cast(l_partkey AS string), l_returnflag, l_linestatus)),
+          |  1, 7), 16, 10) AS bigint)""".stripMargin)
+      val li = t(s, dir, "lineitem")
+      val src = li.agg(count(lit(1)).as("src_rows"),
+        sum(rowHash).cast("long").as("src_hash"))
+      val slices = (0 until 9).map(i => Scans.logicalSlice(li, liSliceKey, 9, i))
+      val dst = slices.reduce(_ unionAll _)
+        .agg(count(lit(1)).as("dst_rows"),
+          sum(rowHash).cast("long").as("dst_hash"))
+      src.crossJoin(dst)
+        .select(lit("lineitem").as("table_name"),
+          col("src_rows"), col("dst_rows"), col("src_hash"), col("dst_hash"),
+          (col("src_rows") === col("dst_rows") &&
+            col("src_hash") === col("dst_hash")).as("is_match"))
+    },
+
+    // ------------------------------------------------------------------
     // scan_generated_sql — the reference's core mechanism run natively:
     // assemble `SELECT <cols> FROM t WHERE <slice> ORDER BY <keys>` as
     // TEXT (SmartBulkCopy.cs:422-438, CopyInfo.cs:24-68) and execute it

@@ -156,6 +156,26 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("rowhash_check reconciles content, not just counts, and detects a tamper") {
+    val r = SparkEntry.queries("rowhash_check")(spark, sfDir).collect()(0)
+    assert(r.getAs[Boolean]("is_match"))
+    assert(r.getAs[Long]("src_rows") == r.getAs[Long]("dst_rows"))
+    assert(r.getAs[Long]("src_hash") == r.getAs[Long]("dst_hash"))
+    assert(r.getAs[Long]("src_hash") > 0)
+    // the checksum must be CONTENT-sensitive where rowcount is blind: a
+    // same-cardinality corruption (one returnflag flipped) moves the sum
+    import graft.exec.Scans
+    val rowHash = expr(
+      """cast(conv(substring(md5(concat_ws('|',
+        |  cast(l_orderkey AS string), cast(l_linenumber AS string),
+        |  cast(l_partkey AS string), l_returnflag, l_linestatus)),
+        |  1, 7), 16, 10) AS bigint)""".stripMargin)
+    val tampered = Scans.table(spark, sfDir, "lineitem")
+      .withColumn("l_returnflag", concat(col("l_returnflag"), lit("Z")))
+      .agg(sum(rowHash).cast("long")).collect()(0).getLong(0)
+    assert(tampered != r.getAs[Long]("src_hash"))
+  }
+
   test("pipeline_dataset_card covers the corpus with consistent per-source stats") {
     import graft.exec.Scans
     val rows = SparkEntry.queries("pipeline_dataset_card")(spark, sfDir).collect()
