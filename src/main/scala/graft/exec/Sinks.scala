@@ -165,11 +165,49 @@ object Sinks {
       url: String, table: String, idCol: String, restartWith: Long): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
+      val target = resolveIdentityTarget(conn, table, idCol).getOrElse(
+        throw new java.sql.SQLException(
+          s"identity target $table.$idCol not found in destination catalog"))
       val st = conn.createStatement()
       try st.execute(
-        s"""ALTER TABLE $table ALTER COLUMN "$idCol" RESTART WITH $restartWith""")
+        s"""ALTER TABLE ${quoteIdent(target._1)} ALTER COLUMN ${quoteIdent(target._2)} RESTART WITH $restartWith""")
       finally st.close()
     } finally conn.close()
+  }
+
+  /** SQL-safe identifier quoting: the stored catalog spelling wrapped in
+    * double quotes with embedded quotes doubled — identifiers never reach
+    * a statement string raw, so an exotic (or hostile) config/catalog name
+    * can neither break the statement nor inject SQL.
+    */
+  private def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Resolve the STORED spellings of (table, identity column) from the
+    * destination catalog, case-insensitively on BOTH identifiers — a
+    * destination created with unquoted DDL stores them uppercase, one
+    * created with quoted lowercase DDL stores them as written; the sync
+    * must find the generator either way. An exact-case match wins;
+    * otherwise a UNIQUE case-insensitive match; two columns differing only
+    * by case resolve to None — unverifiable, never a guess.
+    */
+  private def resolveIdentityTarget(
+      conn: java.sql.Connection, table: String, idCol: String): Option[(String, String)] = {
+    val st = conn.prepareStatement(
+      """SELECT t.TABLENAME, c.COLUMNNAME FROM SYS.SYSCOLUMNS c
+        |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+        |WHERE UPPER(t.TABLENAME) = UPPER(?) AND UPPER(c.COLUMNNAME) = UPPER(?)""".stripMargin)
+    try {
+      st.setString(1, table)
+      st.setString(2, idCol)
+      val rs = st.executeQuery()
+      val rows = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getString(1), r.getString(2)))
+        .toList
+      rows.find { case (t, c) => t == table && c == idCol }
+        .orElse(if (rows.size == 1) rows.headOption else None)
+    } finally st.close()
   }
 
   /** Read-back of a live destination's identity generator from the Derby
@@ -178,25 +216,30 @@ object Sinks {
     * sink: the reseed must be OBSERVABLE on the destination, never
     * assumed. `None` when the column carries no generator (the
     * destination's `TableHasIdentity = 0` case — and the unverifiable-
-    * reseed failure class when a sync was requested anyway).
+    * reseed failure class when a sync was requested anyway). Identifier
+    * matching is case-insensitive on BOTH table and column (via
+    * [[resolveIdentityTarget]]) so a destination whose identity column was
+    * created unquoted (stored uppercase) still verifies.
     */
   def identitySeedJdbc(url: String, table: String, idCol: String): Option[Long] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val st = conn.prepareStatement(
-        """SELECT c.AUTOINCREMENTVALUE FROM SYS.SYSCOLUMNS c
-          |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
-          |WHERE UPPER(t.TABLENAME) = UPPER(?) AND c.COLUMNNAME = ?""".stripMargin)
-      try {
-        st.setString(1, table)
-        st.setString(2, idCol)
-        val rs = st.executeQuery()
-        if (!rs.next()) None
-        else {
-          val v = rs.getLong(1)
-          if (rs.wasNull()) None else Some(v)
-        }
-      } finally st.close()
+      resolveIdentityTarget(conn, table, idCol).flatMap { case (t, c) =>
+        val st = conn.prepareStatement(
+          """SELECT c.AUTOINCREMENTVALUE FROM SYS.SYSCOLUMNS c
+            |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+            |WHERE t.TABLENAME = ? AND c.COLUMNNAME = ?""".stripMargin)
+        try {
+          st.setString(1, t)
+          st.setString(2, c)
+          val rs = st.executeQuery()
+          if (!rs.next()) None
+          else {
+            val v = rs.getLong(1)
+            if (rs.wasNull()) None else Some(v)
+          }
+        } finally st.close()
+      }
     } finally conn.close()
   }
 

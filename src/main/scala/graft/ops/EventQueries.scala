@@ -752,37 +752,34 @@ object EventQueries {
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
-      val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
-      System.setProperty("derby.system.home", home)
-      new java.io.File(home).mkdirs()
-      val url = s"jdbc:derby:$home/stream_sink_equiv;create=true"
+      // per-run scratch database under an ABSOLUTE jdbc:derby: path — no
+      // global-property mutation at query time, and nothing persists
+      // under tmpdir after the run (DerbyEnv.shutdownAndDelete below)
+      val dbRoot = graft.exec.DerbyEnv.scratchDbRoot("graft_stream_sink_db")
+      val dbPath = s"$dbRoot/stream_sink_equiv"
+      val url = s"jdbc:derby:$dbPath;create=true"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      // fresh destination per run (Bench replays the query): the sink
-      // table persists in the Derby db across runs
-      val conn = java.sql.DriverManager.getConnection(url)
       try {
-        val st = conn.createStatement()
-        try st.execute("DROP TABLE stream_events_equiv")
-        catch { case _: java.sql.SQLException => () } // first run: absent
-        finally st.close()
-      } finally conn.close()
-      val streamDir = stageEventsDir(dir)
-      try {
-        val raw = s.readStream
-          .schema(s.read.parquet(s"$dir/events.parquet").schema)
-          .parquet(streamDir.toString)
-          .filter(col("event_type").isin("purchase", "signup"))
-          .select(col("event_id"), col("user_id"), col("event_type"))
-        val q = EventStreams.streamToJdbc(raw, url, "stream_events_equiv", props)
-        try q.processAllAvailable() finally q.stop()
-      } finally dropStagedEventsDir(streamDir)
-      s.read.jdbc(url, "stream_events_equiv", props)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("event_id")).cast("long").as("id_sum"))
-        .orderBy(col("event_type"))
-        .localCheckpoint(true)
+        val streamDir = stageEventsDir(dir)
+        try {
+          val raw = s.readStream
+            .schema(s.read.parquet(s"$dir/events.parquet").schema)
+            .parquet(streamDir.toString)
+            .filter(col("event_type").isin("purchase", "signup"))
+            .select(col("event_id"), col("user_id"), col("event_type"))
+          val q = EventStreams.streamToJdbc(raw, url, "stream_events_equiv", props)
+          try q.processAllAvailable() finally q.stop()
+        } finally dropStagedEventsDir(streamDir)
+        // localCheckpoint(eager = true) materializes the read-back NOW, so
+        // the scratch database can be dropped before the result is compared
+        s.read.jdbc(url, "stream_events_equiv", props)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally graft.exec.DerbyEnv.shutdownAndDelete(dbPath, dbRoot)
     },
 
     // ------------------------------------------------------------------

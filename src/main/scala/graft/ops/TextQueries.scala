@@ -376,17 +376,20 @@ object TextQueries {
     // ------------------------------------------------------------------
     QueryDef("dedup_chunk_exact",
       """WITH c AS (
-        |  SELECT d.source, d.doc_id, d.doc_id * 1000000 + u.i AS inst_key,
+        |  SELECT d.source, d.doc_id, u.i AS pos_char,
         |         md5(substr(d.text, u.i, 256)) AS h
         |  FROM documents d,
         |       unnest(generate_series(1, greatest(length(d.text) - 63, 1), 192)) AS u(i)),
         |o AS (
-        |  SELECT h, count(*) AS copies, min(inst_key) AS owner_key
+        |  SELECT h, count(*) AS copies,
+        |         min({'doc_id': doc_id, 'pos_char': pos_char}) AS owner
         |  FROM c GROUP BY h)
         |SELECT c.source, count(*) AS n_chunks,
-        |       CAST(count(CASE WHEN o.copies > 1 AND c.inst_key <> o.owner_key
+        |       CAST(count(CASE WHEN o.copies > 1
+        |                        AND {'doc_id': c.doc_id, 'pos_char': c.pos_char} <> o.owner
         |                       THEN 1 END) AS BIGINT) AS n_dup_chunks,
-        |       CAST(count(DISTINCT CASE WHEN o.copies > 1 AND c.inst_key <> o.owner_key
+        |       CAST(count(DISTINCT CASE WHEN o.copies > 1
+        |                        AND {'doc_id': c.doc_id, 'pos_char': c.pos_char} <> o.owner
         |                                THEN c.doc_id END) AS BIGINT) AS n_docs_affected
         |FROM c JOIN o USING (h)
         |GROUP BY c.source ORDER BY c.source""".stripMargin) { (s, dir) =>
@@ -395,15 +398,20 @@ object TextQueries {
           posexplode(expr(
             "transform(sequence(1, greatest(length(text) - 63, 1), 192), i -> md5(substring(text, i, 256)))")))
         .select(col("source"), col("doc_id"),
-          // instance key = doc_id * 1e6 + char position (1 + 192*ordinal):
-          // the deterministic keep-first tie-break, same on both engines
-          (col("doc_id") * 1000000L + lit(1) + col("pos") * 192).as("inst_key"),
+          // char position 1 + 192*ordinal; the keep-first instance key is
+          // the STRUCT (doc_id, pos_char) — lexicographic min on both
+          // engines, collision-free at any document length (a packed
+          // numeric key bleeds across doc_ids once a doc outgrows the
+          // multiplier)
+          (lit(1) + col("pos") * 192).as("pos_char"),
           col("col").as("h"))
       val owners = chunks.groupBy(col("h"))
-        .agg(count(lit(1)).as("copies"), min(col("inst_key")).as("owner_key"))
+        .agg(count(lit(1)).as("copies"),
+          min(struct(col("doc_id"), col("pos_char"))).as("owner"))
       chunks.join(owners, "h")
         .withColumn("is_dup",
-          col("copies") > 1 && col("inst_key") =!= col("owner_key"))
+          col("copies") > 1 &&
+            struct(col("doc_id"), col("pos_char")) =!= col("owner"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("is_dup"), 1)).cast("long").as("n_dup_chunks"),

@@ -219,9 +219,7 @@ class CopySpec extends SparkSpecBase {
   }
 
   private def freshDerbyDb(name: String): String = {
-    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
-    System.setProperty("derby.system.home", home)
-    new java.io.File(home).mkdirs()
+    val home = exec.DerbyEnv.home // one-time engine home, no re-pointing
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -281,6 +279,38 @@ class CopySpec extends SparkSpecBase {
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     assert(spark.read.jdbc(url, "supplier", props).count() == srcRows + 1)
+  }
+
+  test("identity sync resolves an unquoted (uppercase-stored) destination column") {
+    // a destination created with UNQUOTED DDL stores TABLE and COLUMN
+    // uppercase; the sync's catalog lookup and ALTER statement must find
+    // the generator case-insensitively and quote the STORED spelling —
+    // the lowercase caller-side name still syncs (ADVICE r7 finding)
+    val url = freshDerbyDb("copydest_upper")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE supplier (
+          |  s_suppkey BIGINT GENERATED BY DEFAULT AS IDENTITY
+          |    (START WITH 1, INCREMENT BY 1),
+          |  s_name VARCHAR(128))""".stripMargin)
+      st.close()
+    } finally conn.close()
+    exec.Sinks.reseedIdentityJdbc(url, "supplier", "s_suppkey", 4242L)
+    assert(exec.Sinks.identitySeedJdbc(url, "supplier", "s_suppkey")
+      .contains(4242L))
+    // behavior: a keyless insert draws exactly the restarted value
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val ins = c2.prepareStatement(
+        "INSERT INTO supplier (s_name) VALUES ('probe')",
+        java.sql.Statement.RETURN_GENERATED_KEYS)
+      ins.executeUpdate()
+      val ks = ins.getGeneratedKeys
+      ks.next()
+      assert(ks.getLong(1) == 4242L)
+    } finally c2.close()
   }
 
   test("jdbc destination without an identity generator fails sync with 2") {

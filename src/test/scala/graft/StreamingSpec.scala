@@ -309,9 +309,7 @@ class StreamingSpec extends SparkSpecBase {
   test("foreachBatch streams micro-batches into a JDBC destination") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
-    System.setProperty("derby.system.home", home)
-    new java.io.File(home).mkdirs()
+    val home = exec.DerbyEnv.home // one-time engine home, no re-pointing
     // fresh destination per run: the Derby db persists under tmpdir and
     // appends would accumulate across test invocations
     def rm(f: java.io.File): Unit = {
