@@ -31,34 +31,32 @@ final case class MediaFeatures(
   * columns with typed metadata, decoded/feature-extracted in batched
   * executor-side passes (SURVEY.md extension mandate).
   *
-  * Two decode paths coexist, mirroring a production corpus with mixed
-  * codec availability:
-  *  - **PNG is decoded for real** via the JDK's `javax.imageio` (no
-  *    external dependency): [[PngFixtures]] synthesizes a deterministic
-  *    two-band RGB image per document, encodes it to real PNG bytes on
-  *    the executor, and [[decodePng]] reads the bytes back through
-  *    `ImageIO`, deriving width/height and per-channel mean features
-  *    from the ACTUAL decoded pixels — a misread dimension or channel
-  *    fails the DuckDB hash-compare, which predicts the same values
-  *    arithmetically.
-  *  - Formats whose codecs are genuinely absent from this container
-  *    (JPEG/video/audio) keep [[decodeStub]], a clearly-marked
-  *    deterministic FAKE (first bytes → features).
-  * Everything around both — binary column, typed metadata schema,
-  * partition-wise batched extraction via `mapPartitions` on a typed
-  * `Dataset`, the frame-sampling fan-out — is the real Spark plumbing a
-  * production decoder drops into. On a cluster each partition's records
-  * decode in one executor pass (the JVM analog of a
+  * Every STILL-IMAGE format this JVM's `javax.imageio` can read is
+  * decoded for real — PNG, BMP and GIF losslessly (dimensions and
+  * per-channel mean features derived from the decoded raster,
+  * hash-pinned against an oracle that predicts them arithmetically), and
+  * JPEG through the real lossy codec (dimensions exact; features
+  * spec-BOUNDED against the fixture's analytic means, since a lossy
+  * decode cannot be bit-pinned — see [[decodeJpegBounded]]). Only
+  * genuinely codec-less modalities (video/audio — no JVM-builtin
+  * decoder) keep [[decodeStub]], a clearly-marked deterministic FAKE
+  * (first bytes → features).
+  *
+  * Everything around the decoders — binary column, typed metadata
+  * schema, partition-wise batched extraction via `mapPartitions` on a
+  * typed `Dataset`, the frame-sampling fan-out — is the real Spark
+  * plumbing a production decoder drops into. On a cluster each
+  * partition's records decode in one executor pass (the JVM analog of a
   * `mapInPandas`/Arrow-batch UDF), so a 100 TB media corpus decodes
   * embarrassingly parallel with no shuffle.
   */
 object MultimodalQueries {
 
-  /** STUB — stands in for an image decoder (e.g. JPEG → pixels →
-    * pooled features). Deterministic: features are the first 4 payload
-    * bytes scaled to [0,1]. A real implementation would decode
-    * `r.blob` with an imaging library here; the signature and the
-    * batch shape are what matter.
+  /** STUB — stands in for a decoder this JVM genuinely lacks (video
+    * frame / audio sample feature extraction). Deterministic: features
+    * are the first 4 payload bytes scaled to [0,1]. A real
+    * implementation would decode `r.blob` with a media library here;
+    * the signature and the batch shape are what matter.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     def feat(i: Int): Double =
@@ -68,58 +66,102 @@ object MultimodalQueries {
       r.width.toLong, r.height.toLong, feat(0), feat(1), feat(2), feat(3))
   }
 
-  /** Deterministic PNG fixture synthesis + REAL decode via the JDK's
-    * `javax.imageio` — no external imaging dependency. The fixture for
-    * `doc_id` is a `(8 + id%8) × (8 + id%6)` RGB image whose top
-    * `h/2` rows are one solid color and bottom rows another (both
-    * colors pure functions of the id), so the per-channel pixel sums —
-    * and therefore the mean-pixel features — are arithmetic in the id
-    * and the DuckDB oracle can predict them without any image library.
-    * Decode derives every output from the decoded raster, not the
-    * metadata: dimensions from `getWidth/getHeight`, features from
-    * summing `getRGB` over every pixel.
+  /** Deterministic two-band RGB fixture synthesis, ONE parameter set per
+    * codec so each format's decoder is exercised against its own known
+    * raster (a dispatch bug that routed one format's payload through
+    * another's expectations would surface as a value mismatch, not pass
+    * silently). The fixture for `(format, doc_id)` is a
+    * `(wBase + id%wMod) × (hBase + id%hMod)` RGB image whose top `h/2`
+    * rows are one solid color and bottom rows another — all pure
+    * functions of the id, so per-channel pixel sums (and therefore the
+    * mean-pixel features) are arithmetic in the id and the DuckDB oracle
+    * predicts them without any image library. PNG/BMP/GIF round-trip
+    * bit-exactly through this JDK's ImageIO (GIF's palette holds ≤2
+    * colors here, so quantization is exact); JPEG is lossy by design and
+    * verified tolerance-bounded instead.
     */
-  object PngFixtures {
+  object RasterFixtures {
     javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
 
-    def dims(id: Long): (Int, Int) = ((8 + id % 8).toInt, (8 + id % 6).toInt)
+    /** Per-format fixture parameters: dims `(wBase + id%wMod) ×
+      * (hBase + id%hMod)`; colors `(id*mult + add) % 256` per channel,
+      * `coefs` ordered top-R,G,B then bottom-R,G,B.
+      */
+    final case class FixtureSpec(
+        wBase: Int, wMod: Int, hBase: Int, hMod: Int,
+        coefs: IndexedSeq[(Long, Long)])
 
-    def topColor(id: Long): (Int, Int, Int) =
-      (((id % 256).toInt, ((id * 7 + 1) % 256).toInt, ((id * 13 + 2) % 256).toInt))
+    val specs: Map[String, FixtureSpec] = Map(
+      // png keeps the original (round-6 proven) parameters
+      "png" -> FixtureSpec(8, 8, 8, 6,
+        IndexedSeq((1L, 0L), (7L, 1L), (13L, 2L), (3L, 5L), (11L, 7L), (17L, 11L))),
+      "bmp" -> FixtureSpec(8, 7, 8, 5,
+        IndexedSeq((5L, 3L), (9L, 4L), (15L, 6L), (21L, 8L), (25L, 9L), (29L, 12L))),
+      "gif" -> FixtureSpec(8, 5, 8, 4,
+        IndexedSeq((19L, 3L), (23L, 5L), (27L, 7L), (31L, 9L), (37L, 11L), (41L, 13L))),
+      // jpeg fixtures are larger: block artifacts average out, keeping
+      // the decoded means well inside the ±0.02 tolerance band
+      "jpeg" -> FixtureSpec(16, 8, 16, 6,
+        IndexedSeq((1L, 2L), (7L, 3L), (13L, 4L), (3L, 6L), (11L, 8L), (17L, 12L))))
 
-    def bottomColor(id: Long): (Int, Int, Int) =
-      ((((id * 3 + 5) % 256).toInt, ((id * 11 + 7) % 256).toInt,
-        ((id * 17 + 11) % 256).toInt))
+    def dims(fmt: String, id: Long): (Int, Int) = {
+      val s = specs(fmt)
+      ((s.wBase + id % s.wMod).toInt, (s.hBase + id % s.hMod).toInt)
+    }
 
-    /** Real PNG bytes for the fixture image (encoded with ImageIO). */
-    def encode(id: Long): Array[Byte] = {
-      val (w, h) = dims(id)
+    /** The six channel values: top R,G,B then bottom R,G,B. */
+    def colors(fmt: String, id: Long): IndexedSeq[Int] =
+      specs(fmt).coefs.map { case (m, a) => ((id * m + a) % 256).toInt }
+
+    /** Real compressed bytes for the fixture image, through the named
+      * ImageIO writer.
+      */
+    def encode(fmt: String, id: Long): Array[Byte] = {
+      val (w, h) = dims(fmt, id)
+      val cs = colors(fmt, id)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val (r1, g1, b1) = topColor(id)
-      val (r2, g2, b2) = bottomColor(id)
       var y = 0
       while (y < h) {
-        val (r, g, b) = if (y < h / 2) (r1, g1, b1) else (r2, g2, b2)
-        val rgb = (r << 16) | (g << 8) | b
+        val o = if (y < h / 2) 0 else 3
+        val rgb = (cs(o) << 16) | (cs(o + 1) << 8) | cs(o + 2)
         var x = 0
         while (x < w) { img.setRGB(x, y, rgb); x += 1 }
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      javax.imageio.ImageIO.write(img, if (fmt == "jpeg") "jpg" else fmt, out)
       out.toByteArray
+    }
+
+    /** Analytic mean features of the fixture raster — the values a
+      * LOSSLESS decode must reproduce bit-exactly (same IEEE-754
+      * division and round-6 as [[decodeImage]]) and a lossy decode must
+      * land within tolerance of.
+      */
+    def meanFeatures(fmt: String, id: Long): (Double, Double, Double, Double) = {
+      val (w, h) = dims(fmt, id)
+      val cs = colors(fmt, id)
+      val (top, bot) = (h / 2, h - h / 2)
+      def round6(v: Double): Double = math.round(v * 1e6) / 1e6
+      def m(i: Int): Double =
+        round6(w * (top.toLong * cs(i) + bot.toLong * cs(i + 3)) / (w * h * 255.0))
+      val all = round6(
+        w * (top.toLong * (cs(0) + cs(1) + cs(2)) + bot.toLong * (cs(3) + cs(4) + cs(5)))
+          / (3.0 * w * h * 255.0))
+      (m(0), m(1), m(2), all)
     }
   }
 
-  /** REAL decode: parse the PNG payload with `ImageIO`, then derive
-    * dimensions and features from the decoded raster. `n_bytes` reports
-    * the decoded raster size (w·h·3 channel bytes — the decoder's
-    * output, not the compressed payload, whose length is
-    * codec-dependent); features are per-channel mean pixel intensities
-    * in [0,1] (feat_3 = all-channel mean), rounded like the stub's.
+  /** REAL decode: parse any ImageIO-readable payload (PNG/BMP/GIF/JPEG
+    * here), then derive every output from the decoded raster, not the
+    * metadata. `n_bytes` reports the decoded raster size (w·h·3 channel
+    * bytes — the decoder's output, not the compressed payload, whose
+    * length is codec-dependent); features are per-channel mean pixel
+    * intensities in [0,1] (feat_3 = all-channel mean), rounded like the
+    * stub's.
     */
-  def decodePng(r: MediaRecord): MediaFeatures = {
+  def decodeImage(r: MediaRecord): MediaFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
     require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
@@ -142,6 +184,27 @@ object MultimodalQueries {
       round6((sumR + sumG + sumB) / (3.0 * w * h * 255.0)))
   }
 
+  /** REAL JPEG decode with SPEC-BOUNDED features: the codec is lossy, so
+    * per-channel means cannot be hash-pinned bit-exactly. Dimensions and
+    * raster size ARE exact (JPEG never changes them) and stay
+    * hash-pinned; each feat_i reports 1.0 when the decoded channel mean
+    * lands within ±`tol` of the fixture's analytic mean (0.0 otherwise),
+    * so the tolerance check itself sits inside the hashed output — a
+    * decoder drifting beyond spec flips a 1.0 and fails the gate.
+    * Measured worst-case mean error for these fixtures is ~0.006;
+    * tol = 0.02 leaves 3× headroom. ExtensionsSpec asserts the numeric
+    * bound on the raw means directly.
+    */
+  def decodeJpegBounded(id: Long, tol: Double = 0.02): MediaFeatures = {
+    val f = decodeImage(
+      MediaRecord(id, "jpeg", RasterFixtures.encode("jpeg", id), 0, 0, 3))
+    val (e0, e1, e2, e3) = RasterFixtures.meanFeatures("jpeg", id)
+    def ok(actual: Double, expected: Double): Double =
+      if (math.abs(actual - expected) <= tol) 1.0 else 0.0
+    f.copy(feat_0 = ok(f.feat_0, e0), feat_1 = ok(f.feat_1, e1),
+      feat_2 = ok(f.feat_2, e2), feat_3 = ok(f.feat_3, e3))
+  }
+
   /** The media table: documents' text re-encoded as an opaque binary
     * payload with typed metadata — the `BinaryType` pass-through data
     * model of SURVEY.md §1 (UDT blobs) extended with media metadata.
@@ -156,20 +219,62 @@ object MultimodalQueries {
         (lit(64) + col("doc_id") % 48).cast("int").as("height"),
         lit(3).as("channels"))
 
+  /** DuckDB oracle branch for one LOSSLESS format: dims and per-channel
+    * means predicted arithmetically from the [[RasterFixtures]] spec —
+    * integer numerators, one correctly-rounded double division, round-6,
+    * the same association order as [[decodeImage]]'s pixel-sum math.
+    */
+  private def losslessOracleBranch(fmt: String): String = {
+    val s = RasterFixtures.specs(fmt)
+    val W = s"(${s.wBase} + doc_id % ${s.wMod})"
+    val H = s"(${s.hBase} + doc_id % ${s.hMod})"
+    def c(i: Int) = { val (m, a) = s.coefs(i); s"((doc_id * $m + $a) % 256)" }
+    val top = s"($H // 2)"
+    val bot = s"($H - $H // 2)"
+    def mean(i: Int) =
+      s"round(($W * ($top * ${c(i)} + $bot * ${c(i + 3)})) / ($W * $H * 255.0), 6)"
+    val meanAll =
+      s"round(($W * ($top * (${c(0)} + ${c(1)} + ${c(2)})" +
+        s" + $bot * (${c(3)} + ${c(4)} + ${c(5)}))) / (3.0 * $W * $H * 255.0), 6)"
+    s"""SELECT doc_id, '$fmt' AS media_type,
+       |       $W * $H * 3 AS n_bytes, $W AS width, $H AS height,
+       |       ${mean(0)} AS feat_0, ${mean(1)} AS feat_1,
+       |       ${mean(2)} AS feat_2, $meanAll AS feat_3
+       |FROM documents""".stripMargin
+  }
+
+  /** DuckDB oracle branch for JPEG: dimensions and raster size are exact
+    * under a lossy codec; the four feature slots carry the
+    * within-tolerance indicators, which a conforming decode always
+    * reports as 1.0 (see [[decodeJpegBounded]]).
+    */
+  private def jpegOracleBranch: String = {
+    val s = RasterFixtures.specs("jpeg")
+    val W = s"(${s.wBase} + doc_id % ${s.wMod})"
+    val H = s"(${s.hBase} + doc_id % ${s.hMod})"
+    s"""SELECT doc_id, 'jpeg' AS media_type,
+       |       $W * $H * 3 AS n_bytes, $W AS width, $H AS height,
+       |       1.0 AS feat_0, 1.0 AS feat_1, 1.0 AS feat_2, 1.0 AS feat_3
+       |FROM documents""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
     // multimodal_decode — batched feature extraction over the binary
-    // media column, one decode dispatch per format: 'png' records carry
-    // REAL PNG payloads (synthesized per doc on the executor) and are
-    // decoded for real through javax.imageio — dimensions and features
-    // come from the decoded raster, and the oracle predicts them
-    // arithmetically, so a decoder that misread a pixel fails the hash;
-    // 'image' records keep the labeled stub (codec-less formats).
+    // media column, one decode dispatch per format. Every still-image
+    // format this JVM reads is decoded FOR REAL through javax.imageio:
+    // png/bmp/gif payloads (synthesized per doc on the executor, each
+    // format against its own fixture raster) decode losslessly —
+    // dimensions and features come from the decoded raster and the
+    // oracle predicts them arithmetically, so a decoder that misread a
+    // pixel fails the hash; jpeg decodes through the real lossy codec —
+    // dims exact, features tolerance-bounded (decodeJpegBounded). Only
+    // 'video' records keep the labeled stub (no JVM-builtin codec).
     // Typed Dataset → mapPartitions → features; no shuffle either way.
     // ------------------------------------------------------------------
     QueryDef("multimodal_decode",
-      """SELECT doc_id, 'image' AS media_type,
+      s"""SELECT doc_id, 'video' AS media_type,
         |       length(text) AS n_bytes,
         |       64 + doc_id % 64 AS width,
         |       64 + doc_id % 48 AS height,
@@ -179,37 +284,34 @@ object MultimodalQueries {
         |       round(ascii(substr(text, 4, 1)) / 255.0, 6) AS feat_3
         |FROM documents
         |UNION ALL
-        |SELECT doc_id, 'png' AS media_type,
-        |       (8 + doc_id % 8) * (8 + doc_id % 6) * 3 AS n_bytes,
-        |       8 + doc_id % 8 AS width,
-        |       8 + doc_id % 6 AS height,
-        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2) * (doc_id % 256)
-        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2) * ((doc_id * 3 + 5) % 256)))
-        |             / ((8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_0,
-        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2) * ((doc_id * 7 + 1) % 256)
-        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2) * ((doc_id * 11 + 7) % 256)))
-        |             / ((8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_1,
-        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2) * ((doc_id * 13 + 2) % 256)
-        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2) * ((doc_id * 17 + 11) % 256)))
-        |             / ((8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_2,
-        |       round(((8 + doc_id % 8) * (((8 + doc_id % 6) // 2)
-        |                 * ((doc_id % 256) + (doc_id * 7 + 1) % 256 + (doc_id * 13 + 2) % 256)
-        |               + ((8 + doc_id % 6) - (8 + doc_id % 6) // 2)
-        |                 * ((doc_id * 3 + 5) % 256 + (doc_id * 11 + 7) % 256 + (doc_id * 17 + 11) % 256)))
-        |             / (3.0 * (8 + doc_id % 8) * (8 + doc_id % 6) * 255.0), 6) AS feat_3
-        |FROM documents
+        |${losslessOracleBranch("png")}
+        |UNION ALL
+        |${losslessOracleBranch("bmp")}
+        |UNION ALL
+        |${losslessOracleBranch("gif")}
+        |UNION ALL
+        |$jpegOracleBranch
         |ORDER BY doc_id, media_type""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = mediaTable(s, dir).as[MediaRecord]
       // ONE scan, one executor pass per partition: each record yields its
-      // stub 'image' features AND a real-PNG sibling — the payload is
-      // encoded and immediately decoded through ImageIO on the executor
-      // (fixture synthesis stands in for reading media files; the decode
-      // is the genuine article). Metadata dims on the png record are
-      // deliberately 0 — the decoder must recover them from the pixels.
+      // stub 'video' features AND one real-decode sibling per still-image
+      // format — payloads are encoded and immediately decoded through
+      // ImageIO on the executor (fixture synthesis stands in for reading
+      // media files; the decodes are the genuine article). Metadata dims
+      // on the image records are deliberately 0 — each decoder must
+      // recover them from the pixels.
       media.mapPartitions(_.flatMap { r =>
-          Iterator(decodeStub(r),
-            decodePng(MediaRecord(r.doc_id, "png", PngFixtures.encode(r.doc_id), 0, 0, 3)))
+          Iterator(
+            decodeStub(MediaRecord(r.doc_id, "video", r.blob,
+              r.width, r.height, r.channels)),
+            decodeImage(MediaRecord(r.doc_id, "png",
+              RasterFixtures.encode("png", r.doc_id), 0, 0, 3)),
+            decodeImage(MediaRecord(r.doc_id, "bmp",
+              RasterFixtures.encode("bmp", r.doc_id), 0, 0, 3)),
+            decodeImage(MediaRecord(r.doc_id, "gif",
+              RasterFixtures.encode("gif", r.doc_id), 0, 0, 3)),
+            decodeJpegBounded(r.doc_id))
         })
         .toDF()
         .orderBy(col("doc_id"), col("media_type"))
@@ -353,7 +455,7 @@ object MultimodalQueries {
       val images = Scans.table(s, dir, "documents")
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
-          decodePng(MediaRecord(id, "png", PngFixtures.encode(id), 0, 0, 3))
+          decodeImage(MediaRecord(id, "png", RasterFixtures.encode("png", id), 0, 0, 3))
         })
         .toDF()
         .select(col("doc_id"), (col("width") * col("height")).as("area"))

@@ -395,33 +395,56 @@ class ExtensionsSpec extends SparkSpecBase {
       viaColumns.exceptAll(native).count() == 0)
   }
 
-  test("png decode derives dims and features from real decoded pixels") {
+  test("lossless image decode derives dims and features from real decoded pixels") {
     import graft.ops.{MediaRecord, MultimodalQueries}
-    import MultimodalQueries.PngFixtures
+    import MultimodalQueries.RasterFixtures
     for (id <- Seq(0L, 7L, 13L, 254L, 255L, 9999L)) {
-      val bytes = PngFixtures.encode(id)
-      // a real PNG container: magic bytes, not our fake payload
-      assert(bytes.take(8).map(_ & 0xff).toSeq ==
+      // png payloads really are PNG containers: magic bytes, not a fake
+      assert(RasterFixtures.encode("png", id).take(8).map(_ & 0xff).toSeq ==
         Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
         s"doc $id: payload is not a PNG")
-      val f = MultimodalQueries.decodePng(MediaRecord(id, "png", bytes, 0, 0, 3))
-      val (w, h) = PngFixtures.dims(id)
-      assert(f.width == w && f.height == h,
-        s"doc $id: decoded ${f.width}x${f.height}, expected ${w}x$h")
-      assert(f.n_bytes == w.toLong * h * 3)
-      // mean-channel features match the two-band construction exactly
-      val (r1, g1, b1) = PngFixtures.topColor(id)
-      val (r2, g2, b2) = PngFixtures.bottomColor(id)
-      val (top, bot) = (h / 2, h - h / 2)
-      def exp(c1: Int, c2: Int): Double =
-        math.round(w * (top.toLong * c1 + bot.toLong * c2) / (w * h * 255.0) * 1e6) / 1e6
-      assert(f.feat_0 == exp(r1, r2) && f.feat_1 == exp(g1, g2) &&
-        f.feat_2 == exp(b1, b2), s"doc $id: feature mismatch")
+      for (fmt <- Seq("png", "bmp", "gif")) {
+        val f = MultimodalQueries.decodeImage(
+          MediaRecord(id, fmt, RasterFixtures.encode(fmt, id), 0, 0, 3))
+        val (w, h) = RasterFixtures.dims(fmt, id)
+        assert(f.width == w && f.height == h,
+          s"doc $id $fmt: decoded ${f.width}x${f.height}, expected ${w}x$h")
+        assert(f.n_bytes == w.toLong * h * 3)
+        // mean-channel features match the two-band construction exactly
+        val (e0, e1, e2, e3) = RasterFixtures.meanFeatures(fmt, id)
+        assert(f.feat_0 == e0 && f.feat_1 == e1 && f.feat_2 == e2 &&
+          f.feat_3 == e3, s"doc $id $fmt: feature mismatch")
+      }
     }
     // decode failure is loud, not a silent stub fallback
     intercept[IllegalArgumentException] {
-      MultimodalQueries.decodePng(
+      MultimodalQueries.decodeImage(
         MediaRecord(1L, "png", Array[Byte](1, 2, 3), 0, 0, 3))
+    }
+  }
+
+  test("jpeg decode is real and its features are tolerance-bounded") {
+    import graft.ops.{MediaRecord, MultimodalQueries}
+    import MultimodalQueries.RasterFixtures
+    for (id <- Seq(0L, 7L, 13L, 254L, 255L, 9999L)) {
+      val bytes = RasterFixtures.encode("jpeg", id)
+      // a real JPEG container: SOI marker, not our fake payload
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+        s"doc $id: payload is not a JPEG")
+      // the RAW decoded means land within the declared ±0.02 of the
+      // analytic means (the numeric bound behind decodeJpegBounded's
+      // 1.0 indicators) — dims and raster size are exact
+      val f = MultimodalQueries.decodeImage(
+        MediaRecord(id, "jpeg", bytes, 0, 0, 3))
+      val (w, h) = RasterFixtures.dims("jpeg", id)
+      assert(f.width == w && f.height == h && f.n_bytes == w.toLong * h * 3)
+      val (e0, e1, e2, e3) = RasterFixtures.meanFeatures("jpeg", id)
+      for ((a, e) <- Seq((f.feat_0, e0), (f.feat_1, e1), (f.feat_2, e2), (f.feat_3, e3)))
+        assert(math.abs(a - e) <= 0.02,
+          s"doc $id: jpeg mean $a drifted beyond tolerance of $e")
+      // and the bounded wrapper therefore reports all-1.0 indicators
+      val b = MultimodalQueries.decodeJpegBounded(id)
+      assert(b.feat_0 == 1.0 && b.feat_1 == 1.0 && b.feat_2 == 1.0 && b.feat_3 == 1.0)
     }
   }
 
@@ -537,10 +560,10 @@ class ExtensionsSpec extends SparkSpecBase {
   test("multimodal decode preserves every record with full metadata") {
     val media = run("multimodal_decode")
     val docs = Scans.table(spark, sfDir, "documents")
-    // two frames per document now: the stub 'image' record + the real
-    // ImageIO-decoded 'png' record
-    assert(media.count() == 2 * docs.count())
-    Seq("image", "png").foreach { mt =>
+    // five frames per document: the stub 'video' record + one REAL
+    // ImageIO-decoded record per still-image format
+    assert(media.count() == 5 * docs.count())
+    Seq("video", "png", "bmp", "gif", "jpeg").foreach { mt =>
       assert(media.filter(col("media_type") === mt).count() == docs.count(),
         s"missing $mt records")
     }

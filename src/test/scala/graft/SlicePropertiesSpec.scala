@@ -160,25 +160,23 @@ class SlicePropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("png fixture encode/decode roundtrip is exact for any doc id") {
+  test("lossless fixture encode/decode roundtrip is exact for any doc id") {
     import graft.ops.{MediaRecord, MultimodalQueries}
-    import MultimodalQueries.PngFixtures
-    // the REAL ImageIO decode must recover dims and mean-channel
+    import MultimodalQueries.RasterFixtures
+    // the REAL ImageIO decodes must recover dims and mean-channel
     // features bit-exactly from the compressed payload for every id the
-    // corpus could ever present — PNG is lossless, the fixture colors
-    // are pure functions of the id, and the feature arithmetic matches
-    // the DuckDB oracle's (same exact IEEE-754 division)
-    check("png-roundtrip", Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 32)) { id =>
-      val f = MultimodalQueries.decodePng(
-        MediaRecord(id, "png", PngFixtures.encode(id), 0, 0, 3))
-      val (w, h) = PngFixtures.dims(id)
-      val (r1, g1, b1) = PngFixtures.topColor(id)
-      val (r2, g2, b2) = PngFixtures.bottomColor(id)
-      val (top, bot) = (h / 2, h - h / 2)
-      def exp(c1: Int, c2: Int): Double =
-        math.round(w * (top.toLong * c1 + bot.toLong * c2) / (w * h * 255.0) * 1e6) / 1e6
-      f.width == w && f.height == h && f.n_bytes == w.toLong * h * 3 &&
-        f.feat_0 == exp(r1, r2) && f.feat_1 == exp(g1, g2) && f.feat_2 == exp(b1, b2)
-    })
+    // corpus could ever present — PNG/BMP/GIF are lossless here (GIF's
+    // palette holds ≤2 colors), the fixture colors are pure functions of
+    // the id, and the feature arithmetic matches the DuckDB oracle's
+    // (same exact IEEE-754 division)
+    for (fmt <- Seq("png", "bmp", "gif"))
+      check(s"$fmt-roundtrip", Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 64)) { id =>
+        val f = MultimodalQueries.decodeImage(
+          MediaRecord(id, fmt, RasterFixtures.encode(fmt, id), 0, 0, 3))
+        val (w, h) = RasterFixtures.dims(fmt, id)
+        val (e0, e1, e2, e3) = RasterFixtures.meanFeatures(fmt, id)
+        f.width == w && f.height == h && f.n_bytes == w.toLong * h * 3 &&
+          f.feat_0 == e0 && f.feat_1 == e1 && f.feat_2 == e2 && f.feat_3 == e3
+      })
   }
 }
