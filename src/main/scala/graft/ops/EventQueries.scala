@@ -58,10 +58,6 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start_ms""".stripMargin
 
-  /** Distinct memory-sink names per stream replay (Bench runs the same
-    * query several times in one session). */
-  private val streamRuns = new java.util.concurrent.atomic.AtomicLong()
-
   /** Stage `$dir/events.parquet` behind a scratch directory (the parquet
     * file source wants a directory, not a file): one symlink with an
     * ABSOLUTE target, so a relative `SPARK_GRAFT_SF_DIR` still resolves
@@ -92,6 +88,70 @@ object EventQueries {
       val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
       paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  /** Run a finite streaming replay through the sink shape a production
+    * pipeline actually runs — a parquet FILE sink with a
+    * checkpointLocation — then recover the result from the COMMITTED
+    * files (`spark.read` over a file-sink directory consults its
+    * `_spark_metadata` transaction log, so only files the checkpoint
+    * committed are visible: the restart-safe recovery path) and
+    * materialize `recover`'s rollup via `localCheckpoint(eager)` BEFORE
+    * the scratch sink is deleted. Every declared streaming replay goes
+    * through this helper — no driver-resident memory sink anywhere in
+    * the declared surface.
+    */
+  private def fileSinkReplay(s: SparkSession, streamed: DataFrame)
+      (recover: DataFrame => DataFrame): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    try {
+      val q = streamed.writeStream.format("parquet")
+        .option("path", scratch.resolve("sink").toString)
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      recover(s.read.parquet(scratch.resolve("sink").toString))
+        .localCheckpoint(true)
+    } finally deleteTree(scratch)
+  }
+
+  /** Stage a one-row sentinel DataFrame as a single parquet file inside
+    * `streamDir`, stamped strictly newer than `newerThan` on both the
+    * name axis (`z_` prefix vs `a_`) and the mtime axis — so under
+    * `maxFilesPerTrigger=1` the sentinel is deterministically the LAST
+    * micro-batch whatever the file source's tie-break. A far-future
+    * sentinel event drives the watermark past every real window, which
+    * is what lets a FINITE replay finalize append-mode windowed state
+    * the way an unbounded stream eventually would; the sentinel's own
+    * open window never emits, so it needs no filtering downstream.
+    */
+  private def stageSentinelFile(
+      streamDir: java.nio.file.Path,
+      sentinelRow: DataFrame,
+      newerThan: java.nio.file.Path): Unit = {
+    val buildDir = streamDir.resolve("sentinel_build")
+    sentinelRow.coalesce(1).write.parquet(buildDir.toString)
+    val sentinel = streamDir.resolve("z_sentinel.parquet")
+    val listing = java.nio.file.Files.list(buildDir)
+    val staged =
+      try {
+        val it = listing.iterator()
+        var moved = false
+        while (it.hasNext && !moved) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, sentinel); moved = true
+          }
+        }
+        moved
+      } finally listing.close()
+    require(staged, "sentinel parquet not written")
+    val baseMtime = java.nio.file.Files
+      .getLastModifiedTime(newerThan).toMillis // follows to the target
+    java.nio.file.Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(
+        math.max(System.currentTimeMillis(), baseMtime + 60000)))
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -523,55 +583,69 @@ object EventQueries {
 
     // ------------------------------------------------------------------
     // events_cdc_stream_equiv — the STREAMING CDC materializer under
-    // the batch oracle: replay the events table through the
-    // flatMapGroupsWithState latest-state operator
-    // (graft.streaming.EventStreams.latestState) as a real Structured
-    // Streaming query (parquet file source → memory sink), recover the
-    // snapshot from the emitted change stream, and roll it up EXACTLY
-    // like events_cdc_merge — same oracle SQL, so the hash compare
-    // proves stream replay ≡ batch merge. Snapshot recovery is exact
-    // whatever the micro-batch split: per user the emissions are
-    // strictly increasing in (ms, event_id), so the final state is the
-    // per-user max — one small aggregation over the change stream
-    // (≈ one row per user, never the event history).
+    // the batch oracle, with the two failure modes a production ingest
+    // actually faces layered on top: a RESTART (the query is stopped
+    // after its first run and resumed from the same checkpoint) and
+    // at-least-once RE-DELIVERY (the second run re-reads the full
+    // events table as a "new" file). flatMapGroupsWithState
+    // (graft.streaming.EventStreams.latestState) recovers its per-user
+    // state from the checkpoint, re-delivered rows never beat the
+    // survivor already in state, and no change rows are re-emitted —
+    // so the committed file sink converges to EXACTLY the batch
+    // merge's snapshot, hash-checked under events_cdc_merge's own
+    // oracle. (events_cdc_stream_files covers the plain single-run
+    // file-sink replay; this key pins the restart/replay convergence
+    // contract itself in the declared surface.) Snapshot recovery from
+    // the sink is exact whatever the micro-batch split: per user the
+    // emissions are strictly increasing in (ms, event_id), so the
+    // final state is the per-user max — one small aggregation over the
+    // change stream (≈ one row per user, never the event history).
     // ------------------------------------------------------------------
     QueryDef("events_cdc_stream_equiv", cdcMergeOracle) { (s, dir) =>
       import s.implicits._
       import graft.streaming.EventStreams
-      val streamDir = stageEventsDir(dir)
-      val sink = try {
-        val raw = s.readStream
-          .schema(s.read.parquet(s"$dir/events.parquet").schema)
-          .parquet(streamDir.toString)
-        // identical ts derivation to the batch path: ns-as-long → µs
-        // timestamp (Scans.table's conversion) → unix_millis
-        val in = raw
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
-            col("event_id").as("eventId"), col("event_type").as("eventType"))
-          .as[EventStreams.LatestIn]
-        val name = s"graft_cdc_stream_equiv_${streamRuns.incrementAndGet()}"
-        val q = EventStreams.latestState(in)
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        name
-      } finally dropStagedEventsDir(streamDir)
-      val snapshot = s.table(sink)
-        .groupBy(col("userId"))
-        .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
-        .select(col("userId").as("user_id"), col("b.ms").as("ms"),
-          col("b.eventType").as("event_type"))
-      val result = snapshot
-        .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
-        .orderBy(col("bucket"), col("event_type"))
-        // materialize before dropping the memory sink the plan reads;
-        // ≤ (20 buckets × types) rows — O(1) driver footprint
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      result
+      val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_restart")
+      try {
+        val srcDir = java.nio.file.Files.createDirectory(scratch.resolve("src"))
+        val target =
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def runStream(): Unit = {
+          val raw = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+          // identical ts derivation to the batch path: ns-as-long → µs
+          // timestamp (Scans.table's conversion) → unix_millis
+          val in = raw
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
+              col("event_id").as("eventId"), col("event_type").as("eventType"))
+            .as[EventStreams.LatestIn]
+          val q = EventStreams.latestState(in)
+            .writeStream.format("parquet")
+            .option("path", scratch.resolve("sink").toString)
+            .option("checkpointLocation", scratch.resolve("ckpt").toString)
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // run 1: first delivery of the full table; checkpoint commits it
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve("a.parquet"), target)
+        runStream()
+        // run 2: RESTART from the checkpoint, then re-deliver the same
+        // rows as a new file — the at-least-once source shape
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve("b.parquet"), target)
+        runStream()
+        s.read.parquet(scratch.resolve("sink").toString)
+          .groupBy(col("userId"))
+          .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
+          .select(col("userId").as("user_id"), col("b.ms").as("ms"),
+            col("b.eventType").as("event_type"))
+          .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
+          .orderBy(col("bucket"), col("event_type"))
+          // materialize before the finally deletes the sink files it reads
+          .localCheckpoint(true)
+      } finally deleteTree(scratch)
     },
 
     // ------------------------------------------------------------------
@@ -590,7 +664,6 @@ object EventQueries {
     QueryDef("events_cdc_stream_files", cdcMergeOracle) { (s, dir) =>
       import s.implicits._
       import graft.streaming.EventStreams
-      val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_files")
       val streamDir = stageEventsDir(dir)
       try {
         val raw = s.readStream
@@ -601,29 +674,18 @@ object EventQueries {
           .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
             col("event_id").as("eventId"), col("event_type").as("eventType"))
           .as[EventStreams.LatestIn]
-        val q = EventStreams.latestState(in)
-          .writeStream.format("parquet")
-          .option("path", scratch.resolve("sink").toString)
-          .option("checkpointLocation", scratch.resolve("ckpt").toString)
-          .outputMode("append")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        val snapshot = s.read.parquet(scratch.resolve("sink").toString)
-          .groupBy(col("userId"))
-          .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
-          .select(col("userId").as("user_id"), col("b.ms").as("ms"),
-            col("b.eventType").as("event_type"))
-        snapshot
-          .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
-          .agg(count(lit(1)).as("n_users"),
-            sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
-          .orderBy(col("bucket"), col("event_type"))
-          // materialize before the finally deletes the sink files it reads
-          .localCheckpoint(true)
-      } finally {
-        dropStagedEventsDir(streamDir)
-        deleteTree(scratch)
-      }
+        fileSinkReplay(s, EventStreams.latestState(in).toDF()) { sink =>
+          sink
+            .groupBy(col("userId"))
+            .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
+            .select(col("userId").as("user_id"), col("b.ms").as("ms"),
+              col("b.eventType").as("event_type"))
+            .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
+            .agg(count(lit(1)).as("n_users"),
+              sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
+            .orderBy(col("bucket"), col("event_type"))
+        }
+      } finally dropStagedEventsDir(streamDir)
     },
 
     // ------------------------------------------------------------------
@@ -650,20 +712,23 @@ object EventQueries {
         |  AND v.vms >= c.cms - 30*60*1000 AND v.vms <= c.cms
         |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
-      val streamDir = stageEventsDir(dir)
       // Stream-stream join state cost scales with shuffle partitions
       // (4 state-store instances per partition per micro-batch, each
       // with its own checkpoint IO): a child session caps the replay at
-      // 8 partitions — the per-batch key cardinality never warrants 32 —
+      // 4 partitions — the per-batch key cardinality never warrants 32 —
       // without touching the caller's conf. At production stream rates
       // the partition count is sized to the continuous key throughput
       // instead; the join itself is identical.
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", 8)
-      val sink = try {
-        val raw = ss.readStream
-          .schema(ss.read.parquet(s"$dir/events.parquet").schema)
-          .parquet(streamDir.toString)
+      ss.conf.set("spark.sql.shuffle.partitions", 4)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      try {
+        // Pre-split the two sides ONCE into separate staged sources —
+        // one filtering scan up front, so no micro-batch re-scans the
+        // full events file twice (once per side). This is the staging a
+        // production deployment has anyway: clicks and views arrive as
+        // two distinct feeds, not as one file filtered twice.
+        val raw0 = ss.read.parquet(s"$dir/events.parquet")
           // MILLISECOND event time, matching the oracle's epoch_ms bounds
           // exactly: the interval predicate must evaluate on the same
           // truncation both engines use, or a same-millisecond pair whose
@@ -671,66 +736,79 @@ object EventQueries {
           // (ns → ms floor composes with the oracle's µs → ms floor)
           .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        val clicks = raw.filter(col("event_type") === "click").drop("event_type")
-        val views = raw.filter(col("event_type") === "view").drop("event_type")
-        val name = s"graft_stream_join_${streamRuns.incrementAndGet()}"
-        val q = EventStreams.intervalJoin(clicks, views)
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        name
-      } finally dropStagedEventsDir(streamDir)
-      val result = ss.table(sink)
-        .groupBy((col("user_id") % 20).as("bucket"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(expr("""(unix_millis(click_ts) - pmod(unix_millis(click_ts), 1000)) div 1000
-                    - (unix_millis(view_ts) - pmod(unix_millis(view_ts), 1000)) div 1000"""))
-            .cast("long").as("sum_lag_s"),
-          sum(col("click_id") + col("view_id")).cast("long").as("id_sum"))
-        .orderBy(col("bucket"))
-        .localCheckpoint(true)
-      ss.catalog.dropTempView(sink)
-      result
+        val clickDir = scratch.resolve("clicks").toString
+        val viewDir = scratch.resolve("views").toString
+        raw0.filter(col("event_type") === "click").drop("event_type")
+          .coalesce(1).write.parquet(clickDir)
+        raw0.filter(col("event_type") === "view").drop("event_type")
+          .coalesce(1).write.parquet(viewDir)
+        val clicks = ss.readStream
+          .schema(ss.read.parquet(clickDir).schema).parquet(clickDir)
+        val views = ss.readStream
+          .schema(ss.read.parquet(viewDir).schema).parquet(viewDir)
+        fileSinkReplay(ss, EventStreams.intervalJoin(clicks, views)) { sink =>
+          sink
+            .groupBy((col("user_id") % 20).as("bucket"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(expr("""(unix_millis(click_ts) - pmod(unix_millis(click_ts), 1000)) div 1000
+                        - (unix_millis(view_ts) - pmod(unix_millis(view_ts), 1000)) div 1000"""))
+                .cast("long").as("sum_lag_s"),
+              sum(col("click_id") + col("view_id")).cast("long").as("id_sum"))
+            .orderBy(col("bucket"))
+        }
+      } finally deleteTree(scratch)
     },
 
     // ------------------------------------------------------------------
     // events_stream_histogram_equiv — the watermarked windowed value
     // histogram (graft.streaming.EventStreams.histogramStream) under a
-    // batch oracle: replay the events table through the streaming
-    // aggregation (complete mode — a finite replay finalizes every
-    // window; on an unbounded stream the same query runs append-mode
-    // with watermark eviction) and compare the per-(hour, bucket)
-    // cells against DuckDB's batch rollup. Same construct Structured
-    // Streaming runs continuously — `window()` + watermark — so the
-    // declared surface now covers all three streaming operator shapes:
-    // stateful flatMapGroups (CDC), stream-stream join, windowed agg.
+    // batch oracle, in APPEND mode through the durable file sink: a
+    // window only lands once the watermark passes its close, exactly
+    // as on an unbounded stream, so the finite replay drives the
+    // watermark past the corpus with a far-future sentinel event
+    // (staged as the LAST micro-batch; its own open window never
+    // emits, so nothing needs filtering). The committed per-(hour,
+    // bucket) cells are compared against DuckDB's batch rollup. Same
+    // construct Structured Streaming runs continuously — `window()` +
+    // watermark + append finalization — so the declared surface covers
+    // all three streaming operator shapes: stateful flatMapGroups
+    // (CDC), stream-stream join, windowed agg.
     // ------------------------------------------------------------------
     QueryDef("events_stream_histogram_equiv",
       """SELECT date_trunc('hour', ts) AS window_start,
         |       CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
       import graft.streaming.EventStreams
-      val streamDir = stageEventsDir(dir)
-      val sink = try {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_hist_stream")
+      try {
+        val target =
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
+        val eventsLink = streamDir.resolve("a_events.parquet")
+        java.nio.file.Files.createSymbolicLink(eventsLink, target)
+        // sentinel: one event 10 h after the corpus max — far past the
+        // 2 h watermark delay + 1 h window, so every real window
+        // finalizes; written with the raw schema's (ts-as-nanos, value)
+        val maxNanos = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).collect()(0).getLong(0)
+        stageSentinelFile(streamDir,
+          Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, 0.0d))
+            .toDF("ts", "value"),
+          eventsLink)
         val raw = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .option("maxFilesPerTrigger", 1) // sentinel lands in batch 2
           .parquet(streamDir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .select(col("ts"), col("value"))
-        val name = s"graft_stream_hist_${streamRuns.incrementAndGet()}"
-        val q = EventStreams.histogramStream(raw)
-          .writeStream.format("memory").queryName(name).outputMode("complete")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        name
-      } finally dropStagedEventsDir(streamDir)
-      val result = s.table(sink)
-        .select(col("window_start"), col("bucket"), col("n_events"), col("sum_value"))
-        .orderBy(col("window_start"), col("bucket"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      result
+        fileSinkReplay(s, EventStreams.histogramStream(raw)) { sink =>
+          sink
+            .select(col("window_start"), col("bucket"),
+              col("n_events"), col("sum_value"))
+            .orderBy(col("window_start"), col("bucket"))
+        }
+      } finally deleteTree(streamDir)
     },
 
     // ------------------------------------------------------------------
@@ -802,7 +880,7 @@ object EventQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
       val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-      val sink = try {
+      try {
         val target =
           java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
         Seq("a.parquet", "b.parquet").foreach { n =>
@@ -814,23 +892,16 @@ object EventQueries {
           .parquet(streamDir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
-        val name = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
-        val q = EventStreams.dedupStream(raw)
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        name
+        fileSinkReplay(s, EventStreams.dedupStream(raw)) { sink =>
+          sink
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("event_id")).cast("long").as("id_sum"),
+              sum(expr("(unix_millis(ts) - pmod(unix_millis(ts), 1000)) div 1000"))
+                .cast("long").as("sum_s"))
+            .orderBy(col("event_type"))
+        }
       } finally deleteTree(streamDir)
-      val result = s.table(sink)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("event_id")).cast("long").as("id_sum"),
-          sum(expr("(unix_millis(ts) - pmod(unix_millis(ts), 1000)) div 1000"))
-            .cast("long").as("sum_s"))
-        .orderBy(col("event_type"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      result
     },
 
     // ------------------------------------------------------------------
@@ -854,31 +925,24 @@ object EventQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
       val streamDir = stageEventsDir(dir)
-      val sink = try {
+      try {
         val raw = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
           .parquet(streamDir.toString)
           .select(col("event_id"), col("user_id"), col("value"))
         val dim = Scans.table(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
-        val name = s"graft_stream_enrich_${streamRuns.incrementAndGet()}"
-        val q = raw.join(dim, col("user_id") === col("c_custkey"))
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        name
+        fileSinkReplay(s, raw.join(dim, col("user_id") === col("c_custkey"))) { sink =>
+          sink
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("event_id")).cast("long").as("id_sum"),
+              round(sum(col("value")), 2).as("sum_value"))
+            .select(col("c_mktsegment").as("segment"), col("n_events"),
+              col("id_sum"), col("sum_value"))
+            .orderBy(col("segment"))
+        }
       } finally dropStagedEventsDir(streamDir)
-      val result = s.table(sink)
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("event_id")).cast("long").as("id_sum"),
-          round(sum(col("value")), 2).as("sum_value"))
-        .select(col("c_mktsegment").as("segment"), col("n_events"),
-          col("id_sum"), col("sum_value"))
-        .orderBy(col("segment"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      result
     },
 
     // ------------------------------------------------------------------
@@ -913,34 +977,10 @@ object EventQueries {
         val maxNanos = s.read.parquet(s"$dir/events.parquet")
           .agg(max(col("ts"))).collect()(0).getLong(0)
         import s.implicits._
-        val sentinelDir = streamDir.resolve("sentinel_build")
-        Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, -1L))
-          .toDF("ts", "user_id")
-          .coalesce(1).write.parquet(sentinelDir.toString)
-        val sentinel = streamDir.resolve("z_sentinel.parquet")
-        val listing = java.nio.file.Files.list(sentinelDir)
-        val staged =
-          try {
-            val it = listing.iterator()
-            var moved = false
-            while (it.hasNext && !moved) {
-              val p = it.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                java.nio.file.Files.move(p, sentinel); moved = true
-              }
-            }
-            moved
-          } finally listing.close()
-        require(staged, "sentinel parquet not written")
-        // deterministic batch order whatever the source's tie-break: the
-        // sentinel — a file THIS query owns — is stamped strictly newer
-        // than the (untouched, read-only) corpus file on both name and
-        // mtime axes
-        val eventsMtime = java.nio.file.Files
-          .getLastModifiedTime(eventsLink).toMillis // follows to the target
-        java.nio.file.Files.setLastModifiedTime(sentinel,
-          java.nio.file.attribute.FileTime.fromMillis(
-            math.max(System.currentTimeMillis(), eventsMtime + 60000)))
+        stageSentinelFile(streamDir,
+          Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, -1L))
+            .toDF("ts", "user_id"),
+          eventsLink)
         val raw = s2.readStream
           .schema(rawSchema)
           .option("maxFilesPerTrigger", 1)
@@ -951,21 +991,15 @@ object EventQueries {
           .withWatermark("ts", "1 second")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"))
-        val sink = s"graft_stream_sess_${streamRuns.incrementAndGet()}"
-        val q = sessions
-          .writeStream.format("memory").queryName(sink).outputMode("append")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        val result = s2.table(sink)
-          .filter(col("user_id") >= 0) // the sentinel's session never emits anyway
-          .select(col("user_id"),
-            unix_millis(col("session_window.start")).as("session_start_ms"),
-            unix_millis(col("session_window.end")).as("session_end_ms"),
-            col("n_events"))
-          .orderBy(col("user_id"), col("session_start_ms"))
-          .localCheckpoint(true)
-        s2.catalog.dropTempView(sink)
-        result
+        fileSinkReplay(s2, sessions) { sink =>
+          sink
+            .filter(col("user_id") >= 0) // the sentinel's session never emits anyway
+            .select(col("user_id"),
+              unix_millis(col("session_window.start")).as("session_start_ms"),
+              unix_millis(col("session_window.end")).as("session_end_ms"),
+              col("n_events"))
+            .orderBy(col("user_id"), col("session_start_ms"))
+        }
       } finally deleteTree(streamDir)
     },
 
