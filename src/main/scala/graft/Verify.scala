@@ -31,6 +31,11 @@ object Verify {
     // instead of its production default beside the corpus
     graft.ops.PersistedState.relocateToScratch(spark)
     new java.io.File(outDir).mkdirs()
+    // A throwing query must surface as an ERROR ROW in the correctness
+    // record, never as a silently shrunk surface (r8: 16 keys vanished
+    // from CORRECTNESS_r08.json because failures only went to stderr):
+    // every failure lands in errors.json and the run exits nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -38,6 +43,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,6 +61,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json is written unconditionally (empty object = clean run) so
+    // its absence can never be confused with success, and is truncated per
+    // message — one pathological stack must not balloon the manifest.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Belt-and-braces: the dumped result dirs must be exactly the declared
+    // (filtered) key set — catches failure modes that never threw, e.g. a
+    // query whose write produced nothing.
+    val declared = SparkEntry.queries.keySet
+      .filter(n => only.forall(_.contains(n)))
+    val dumped = Option(new java.io.File(outDir).listFiles()).getOrElse(Array())
+      .filter(_.isDirectory).map(_.getName).toSet
+    val missing = declared -- dumped
     spark.stop()
+    if (errors.nonEmpty || missing.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED: ${errors.size} threw, missing dirs: ${missing.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

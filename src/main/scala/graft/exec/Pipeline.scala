@@ -212,8 +212,11 @@ object Pipeline {
       // absorb them and reconciliation could pass on a source the union
       // path would flag. Contiguous RANGE slices ⇒ one pushdown-friendly
       // raw-column range predicate (same form as the slice scans).
-      val lo = lit(s"${Scans.DefaultEpochYear + 1}-01-01").cast("timestamp")
-      val hi = lit(s"${Scans.DefaultEpochYear + items.size + 1}-01-01").cast("timestamp")
+      val pdt = base.schema(pcol).dataType // match the column's own
+      // timestamp flavor (TZ vs NTZ drifts with the source writer) so the
+      // predicate stays a pushable column-vs-literal compare
+      val lo = lit(s"${Scans.DefaultEpochYear + 1}-01-01").cast(pdt)
+      val hi = lit(s"${Scans.DefaultEpochYear + items.size + 1}-01-01").cast(pdt)
       val fanned = base.filter(col(pcol) >= lo && col(pcol) < hi)
         .repartition(items.size, partitionNumber(col(pcol)))
       Scans.orderedWithinPartitions(fanned, item.orderHint)

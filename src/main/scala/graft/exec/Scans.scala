@@ -13,20 +13,53 @@ import graft.model._
 object Scans {
 
   /** Read one testdata table. Filters/projections applied downstream are
-    * pushed into this scan by Catalyst.
-    *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as a long that we truncate to Spark's native microsecond
-    * timestamp (integer division — no double rounding at 1e18 magnitude).
+    * pushed into this scan by Catalyst. Event time is normalized through
+    * [[normalizeTs]] so no downstream operator ever sees the source's
+    * physical encoding.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Normalize the event-time column to Spark's native `TimestampType`
+    * whatever physical representation the source carries — the
+    * type-opaque-transport property the reference builds its whole copy
+    * around (`client/TableInfoCollector.cs:391-414` treats all 33 scalar
+    * types as pass-through precisely so representation drift can't break
+    * the pipeline). Three encodings seen in the wild for `events.ts`:
+    *
+    *  - parquet TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` → `LongType` ns since
+    *    epoch: integer-truncate to µs (`div` — no double rounding at 1e18
+    *    magnitude) and reinterpret;
+    *  - parquet `timestamp[us]` without timezone → `TimestampNTZType`:
+    *    cast to `TimestampType`, value-preserving under the forced UTC
+    *    session every entrypoint sets;
+    *  - native `TimestampType` → pass-through.
+    *
+    * Works identically on batch and streaming frames (schema-driven, no
+    * action). The testdata contract itself is pinned in
+    * `TestdataContractSpec` so the NEXT representation change breaks one
+    * named test instead of every downstream analysis.
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
     }
+
+  /** [[normalizeTs]] then truncate to whole milliseconds (floor — exact
+    * for the post-1970 corpus): the event-time grain the ms-epoch oracles
+    * compare at. `unix_millis` floors sub-ms precision, so the ns→ms and
+    * µs→ms paths compose to the same value whatever the source encoding.
+    */
+  def normalizeTsMillis(df: DataFrame, colName: String = "ts"): DataFrame = {
+    val n = normalizeTs(df, colName)
+    if (n.schema.fields.exists(_.name == colName))
+      n.withColumn(colName, timestamp_millis(unix_millis(col(colName))))
+    else n
   }
 
   /** Explicit-column-list projection, excluding computed / column-set /
@@ -83,9 +116,16 @@ object Scans {
   val DefaultEpochYear = 1994
 
   def physicalPartitionRange(df: DataFrame, colName: String, n: Int,
-      epochYear: Int = DefaultEpochYear): DataFrame =
-    df.filter(col(colName) >= lit(s"${epochYear + n}-01-01").cast("timestamp") &&
-      col(colName) < lit(s"${epochYear + n + 1}-01-01").cast("timestamp"))
+      epochYear: Int = DefaultEpochYear): DataFrame = {
+    // Bounds cast to the column's OWN type (TIMESTAMP vs TIMESTAMP_NTZ
+    // drifts with the source writer): a literal of the matching type keeps
+    // the predicate a pushable column-vs-literal compare — a mismatched
+    // literal would make Catalyst cast the COLUMN and kill the row-group
+    // min/max pruning this scan exists for.
+    val dt = df.schema(colName).dataType
+    df.filter(col(colName) >= lit(s"${epochYear + n}-01-01").cast(dt) &&
+      col(colName) < lit(s"${epochYear + n + 1}-01-01").cast(dt))
+  }
 
   /** Ordered scan — reference `SmartBulkCopy.cs:429-438`. The reference
     * orders *each partition's stream*, not the whole table, so the Spark

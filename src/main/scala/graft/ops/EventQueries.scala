@@ -126,6 +126,29 @@ object EventQueries {
     * the way an unbounded stream eventually would; the sentinel's own
     * open window never emits, so it needs no filtering downstream.
     */
+  /** One-row sentinel frame whose `ts` sits `hours` hours past the corpus
+    * max, rendered in the raw events file's OWN physical representation of
+    * `ts` (long-ns / µs-NTZ / µs-timestamp) so the staged file's schema
+    * always matches the stream source's whatever the testdata writer
+    * emitted. Computed entirely frame-side — the max-plus-offset arithmetic
+    * stays in the column's native type, no driver-side getter to class-cast
+    * when the representation shifts. `extra` adds the other columns the
+    * sentinel row needs (missing source columns read back as null, which
+    * the parquet file source tolerates).
+    */
+  private def sentinelFrame(s: SparkSession, dir: String, hours: Int,
+      extra: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val bumped = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        max(col("ts")) + lit(hours.toLong * 3600L * 1000L * 1000L * 1000L)
+      case _ => max(col("ts")) + expr(s"INTERVAL $hours HOURS")
+    }
+    extra.foldLeft(raw.agg(bumped.as("ts"))) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+  }
+
   private def stageSentinelFile(
       streamDir: java.nio.file.Path,
       sentinelRow: DataFrame,
@@ -483,7 +506,10 @@ object EventQueries {
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
-        .select(col("window.start").cast("long").as("window_start_s"),
+        // epoch seconds via unix_millis (exact: window starts are whole
+        // 15-min boundaries) — unlike cast-to-long this stays legal
+        // whatever timestamp flavor the window carries
+        .select(expr("unix_millis(window.start) div 1000").as("window_start_s"),
           col("n_events"), col("sum_value"))
         .orderBy(col("window_start_s"))
     },
@@ -612,10 +638,9 @@ object EventQueries {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def runStream(): Unit = {
           val raw = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-          // identical ts derivation to the batch path: ns-as-long → µs
-          // timestamp (Scans.table's conversion) → unix_millis
-          val in = raw
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // identical ts derivation to the batch path: one shared
+          // representation-agnostic normalization (Scans.normalizeTs)
+          val in = Scans.normalizeTs(raw)
             .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
               col("event_id").as("eventId"), col("event_type").as("eventType"))
             .as[EventStreams.LatestIn]
@@ -669,8 +694,7 @@ object EventQueries {
         val raw = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
           .parquet(streamDir.toString)
-        val in = raw
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val in = Scans.normalizeTs(raw)
           .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
             col("event_id").as("eventId"), col("event_type").as("eventType"))
           .as[EventStreams.LatestIn]
@@ -728,13 +752,13 @@ object EventQueries {
         // full events file twice (once per side). This is the staging a
         // production deployment has anyway: clicks and views arrive as
         // two distinct feeds, not as one file filtered twice.
-        val raw0 = ss.read.parquet(s"$dir/events.parquet")
-          // MILLISECOND event time, matching the oracle's epoch_ms bounds
-          // exactly: the interval predicate must evaluate on the same
-          // truncation both engines use, or a same-millisecond pair whose
-          // sub-ms micros straddle the bound would count on one side only
-          // (ns → ms floor composes with the oracle's µs → ms floor)
-          .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+        // MILLISECOND event time, matching the oracle's epoch_ms bounds
+        // exactly: the interval predicate must evaluate on the same
+        // truncation both engines use, or a same-millisecond pair whose
+        // sub-ms precision straddles the bound would count on one side
+        // only (the source-encoding → ms floor composes with the
+        // oracle's µs → ms floor whatever the physical representation)
+        val raw0 = Scans.normalizeTsMillis(ss.read.parquet(s"$dir/events.parquet"))
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         val clickDir = scratch.resolve("clicks").toString
         val viewDir = scratch.resolve("views").toString
@@ -789,18 +813,14 @@ object EventQueries {
         java.nio.file.Files.createSymbolicLink(eventsLink, target)
         // sentinel: one event 10 h after the corpus max — far past the
         // 2 h watermark delay + 1 h window, so every real window
-        // finalizes; written with the raw schema's (ts-as-nanos, value)
-        val maxNanos = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).collect()(0).getLong(0)
+        // finalizes; written in the raw schema's own ts representation
         stageSentinelFile(streamDir,
-          Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, 0.0d))
-            .toDF("ts", "value"),
+          sentinelFrame(s, dir, 10, Seq("value" -> lit(0.0d))),
           eventsLink)
-        val raw = s.readStream
-          .schema(s.read.parquet(s"$dir/events.parquet").schema)
-          .option("maxFilesPerTrigger", 1) // sentinel lands in batch 2
-          .parquet(streamDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = Scans.normalizeTs(s.readStream
+            .schema(s.read.parquet(s"$dir/events.parquet").schema)
+            .option("maxFilesPerTrigger", 1) // sentinel lands in batch 2
+            .parquet(streamDir.toString))
           .select(col("ts"), col("value"))
         fileSinkReplay(s, EventStreams.histogramStream(raw)) { sink =>
           sink
@@ -886,11 +906,10 @@ object EventQueries {
         Seq("a.parquet", "b.parquet").foreach { n =>
           java.nio.file.Files.createSymbolicLink(streamDir.resolve(n), target)
         }
-        val raw = s.readStream
-          .schema(s.read.parquet(s"$dir/events.parquet").schema)
-          .option("maxFilesPerTrigger", 1) // re-delivery lands in batch 2
-          .parquet(streamDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = Scans.normalizeTs(s.readStream
+            .schema(s.read.parquet(s"$dir/events.parquet").schema)
+            .option("maxFilesPerTrigger", 1) // re-delivery lands in batch 2
+            .parquet(streamDir.toString))
           .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
         fileSinkReplay(s, EventStreams.dedupStream(raw)) { sink =>
           sink
@@ -973,19 +992,14 @@ object EventQueries {
         java.nio.file.Files.createSymbolicLink(eventsLink,
           java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
         // sentinel: one far-future event for user -1 (real user_ids are
-        // >= 0), written with the raw schema's (ts-as-nanos, user_id)
-        val maxNanos = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).collect()(0).getLong(0)
-        import s.implicits._
+        // >= 0), written in the raw schema's own ts representation
         stageSentinelFile(streamDir,
-          Seq((maxNanos + 10L * 3600 * 1000 * 1000 * 1000, -1L))
-            .toDF("ts", "user_id"),
+          sentinelFrame(s, dir, 10, Seq("user_id" -> lit(-1L))),
           eventsLink)
-        val raw = s2.readStream
-          .schema(rawSchema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(streamDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = Scans.normalizeTs(s2.readStream
+            .schema(rawSchema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(streamDir.toString))
           .select(col("ts"), col("user_id"))
         val sessions = raw
           .withWatermark("ts", "1 second")

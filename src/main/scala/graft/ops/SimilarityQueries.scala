@@ -114,18 +114,67 @@ object SimilarityQueries {
     * wins, then max(-cid) = smaller cid on 6-dp-rounded ties — same
     * contract as the oracle). No Exchange touches the corpus.
     */
-  private def ivfAssign(s: SparkSession, emb: DataFrame): DataFrame = {
-    val codebook = ivfCentroids(emb)
+  private def ivfAssign(s: SparkSession, emb: DataFrame): DataFrame =
+    ivfAssignWith(s, emb, emb)
+
+  /** Cell-assign the rows of `batch` against the codebook drawn from
+    * `codebookSrc` — the two differ exactly in the incremental-ingest
+    * path, where a new day's vectors are assigned under the EXISTING
+    * (frozen) codebook so they land in the established cell layout.
+    */
+  private def ivfAssignWith(s: SparkSession, batch: DataFrame,
+      codebookSrc: DataFrame): DataFrame = {
+    val codebook = ivfCentroids(codebookSrc)
       .agg(collect_list(struct(col("cid"), col("cv"))).as("codebook"))
-    emb.crossJoin(broadcast(codebook))
+    batch.crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("embedding"),
         array_max(transform(col("codebook"), c =>
           struct(
             round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
             (-c.getField("cid")).as("neg_cid"),
             c.getField("cid").as("cid"))))
-          .getField("cid").as("cell"))
+          .as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cid").as("cell"),
+        // centroid affinity rides along: the sorted-neighborhood bound
+        // (dedup_semantic / sim_knn_graph) orders cellmates by it
+        col("best.cs").as("cell_cs"))
   }
+
+  /** Sorted-neighborhood candidate blocks (the SNM bound on within-cell
+    * pairwise work): rank each cell's members by centroid affinity
+    * (near-duplicates sit at near-identical affinity, so they rank
+    * adjacently), then explode every member into its two overlapping
+    * rank-blocks of width 2H (block `r div H` and `r div H − 1`). Any
+    * two members within rank distance &lt; H share a block, so comparing
+    * only block-mates bounds a cell's pair count to ≤ 2·c·H — LINEAR in
+    * cell size, with the block id IN THE JOIN KEY (plan-visible), never
+    * the O(c²) cell cross product a hot cell would otherwise pay at
+    * 100 TB. The documented recall trade: pairs further than 2H apart
+    * in affinity rank are never compared (production raises H, or adds
+    * a second ordering pass on another projection, for recall).
+    */
+  private val snmHalfWindow = 8
+  private def snmBlocks(cellMates: DataFrame): DataFrame =
+    cellMates
+      .withColumn("r",
+        row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("cell_cs").desc, col("vec_id"))) - 1)
+      .withColumn("block",
+        explode(array(expr(s"r div $snmHalfWindow"),
+          expr(s"r div $snmHalfWindow - 1"))))
+
+  /** The SQL twin of [[snmBlocks]] over the oracle's `av(vec_id, cell,
+    * cs, v)` CTE — DuckDB's `//` floors like Spark's `div` for the
+    * non-negative ranks involved. */
+  private val snmBlocksCteSql: String =
+    s"""rk AS (SELECT vec_id, cell, v,
+       |             row_number() OVER (PARTITION BY cell
+       |                                ORDER BY cs DESC, vec_id) - 1 AS r
+       |      FROM av),
+       |blk AS (SELECT vec_id, cell, v,
+       |               unnest([r // $snmHalfWindow, r // $snmHalfWindow - 1]) AS block
+       |        FROM rk)""".stripMargin
 
   /** The nprobe=4 cells nearest the query vector: (probe). */
   private def ivfProbes(s: SparkSession, emb: DataFrame): DataFrame = {
@@ -199,6 +248,61 @@ object SimilarityQueries {
       case None       => s"$dir/_graft_ivf_layout"
     }
 
+  // --- incremental-ingest IVF layout (sim_ivf_incremental) ----------
+  private val ivfIncStaged = scala.collection.mutable.Map.empty[String, String]
+
+  def ivfIncLayoutPath(s: SparkSession, dir: String): String =
+    s.conf.getOption(PersistedState.IvfLayoutDirKey) match {
+      case Some(root) => s"$root/ivf_inc_layout_${PersistedState.corpusKey(dir)}"
+      case None       => s"$dir/_graft_ivf_inc_layout"
+    }
+
+  /** The "new day's batch" of the incremental-ingest story: a
+    * deterministic ~14% slice of the corpus (`vec_id % 7 == 3`; the
+    * query vector 0 and codebook rows 1..16 always stay in the base).
+    */
+  def ivfIncIsNewBatch: org.apache.spark.sql.Column =
+    col("vec_id") > 16 && col("vec_id") % 7 === 3
+
+  /** Stage the incremental cell layout once per corpus per JVM: write the
+    * BASE layout (corpus minus the new batch) partitioned by cell, then
+    * run the daily ingest — assign the new batch under the FROZEN
+    * codebook and `mode("append")` it into the same partitioned root.
+    * An append-mode partitioned write adds files ONLY under the cell
+    * directories the new vectors land in; every existing cell's files
+    * are byte-identical afterwards (asserted in QueriesSpec), so at
+    * 100 TB the nightly ingest costs O(batch), never a layout rebuild.
+    * Probes then read old+new through one `spark.read` of the root with
+    * the same partition pruning as the static layout.
+    */
+  def stagedIncLayout(s: SparkSession, dir: String): String =
+    SimilarityQueries.synchronized {
+      ivfIncStaged.getOrElseUpdate(ivfIncLayoutPath(s, dir), {
+        val actual = PersistedState.writeWithFallback(s,
+          PersistedState.IvfLayoutDirKey,
+          ivfIncLayoutPath(s, dir), dir, "ivf_inc_layout") { p =>
+          writeIncBase(s, dir, p)
+        }
+        appendIncBatch(s, dir, actual)
+        actual
+      })
+    }
+
+  /** The two ingest steps, individually driveable (QueriesSpec snapshots
+    * the layout between them to assert the append's file-level
+    * isolation). Base = full corpus minus the new batch, overwrite;
+    * append = the new batch assigned under the FROZEN codebook, appended
+    * into the same partitioned root. */
+  def writeIncBase(s: SparkSession, dir: String, path: String): Unit =
+    ivfAssign(s, Scans.table(s, dir, "embeddings").filter(!ivfIncIsNewBatch))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def appendIncBatch(s: SparkSession, dir: String, path: String): Unit = {
+    val emb = Scans.table(s, dir, "embeddings")
+    ivfAssignWith(s, emb.filter(ivfIncIsNewBatch), emb)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
     * is a distributed TakeOrdered (`orderBy.limit`) — the rank window
     * runs single-partition by construction but over exactly 10 rows; a
@@ -263,39 +367,46 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     // dedup_semantic — SemDeDup-style semantic dedup (public recipe:
     // cluster the embedding space, then search for near-duplicates only
-    // WITHIN a cluster — the cells bound the quadratic, so pairwise
-    // cosine never touches cross-cell pairs and the only corpus shuffle
-    // is on the cell key). Cells come from the same deterministic
+    // WITHIN a cluster). Cells come from the same deterministic
     // 16-centroid coarse quantizer as the IVF family (zero-Exchange
     // broadcast assignment); a vector is dropped when a lower-vec_id
-    // cellmate sits at-or-above the epsilon (smallest id in a dup group
-    // survives — same canonical-survivor contract as dedup_exact). The
-    // synthetic corpus has no true semantic dups, so epsilon is set at
-    // 0.35 — inside the observed within-cell tail — to exercise the
-    // whole mark-and-drop path; production tunes epsilon per corpus.
+    // candidate sits at-or-above the epsilon (smallest id in a dup
+    // group survives — same canonical-survivor contract as dedup_exact).
+    // Within a cell the pairwise search is SORTED-NEIGHBORHOOD bounded
+    // (snmBlocks): members rank by centroid affinity and only
+    // overlapping rank-blocks of width 2H are compared, so a cell's
+    // pair count is ≤ 2·c·H — linear in cell size with the block id in
+    // the join key, and a HOT cell (skewed quantizer at 100 TB) can
+    // never reintroduce the O(c²) cross product. Near-dups sit at
+    // near-identical affinity, so the recall trade is confined to
+    // pairs >2H apart in affinity rank. The synthetic corpus has no
+    // true semantic dups, so epsilon is set at 0.35 — inside the
+    // observed within-cell tail — to exercise the whole mark-and-drop
+    // path; production tunes epsilon (and H) per corpus.
     // Rollup: per cell (size, drops, survivor id-sum) — any survivor
-    // flip moves a cell's id_sum, so the hash pins the assignment. At
-    // 100 TB, k grows with the corpus (cells stay ~constant-size), the
-    // pairwise stays cell-local, and the cell join is AQE-skew-safe.
+    // flip moves a cell's id_sum, so the hash pins the whole assignment.
     // ------------------------------------------------------------------
     QueryDef("dedup_semantic",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cid, v AS cv FROM e
         |          WHERE vec_id BETWEEN 1 AND 16),
         |assign AS (
-        |  SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid AS cell, cs FROM (
         |    SELECT e.vec_id, c.cid,
+        |           round(list_cosine_similarity(e.v, c.cv), 6) AS cs,
         |           row_number() OVER (
         |             PARTITION BY e.vec_id
         |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
         |                      c.cid) AS rn
         |    FROM e CROSS JOIN cents c) a
         |  WHERE rn = 1),
-        |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a
+        |av AS (SELECT a.vec_id, a.cell, a.cs, e.v FROM assign a
         |       JOIN e ON e.vec_id = a.vec_id),
+        |$snmBlocksCteSql,
         |dups AS (SELECT DISTINCT y.vec_id
-        |         FROM av x JOIN av y
-        |           ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |         FROM blk x JOIN blk y
+        |           ON x.cell = y.cell AND x.block = y.block
+        |          AND x.vec_id < y.vec_id
         |         WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35)
         |SELECT av.cell, count(*) AS n_vectors,
         |       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
@@ -306,11 +417,12 @@ object SimilarityQueries {
       val emb = Scans.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val assigned = ivfAssign(s, emb)
-      val cellMates = assigned
-        .select(col("cell"), col("vec_id"), col("embedding"))
-      val dups = cellMates.as("x")
-        .join(cellMates.as("y"),
-          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      val blocks = snmBlocks(assigned
+        .select(col("cell"), col("vec_id"), col("embedding"), col("cell_cs")))
+      val dups = blocks.as("x")
+        .join(blocks.as("y"),
+          col("x.cell") === col("y.cell") && col("x.block") === col("y.block") &&
+            col("x.vec_id") < col("y.vec_id"))
         .filter(round(cosineFast(s)(col("x.embedding"), col("y.embedding")), 4)
           >= 0.35)
         .select(col("y.vec_id").as("vec_id")).distinct()
@@ -329,35 +441,42 @@ object SimilarityQueries {
     // sim_knn_graph — k-nearest-neighbor graph over the corpus, bounded
     // by the IVF coarse cells (the building block under SemDeDup-style
     // clustering, label propagation, and dedup diagnostics: every
-    // vector gets its top-3 in-cell neighbors as directed edges). Same
-    // scale contract as dedup_semantic: candidate pairs come from a
-    // cell equi-join (never a corpus cross product), per-source ranking
-    // windows on src_id — a candidate-proportional key, so the shuffle
-    // is edges-sized, not corpus²-sized. A production graph raises k
-    // and probes neighboring cells for recall; the plan shape is
-    // identical. Full directed edge list is the declared result —
-    // every (src, rank) → neighbor binding is hash-pinned.
+    // vector gets its top-3 near-neighbor edges). Same scale contract
+    // as dedup_semantic: candidate pairs come from the SORTED-
+    // NEIGHBORHOOD (cell, block) equi-join — members rank by centroid
+    // affinity, only overlapping rank-blocks of width 2H are compared —
+    // so per-cell pair count is ≤ 2·c·H (linear in cell size; a hot
+    // cell can never reintroduce the O(c²) cross product), and the
+    // per-source ranking windows run on src_id — a candidate-
+    // proportional key, so the shuffle is edges-sized. The recall
+    // trade: neighbors >2H apart in affinity rank are not candidates;
+    // a production graph raises H / k and probes neighboring cells.
+    // Full directed edge list is the declared result — every
+    // (src, rank) → neighbor binding is hash-pinned.
     // ------------------------------------------------------------------
     QueryDef("sim_knn_graph",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cid, v AS cv FROM e
         |          WHERE vec_id BETWEEN 1 AND 16),
         |assign AS (
-        |  SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid AS cell, cs FROM (
         |    SELECT e.vec_id, c.cid,
+        |           round(list_cosine_similarity(e.v, c.cv), 6) AS cs,
         |           row_number() OVER (
         |             PARTITION BY e.vec_id
         |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
         |                      c.cid) AS rn
         |    FROM e CROSS JOIN cents c) a
         |  WHERE rn = 1),
-        |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a
+        |av AS (SELECT a.vec_id, a.cell, a.cs, e.v FROM assign a
         |       JOIN e ON e.vec_id = a.vec_id),
+        |$snmBlocksCteSql,
         |pairs AS (
-        |  SELECT x.vec_id AS src_id, y.vec_id AS nbr_id,
+        |  SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id,
         |         round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
-        |  FROM av x JOIN av y
-        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+        |  FROM blk x JOIN blk y
+        |    ON x.cell = y.cell AND x.block = y.block
+        |   AND x.vec_id <> y.vec_id)
         |SELECT src_id, rank, nbr_id, cos_sim FROM (
         |  SELECT src_id, nbr_id, cos_sim,
         |         row_number() OVER (PARTITION BY src_id
@@ -367,14 +486,18 @@ object SimilarityQueries {
       import org.apache.spark.sql.expressions.Window
       val emb = Scans.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val cellMates = ivfAssign(s, emb)
-        .select(col("cell"), col("vec_id"), col("embedding"))
-      val pairs = cellMates.as("x")
-        .join(cellMates.as("y"),
-          col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      val blocks = snmBlocks(ivfAssign(s, emb)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("cell_cs")))
+      val pairs = blocks.as("x")
+        .join(blocks.as("y"),
+          col("x.cell") === col("y.cell") && col("x.block") === col("y.block") &&
+            col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"),
           round(cosineFast(s)(col("x.embedding"), col("y.embedding")), 4)
             .as("cos_sim"))
+        // a pair adjacent enough to share BOTH overlapping blocks arrives
+        // twice — candidate-proportional distinct before ranking
+        .distinct()
       val w = Window.partitionBy(col("src_id"))
         .orderBy(col("cos_sim").desc, col("nbr_id"))
       pairs.withColumn("rank", row_number().over(w).cast("long"))
@@ -559,6 +682,23 @@ object SimilarityQueries {
           })
       }
       ivfSearch(s, emb, s.read.parquet(layout))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_ivf_incremental — the DAILY-INGEST half of the ANN story: the
+    // persisted cell layout absorbs a new-vector batch by appending
+    // cell-partitioned files for JUST that batch (assigned under the
+    // frozen codebook — no existing cell is rewritten, no rebuild), and
+    // a probe reads old+new through the one partitioned root with the
+    // same nprobe=4 partition pruning as the static layout. Same oracle
+    // as sim_ivf_topk: base ∪ batch is the full corpus and the frozen
+    // codebook assigns every vector exactly as a full build would, so
+    // incremental ingest changes WHEN cells were written, never what a
+    // probe finds. Append-only-touches-changed-cells is spec-asserted.
+    // ------------------------------------------------------------------
+    QueryDef("sim_ivf_incremental", ivfTopkSql) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      ivfSearch(s, emb, s.read.parquet(stagedIncLayout(s, dir)))
     },
 
     // ------------------------------------------------------------------

@@ -278,4 +278,60 @@ class QueriesSpec extends SparkSpecBase {
       .reduce(_ unionAll _)
     assert(union.count() == total)
   }
+
+  test("sim_ivf_incremental append touches only the new batch's cells") {
+    import graft.ops.SimilarityQueries
+    import graft.exec.Scans
+    import scala.jdk.CollectionConverters._
+    // drive the two ingest steps into a throwaway root and snapshot the
+    // file tree between them: the incremental contract is that the
+    // append (a) never modifies or removes an existing file and (b) adds
+    // files ONLY under cell directories where new-batch vectors land —
+    // a nightly ingest costs O(batch), never a layout rebuild
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_inc_spec")
+    val layout = root.resolve("layout").toString
+    def snapshot(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(layout)
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally walk.close()
+    }
+    try {
+      SimilarityQueries.writeIncBase(spark, sfDir, layout)
+      val before = snapshot()
+      SimilarityQueries.appendIncBatch(spark, sfDir, layout)
+      val after = snapshot()
+      // (a) every pre-existing file survives byte-count-identical
+      before.foreach { case (f, sz) =>
+        assert(after.get(f).contains(sz), s"existing file disturbed: $f")
+      }
+      // (b) new files confined to the new batch's cell directories
+      val newFiles = (after.keySet -- before.keySet).toSeq
+      assert(newFiles.nonEmpty, "append added no files")
+      val newCells = spark.read.parquet(layout)
+        .filter(SimilarityQueries.ivfIncIsNewBatch)
+        .select(col("cell")).distinct()
+        .collect().map(_.get(0).toString).toSet
+      newFiles.foreach { f =>
+        val cellDir = f.split("/").find(_.startsWith("cell="))
+          .getOrElse(fail(s"appended file outside a cell dir: $f"))
+          .stripPrefix("cell=")
+        assert(newCells.contains(cellDir),
+          s"append wrote into an unchanged cell: $f (changed cells: $newCells)")
+      }
+      // and the combined layout is exactly the corpus
+      assert(spark.read.parquet(layout).count() ==
+        Scans.table(spark, sfDir, "embeddings").count())
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }

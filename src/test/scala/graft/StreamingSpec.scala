@@ -16,8 +16,8 @@ class StreamingSpec extends SparkSpecBase {
   test("file-source readStream windowed agg equals the batch result") {
     val batchEvents = Scans.table(spark, sfDir, "events")
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
-    // stream the same parquet as a file source (ts arrives as long under
-    // nanosAsLong — same conversion Scans.table applies). The file source
+    // stream the same parquet as a file source, normalizing ts the same
+    // representation-agnostic way Scans.table does. The file source
     // wants a directory, so stage the single file behind a symlink.
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.createSymbolicLink(
@@ -26,8 +26,7 @@ class StreamingSpec extends SparkSpecBase {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(streamDir.toString)
-    val streamEvents = raw
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamEvents = Scans.normalizeTs(raw)
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
     val q = EventStreams.windowedAgg(streamEvents)
       .writeStream.format("memory").queryName("swagg")
@@ -52,8 +51,7 @@ class StreamingSpec extends SparkSpecBase {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(streamDir.toString)
-    val streamEvents = raw
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamEvents = Scans.normalizeTs(raw)
       .select(col("ts"), col("value"))
     val q = EventStreams.histogramStream(streamEvents)
       .writeStream.format("memory").queryName("shist")
