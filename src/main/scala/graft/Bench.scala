@@ -129,10 +129,19 @@ object Bench {
     // stdout line: min only (driver parse compatibility — format unchanged)
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v._1)}"))
       .mkString("{", ",", "}")
-    // committed full map: {min, median} per query, ordered by min desc
-    val full = results.toSeq.sortBy(-_._2._1)
-      .map { case (k, (mn, md)) => s"\"$k\":{\"min\":${f3(mn)},\"median\":${f3(md)}}" }
-      .mkString("{", ",", "}")
+    // committed full map: {min, median} per query, ordered by min desc.
+    // Queries with NO successful run are segregated into a "failures"
+    // list instead of -1 sentinels in the timing map — a consumer
+    // aggregating or ranking the map must never silently ingest negative
+    // values (r8 ADVICE), and a failure reads as a failure, not a time.
+    val (failed, succeeded) = results.toSeq.partition(_._2._1 < 0)
+    val full = {
+      val qmap = succeeded.sortBy(-_._2._1)
+        .map { case (k, (mn, md)) => s"\"$k\":{\"min\":${f3(mn)},\"median\":${f3(md)}}" }
+        .mkString("{", ",", "}")
+      val fails = failed.map(f => s"\"${f._1}\"").mkString("[", ",", "]")
+      s"""{"queries":$qmap,"failures":$fails}"""
+    }
     // The full per-query map is a committed artifact (BENCH_full.json in
     // the repo root) so every query's round-over-round trend is auditable
     // — the stdout line only survives truncated to its last 2000 chars.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, MinShingleMd5, MinhashSigs, RewriteDotProduct, ShingleMd5s, SimhashText, SimhashVotes}
+import graft.functions.{BloomBitsAgg, BloomMightContain, CosineSim, MinShingleMd5, MinhashSigs, RewriteDotProduct, ShingleMd5s, SimhashText, SimhashVotes}
 
 /** Engine extension point — install with
   * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` (done
@@ -65,6 +65,23 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "simhash_votes expects exactly 2 arguments")
         SimhashVotes(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_bits_agg"),
+      new ExpressionInfo(classOf[BloomBitsAgg].getName, "bloom_bits_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k) => BloomBitsAgg(k, 1 << 20, 5)
+        case Seq(k, Literal(bits: Int, IntegerType), Literal(h: Int, IntegerType)) =>
+          BloomBitsAgg(k, bits, h)
+        case _ => throw new IllegalArgumentException(
+          "bloom_bits_agg expects (key) or (key, <int literal numBits>, <int literal numHashes>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_might_contain expects exactly 2 arguments")
+        BloomMightContain(args.head, args(1))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }

@@ -1018,6 +1018,56 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_stream_session_timeout — the same append-mode session
+    // contract as events_stream_session_equiv, but through EXPLICIT
+    // keyed state with EventTimeTimeout eviction
+    // (EventStreams.sessionizeEventTime) instead of the native
+    // session_window operator: per-user state holds ONE open session
+    // (O(1) per active key), a data batch closes inline only the
+    // sessions a later same-batch event supersedes, and every trailing
+    // session is emitted by the WATERMARK-driven timeout firing — no
+    // end-of-input flush anywhere, which is the eviction semantics an
+    // unbounded 100 TB/day feed actually needs. The sentinel advances
+    // the watermark past every real session's close; processAllAvailable
+    // then runs the no-data timeout batches Spark schedules when a new
+    // watermark can fire armed timeouts. Same oracle as the native
+    // session_window pair: three execution paths, one contract.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_session_timeout", sessionWindowOracle) { (s, dir) =>
+      val ss0 = s.newSession()
+      ss0.conf.set("spark.sql.shuffle.partitions", 8)
+      val s2: SparkSession = ss0
+      import s2.implicits._
+      import graft.streaming.EventStreams
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_timeout")
+      try {
+        val rawSchema = s2.read.parquet(s"$dir/events.parquet").schema
+        val eventsLink = streamDir.resolve("a_events.parquet")
+        java.nio.file.Files.createSymbolicLink(eventsLink,
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
+        stageSentinelFile(streamDir,
+          sentinelFrame(s, dir, 10, Seq("user_id" -> lit(-1L))),
+          eventsLink)
+        val raw = Scans.normalizeTs(s2.readStream
+            .schema(rawSchema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(streamDir.toString))
+          .select(col("ts"), col("user_id"))
+        val typed = raw
+          .withWatermark("ts", "1 second")
+          .select(col("user_id").as("_1"), col("ts").as("_2"))
+          .as[(Long, java.sql.Timestamp)]
+        fileSinkReplay(s2, EventStreams.sessionizeEventTime(typed).toDF()) { sink =>
+          sink
+            .filter(col("user_id") >= 0) // sentinel's own session never times out
+            .select(col("user_id"), col("session_start_ms"),
+              col("session_end_ms"), col("n_events"))
+            .orderBy(col("user_id"), col("session_start_ms"))
+        }
+      } finally deleteTree(streamDir)
+    },
+
+    // ------------------------------------------------------------------
     // events_scd2_intervals — slowly-changing-dimension (type-2)
     // interval derivation: collapse each user's event stream into
     // contiguous runs of the same event_type with [valid_from,

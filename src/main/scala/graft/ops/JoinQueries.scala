@@ -102,6 +102,48 @@ object JoinQueries {
     },
 
     // ------------------------------------------------------------------
+    // join_bloom_prefilter — the explicit runtime-filter pattern: a
+    // semi join of a 100 TB fact scan against a filtered key set,
+    // where the fact side is PREFILTERED by a broadcast Bloom filter
+    // BEFORE any join happens. Three stages, each the cheap one at
+    // scale: (1) `bloom_bits_agg` (native mergeable aggregate) builds
+    // the filter as partial per-partition bit-blocks OR-merged into ONE
+    // ~8 KB blob — the build side never shuffles rows; (2) the blob
+    // rides into `bloom_might_contain` as a literal — k word-probes per
+    // fact row inside whole-stage codegen, dropping ~90% of the fact
+    // scan before the shuffle/broadcast the join would otherwise pay on
+    // all of it; (3) a residual BROADCAST semi join removes the false
+    // positives, so the result is EXACTLY the semi join (the oracle is
+    // the plain IN-subquery — bloom invisibility is the contract, like
+    // AQE's own runtime bloom which this makes an explicit, composable
+    // operator). The one-row blob collect is sketch-sized metadata (a
+    // few KB), the same class as the reference's catalog reads.
+    // ------------------------------------------------------------------
+    QueryDef("join_bloom_prefilter",
+      """SELECT l.l_suppkey, count(*) AS n_rows,
+        |       round(sum(l.l_extendedprice), 2) AS sum_price
+        |FROM lineitem l
+        |WHERE l.l_suppkey IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sup = Scans.table(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000).select(col("s_suppkey"))
+      // 64 Ki bits ≈ 10 bits/key up to ~6.5k build keys (~1% fp); at a
+      // larger build cardinality the caller sizes numBits up — false
+      // positives only ever cost a wasted row through the residual join
+      val blob = sup
+        .agg(expr("bloom_bits_agg(s_suppkey, 65536, 5)").as("bloom"))
+        .head().getAs[Array[Byte]](0)
+      Scans.table(s, dir, "lineitem")
+        .filter(call_function("bloom_might_contain", lit(blob), col("l_suppkey")))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    // ------------------------------------------------------------------
     // join_full_outer — full outer equi-join of two aggregates: order
     // years vs lineitem ship years, coalescing both sides. Each input is
     // pre-aggregated (tiny) before the join, so the outer join runs over

@@ -504,6 +504,42 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // text_entropy_filter — word-level Shannon entropy quality gate:
+    // low-entropy documents are boilerplate/repetition (a handful of
+    // tokens looping), high entropy is lexical diversity — a standard
+    // pretraining quality signal next to the ratio heuristics. The
+    // Spark side is fully ROW-LOCAL (token counts via HOFs inside the
+    // row, no explode, no token-grain shuffle — at 100 TB this runs
+    // embarrassingly parallel over the scan like the other gates);
+    // the oracle states the same entropy as grouped SQL. Both compute
+    // h = log2(T) − Σ c·log2(c) / T and round at 4 decimals, absorbing
+    // the engines' different summation orders.
+    // ------------------------------------------------------------------
+    QueryDef("text_entropy_filter",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksDuck) AS w FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         |ent AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS word_entropy
+         |  FROM wc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, word_entropy FROM ent
+         |WHERE n_tokens >= 5 AND word_entropy >= 2.0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSpark).as("tk"))
+        .select(col("doc_id"),
+          expr("size(tk)").cast("long").as("n_tokens"),
+          expr("""round(log2(size(tk)) -
+                 |  aggregate(transform(array_distinct(tk),
+                 |                      d -> size(filter(tk, t -> t = d))),
+                 |            0.0D, (acc, c) -> acc + c * log2(c)) / size(tk),
+                 |  4)""".stripMargin).as("word_entropy"))
+        .filter(col("n_tokens") >= 5 && col("word_entropy") >= 2.0)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // text_bpe_tokens — BPE-style pre-tokenization accounting: the
     // GPT-2-ish pre-token split (letter runs | digit runs | punctuation
     // runs) vs plain whitespace tokens, per document. The regex is

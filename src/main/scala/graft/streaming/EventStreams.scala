@@ -109,6 +109,65 @@ object EventStreams {
     }
   }
 
+  final case class SessionWin(user_id: Long, session_start_ms: Long,
+    session_end_ms: Long, n_events: Long)
+
+  /** Event-time-timeout sessionization — the TRUE streaming eviction for
+    * [[sessionize]]: a session emits when the event-time WATERMARK passes
+    * its close (last event + gap), exactly when Spark's native
+    * `session_window` would finalize it in append mode, not when the
+    * batch happens to end. `flatMapGroupsWithState` with
+    * `GroupStateTimeout.EventTimeTimeout`:
+    *
+    *  - a data batch folds the key's (watermark-filtered) rows into the
+    *    open session, closing inline any session a later same-batch event
+    *    leaves behind (gap >= 30 min starts a new one — the native
+    *    `session_window` merge rule), then arms the timeout at
+    *    `last + gap`;
+    *  - when the watermark passes an armed timeout, Spark runs the group
+    *    with `state.hasTimedOut=true` and NO rows — the trailing session
+    *    emits there and its state is REMOVED. No inline end-of-batch
+    *    flush anywhere: on an unbounded stream state stays O(1) per
+    *    active user and quiet users are evicted by watermark alone.
+    *
+    * Output schema matches `events_session_window`'s oracle rows:
+    * (user_id, session_start_ms, session_end_ms=last+gap, n_events).
+    */
+  def sessionizeEventTime(events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionWin] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState[SessionState, SessionWin](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      case (userId, rows, state: GroupState[SessionState]) =>
+        def emit(st: SessionState) =
+          SessionWin(userId, st.start, st.last + gapMs, st.events)
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(emit)
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = rows.map(_._2.getTime).toSeq.sorted
+          val (closed, open) = sorted.foldLeft(
+            (Vector.empty[SessionWin], state.getOption)) {
+            case ((done, None), ms) => (done, Some(SessionState(ms, ms, 1)))
+            case ((done, Some(st)), ms) =>
+              if (ms - st.last >= gapMs) // >= gap: new session (session_window rule)
+                (done :+ emit(st), Some(SessionState(ms, ms, 1)))
+              else (done, Some(st.copy(last = ms, events = st.events + 1)))
+          }
+          open.foreach { st =>
+            state.update(st)
+            // the armed close; a timeout must sit past the current
+            // watermark — if the close already lapsed (late-arriving open
+            // session), arm at watermark+1 so it fires next batch
+            state.setTimeoutTimestamp(
+              math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.iterator
+        }
+    }
+  }
+
   final case class LatestIn(userId: Long, ms: Long, eventId: Long, eventType: String)
   final case class LatestOut(userId: Long, ms: Long, eventId: Long, eventType: String)
 

@@ -821,6 +821,53 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac")
   }
 
+  test("bloom filter has no false negatives and merges across partitions") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("bloom_bits_agg"))
+    assert(spark.catalog.functionExists("bloom_might_contain"))
+    // deterministic key set, deliberately scattered across 8 partitions
+    val keys = (0 until 500).map(i => i * 2654435761L % 1000003L)
+    val df = keys.toDF("k").repartition(8)
+    val blob = df.agg(expr("bloom_bits_agg(k, 65536, 5)")).head().getAs[Array[Byte]](0)
+    // merge across partitions ≡ single-partition build (OR is the merge)
+    val blob1 = keys.toDF("k").coalesce(1)
+      .agg(expr("bloom_bits_agg(k, 65536, 5)")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(blob, blob1),
+      "partition-merged blob differs from single-partition build")
+    // no false negatives: every inserted key probes true
+    val probed = keys.toDF("k")
+      .filter(call_function("bloom_might_contain", lit(blob), col("k")))
+      .count()
+    assert(probed == keys.distinct.size.toLong, "bloom dropped an inserted key")
+    // false-positive sanity at ~10 bits/key: well under 5% on fresh keys
+    val fresh = (0 until 2000).map(i => 7000000000L + i * 104729L)
+    val fp = fresh.toDF("k")
+      .filter(call_function("bloom_might_contain", lit(blob), col("k")))
+      .count()
+    assert(fp < 100, s"false-positive rate too high: $fp/2000")
+    // null keys: skipped on build, null on probe (semi-join semantics)
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS k")
+      .union(Seq(keys.head).toDF("k"))
+    val blobN = withNull.agg(expr("bloom_bits_agg(k, 65536, 5)"))
+      .head().getAs[Array[Byte]](0)
+    assert(withNull.filter(
+      call_function("bloom_might_contain", lit(blobN), col("k"))).count() == 1)
+  }
+
+  test("join_bloom_prefilter equals the plain semi join, bloom invisible") {
+    val viaBloom = run("join_bloom_prefilter").collect().toSeq
+    val sup = Scans.table(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") > 5000).select(col("s_suppkey"))
+    val plain = Scans.table(spark, sfDir, "lineitem")
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_suppkey")).collect().toSeq
+    assert(viaBloom == plain)
+    assert(viaBloom.nonEmpty)
+  }
+
   test("value histogram conserves events and stays in range") {
     val rows = run("events_value_histogram").collect()
     val total = Scans.table(spark, sfDir, "events").count()

@@ -39,6 +39,33 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("hashpartitioning(l_partkey"), p.take(2000))
   }
 
+  test("join_bloom_prefilter probes pre-join, broadcasts the residual, and entropy stays shuffle-free") {
+    val p = plan("join_bloom_prefilter")
+    // the bloom probe must sit in the fact SCAN stage, upstream of the
+    // residual join — i.e. a Filter containing bloom_might_contain, and
+    // the residual semi join is a broadcast (the fact side never
+    // exchanges for the join)
+    assert(p.contains("bloom_might_contain"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(joinAt < probeAt, // executedPlan prints top-down: join above scan filter
+      "bloom probe not upstream of the residual join")
+    // the only SHUFFLE exchanges are the GROUP-BY's (after partial agg)
+    // and the presentation sort, both above the join — below it only the
+    // build side's BroadcastExchange may appear, never a shuffle
+    assert(!p.substring(joinAt).contains("Exchange hashpartitioning") &&
+      !p.substring(joinAt).contains("Exchange rangepartitioning"),
+      "fact side shuffled below the semi join:\n" + p.take(2000))
+    assert(p.contains("partial_count"), "group-by lost map-side combine")
+    // text_entropy_filter: the quality gate is row-local — its only
+    // exchange is the presentation sort's range partitioning
+    val e = SparkEntry.queries("text_entropy_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!e.contains("hashpartitioning"),
+      "entropy gate acquired a hash shuffle:\n" + e.take(2000))
+  }
+
   test("join_shuffle_fact shuffles on the join key when neither side broadcasts") {
     // at test scale orders fits the broadcast threshold (and broadcasting
     // it IS the right plan); force the at-scale shape to check it:

@@ -281,6 +281,55 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("event-time timeout evicts the trailing session when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val typed = mem.toDF.toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("_1"), col("ts").as("_2"))
+      .as[(Long, Timestamp)]
+    val q = EventStreams.sessionizeEventTime(typed)
+      .writeStream.format("memory").queryName("ssevict")
+      .outputMode("append").start()
+    def emitted() = spark.sql(
+      "SELECT user_id, session_start_ms, session_end_ms, n_events FROM ssevict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    try {
+      // batch 1: a three-event chain for user 1 — session stays OPEN
+      // (watermark = 09:20 - 10 min = 09:10, far before its 09:50 close)
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 09:10:00")),
+        (1L, Timestamp.valueOf("2024-01-01 09:20:00")))
+      q.processAllAvailable()
+      assert(emitted().isEmpty,
+        "open session emitted before the watermark passed its close")
+      // batch 2: an event for ANOTHER user moves the watermark to 10:50,
+      // past user 1's 09:50 close; the TIMEOUT (no rows for user 1) must
+      // emit the session — Spark schedules the no-data timeout batch
+      // itself once the new watermark can fire it
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val s = Timestamp.valueOf("2024-01-01 09:00:00").getTime
+      val e = Timestamp.valueOf("2024-01-01 09:20:00").getTime + 30L * 60 * 1000
+      assert(emitted() == Set((1L, s, e, 3L)),
+        s"expected exactly user 1's timed-out session, got ${emitted()}")
+      // user 2's own session is still open (watermark never passed it)
+      assert(!emitted().exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
+  test("declared events_stream_session_timeout equals the native session_window replay") {
+    val timedOut = SparkEntry.queries("events_stream_session_timeout")(spark, sfDir)
+      .collect().toSeq
+    val native = SparkEntry.queries("events_session_window")(spark, sfDir)
+      .collect().toSeq
+    assert(timedOut == native)
+    assert(timedOut.nonEmpty)
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
