@@ -180,6 +180,48 @@ object EventQueries {
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // events_gap_fill — zero-filled hourly time series: the resampling
+    // step every monitoring/telemetry consumer needs (a chart or an
+    // anomaly detector must see "0 events this hour", not a missing
+    // row). The dense hour spine is generated DISTRIBUTED-side
+    // (sequence + explode over the corpus min/max hour — no driver
+    // collect), the event-type dimension is a distinct over the tiny
+    // type domain, and the spine×types frame (thousands of rows)
+    // broadcast-joins against the real hourly rollup — at 100 TB the
+    // fact table still aggregates ONCE on (type, hour) and only the
+    // small dense spine is materialized beyond it.
+    // ------------------------------------------------------------------
+    QueryDef("events_gap_fill",
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |                  count(*) AS n FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |          FROM bounds),
+        |et AS (SELECT DISTINCT event_type FROM events)
+        |SELECT et.event_type, epoch_ms(hours.h) AS hour_ms,
+        |       coalesce(b.n, 0) AS n_events
+        |FROM et CROSS JOIN hours
+        |LEFT JOIN b ON b.event_type = et.event_type AND b.h = hours.h
+        |ORDER BY et.event_type, hour_ms""".stripMargin) { (s, dir) =>
+      val ev = Scans.table(s, dir, "events")
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      broadcast(types).crossJoin(broadcast(spine))
+        .join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), unix_millis(col("h")).as("hour_ms"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("event_type"), col("hour_ms"))
+    },
+
+    // ------------------------------------------------------------------
     // events_window_agg — tumbling 1-hour windows: count, distinct
     // users, value sum per (window, event_type). Spark's `window()` on
     // event time — the same construct Structured Streaming uses with a

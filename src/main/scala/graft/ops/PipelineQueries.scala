@@ -309,6 +309,92 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------------------------
+    // pipeline_zorder_layout — multi-dimensional clustering (the
+    // OPTIMIZE ZORDER maintenance pass): rewrite a fact table ordered
+    // by the bit-interleave of TWO pruning dimensions (ship day ×
+    // supplier key, each min-max normalized to 16 bits) and
+    // partitioned by the z-value's top 4 bits, so a 2-D range query
+    // prunes DIRECTORIES — with one sort key neither dimension alone
+    // can serve both predicates; interleaving makes every prefix of z
+    // a box in (day, key) space. The read-back maps the query box to
+    // its qualifying buckets with the SAME stats the writer used
+    // (integer `div` arithmetic on both sides, so a row can never land
+    // outside its computed bucket), lists only those directories
+    // (PartitionFilters — plan-locked), pushes the exact predicates
+    // into the surviving parquet scans, and the result is EXACTLY the
+    // plain range query: layout invisibility is the contract, like the
+    // bloom's. The 1-row stats collect is sketch-sized planning
+    // metadata, the same class as the reference's catalog reads. At
+    // 100 TB this is how a lakehouse keeps two access paths fast off
+    // one copy of the data.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_zorder_layout",
+      """SELECT l_suppkey, count(*) AS n_rows,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_suppkey BETWEEN 1 AND 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val epoch = "1992-01-01"
+      val base = Scans.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_shipdate"), col("l_extendedprice"))
+        .withColumn("x_day",
+          datediff(to_date(col("l_shipdate")), lit(epoch)).cast("long"))
+      val st = base.agg(min("x_day"), max("x_day"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (dLo, dHi) = (st.getLong(0), st.getLong(1))
+      val (kLo, kHi) = (st.getLong(2), st.getLong(3))
+      val (dSpan, kSpan) = (math.max(1L, dHi - dLo), math.max(1L, kHi - kLo))
+      // 16-bit min-max normalization with integer div — bit-identical
+      // between the frame-side write and the driver-side bucket math
+      val xn = expr(s"((x_day - $dLo) * 65535) div $dSpan")
+      val yn = expr(s"((l_suppkey - $kLo) * 65535) div $kSpan")
+      def spread(c0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val v1 = c0.bitwiseOR(shiftleft(c0, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+        v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      val z = shiftleft(spread(xn), 1).bitwiseOR(spread(yn))
+      val out = tmp(s"zorder_${PersistedState.corpusKey(dir)}")
+      base.withColumn("z", z)
+        .withColumn("z_bucket", shiftright(col("z"), 28).cast("int"))
+        .repartition(col("z_bucket"))
+        .sortWithinPartitions(col("z")) // row-group locality inside a bucket
+        .drop("x_day")
+        .write.mode("overwrite").partitionBy("z_bucket").parquet(out)
+      // query box → qualifying buckets, under the writer's own stats
+      def nrm(v: Long, lo: Long, span: Long): Long =
+        math.max(0L, math.min(65535L, (v - lo) * 65535L / span))
+      def day(d: String): Long =
+        java.time.LocalDate.parse(d).toEpochDay -
+          java.time.LocalDate.parse(epoch).toEpochDay
+      val (qxLo, qxHi) = (nrm(day("1995-01-01"), dLo, dSpan),
+        nrm(day("1995-12-31"), dLo, dSpan))
+      val (qyLo, qyHi) = (nrm(1L, kLo, kSpan), nrm(25L, kLo, kSpan))
+      // bucket b = (x15, y15, x14, y14): each bucket is a 2^14-wide box
+      val buckets = (0 until 16).filter { b =>
+        val x2 = ((b >> 3) & 1) * 2 + ((b >> 1) & 1)
+        val y2 = ((b >> 2) & 1) * 2 + (b & 1)
+        val (bxLo, bxHi) = (x2.toLong << 14, ((x2 + 1).toLong << 14) - 1)
+        val (byLo, byHi) = (y2.toLong << 14, ((y2 + 1).toLong << 14) - 1)
+        bxHi >= qxLo && bxLo <= qxHi && byHi >= qyLo && byLo <= qyHi
+      }
+      val sdt = base.schema("l_shipdate").dataType
+      s.read.parquet(out)
+        .filter(col("z_bucket").isin(buckets: _*))
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(sdt) &&
+          col("l_shipdate") < lit("1996-01-01").cast(sdt) &&
+          col("l_suppkey").between(1L, 25L))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    // ------------------------------------------------------------------
     // safety_check — source-immutability gate (reference
     // SmartBulkCopy.cs:111-133): parquet sources are immutable snapshots;
     // the probe degrades to exists-and-readable. A missing table fails.

@@ -868,6 +868,30 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(viaBloom.nonEmpty)
   }
 
+  test("zorder layout is result-invisible and writes a multi-bucket layout") {
+    val viaLayout = run("pipeline_zorder_layout").collect().toSeq
+    val sdt = Scans.table(spark, sfDir, "lineitem").schema("l_shipdate").dataType
+    val plain = Scans.table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(sdt) &&
+        col("l_shipdate") < lit("1996-01-01").cast(sdt) &&
+        col("l_suppkey").between(1L, 25L))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_suppkey")).collect().toSeq
+    assert(viaLayout == plain)
+    assert(viaLayout.nonEmpty)
+    // the layout really is multi-dimensional: several z_bucket dirs
+    // exist (pruning has something to prune) and every row is conserved
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dest/" +
+      s"zorder_${graft.ops.PersistedState.corpusKey(sfDir)}"
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("z_bucket="))
+    assert(dirs.length > 1, s"degenerate single-bucket layout: ${dirs.length}")
+    assert(spark.read.parquet(out).count() ==
+      Scans.table(spark, sfDir, "lineitem").count())
+  }
+
   test("value histogram conserves events and stays in range") {
     val rows = run("events_value_histogram").collect()
     val total = Scans.table(spark, sfDir, "events").count()

@@ -66,6 +66,23 @@ class PlanQualitySpec extends SparkSpecBase {
       "entropy gate acquired a hash shuffle:\n" + e.take(2000))
   }
 
+  test("pipeline_zorder_layout read-back prunes z-bucket directories") {
+    val p = plan("pipeline_zorder_layout")
+    // the bucket predicate must prune at the file LISTING (partition
+    // filter on the layout's z_bucket directories), and the exact range
+    // predicates must still push into the surviving parquet scans
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("z_bucket"), s"no z_bucket partition filter: $pf")
+    // the FileScan line truncates its filter lists mid-print, so assert
+    // on the prefix that always survives: the shipdate bound leads the
+    // pushed list, and the suppkey null-guard leads the data filters
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+      s"range predicate not pushed into the layout scan: $pushed")
+    assert(pushed.contains("IsNotNull(l_suppkey"),
+      s"suppkey predicate missing from the layout scan: $pushed")
+  }
+
   test("join_shuffle_fact shuffles on the join key when neither side broadcasts") {
     // at test scale orders fits the broadcast threshold (and broadcasting
     // it IS the right plan); force the at-scale shape to check it:
