@@ -1,9 +1,65 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** One verify pass over `queries`: dump each result under `outDir`,
+    * write the oracle manifest and the errors manifest, and report
+    * (thrown errors, declared-but-missing result dirs). A throwing query
+    * must surface as an ERROR ROW in the correctness record, never as a
+    * silently shrunk surface (r8: 16 keys vanished from
+    * CORRECTNESS_r08.json because failures only went to stderr).
+    * Extracted from main so the failure path itself is spec-testable
+    * (`VerifySpec` feeds a deliberately-throwing query and asserts it
+    * lands in errors.json and fails the run).
+    */
+  def run(
+      spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracleSql: Map[String, String],
+      sfDir: String,
+      outDir: String): (Map[String, String], Set[String]) = {
+    new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+      }
+    }
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json is written unconditionally (empty object = clean run) so
+    // its absence can never be confused with success, and is truncated per
+    // message — one pathological stack must not balloon the manifest.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Belt-and-braces: the dumped result dirs must be exactly the declared
+    // key set — catches failure modes that never threw, e.g. a query whose
+    // write produced nothing.
+    val dumped = Option(new java.io.File(outDir).listFiles()).getOrElse(Array())
+      .filter(_.isDirectory).map(_.getName).toSet
+    (errors.toMap, queries.keySet -- dumped)
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (local iteration)
@@ -30,51 +86,9 @@ object Verify {
     // testdata is read-only: persisted pipeline state goes to scratch
     // instead of its production default beside the corpus
     graft.ops.PersistedState.relocateToScratch(spark)
-    new java.io.File(outDir).mkdirs()
-    // A throwing query must surface as an ERROR ROW in the correctness
-    // record, never as a silently shrunk surface (r8: 16 keys vanished
-    // from CORRECTNESS_r08.json because failures only went to stderr):
-    // every failure lands in errors.json and the run exits nonzero.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // errors.json is written unconditionally (empty object = clean run) so
-    // its absence can never be confused with success, and is truncated per
-    // message — one pathological stack must not balloon the manifest.
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    // Belt-and-braces: the dumped result dirs must be exactly the declared
-    // (filtered) key set — catches failure modes that never threw, e.g. a
-    // query whose write produced nothing.
-    val declared = SparkEntry.queries.keySet
-      .filter(n => only.forall(_.contains(n)))
-    val dumped = Option(new java.io.File(outDir).listFiles()).getOrElse(Array())
-      .filter(_.isDirectory).map(_.getName).toSet
-    val missing = declared -- dumped
+    val (errors, missing) = run(spark, selected, SparkEntry.oracleSql, sfDir, outDir)
     spark.stop()
     if (errors.nonEmpty || missing.nonEmpty) {
       System.err.println(

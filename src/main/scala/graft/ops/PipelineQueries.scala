@@ -450,6 +450,47 @@ object PipelineQueries {
     // encode text as a binary blob, pass it through untouched, prove
     // integrity via md5 + byte length + a decode round-trip.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // scan_type_fidelity — type-faithful transport beyond the corpus's
+    // native column types: the reference's core robustness property is
+    // that all 33 SQL Server scalar types transit opaquely
+    // (TableInfoCollector.cs:391-414, the fixture table in
+    // tests/sql/setup-reference-sample-test-table.sql:20-57). Here
+    // DECIMAL(18,2), DATE and BINARY columns are derived from lineitem,
+    // written through a REAL parquet sink, read back, and emitted as
+    // engine-neutral renderings (fixed-scale decimal string, ISO date
+    // string, lowercase hex digest) that the oracle computes directly
+    // from the source — sink invisibility across the type surface is
+    // the contract. The r8 ts-representation regression is exactly the
+    // failure class this key now pins.
+    // ------------------------------------------------------------------
+    QueryDef("scan_type_fidelity",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS VARCHAR)
+        |         AS price_str,
+        |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
+        |       md5(CAST(l_orderkey * 31 + l_linenumber AS VARCHAR)) AS blob_md5,
+        |       16 AS blob_bytes
+        |FROM lineitem WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val typed = Scans.table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 997 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("price_dec"),
+          to_date(col("l_shipdate")).as("ship_date"),
+          unhex(md5((col("l_orderkey") * 31 + col("l_linenumber"))
+            .cast("string"))).as("blob"))
+      val out = tmp(s"typed_${PersistedState.corpusKey(dir)}")
+      typed.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("price_dec").cast("string").as("price_str"),
+          col("ship_date").cast("string").as("ship_date_str"),
+          lower(hex(col("blob"))).as("blob_md5"),
+          length(col("blob")).cast("long").as("blob_bytes"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     QueryDef("udt_binary_passthrough",
       """SELECT doc_id, md5(text) AS bin_md5, length(text) AS bin_bytes,
         |       TRUE AS roundtrip_ok
