@@ -669,7 +669,14 @@ object EventQueries {
     // final state is the per-user max — one small aggregation over the
     // change stream (≈ one row per user, never the event history).
     // ------------------------------------------------------------------
-    QueryDef("events_cdc_stream_equiv", cdcMergeOracle) { (s, dir) =>
+    QueryDef("events_cdc_stream_equiv", cdcMergeOracle) { (s0, dir) =>
+      // per-user keyed state never warrants 32 state-store instances a
+      // micro-batch: an 8-partition child session caps the replay's
+      // state/checkpoint IO without touching the caller's conf (same
+      // economics as the join/session replays; measured on the other
+      // replays, the store count is the dominant replay cost)
+      val s: SparkSession = { val c = s0.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", 8); c }
       import s.implicits._
       import graft.streaming.EventStreams
       val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_restart")
@@ -728,7 +735,10 @@ object EventQueries {
     // checkpoint behavior of this exact sink/state pairing is pinned
     // in StreamingSpec.
     // ------------------------------------------------------------------
-    QueryDef("events_cdc_stream_files", cdcMergeOracle) { (s, dir) =>
+    QueryDef("events_cdc_stream_files", cdcMergeOracle) { (s0, dir) =>
+      // same 8-partition child-session cap as events_cdc_stream_equiv
+      val s: SparkSession = { val c = s0.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", 8); c }
       import s.implicits._
       import graft.streaming.EventStreams
       val streamDir = stageEventsDir(dir)
@@ -844,7 +854,11 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start,
         |       CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin) { (s, dir) =>
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin) { (s0, dir) =>
+      // (window, bucket) keyed state is a few hundred cells — the same
+      // 8-partition child-session cap as the other stateful replays
+      val s: SparkSession = { val c = s0.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", 8); c }
       import s.implicits._
       import graft.streaming.EventStreams
       val streamDir = java.nio.file.Files.createTempDirectory("graft_hist_stream")
@@ -939,7 +953,10 @@ object EventQueries {
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       CAST(sum(epoch_ms(ts) // 1000) AS BIGINT) AS sum_s
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s0, dir) =>
+      // same 8-partition child-session cap as the other keyed replays
+      val s: SparkSession = { val c = s0.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", 8); c }
       import graft.streaming.EventStreams
       val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
       try {
