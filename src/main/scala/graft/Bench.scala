@@ -10,7 +10,8 @@ object Bench {
     "bulk_insert_partitioned", "pipeline_full_copy", "join_broadcast_dim",
     "join_shuffle_fact", "bucketed_join_colocated", "dedup_minhash_lsh",
     "dedup_simhash", "sim_brute_force_topk", "events_sessionize",
-    "text_token_count")
+    "text_token_count", "join_bloom_prefilter", "pipeline_zorder_layout",
+    "text_entropy_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
