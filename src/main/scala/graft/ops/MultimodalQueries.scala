@@ -472,5 +472,59 @@ object MultimodalQueries {
           sum(when(col("admitted"), col("cap_len")).otherwise(0L)).cast("long")
             .as("cap_len_sum"))
         .orderBy(col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // multimodal_shard_manifest — WebDataset-style shard packing: the
+    // training loader reads size-bounded sequential shards, so the
+    // assembly step assigns each media record to a shard by GREEDY
+    // byte-budget within its source (shard = exclusive-prefix-bytes div
+    // target — an item that crosses the boundary stays whole in its
+    // shard) and publishes the shard manifest: item count, byte total,
+    // id range, and an order-independent 28-bit-md5 membership checksum
+    // (rowhash_check's fold) a loader can re-verify after download.
+    // Scale: the prefix-sum window partitions on SOURCE — the natural
+    // ingest unit, never a global sort — and carries (ids + ints) only;
+    // the blobs themselves are never shuffled (a production writer
+    // sub-splits a jumbo source by hash prefix first). Manifest is
+    // shard-count-sized.
+    // ------------------------------------------------------------------
+    QueryDef("multimodal_shard_manifest",
+      """WITH b AS (
+        |  SELECT doc_id, source, octet_length(text::BLOB) AS n_bytes
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, n_bytes,
+        |         CAST(coalesce(sum(n_bytes) OVER (
+        |                PARTITION BY source ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              // 2048 AS BIGINT) AS shard_id
+        |  FROM b)
+        |SELECT source, shard_id, count(*) AS n_items,
+        |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |       CAST(sum(CAST(concat('0x',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT))
+        |         AS BIGINT) AS id_hash
+        |FROM sh GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("cum_excl", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+        .withColumn("shard_id", expr("cum_excl div 2048"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).cast("long").as("shard_bytes"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          sum(expr(
+            "cast(conv(substring(md5(cast(doc_id AS string)), 1, 7), 16, 10) AS bigint)"))
+            .cast("long").as("id_hash"))
+        .orderBy(col("source"), col("shard_id"))
     })
 }

@@ -176,6 +176,75 @@ object SimilarityQueries {
        |               unnest([r // $snmHalfWindow, r // $snmHalfWindow - 1]) AS block
        |        FROM rk)""".stripMargin
 
+  /** Shared CTE chain deriving the sorted-neighborhood candidate PAIRS
+    * over the IVF cells — the common front half of `sim_knn_graph` and
+    * `graph_pagerank` (whose edge list IS the knn graph). Ends at
+    * `pairs(src_id, nbr_id, cos_sim)`.
+    */
+  private def knnPairsCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id BETWEEN 1 AND 16),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell, cs FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           round(list_cosine_similarity(e.v, c.cv), 6) AS cs,
+       |           row_number() OVER (
+       |             PARTITION BY e.vec_id
+       |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+       |                      c.cid) AS rn
+       |    FROM e CROSS JOIN cents c) a
+       |  WHERE rn = 1),
+       |av AS (SELECT a.vec_id, a.cell, a.cs, e.v FROM assign a
+       |       JOIN e ON e.vec_id = a.vec_id),
+       |$snmBlocksCteSql,
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id,
+       |         round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+       |  FROM blk x JOIN blk y
+       |    ON x.cell = y.cell AND x.block = y.block
+       |   AND x.vec_id <> y.vec_id)""".stripMargin
+
+  /** One damped power-iteration round of `graph_pagerank`'s oracle:
+    * `cur` from `prev` over the shared `edges`/`deg`/`n` CTEs.
+    */
+  private def pagerankIterCte(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT e.vec_id,
+       |         round(0.15 / n.nn + 0.85 * coalesce(f.inflow, 0), 9) AS pr
+       |  FROM e CROSS JOIN n
+       |  LEFT JOIN (
+       |    SELECT ed.nbr_id, sum(p.pr / d.outdeg) AS inflow
+       |    FROM edges ed
+       |    JOIN deg d ON d.src_id = ed.src_id
+       |    JOIN $prev p ON p.vec_id = ed.src_id
+       |    GROUP BY ed.nbr_id) f ON f.nbr_id = e.vec_id)""".stripMargin
+
+  /** The Spark twin: full ranked edge list (src_id, rank, nbr_id,
+    * cos_sim), rank ≤ `k` — candidate pairs from the sorted-neighborhood
+    * (cell, block) equi-join, so per-cell pair count is ≤ 2·c·H.
+    */
+  private def knnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Scans.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val blocks = snmBlocks(ivfAssign(s, emb)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("cell_cs")))
+    val pairs = blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.cell") === col("y.cell") && col("x.block") === col("y.block") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"),
+        round(cosineFast(s)(col("x.embedding"), col("y.embedding")), 4)
+          .as("cos_sim"))
+      // a pair adjacent enough to share BOTH overlapping blocks arrives
+      // twice — candidate-proportional distinct before ranking
+      .distinct()
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** The nprobe=4 cells nearest the query vector: (probe). */
   private def ivfProbes(s: SparkSession, emb: DataFrame): DataFrame = {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -455,55 +524,108 @@ object SimilarityQueries {
     // (src, rank) → neighbor binding is hash-pinned.
     // ------------------------------------------------------------------
     QueryDef("sim_knn_graph",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
-        |          WHERE vec_id BETWEEN 1 AND 16),
-        |assign AS (
-        |  SELECT vec_id, cid AS cell, cs FROM (
-        |    SELECT e.vec_id, c.cid,
-        |           round(list_cosine_similarity(e.v, c.cv), 6) AS cs,
-        |           row_number() OVER (
-        |             PARTITION BY e.vec_id
-        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
-        |                      c.cid) AS rn
-        |    FROM e CROSS JOIN cents c) a
-        |  WHERE rn = 1),
-        |av AS (SELECT a.vec_id, a.cell, a.cs, e.v FROM assign a
-        |       JOIN e ON e.vec_id = a.vec_id),
-        |$snmBlocksCteSql,
-        |pairs AS (
-        |  SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id,
-        |         round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
-        |  FROM blk x JOIN blk y
-        |    ON x.cell = y.cell AND x.block = y.block
-        |   AND x.vec_id <> y.vec_id)
+      s"""WITH $knnPairsCtes
         |SELECT src_id, rank, nbr_id, cos_sim FROM (
         |  SELECT src_id, nbr_id, cos_sim,
         |         row_number() OVER (PARTITION BY src_id
         |                            ORDER BY cos_sim DESC, nbr_id) AS rank
         |  FROM pairs) r
         |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = Scans.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val blocks = snmBlocks(ivfAssign(s, emb)
-        .select(col("cell"), col("vec_id"), col("embedding"), col("cell_cs")))
-      val pairs = blocks.as("x")
-        .join(blocks.as("y"),
-          col("x.cell") === col("y.cell") && col("x.block") === col("y.block") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"),
-          round(cosineFast(s)(col("x.embedding"), col("y.embedding")), 4)
-            .as("cos_sim"))
-        // a pair adjacent enough to share BOTH overlapping blocks arrives
-        // twice — candidate-proportional distinct before ranking
-        .distinct()
-      val w = Window.partitionBy(col("src_id"))
-        .orderBy(col("cos_sim").desc, col("nbr_id"))
-      pairs.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      knnEdges(s, dir, 3)
         .select(col("src_id"), col("rank"), col("nbr_id"), col("cos_sim"))
         .orderBy(col("src_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // graph_pagerank — rank propagation over the k-NN graph: the
+    // link-analysis quality signal corpus curation pipelines feed on
+    // (host/document rank as a training-data quality prior). Three
+    // power-iteration rounds of the standard damped update
+    //   pr' = 0.15/N + 0.85 · Σ_incoming pr(u)/outdeg(u)
+    // over the sim_knn_graph edge list (shared CTE front half; dangling
+    // mass is dropped, not redistributed — the declared variant, so the
+    // algebra is one join + one grouped sum per round on BOTH engines).
+    // Each round's value is rounded at 9 dp so engine summation order
+    // cannot drift the fixpoint; the published rank rounds at 6.
+    // Scale: edges are knn-bounded (≤ 3·n rows), the per-round shuffle
+    // keys on nbr_id (edge-proportional), the rank table stays
+    // vector-count-sized, and the edge derivation is materialized ONCE
+    // (localCheckpoint) instead of re-deriving per round. At 100 TB the
+    // iteration cost is the edge list, never the corpus.
+    // ------------------------------------------------------------------
+    QueryDef("graph_pagerank",
+      s"""WITH $knnPairsCtes,
+        |edges AS (
+        |  SELECT src_id, nbr_id FROM (
+        |    SELECT src_id, nbr_id,
+        |           row_number() OVER (PARTITION BY src_id
+        |                              ORDER BY cos_sim DESC, nbr_id) AS rank
+        |    FROM pairs) r
+        |  WHERE rank <= 3),
+        |deg AS (SELECT src_id, count(*) AS outdeg FROM edges GROUP BY src_id),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM e),
+        |p0 AS (SELECT e.vec_id, round(1.0 / n.nn, 9) AS pr FROM e CROSS JOIN n),
+        |${pagerankIterCte("p0", "p1")},
+        |${pagerankIterCte("p1", "p2")},
+        |${pagerankIterCte("p2", "p3")}
+        |SELECT vec_id, round(pr, 6) AS pagerank FROM p3
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val edges = knnEdges(s, dir, 3).select(col("src_id"), col("nbr_id"))
+      val deg = edges.groupBy(col("src_id")).agg(count(lit(1)).as("outdeg"))
+      // materialize the edge+degree list once — the iterations replay
+      // this subtree 3× otherwise (it holds the pair join)
+      val edgesDeg = edges.join(deg, Seq("src_id")).localCheckpoint(true)
+      val nodes = Scans.table(s, dir, "embeddings").select(col("vec_id"))
+      val nAgg = nodes.agg(count(lit(1)).cast("double").as("nn"))
+      val base = nodes.crossJoin(broadcast(nAgg))
+      var pr = base.select(col("vec_id"), col("nn"),
+        round(lit(1.0) / col("nn"), 9).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edgesDeg
+          .join(pr.select(col("vec_id").as("src_id"), col("pr").as("src_pr")),
+            Seq("src_id"))
+          .groupBy(col("nbr_id"))
+          .agg(sum(col("src_pr") / col("outdeg")).as("inflow"))
+        pr = base.join(contrib, base("vec_id") === contrib("nbr_id"), "left")
+          .select(base("vec_id"), base("nn"),
+            round(lit(0.15) / col("nn") +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"))
+      }
+      pr.select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_range_search — RADIUS retrieval: every corpus vector within a
+    // cosine threshold of each query (the "all sufficiently similar"
+    // form — near-dup candidate pull, recall-oriented retrieval — as
+    // opposed to the fixed-k form). Brute-force contract: the 5-vector
+    // query batch collapses to one broadcast row set, each corpus row
+    // scores row-locally, and the admission is on the 4-dp-ROUNDED
+    // score — the same value published — so the boundary is bit-stable
+    // across engines. No corpus shuffle; the deliberate 2× (score in
+    // gate + projection after predicate inlining) is the documented cost
+    // of the brute-force baseline — the LSH/IVF keys are the scale path.
+    // ------------------------------------------------------------------
+    QueryDef("sim_range_search",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5)
+        |SELECT q.q_id, c.vec_id,
+        |       round(list_cosine_similarity(c.v, q.qv), 4) AS cos_sim
+        |FROM c CROSS JOIN q
+        |WHERE round(list_cosine_similarity(c.v, q.qv), 4) >= 0.25
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      emb.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+        .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
     },
 
     // ------------------------------------------------------------------

@@ -1684,5 +1684,62 @@ object TextQueries {
             lit(ssnRx), lit("[SSN]")),
             lit(phoneRx), lit("[PHONE]")).as("scrubbed"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_curriculum_order — length-curriculum batch schedule: the
+    // trainer consumes short documents first (the standard
+    // easy-to-hard curriculum signal when no loss model exists yet), so
+    // the assembly step bands each source's docs into length quartiles
+    // (ntile(4) over (n_chars, doc_id) — a total order, so band edges
+    // are deterministic on both engines) and packs each band into
+    // fixed-8-doc batches in doc order. The published schedule is the
+    // batch manifest — (source, band, batch) → count, char volume, id
+    // range, membership checksum — which IS the curriculum: trainers
+    // read batches in (band, batch_id) order. Scale: both windows
+    // partition on source(+band) and carry only ids and ints — the text
+    // never shuffles; the manifest is batch-count-sized. ntile needs
+    // its partition sorted once — the same per-source sort the pack
+    // step needs anyway; nothing is global.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_curriculum_order",
+      """WITH banded AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ntile(4) OVER (PARTITION BY source
+        |                        ORDER BY n_chars, doc_id) AS band
+        |  FROM documents),
+        |batched AS (
+        |  SELECT doc_id, source, n_chars, band,
+        |         CAST((row_number() OVER (PARTITION BY source, band
+        |                                  ORDER BY doc_id) - 1) // 8
+        |              AS BIGINT) AS batch_id
+        |  FROM banded)
+        |SELECT source, band, batch_id, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |       CAST(sum(CAST(concat('0x',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT))
+        |         AS BIGINT) AS id_hash
+        |FROM batched GROUP BY source, band, batch_id
+        |ORDER BY source, band, batch_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wBand = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wBatch = Window.partitionBy(col("source"), col("band"))
+        .orderBy(col("doc_id"))
+      Scans.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("band", ntile(4).over(wBand).cast("long"))
+        .withColumn("batch_id",
+          ((row_number().over(wBatch) - 1).cast("long") / lit(8L)).cast("long"))
+        .groupBy(col("source"), col("band"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          sum(expr(
+            "cast(conv(substring(md5(cast(doc_id AS string)), 1, 7), 16, 10) AS bigint)"))
+            .cast("long").as("id_hash"))
+        .orderBy(col("source"), col("band"), col("batch_id"))
     })
 }

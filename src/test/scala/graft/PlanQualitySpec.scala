@@ -585,4 +585,50 @@ class PlanQualitySpec extends SparkSpecBase {
         s"embeddings exchanged on a non-cell key:\n$b")
     }
   }
+
+  test("graph_pagerank iterates over the materialized edge list, never re-deriving it") {
+    val p = plan("graph_pagerank")
+    // the pair join is materialized ONCE (localCheckpoint → ExistingRDD);
+    // each of the 3 rounds scans that RDD instead of replaying the
+    // block-join subtree — so the plan has checkpoint scans, and NO
+    // within-cell pair join at all
+    assert(p.contains("ExistingRDD"), s"edge list not checkpointed:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // per-round inflow aggregation keeps map-side combine
+    assert(p.contains("partial_sum"), "inflow aggregation lost map-side combine")
+  }
+
+  test("sim_range_search broadcasts the query batch; corpus never shuffles") {
+    val p = plan("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n${p.take(2000)}")
+    // only the presentation sort may exchange — never a hash shuffle of
+    // corpus rows
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled:\n${p.take(2000)}")
+  }
+
+  test("multimodal_shard_manifest: one source-keyed exchange feeds window AND rollup") {
+    // hashpartitioning(source) satisfies the (source, shard_id) group-by's
+    // clustered distribution, so the packing window's shuffle is the ONLY
+    // hash exchange — and it carries ids and byte counts, never the blob
+    val qe = SparkEntry.queries("multimodal_shard_manifest")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected exactly 1 hash exchange:\n${hashEx.mkString("\n")}")
+    assert(hashEx.head.contains("source"), hashEx.head)
+    assert(!hashEx.head.contains("text#"), s"blob bytes shuffled: ${hashEx.head}")
+  }
+
+  test("pipeline_curriculum_order shuffles ids only, never text") {
+    val qe = SparkEntry.queries("pipeline_curriculum_order")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { ex =>
+      assert(!ex.contains("text#"), s"text shuffled: $ex")
+    }
+    // the scan itself must not read the text column at all — the
+    // curriculum signal is the n_chars column
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"text read unnecessarily: $readSchema")
+  }
 }

@@ -334,4 +334,92 @@ class QueriesSpec extends SparkSpecBase {
       finally walk.close()
     }
   }
+
+  test("graph_pagerank: teleport floor, sub-unit mass, inflow differentiates") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
+    val n = Scans.table(spark, sfDir, "embeddings").count()
+    assert(rows.length == n, "every vector gets a rank")
+    val floor = 0.15 / n - 1e-6
+    val prs = rows.map(_.getAs[Double]("pagerank"))
+    prs.foreach(pr => assert(pr >= floor, s"rank below the teleport floor: $pr"))
+    // dangling mass is dropped (declared variant), so total mass < 1
+    assert(prs.sum <= 1.0 + 1e-6, s"mass exceeds 1: ${prs.sum}")
+    // the graph must actually differentiate: some node accumulates inflow
+    assert(prs.max > 0.15 / n + 1e-9, "no node received any inflow")
+  }
+
+  test("sim_range_search returns exactly the rounded tau-ball") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("sim_range_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.25))
+    // cross-check the admission count against an independent in-spec
+    // brute force over the collected vectors
+    val vecs = Scans.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    // iterate Seq views: a for-comprehension over the Map itself would
+    // yield a Map keyed by q and keep only one pair per query
+    val expected = (for {
+      (q, qv) <- vecs.toSeq if q < 5
+      (c, cv) <- vecs.toSeq if c >= 5
+      s = BigDecimal(cos(cv, qv)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      if s >= BigDecimal("0.25")
+    } yield (q, c)).toSet
+    assert(rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      == expected)
+  }
+
+  test("multimodal_shard_manifest shards partition each source contiguously") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("multimodal_shard_manifest")(spark, sfDir).collect()
+    val docs = Scans.table(spark, sfDir, "documents")
+      .select(col("source"), length(col("text").cast("binary")).cast("long").as("b"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"), sum(col("b")).as("bytes"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("bytes"))).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, shards) =>
+      val ids = shards.map(_.getAs[Long]("shard_id")).sorted.toSeq
+      assert(ids.head == 0L, s"$src shards must start at 0")
+      // greedy byte-budget packing may SKIP ids only when one item
+      // overflows multiple budget units; with ~500-byte items and a
+      // 2048-byte target the ids are contiguous on this corpus
+      assert(ids == (0L until ids.length).toSeq, s"$src shard ids not contiguous: $ids")
+      assert(shards.map(_.getAs[Long]("n_items")).sum == docs(src)._1)
+      assert(shards.map(_.getAs[Long]("shard_bytes")).sum == docs(src)._2)
+      shards.foreach(sh => assert(sh.getAs[Long]("min_doc_id") <= sh.getAs[Long]("max_doc_id")))
+    }
+    assert(rows.map(_.getAs[Long]("n_items")).sum ==
+      docs.values.map(_._1).sum)
+  }
+
+  test("pipeline_curriculum_order: quartile bands, 8-doc batches, full coverage") {
+    import graft.exec.Scans
+    val rows = SparkEntry.queries("pipeline_curriculum_order")(spark, sfDir).collect()
+    val nDocs = Scans.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= 8L))
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("band")))
+      .foreach { case ((src, band), batches) =>
+        assert(band >= 1L && band <= 4L)
+        val bids = batches.map(_.getAs[Long]("batch_id")).sorted.toSeq
+        assert(bids == (0L until bids.length).toSeq,
+          s"$src band $band batch ids not contiguous: $bids")
+      }
+    // ntile balance: within a source, band sizes differ by at most 1
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_.getAs[Long]("band"))
+        .map(_._2.map(_.getAs[Long]("n_docs")).sum)
+      assert(sizes.max - sizes.min <= 1, s"$src unbalanced bands: $sizes")
+    }
+  }
 }
