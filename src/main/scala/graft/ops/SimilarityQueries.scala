@@ -1478,7 +1478,16 @@ object SimilarityQueries {
       .agg(round(avg(col("col").cast("double")), 6).as("m"),
         count(lit(1)).as("n_members"),
         sum(col("vec_id")).cast("long").as("sum_vec_ids"),
-        round(sum(lit(1.0) - col("cs")), 4).as("inertia"))
+        // inertia = Σ(1−cs) over 6-dp-rounded cs values: every summand
+        // sits on the 1e-6 decimal grid, so the exact sum does too — and
+        // lands EXACTLY on a 4-dp half boundary (…·50e-6) about 1% of
+        // the time, where float summation ORDER (e.g. DuckDB's thread
+        // schedule) decides the rounding side. Summing exact 1e-6-grid
+        // integers makes the value order-independent; both engines then
+        // round the identical double identically.
+        round((count(lit(1)) * lit(1000000L) -
+          sum(round(col("cs") * lit(1000000.0), 0).cast("long")))
+          .cast("double") / lit(1000000.0), 4).as("inertia"))
     fin.groupBy(col("cell"))
       .agg(max(col("n_members")).as("n_members"),
         max(col("sum_vec_ids")).as("sum_vec_ids"),
@@ -1518,7 +1527,9 @@ object SimilarityQueries {
       |SELECT s.cell, s.n_members, s.sum_vec_ids, c.centroid_norm, c.dim0, s.inertia
       |FROM (SELECT cell, count(*) AS n_members,
       |             CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
-      |             round(sum(1 - cs), 4) AS inertia
+      |             round((count(*) * 1000000 -
+      |                    sum(CAST(round(cs * 1000000) AS BIGINT)))
+      |                   / 1000000.0, 4) AS inertia
       |      FROM a$rounds GROUP BY cell) s
       |JOIN (SELECT cell, round(sqrt(sum(m * m)), 4) AS centroid_norm,
       |             round(min(CASE WHEN dim = 0 THEN m END), 6) AS dim0
