@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.exec.Scans
@@ -1167,5 +1167,112 @@ object EventQueries {
           coalesce(sum(col("next_ms") - col("ms")), lit(0L)).cast("long")
             .as("sum_ms"))
         .orderBy(col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_markov_transitions — the first-order behavior model: per
+    // event-type transition counts and row-normalized probabilities
+    // from each user's time-ordered event sequence (lag over a
+    // user-keyed window — ONE shuffle on user_id, the sequence never
+    // leaves its partition). The transition matrix itself is
+    // type-domain² rows, so the probability normalization window runs
+    // over a frame that stays tiny at any corpus size. p is an exact
+    // integer ratio (count/count) — both engines divide the same longs.
+    // ------------------------------------------------------------------
+    QueryDef("events_markov_transitions",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |       count(*) AS n_transitions,
+        |       round(count(*) * 1.0 /
+        |             sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val counts = Scans.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      counts
+        .withColumn("p", round(col("n_transitions") * lit(1.0) /
+          sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))), 6))
+        .select(col("prev_type"), col("event_type").as("next_type"),
+          col("n_transitions"), col("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_rfm_segmentation — recency/frequency/monetary user
+    // segmentation: per-user metrics in one rollup, quartile boundaries
+    // from ONE exact-percentile aggregation (a 1-row frame that
+    // broadcasts), then row-local quartile scoring — never an ntile
+    // window over the whole user population (a global-ORDER window is
+    // the non-scalable form; boundary-compare against a broadcast
+    // 3-number array keeps segmentation embarrassingly parallel at any
+    // user count). Cross-engine determinism: per-user monetary rounds
+    // to the 2-dp grid BEFORE the percentile, both engines interpolate
+    // the same (n−1)·p linear formula over identical multisets with
+    // exact-binary fractions (.25/.5/.75), so the boundaries are
+    // bit-identical; quartile index 1..4 per dimension (recency scored
+    // on days-since-last-event — LOWER is more recent and scores 1).
+    // ------------------------------------------------------------------
+    QueryDef("events_rfm_segmentation",
+      """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS max_d FROM events),
+        |u AS (SELECT user_id,
+        |             date_diff('day', CAST(max(ts) AS DATE),
+        |                       (SELECT max_d FROM mx)) AS rec,
+        |             count(*) AS freq,
+        |             round(sum(value), 2) AS mon
+        |      FROM events GROUP BY user_id),
+        |q AS (SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS qr,
+        |             quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+        |             quantile_cont(mon, [0.25, 0.5, 0.75]) AS qm
+        |      FROM u),
+        |sc AS (SELECT user_id, freq, mon,
+        |              CASE WHEN rec <= qr[1] THEN 1 WHEN rec <= qr[2] THEN 2
+        |                   WHEN rec <= qr[3] THEN 3 ELSE 4 END AS r_q,
+        |              CASE WHEN freq <= qf[1] THEN 1 WHEN freq <= qf[2] THEN 2
+        |                   WHEN freq <= qf[3] THEN 3 ELSE 4 END AS f_q,
+        |              CASE WHEN mon <= qm[1] THEN 1 WHEN mon <= qm[2] THEN 2
+        |                   WHEN mon <= qm[3] THEN 3 ELSE 4 END AS m_q
+        |       FROM u, q)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |       CAST(sum(freq) AS BIGINT) AS sum_freq,
+        |       round(sum(mon), 2) AS sum_monetary
+        |FROM sc GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin) { (s, dir) =>
+      val ev = Scans.table(s, dir, "events")
+      val maxD = ev.agg(to_date(max(col("ts"))).as("max_d"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(to_date(max(col("ts"))).as("u_d"), count(lit(1)).as("freq"),
+          round(sum(col("value")), 2).as("mon"))
+        .crossJoin(broadcast(maxD))
+        .select(col("user_id"), datediff(col("max_d"), col("u_d")).as("rec"),
+          col("freq"), col("mon"))
+      val q = users.agg(
+        expr("percentile(rec, array(0.25D, 0.5D, 0.75D))").as("qr"),
+        expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("qf"),
+        expr("percentile(mon, array(0.25D, 0.5D, 0.75D))").as("qm"))
+      def quart(v: Column, qs: Column): Column =
+        when(v <= qs.getItem(0), 1).when(v <= qs.getItem(1), 2)
+          .when(v <= qs.getItem(2), 3).otherwise(4)
+      users.crossJoin(broadcast(q))
+        .select(col("freq"), col("mon"),
+          quart(col("rec"), col("qr")).as("r_q"),
+          quart(col("freq"), col("qf")).as("f_q"),
+          quart(col("mon"), col("qm")).as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("freq")).cast("long").as("sum_freq"),
+          round(sum(col("mon")), 2).as("sum_monetary"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
     })
 }

@@ -220,16 +220,18 @@ object SimilarityQueries {
        |    JOIN $prev p ON p.vec_id = ed.src_id
        |    GROUP BY ed.nbr_id) f ON f.nbr_id = e.vec_id)""".stripMargin
 
-  /** The Spark twin: full ranked edge list (src_id, rank, nbr_id,
-    * cos_sim), rank ≤ `k` — candidate pairs from the sorted-neighborhood
-    * (cell, block) equi-join, so per-cell pair count is ≤ 2·c·H.
+  /** Scored candidate pairs (src_id, nbr_id, cos_sim), BOTH orientations,
+    * from the sorted-neighborhood (cell, block) equi-join — the Spark
+    * twin of the oracle's `pairs` CTE and the shared front half of every
+    * graph key: per-cell pair count is ≤ 2·c·H, with the block id in the
+    * join key (never the O(c²) cell cross product).
     */
-  private def knnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val emb = Scans.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val blocks = snmBlocks(ivfAssign(s, emb)
       .select(col("cell"), col("vec_id"), col("embedding"), col("cell_cs")))
-    val pairs = blocks.as("x")
+    blocks.as("x")
       .join(blocks.as("y"),
         col("x.cell") === col("y.cell") && col("x.block") === col("y.block") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -239,9 +241,14 @@ object SimilarityQueries {
       // a pair adjacent enough to share BOTH overlapping blocks arrives
       // twice — candidate-proportional distinct before ranking
       .distinct()
+  }
+
+  /** The ranked k-NN edge list (src_id, rank, nbr_id, cos_sim), rank ≤ `k`,
+    * over [[candidatePairs]]. */
+  private def knnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id"))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
+    candidatePairs(s, dir).withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -593,6 +600,129 @@ object SimilarityQueries {
       }
       pr.select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // graph_connected_components — similarity-threshold components over
+    // the candidate-pair graph (edges = SNM candidate pairs with
+    // cos ≥ τ): the cluster-discovery step near-dup pipelines run after
+    // scoring. Spark side is distributed min-label propagation WITH a
+    // pointer-jumping shortcut (label ← label(label) each round), so
+    // convergence is O(log diameter) rounds instead of O(diameter) —
+    // the at-scale form (each round: one edge-keyed join + one grouped
+    // min + one label-keyed self-join; state is one (node, label) row
+    // per node, localCheckpoint()ed to cut lineage). Isolated vectors
+    // are their own component (left join + coalesce, never dropped).
+    // Oracle: recursive-CTE transitive closure — tractable because the
+    // threshold keeps components small. Contrast with
+    // dedup_cluster_collapse: same problem class, there solved by
+    // driver union-find under a declared edge bound; here fully
+    // distributed, no bound needed.
+    // ------------------------------------------------------------------
+    QueryDef("graph_connected_components",
+      s"""WITH RECURSIVE $knnPairsCtes,
+        |edges AS (SELECT src_id AS src, nbr_id AS dst FROM pairs
+        |          WHERE cos_sim >= 0.22),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT e.vec_id,
+        |       CAST(coalesce(least(c.src, c.mn), e.vec_id) AS BIGINT)
+        |         AS component_id
+        |FROM e LEFT JOIN comp c ON c.src = e.vec_id
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val edges = candidatePairs(s, dir).filter(col("cos_sim") >= 0.22)
+        .select(col("src_id").as("src"), col("nbr_id").as("dst"))
+        .localCheckpoint(true)
+      var labels = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id").as("node"))
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val viaEdges = edges
+          .join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        val stepped = labels.unionAll(viaEdges)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        // pointer jump: a label is itself a node id, and `stepped` is
+        // total over nodes, so label(label) always resolves (inner join)
+        val jump = stepped
+          .select(col("node").as("jnode"), col("label").as("jlabel"))
+        val next = stepped.join(jump, stepped("label") === jump("jnode"))
+          .select(col("node"), least(col("label"), col("jlabel")).as("label"))
+          .localCheckpoint(true)
+        changed = next.as("a").join(labels.as("b"), col("a.node") === col("b.node"))
+          .filter(col("a.label") =!= col("b.label")).count()
+        labels = next
+        iter += 1
+      }
+      labels
+        .select(col("node").as("vec_id"), col("label").as("component_id"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // graph_triangle_count — global triangle census of the k-NN graph
+    // (k=3, undirected): edge count, wedge count (Σ d·(d−1)/2),
+    // triangle count and the global clustering coefficient 3·T/W — the
+    // cheapest structural summary of an embedding neighborhood graph
+    // (how clique-ish are the neighborhoods?). The triangle join is the
+    // standard id-ordered enumeration: undirected edges normalized to
+    // a < b once, then e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) counts each triangle
+    // exactly once, every join keyed on node ids. At 100 TB edges stay
+    // knn-bounded (≤ 3·n before symmetrization), so both joins are
+    // edge-proportional shuffles; the output is ONE row.
+    // ------------------------------------------------------------------
+    QueryDef("graph_triangle_count",
+      s"""WITH $knnPairsCtes,
+        |knn AS (
+        |  SELECT src_id, nbr_id FROM (
+        |    SELECT src_id, nbr_id,
+        |           row_number() OVER (PARTITION BY src_id
+        |                              ORDER BY cos_sim DESC, nbr_id) AS rank
+        |    FROM pairs) r
+        |  WHERE rank <= 3),
+        |eu AS (SELECT DISTINCT least(src_id, nbr_id) AS a,
+        |                       greatest(src_id, nbr_id) AS b FROM knn),
+        |deg AS (SELECT node, count(*) AS d
+        |        FROM (SELECT a AS node FROM eu
+        |              UNION ALL SELECT b FROM eu) n GROUP BY node),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM eu),
+        |wd AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+        |       FROM deg),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |      FROM eu e1
+        |      JOIN eu e2 ON e2.a = e1.b
+        |      JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT w.n_edges, wd.n_wedges, t.n_triangles,
+        |       round(CASE WHEN wd.n_wedges = 0 THEN 0.0
+        |                  ELSE 3.0 * t.n_triangles / wd.n_wedges END, 6)
+        |         AS clustering_coeff
+        |FROM w, wd, t""".stripMargin) { (s, dir) =>
+      val eu = knnEdges(s, dir, 3)
+        .select(least(col("src_id"), col("nbr_id")).as("a"),
+          greatest(col("src_id"), col("nbr_id")).as("b"))
+        .distinct()
+        .localCheckpoint(true) // referenced 4× below (3-way join + degrees)
+      val nEdges = eu.agg(count(lit(1)).as("n_edges"))
+      val nWedges = eu.select(col("a").as("node"))
+        .unionAll(eu.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+      val nTri = eu.as("e1")
+        .join(eu.as("e2"), col("e2.a") === col("e1.b"))
+        .join(eu.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
+            .as("clustering_coeff"))
     },
 
     // ------------------------------------------------------------------

@@ -1741,5 +1741,86 @@ object TextQueries {
             "cast(conv(substring(md5(cast(doc_id AS string)), 1, 7), 16, 10) AS bigint)"))
             .cast("long").as("id_hash"))
         .orderBy(col("source"), col("band"), col("batch_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_kfold_split — k-fold cross-validation assignment (k=5):
+    // fold membership is a pure hash of the document key (md5-fold, a
+    // salt distinct from train_split/stratified_sample so assignments
+    // stay independent), so folds are reproducible across engines and
+    // stable under corpus growth — a new document never moves an old
+    // one between folds. Row-local assignment, zero shuffle beyond the
+    // k-row report; each fold row also reports its complement (the
+    // training set when that fold validates) via one broadcast total.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_kfold_split",
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(concat('0x', substr(md5(concat('fold-',
+        |              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 5 AS fold
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM b)
+        |SELECT fold, count(*) AS n_val_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_val_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_val_ids,
+        |       CAST(tot.n_total - count(*) AS BIGINT) AS n_train_docs
+        |FROM b, tot GROUP BY fold, tot.n_total
+        |ORDER BY fold""".stripMargin) { (s, dir) =>
+      val b = Scans.table(s, dir, "documents")
+        .withColumn("fold",
+          expr("cast(conv(substring(md5(concat('fold-', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) % 5"))
+      val tot = b.agg(count(lit(1)).as("n_total"))
+      b.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_val_docs"),
+          sum(col("n_chars")).cast("long").as("sum_val_chars"),
+          sum(col("doc_id")).cast("long").as("sum_val_ids"))
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_val_docs"), col("sum_val_chars"),
+          col("sum_val_ids"),
+          (col("n_total") - col("n_val_docs")).cast("long").as("n_train_docs"))
+        .orderBy(col("fold"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_zipf_coverage — head-of-vocabulary coverage: the top-50
+    // terms by corpus frequency with each term's cumulative share of
+    // total token mass — the Zipf curve head every tokenizer/vocab
+    // design decision reads (how much of the corpus do N vocab entries
+    // buy?). Shape: one token-keyed count shuffle (map-side partial),
+    // a distributed TakeOrdered for the top slice, and the cumulative
+    // window runs AFTER the limit — over 50 rows, never the vocabulary.
+    // The term-frequency rollup is computed once (localCheckpoint) and
+    // feeds both the top slice and the total-mass row; shares are exact
+    // integer ratios so the 6-dp round is engine-stable.
+    // ------------------------------------------------------------------
+    QueryDef("text_zipf_coverage",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
+         |tf AS (SELECT t.t AS term, count(*) AS freq
+         |       FROM toks, unnest(tk) AS t(t) GROUP BY term),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+         |top AS (SELECT term, freq, rank FROM (
+         |  SELECT term, freq,
+         |         row_number() OVER (ORDER BY freq DESC, term) AS rank
+         |  FROM tf) r WHERE rank <= 50)
+         |SELECT rank, term, freq,
+         |       round(sum(freq) OVER (ORDER BY rank) * 1.0 / tot.total, 6)
+         |         AS cum_share
+         |FROM top, tot ORDER BY rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Scans.table(s, dir, "documents")
+        .select(explode(expr(toksSpark)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true) // feeds the top slice AND the total row
+      val tot = tf.agg(sum(col("freq")).cast("long").as("total"))
+      tf.orderBy(col("freq").desc, col("term")).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("term")))
+            .cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_share",
+          round(sum(col("freq")).over(Window.orderBy(col("rank"))) * lit(1.0)
+            / col("total"), 6))
+        .select(col("rank"), col("term"), col("freq"), col("cum_share"))
+        .orderBy(col("rank"))
     })
 }

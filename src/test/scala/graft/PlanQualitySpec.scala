@@ -631,4 +631,37 @@ class PlanQualitySpec extends SparkSpecBase {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("text"), s"text read unnecessarily: $readSchema")
   }
+
+  test("text_zipf_coverage ranks after a TakeOrdered limit, never the vocabulary") {
+    val p = plan("text_zipf_coverage")
+    // the top slice is a distributed TakeOrdered; the rank/cumulative
+    // windows then see ≤ 50 rows (a global window over the term table
+    // would funnel the whole vocabulary through one task)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    val winAt = p.indexOf("Window")
+    val takeAt = p.indexOf("TakeOrderedAndProject")
+    assert(winAt >= 0 && takeAt > winAt,
+      s"window must consume the TakeOrdered output (win@$winAt take@$takeAt)")
+  }
+
+  test("events_rfm_segmentation scores row-locally: no window, boundaries broadcast") {
+    val p = plan("events_rfm_segmentation")
+    // quartile assignment must be a broadcast-compare, never an ntile
+    // window over the user population
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
+  test("events_markov_transitions sequences per user: the lag window partitions on user_id") {
+    val p = plan("events_markov_transitions")
+    // plan lines carry tree-drawing prefixes — match on content, not start
+    val winLine = p.linesIterator
+      .find(l => l.contains("Window ") && l.contains("lag(")).getOrElse("")
+    assert(winLine.contains("user_id"), s"lag window not user-keyed: $winLine")
+  }
+
+  test("graph_triangle_count joins on node ids: no cartesian pair explosion") {
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

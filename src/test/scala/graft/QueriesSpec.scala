@@ -56,6 +56,19 @@ class QueriesSpec extends SparkSpecBase {
     assert(row.getInt(2) >= 0 && row.getInt(3) < 256)
   }
 
+  test("graph_connected_components labels every node by its component minimum") {
+    val rows = SparkEntry.queries("graph_connected_components")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the label is a min over the component, so it can never exceed the id
+    rows.foreach(r =>
+      assert(r.getAs[Long]("component_id") <= r.getAs[Long]("vec_id")))
+    // and the labeled minimum must itself be a member carrying its own id
+    rows.groupBy(_.getAs[Long]("component_id")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min == cid,
+        s"component $cid's minimum member is not its label")
+    }
+  }
+
   test("dedup_decontaminate partitions train into contaminated + clean") {
     val r = SparkEntry.queries("dedup_decontaminate")(spark, sfDir).collect()(0)
     val (nBench, nTrain) = (r.getAs[Long]("n_benchmark"), r.getAs[Long]("n_train"))
