@@ -1274,5 +1274,51 @@ object EventQueries {
           sum(col("freq")).cast("long").as("sum_freq"),
           round(sum(col("mon")), 2).as("sum_monetary"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_attribution — last-touch conversion attribution: each
+    // purchase is credited to the user's most recent preceding
+    // touchpoint (view/click), the marketing-analytics join every
+    // event warehouse runs. The carry-forward is lag(touch IGNORE
+    // NULLS) over the user's time-ordered sequence — ONE user-keyed
+    // window shuffle, no self-join of conversions against touches
+    // (the naive per-conversion subquery is quadratic per user); the
+    // report is a touch-type-sized rollup with exact integer shares.
+    // Purchases with no preceding touch attribute to 'none' (kept,
+    // not dropped — unattributed volume is the number people argue
+    // about).
+    // ------------------------------------------------------------------
+    QueryDef("events_attribution",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(CASE WHEN event_type IN ('view', 'click')
+        |                  THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS last_touch
+        |  FROM events),
+        |conv AS (SELECT coalesce(last_touch, 'none') AS touch_type
+        |         FROM o WHERE event_type = 'purchase')
+        |SELECT touch_type, count(*) AS n_conversions,
+        |       round(count(*) * 1.0 /
+        |             sum(count(*)) OVER (), 6) AS share
+        |FROM conv GROUP BY touch_type
+        |ORDER BY touch_type""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val conv = Scans.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+          when(col("event_type").isin("view", "click"), col("event_type"))
+            .as("touch"))
+        .withColumn("last_touch", lag(col("touch"), 1, null, true).over(byUser))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"))
+      // share normalizes over the touch-type-sized frame (a handful of
+      // rows at any corpus size), not the event stream
+      conv.withColumn("share",
+          round(col("n_conversions") * lit(1.0) /
+            sum(col("n_conversions")).over(Window.partitionBy()), 6))
+        .orderBy(col("touch_type"))
     })
 }

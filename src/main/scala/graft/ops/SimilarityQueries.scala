@@ -644,19 +644,35 @@ object SimilarityQueries {
       var iter = 0
       while (changed > 0 && iter < 20) {
         val viaEdges = edges
-          .join(labels, edges("src") === labels("node"))
+          .join(labels.select(col("node"), col("label")),
+            edges("src") === col("node"))
           .select(col("dst").as("node"), col("label"))
-        val stepped = labels.unionAll(viaEdges)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        // the previous label rides along as (node, -, prev) rows so
+        // convergence is read off the checkpointed result directly —
+        // no extra comparison join per round
+        val stepped = labels
+          .select(col("node"), col("label"), col("label").as("prev"))
+          .unionAll(viaEdges.select(col("node"), col("label"),
+            lit(Long.MaxValue).as("prev")))
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
         // pointer jump: a label is itself a node id, and `stepped` is
-        // total over nodes, so label(label) always resolves (inner join)
+        // total over nodes, so label(label) always resolves (inner join).
+        // Measured alternatives at sf0.1: TWO jumps per round (log4
+        // convergence) loses — the extra self-join stage costs more than
+        // the rounds it saves; persist()-with-periodic-checkpoints loses
+        // 3× — the growing analyzed plan between cuts (re-analyzed every
+        // round, walked again by the self-join dedup pass) dwarfs the one
+        // materialization job an eager per-round checkpoint pays.
         val jump = stepped
           .select(col("node").as("jnode"), col("label").as("jlabel"))
         val next = stepped.join(jump, stepped("label") === jump("jnode"))
-          .select(col("node"), least(col("label"), col("jlabel")).as("label"))
+          .select(col("node"), least(col("label"), col("jlabel")).as("label"),
+            col("prev"))
           .localCheckpoint(true)
-        changed = next.as("a").join(labels.as("b"), col("a.node") === col("b.node"))
-          .filter(col("a.label") =!= col("b.label")).count()
+        // the convergence read rides the carried prev column — no
+        // comparison join against the previous round
+        changed = next.filter(col("label") =!= col("prev")).count()
         labels = next
         iter += 1
       }
@@ -723,6 +739,121 @@ object SimilarityQueries {
           round(when(col("n_wedges") === 0, lit(0.0))
             .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
             .as("clustering_coeff"))
+    },
+
+    // ------------------------------------------------------------------
+    // graph_label_propagation — semi-supervised label spread: vectors
+    // with vec_id < 100 are labeled seeds; every other vector takes the
+    // majority label among its k-NN targets that are seeds (count desc,
+    // smaller label on ties), or −1 when none of its neighbors is
+    // labeled — one round of the standard kNN label-propagation /
+    // pseudo-labeling step a curation pipeline uses to extend a small
+    // labeled set over a corpus. Shapes: the vote join keys on the
+    // knn-bounded edge list's nbr_id, the vote rollup is (node, label)-
+    // sized, and the majority pick is a window over each node's ≤ k
+    // vote rows. Seeds pass through with their own label (is_seed
+    // flags them).
+    // ------------------------------------------------------------------
+    QueryDef("graph_label_propagation",
+      s"""WITH $knnPairsCtes,
+        |knn AS (
+        |  SELECT src_id, nbr_id FROM (
+        |    SELECT src_id, nbr_id,
+        |           row_number() OVER (PARTITION BY src_id
+        |                              ORDER BY cos_sim DESC, nbr_id) AS rank
+        |    FROM pairs) r
+        |  WHERE rank <= 3),
+        |seeds AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 100),
+        |votes AS (SELECT k.src_id, s.label, count(*) AS c
+        |          FROM knn k JOIN seeds s ON s.vec_id = k.nbr_id
+        |          GROUP BY k.src_id, s.label),
+        |nv AS (SELECT src_id, CAST(sum(c) AS BIGINT) AS n_labeled_nbrs
+        |       FROM votes GROUP BY src_id),
+        |pick AS (SELECT src_id, label FROM (
+        |    SELECT src_id, label,
+        |           row_number() OVER (PARTITION BY src_id
+        |                              ORDER BY c DESC, label) AS rn
+        |    FROM votes) t WHERE rn = 1)
+        |SELECT em.vec_id,
+        |       (em.vec_id < 100) AS is_seed,
+        |       CAST(CASE WHEN em.vec_id < 100 THEN em.label
+        |                 ELSE coalesce(p.label, -1) END AS INT) AS label_out,
+        |       coalesce(nv.n_labeled_nbrs, 0) AS n_labeled_nbrs
+        |FROM embeddings em
+        |LEFT JOIN pick p ON p.src_id = em.vec_id
+        |LEFT JOIN nv ON nv.src_id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val seeds = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("s_id"), col("label").as("s_label"))
+      val votes = knnEdges(s, dir, 3).select(col("src_id"), col("nbr_id"))
+        .join(seeds, col("nbr_id") === col("s_id"))
+        .groupBy(col("src_id"), col("s_label"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds the majority pick AND the vote total
+      // pick and nv both derive from `votes`; rename their keys apart so
+      // the two joins below are unambiguous
+      val nv = votes.groupBy(col("src_id"))
+        .agg(sum(col("c")).cast("long").as("n_labeled_nbrs"))
+        .select(col("src_id").as("nv_id"), col("n_labeled_nbrs"))
+      val pick = votes
+        .withColumn("rn", row_number().over(Window.partitionBy(col("src_id"))
+          .orderBy(col("c").desc, col("s_label"))))
+        .filter(col("rn") === 1)
+        .select(col("src_id").as("p_id"), col("s_label").as("p_label"))
+      emb
+        .join(pick, emb("vec_id") === col("p_id"), "left")
+        .join(nv, emb("vec_id") === col("nv_id"), "left")
+        .select(emb("vec_id"), (emb("vec_id") < 100).as("is_seed"),
+          when(emb("vec_id") < 100, emb("label"))
+            .otherwise(coalesce(col("p_label"), lit(-1))).cast("int")
+            .as("label_out"),
+          coalesce(col("n_labeled_nbrs"), lit(0L)).as("n_labeled_nbrs"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_threshold_eval — the dedup/similarity THRESHOLD tuning curve:
+    // candidate pairs bucketed by cosine (0.05-wide bins) with each
+    // bin's same-label agreement rate — the measurement that picks a
+    // near-dup cutoff (where does label agreement fall off?). Pairs
+    // come from the SNM-bounded candidate set (a < b once), labels
+    // arrive by two vec_id-keyed joins against the tiny (id, label)
+    // projection, and the curve is a bin-count-sized rollup. The bin
+    // id is floor(cos·20) on the 4-dp-rounded score — both engines
+    // compute the identical double, so the bin edge cannot drift.
+    // ------------------------------------------------------------------
+    QueryDef("sim_threshold_eval",
+      s"""WITH $knnPairsCtes,
+        |lp AS (SELECT vec_id, label FROM embeddings),
+        |pl AS (SELECT p.cos_sim, la.label AS l_a, lb.label AS l_b
+        |       FROM pairs p
+        |       JOIN lp la ON la.vec_id = p.src_id
+        |       JOIN lp lb ON lb.vec_id = p.nbr_id
+        |       WHERE p.src_id < p.nbr_id)
+        |SELECT CAST(floor(cos_sim * 20) AS BIGINT) AS bucket,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN l_a = l_b THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_same_label,
+        |       round(sum(CASE WHEN l_a = l_b THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS same_label_rate
+        |FROM pl GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val lp = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      candidatePairs(s, dir)
+        .filter(col("src_id") < col("nbr_id"))
+        .join(lp.select(col("vec_id").as("a_id"), col("label").as("l_a")),
+          col("src_id") === col("a_id"))
+        .join(lp.select(col("vec_id").as("b_id"), col("label").as("l_b")),
+          col("nbr_id") === col("b_id"))
+        .groupBy(floor(col("cos_sim") * 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("l_a") === col("l_b"), 1).otherwise(0)).cast("long")
+            .as("n_same_label"),
+          round(sum(when(col("l_a") === col("l_b"), 1).otherwise(0)) * lit(1.0)
+            / count(lit(1)), 6).as("same_label_rate"))
+        .orderBy(col("bucket"))
     },
 
     // ------------------------------------------------------------------

@@ -1822,5 +1822,75 @@ object TextQueries {
             / col("total"), 6))
         .select(col("rank"), col("term"), col("freq"), col("cum_share"))
         .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_hashing_vectorize — the hashing-trick featurizer: every
+    // token hashes to one of 64 dimensions (md5-derived, engine-
+    // portable), a document's feature vector is the per-dimension
+    // count profile — the classic alternative to a trained vocabulary
+    // (no vocab table to build, ship, or version; collisions are the
+    // declared trade). Published per doc: token count, nnz, L2 norm,
+    // and the argmax dimension. The Spark side is fully ROW-LOCAL —
+    // hash + sort + run-length inside the row via HOFs (the entropy
+    // gate's counting kernel on the dim array), no explode, no
+    // token-grain shuffle; at 100 TB this rides the corpus scan like
+    // the other gates. The oracle states the same vector as grouped
+    // SQL. Integer counts make norm and argmax engine-exact.
+    // ------------------------------------------------------------------
+    QueryDef("text_hashing_vectorize",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksDuck) AS w FROM documents),
+         |dt AS (SELECT doc_id,
+         |              CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) % 64
+         |                AS dim
+         |       FROM tok),
+         |dc AS (SELECT doc_id, dim, count(*) AS c FROM dt GROUP BY doc_id, dim),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |               count(*) AS nnz,
+         |               round(sqrt(sum(c * c)), 4) AS l2_norm
+         |        FROM dc GROUP BY doc_id),
+         |top AS (SELECT doc_id, dim AS top_dim, c AS top_count FROM (
+         |    SELECT doc_id, dim, c,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY c DESC, dim) AS rn
+         |    FROM dc) t WHERE rn = 1)
+         |SELECT a.doc_id, a.n_tokens, a.nnz, a.l2_norm, t.top_dim, t.top_count
+         |FROM agg a JOIN top t ON t.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "documents")
+        // same scan-pushable domain as the entropy gate: a doc hashes to
+        // ≥ 1 dimension iff its text has an alphanumeric character
+        .filter(col("text").rlike("[a-zA-Z0-9]"))
+        .select(col("doc_id"), expr(
+          s"""array_sort(transform($toksSpark,
+             |  t -> cast(conv(substring(md5(t), 1, 7), 16, 10) AS bigint) % 64))"""
+            .stripMargin).as("st"))
+        // run boundaries → per-dim counts + the dim at each run start
+        // (the entropy gate's sort + run-length kernel, reused on the
+        // hashed-dimension array)
+        .select(col("doc_id"), expr("size(st)").cast("long").as("n_tokens"),
+          col("st"),
+          expr("""filter(sequence(1, greatest(size(st), 1)),
+                 |  i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"""
+            .stripMargin).as("b"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("size(b)").cast("long").as("nnz"),
+          expr("""zip_with(b,
+                 |  concat(slice(b, 2, size(b) - 1),
+                 |         array(CAST(n_tokens + 1 AS INT))),
+                 |  (lo, hi) -> hi - lo)""".stripMargin).as("counts"),
+          expr("transform(b, i -> element_at(st, i))").as("dims"))
+        .select(col("doc_id"), col("n_tokens"), col("nnz"),
+          round(sqrt(expr(
+            "aggregate(counts, 0.0D, (acc, c) -> acc + CAST(c AS DOUBLE) * c)")),
+            4).as("l2_norm"),
+          expr("""array_max(zip_with(counts, dims,
+                 |  (c, d) -> struct(c AS c, -d AS negd, d AS dim)))"""
+            .stripMargin).as("top"))
+        .select(col("doc_id"), col("n_tokens"), col("nnz"), col("l2_norm"),
+          col("top.dim").as("top_dim"),
+          col("top.c").cast("long").as("top_count"))
+        .orderBy(col("doc_id"))
     })
 }
