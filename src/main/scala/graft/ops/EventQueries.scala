@@ -1320,5 +1320,107 @@ object EventQueries {
           round(col("n_conversions") * lit(1.0) /
             sum(col("n_conversions")).over(Window.partitionBy()), 6))
         .orderBy(col("touch_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_dau_wau_mau — the engagement dashboard row: daily active
+    // users plus 7-day and 30-day rolling distinct actives per day.
+    // The corpus collapses ONCE to distinct (day, user) rows — the only
+    // data-proportional shuffle; the sliding windows then expand each
+    // user-day against the broadcast day spine (≤ W spine rows per
+    // user-day, the standard exact sliding-distinct expansion) and
+    // count distinct per window day. Exact is affordable because the
+    // user-day table, not the event stream, is the input; at larger
+    // windows/cardinalities the HLL-sketch path (agg_approx_distinct's
+    // machinery) replaces the exact count, merged per day.
+    // ------------------------------------------------------------------
+    QueryDef("events_dau_wau_mau",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |            FROM events),
+        |spine AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+        |wau AS (SELECT s.d, count(DISTINCT u.user_id) AS wau
+        |        FROM spine s JOIN du u
+        |          ON u.d <= s.d AND u.d > s.d - INTERVAL 7 DAY
+        |        GROUP BY s.d),
+        |mau AS (SELECT s.d, count(DISTINCT u.user_id) AS mau
+        |        FROM spine s JOIN du u
+        |          ON u.d <= s.d AND u.d > s.d - INTERVAL 30 DAY
+        |        GROUP BY s.d)
+        |SELECT CAST(s.d AS VARCHAR) AS day, dau.dau, wau.wau, mau.mau
+        |FROM spine s
+        |JOIN dau ON dau.d = s.d
+        |JOIN wau ON wau.d = s.d
+        |JOIN mau ON mau.d = s.d
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val du = Scans.table(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true) // the one corpus rollup feeds all 4 reads
+      val spine = du.select(col("d").as("day_d")).distinct()
+      val dau = du.groupBy(col("d").as("dau_d"))
+        .agg(count(lit(1)).as("dau"))
+      def rolling(w: Int, name: String): DataFrame =
+        du.join(broadcast(spine),
+            col("d") <= col("day_d") && col("d") > date_sub(col("day_d"), w))
+          .groupBy(col("day_d").as(s"${name}_d"))
+          .agg(countDistinct(col("user_id")).as(name))
+      spine
+        .join(dau, col("day_d") === col("dau_d"))
+        .join(rolling(7, "wau"), col("day_d") === col("wau_d"))
+        .join(rolling(30, "mau"), col("day_d") === col("mau_d"))
+        .select(date_format(col("day_d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"), col("mau"))
+        .orderBy(col("day"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_forecast_baseline — the seasonal-naive forecast eval: the
+    // last day's hourly volume per event type predicted from the mean
+    // of prior days at the same hour-of-day, scored with MAE and bias.
+    // Every real forecasting effort starts by beating this baseline,
+    // so the pipeline must produce it. ONE fused (type, day, hour)
+    // rollup feeds train and test via null-skipping conditional
+    // aggregates — no second corpus scan, no train-test self-join; the
+    // eval frame is type×24-sized. Means are exact integer ratios →
+    // engine-identical doubles.
+    // ------------------------------------------------------------------
+    QueryDef("events_forecast_baseline",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dmax AS (SELECT max(CAST(ts AS DATE)) AS dm FROM events),
+        |hx AS (SELECT event_type, CAST(h AS DATE) AS d,
+        |              extract(hour FROM h) AS hod, n
+        |       FROM hourly),
+        |ev AS (SELECT event_type, hod,
+        |              avg(CASE WHEN d < dm THEN n END) AS p,
+        |              max(CASE WHEN d = dm THEN n END) AS tn
+        |       FROM hx, dmax GROUP BY event_type, hod)
+        |SELECT event_type, count(*) AS n_test_hours,
+        |       round(avg(abs(tn - coalesce(p, 0))), 4) AS mae,
+        |       round(avg(tn - coalesce(p, 0)), 4) AS bias
+        |FROM ev WHERE tn IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val hourly = Scans.table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ONE corpus rollup feeds dmax AND the eval
+      // the last day is derivable from the rollup (every event is in some
+      // hour) — no second corpus scan
+      val dmax = hourly.agg(max(to_date(col("h"))).as("dm"))
+      hourly
+        .select(col("event_type"), to_date(col("h")).as("d"),
+          hour(col("h")).as("hod"), col("n"))
+        .crossJoin(broadcast(dmax))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(avg(when(col("d") < col("dm"), col("n"))).as("p"),
+          max(when(col("d") === col("dm"), col("n"))).as("tn"))
+        .filter(col("tn").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test_hours"),
+          round(avg(abs(col("tn") - coalesce(col("p"), lit(0.0)))), 4).as("mae"),
+          round(avg(col("tn") - coalesce(col("p"), lit(0.0))), 4).as("bias"))
+        .orderBy(col("event_type"))
     })
 }

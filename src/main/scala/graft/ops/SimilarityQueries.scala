@@ -742,6 +742,94 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // graph_modularity — partition-quality score of the IVF cells
+    // against the k-NN graph: per cell, Newman modularity contribution
+    // Q_c = e_c/m − (d_c/2m)² (internal-edge share minus the expected
+    // share under the degree-preserving null model) — the measurement
+    // that says whether the ANN partition respects the corpus's
+    // neighborhood structure (a low-modularity layout sends neighbors
+    // to different cells and hurts recall). Everything is integer
+    // counting until the final two divisions: undirected knn edges
+    // labeled by two vec_id-keyed joins, internal edges + degree sums
+    // rolled up per cell — so the published contribution is an
+    // engine-identical double. Output is one row per cell.
+    // ------------------------------------------------------------------
+    QueryDef("graph_modularity",
+      s"""WITH $knnPairsCtes,
+        |knn AS (
+        |  SELECT src_id, nbr_id FROM (
+        |    SELECT src_id, nbr_id,
+        |           row_number() OVER (PARTITION BY src_id
+        |                              ORDER BY cos_sim DESC, nbr_id) AS rank
+        |    FROM pairs) r
+        |  WHERE rank <= 3),
+        |eu AS (SELECT DISTINCT least(src_id, nbr_id) AS a,
+        |                       greatest(src_id, nbr_id) AS b FROM knn),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM eu),
+        |lab AS (SELECT vec_id, cell FROM assign),
+        |el AS (SELECT la.cell AS ca, lb.cell AS cb
+        |       FROM eu
+        |       JOIN lab la ON la.vec_id = eu.a
+        |       JOIN lab lb ON lb.vec_id = eu.b),
+        |internal AS (SELECT ca AS cell, count(*) AS internal_edges
+        |             FROM el WHERE ca = cb GROUP BY ca),
+        |degs AS (SELECT node, count(*) AS dg
+        |         FROM (SELECT a AS node FROM eu
+        |               UNION ALL SELECT b FROM eu) n GROUP BY node),
+        |dc AS (SELECT l.cell, CAST(sum(d.dg) AS BIGINT) AS degree_sum
+        |       FROM degs d JOIN lab l ON l.vec_id = d.node GROUP BY l.cell),
+        |members AS (SELECT cell, count(*) AS n_members FROM lab GROUP BY cell)
+        |SELECT mem.cell, mem.n_members,
+        |       coalesce(i.internal_edges, 0) AS internal_edges,
+        |       coalesce(dc.degree_sum, 0) AS degree_sum,
+        |       round(coalesce(i.internal_edges, 0) * 1.0 / m.mm
+        |             - power(coalesce(dc.degree_sum, 0) * 1.0 / (2 * m.mm), 2),
+        |             6) AS contribution
+        |FROM members mem
+        |CROSS JOIN m
+        |LEFT JOIN internal i ON i.cell = mem.cell
+        |LEFT JOIN dc ON dc.cell = mem.cell
+        |ORDER BY mem.cell""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val lab = ivfAssign(s, emb).select(col("vec_id"), col("cell"))
+        .localCheckpoint(true) // read by the two edge-labeling joins,
+                               // the degree join and the member rollup
+      val eu = knnEdges(s, dir, 3)
+        .select(least(col("src_id"), col("nbr_id")).as("a"),
+          greatest(col("src_id"), col("nbr_id")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val m = eu.agg(count(lit(1)).as("mm"))
+      val el = eu
+        .join(lab.select(col("vec_id").as("a_id"), col("cell").as("ca")),
+          col("a") === col("a_id"))
+        .join(lab.select(col("vec_id").as("b_id"), col("cell").as("cb")),
+          col("b") === col("b_id"))
+      val internal = el.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("i_cell"))
+        .agg(count(lit(1)).as("internal_edges"))
+      val dc = eu.select(col("a").as("node"))
+        .unionAll(eu.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        .join(lab.select(col("vec_id").as("d_id"), col("cell").as("d_cell")),
+          col("node") === col("d_id"))
+        .groupBy(col("d_cell"))
+        .agg(sum(col("dg")).cast("long").as("degree_sum"))
+      lab.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+        .crossJoin(broadcast(m))
+        .join(internal, col("cell") === col("i_cell"), "left")
+        .join(dc, col("cell") === col("d_cell"), "left")
+        .select(col("cell"), col("n_members"),
+          coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+          coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+          round(coalesce(col("internal_edges"), lit(0L)) * lit(1.0) / col("mm")
+            - pow(coalesce(col("degree_sum"), lit(0L)) * lit(1.0)
+              / (lit(2) * col("mm")), 2), 6).as("contribution"))
+        .orderBy(col("cell"))
+    },
+
+    // ------------------------------------------------------------------
     // graph_label_propagation — semi-supervised label spread: vectors
     // with vec_id < 100 are labeled seeds; every other vector takes the
     // majority label among its k-NN targets that are seeds (count desc,

@@ -856,6 +856,67 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // dedup_sketch_calibration — how well does the 8-permutation
+    // MinHash estimate track true Jaccard on the candidate pairs? Per
+    // LSH candidate: the sketch estimate (matching-signature fraction,
+    // an exact k/8 — 8 is a power of two, so the estimate is
+    // bit-exact), the true token-set Jaccard, and the absolute error —
+    // the calibration read that sizes a production signature width
+    // (more permutations ⇄ tighter estimates ⇄ bigger sketch table).
+    // Candidate-proportional cost: two sig-table joins + two token-set
+    // joins, all doc_id-keyed; the cached signature table is shared
+    // with the other LSH keys.
+    // ------------------------------------------------------------------
+    QueryDef("dedup_sketch_calibration",
+      s"""WITH $lshCandDuck,
+         |tsets AS (SELECT doc_id, list_distinct(tk) AS ts FROM toks),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |        (${(0 until 8).map(i =>
+                    s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+                    .mkString(" + ")}) / 8.0 AS est_j
+         |        FROM cand c
+         |        JOIN sigs sa ON sa.doc_id = c.doc_a
+         |        JOIN sigs sb ON sb.doc_id = c.doc_b),
+         |tru AS (SELECT c.doc_a, c.doc_b,
+         |        round(len(list_intersect(ta.ts, tb.ts)) /
+         |              greatest(len(list_distinct(ta.ts || tb.ts)), 1) / 1.0, 6)
+         |          AS true_j
+         |        FROM cand c
+         |        JOIN tsets ta ON ta.doc_id = c.doc_a
+         |        JOIN tsets tb ON tb.doc_id = c.doc_b)
+         |SELECT e.doc_a, e.doc_b,
+         |       round(e.est_j, 6) AS est_jaccard,
+         |       t.true_j AS true_jaccard,
+         |       round(abs(e.est_j - t.true_j), 6) AS abs_err
+         |FROM est e JOIN tru t ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, dir) =>
+      val cand = lshCandidates(s, dir)
+      val sigs = minhashSigs(s, dir)
+      val matchExpr = (0 until 8)
+        .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val tsets = Scans.table(s, dir, "documents")
+        .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a") +:
+          (0 until 8).map(i => col(s"sig_$i").as(s"a_sig_$i")): _*), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b") +:
+          (0 until 8).map(i => col(s"sig_$i").as(s"b_sig_$i")): _*), Seq("doc_b"))
+        .join(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")),
+          Seq("doc_a"))
+        .join(tsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (matchExpr / lit(8.0)).as("est_j"),
+          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(array_union(ts_a, ts_b)), 1) / 1.0, 6)")
+            .as("true_jaccard"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_j"), 6).as("est_jaccard"), col("true_jaccard"),
+          round(abs(col("est_j") - col("true_jaccard")), 6).as("abs_err"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_containment — ASYMMETRIC near-dup detection over the same
     // LSH candidates: containment |A∩B|/|A| catches a document that is
     // a near-SUBSET of another (boilerplate wrapping, quoted articles —

@@ -664,4 +664,25 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = plan("graph_triangle_count")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("graph_modularity counts with id-keyed joins only") {
+    val p = plan("graph_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("events_forecast_baseline never rescans the corpus: one rollup feeds train and test") {
+    // the hourly rollup is checkpointed; the executed plan must read
+    // ExistingRDD, not a second parquet scan of events
+    val p = plan("events_forecast_baseline")
+    val parquetScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(parquetScans == 0, s"expected 0 raw event scans, got $parquetScans")
+  }
+
+  test("dedup_sketch_calibration joins stay candidate-proportional") {
+    val p = plan("dedup_sketch_calibration")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // every join is doc_id-keyed — no broadcast nested loop fallback
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
