@@ -1323,6 +1323,95 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_stream_attribution_equiv — the streaming attribution
+    // materializer (graft.streaming.EventStreams.attributionStream,
+    // flatMapGroupsWithState with O(1) last-touch state per user) under
+    // the batch oracle. The replay stages the corpus as TWO time-split
+    // source files (events at or before the midpoint, then the rest —
+    // name- and mtime-ordered under maxFilesPerTrigger=1), so purchases
+    // in batch 2 are genuinely credited to touches CARRIED IN STATE
+    // from batch 1 — the cross-batch property a single-file replay
+    // would never exercise. Stream replay ≡ batch lag-ignore-nulls,
+    // hash-checked against events_attribution's own oracle.
+    // ------------------------------------------------------------------
+    QueryDef("events_stream_attribution_equiv",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(CASE WHEN event_type IN ('view', 'click')
+        |                  THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS last_touch
+        |  FROM events),
+        |conv AS (SELECT coalesce(last_touch, 'none') AS touch_type
+        |         FROM o WHERE event_type = 'purchase')
+        |SELECT touch_type, count(*) AS n_conversions,
+        |       round(count(*) * 1.0 /
+        |             sum(count(*)) OVER (), 6) AS share
+        |FROM conv GROUP BY touch_type
+        |ORDER BY touch_type""".stripMargin) { (s0, dir) =>
+      // same keyed-replay partition cap as the other stateful replays
+      val s: SparkSession = { val c = s0.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", 8); c }
+      import graft.streaming.EventStreams
+      val scratch = java.nio.file.Files.createTempDirectory("graft_attr_stream")
+      try {
+        // ms grain matches the oracle's ORDER BY ts tie-handling: within
+        // a user, (ms, event_id) is the same total order both engines use
+        val raw0 = Scans.normalizeTsMillis(s.read.parquet(s"$dir/events.parquet"))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val bounds = raw0.agg(unix_millis(min(col("ts"))).as("lo"),
+          unix_millis(max(col("ts"))).as("hi"))
+        val withB = raw0.crossJoin(broadcast(bounds))
+          .withColumn("ms", unix_millis(col("ts")))
+        val streamDir = scratch.resolve("src")
+        java.nio.file.Files.createDirectory(streamDir)
+        def stageOne(df: DataFrame, name: String, mtimeBump: Long): Unit = {
+          val build = scratch.resolve(s"${name}_build")
+          df.coalesce(1).write.parquet(build.toString)
+          val listing = java.nio.file.Files.list(build)
+          val staged = try {
+            val it = listing.iterator(); var moved = false
+            while (it.hasNext && !moved) {
+              val p = it.next()
+              if (p.getFileName.toString.endsWith(".parquet")) {
+                java.nio.file.Files.move(p, streamDir.resolve(name)); moved = true
+              }
+            }
+            moved
+          } finally listing.close()
+          require(staged, s"split file $name not written")
+          java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + mtimeBump))
+        }
+        val cut = (col("lo") + col("hi")) / 2
+        stageOne(withB.filter(col("ms") <= cut)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+          "a_early.parquet", 0L)
+        stageOne(withB.filter(col("ms") > cut)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+          "z_late.parquet", 120000L)
+        import s.implicits._
+        val typed = s.readStream
+          .schema(s.read.parquet(streamDir.toString).schema)
+          .option("maxFilesPerTrigger", 1) // batch 1 = early, batch 2 = late
+          .parquet(streamDir.toString)
+          .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
+            col("event_id").as("eventId"), col("event_type").as("eventType"))
+          .as[EventStreams.AttrIn]
+        fileSinkReplay(s, EventStreams.attributionStream(typed).toDF()) { sink =>
+          val counts = sink
+            .groupBy(col("touchType").as("touch_type"))
+            .agg(count(lit(1)).as("n_conversions"))
+          counts.withColumn("share",
+              round(col("n_conversions") * lit(1.0) /
+                sum(col("n_conversions")).over(Window.partitionBy()), 6))
+            .orderBy(col("touch_type"))
+        }
+      } finally deleteTree(scratch)
+    },
+
+    // ------------------------------------------------------------------
     // events_dau_wau_mau — the engagement dashboard row: daily active
     // users plus 7-day and 30-day rolling distinct actives per day.
     // The corpus collapses ONCE to distinct (day, user) rows — the only

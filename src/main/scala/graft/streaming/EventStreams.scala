@@ -199,6 +199,46 @@ object EventStreams {
     }
   }
 
+  final case class AttrIn(userId: Long, ms: Long, eventId: Long, eventType: String)
+  final case class AttrOut(userId: Long, purchaseId: Long, touchType: String)
+
+  /** Keyed last-touch attribution — the streaming dual of
+    * `events_attribution` via `flatMapGroupsWithState`: per-user state
+    * holds the single most recent touchpoint (view/click) seen so far
+    * (O(1) per key, never the touch history), and each purchase emits
+    * one attribution row crediting the state at its position in the
+    * sequence. Rows within a micro-batch are processed in event-time
+    * order `(ms, eventId)`; across batches the source must deliver in
+    * event-time order (the declared replay stages a time-split source;
+    * a production feed is a time-ordered log), so a purchase in a later
+    * batch is credited to a touch carried in state from an earlier one
+    * — the cross-batch carry the declared equivalence key exercises.
+    * Purchases with no preceding touch credit 'none'.
+    */
+  def attributionStream(events: Dataset[AttrIn]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId).flatMapGroupsWithState[AttrIn, AttrOut](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      case (userId, rows, state: GroupState[AttrIn]) =>
+        def before(a: AttrIn, b: AttrIn): Boolean =
+          a.ms < b.ms || (a.ms == b.ms && a.eventId < b.eventId)
+        var last = state.getOption
+        val out = Vector.newBuilder[AttrOut]
+        rows.toSeq.sortBy(r => (r.ms, r.eventId)).foreach { r =>
+          r.eventType match {
+            case "view" | "click" =>
+              if (last.forall(before(_, r))) last = Some(r)
+            case "purchase" =>
+              out += AttrOut(userId, r.eventId,
+                last.map(_.eventType).getOrElse("none"))
+            case _ => () // signup/error are neither touch nor conversion
+          }
+        }
+        last.foreach(state.update)
+        out.result().iterator
+    }
+  }
+
   /** Stream-stream interval join — the continuous form of the batch
     * enrichment joins ([[graft.ops.JoinQueries]] `join_asof` /
     * `join_range`): two watermarked event streams joined on key with an

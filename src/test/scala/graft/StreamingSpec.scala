@@ -216,6 +216,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("attribution stream credits purchases to touches carried across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{AttrIn, AttrOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[AttrIn]
+    val q = EventStreams.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("sattr")
+      .outputMode("append").start()
+    def emitted(): Seq[AttrOut] = spark.sql("SELECT * FROM sattr")
+      .as[AttrOut].collect().toSeq
+    try {
+      // batch 1: user 1 views then clicks (click is the later touch);
+      // user 2 purchases with NO preceding touch → 'none'
+      in.addData(AttrIn(1L, 1000L, 1L, "view"), AttrIn(1L, 2000L, 2L, "click"),
+        AttrIn(2L, 1500L, 3L, "purchase"))
+      q.processAllAvailable()
+      assert(emitted().toSet == Set(AttrOut(2L, 3L, "none")))
+      // batch 2: user 1 purchases — must credit the CLICK carried in
+      // state from batch 1 (not 'none', not the older view)
+      in.addData(AttrIn(1L, 3000L, 4L, "purchase"))
+      q.processAllAvailable()
+      assert(emitted().toSet ==
+        Set(AttrOut(2L, 3L, "none"), AttrOut(1L, 4L, "click")))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches in-window pairs, state bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
