@@ -197,6 +197,68 @@ object JoinQueries {
     },
 
     // ------------------------------------------------------------------
+    // join_multiway_pipeline — the 6-table star-shaped analytics join
+    // (the TPC-H Q5 shape): regional revenue per nation over a 2-year
+    // window, lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    // region with the local-supplier constraint (s_nationkey =
+    // c_nationkey). The plan the declaration builds is the textbook
+    // one: region filters FIRST and broadcasts into nation, nation
+    // broadcasts into customer (the dims prune before any fact
+    // shuffle), the order-date range predicate pushes into the orders
+    // SCAN (row-group pruning), and only then do the fact-fact joins
+    // shuffle on their keys — orders⋈customer, lineitem⋈orders,
+    // then the composite (suppkey, nationkey) supplier join. At 100 TB
+    // this ordering is the difference between shuffling a filtered
+    // fraction and shuffling everything.
+    // ------------------------------------------------------------------
+    QueryDef("join_multiway_pipeline",
+      """SELECT n.n_name AS nation, count(*) AS n_items,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o   ON o.o_custkey  = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+        |              AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        |JOIN region r   ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name ORDER BY nation""".stripMargin) { (s, dir) =>
+      val orders = Scans.table(s, dir, "orders")
+      val odt = orders.schema("o_orderdate").dataType
+      val nr = Scans.table(s, dir, "nation")
+        .join(broadcast(Scans.table(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cN = Scans.table(s, dir, "customer")
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      // bounds cast to the column's OWN timestamp flavor so the range
+      // predicate stays a pushable column-vs-literal compare (the
+      // physicalPartitionRange lesson)
+      val oF = orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(odt) &&
+          col("o_orderdate") < lit("1998-01-01").cast(odt))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val oc = oF.join(cN, col("o_custkey") === col("c_custkey"))
+      Scans.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .join(Scans.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("nation"))
+    },
+
+    // ------------------------------------------------------------------
     // join_range — non-equi range join against a small bucket dimension:
     // quantity bands. The dim side broadcasts; the band predicate is
     // evaluated in the join (BroadcastNestedLoop on a 4-row build side —

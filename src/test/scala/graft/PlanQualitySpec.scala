@@ -665,6 +665,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("join_multiway_pipeline: dims broadcast, date range reaches the orders scan") {
+    val p = plan("join_multiway_pipeline")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // region→nation and nation→customer prune via broadcast before any
+    // fact shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    // the 2-year window is evaluated at the orders scan, not post-join
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("o_orderdate")).getOrElse("")
+    assert(scanLine.contains("o_orderdate"),
+      s"date range not at the scan: ${scanLine.take(200)}")
+  }
+
   test("graph_modularity counts with id-keyed joins only") {
     val p = plan("graph_modularity")
     assert(!p.contains("CartesianProduct"), p.take(2000))
