@@ -113,5 +113,81 @@ object SourceQueries {
           // across the oracle's and Spark's pandas materializations
           min(to_date(col("o_orderdate"))).cast("string").as("first_date"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // ------------------------------------------------------------------
+    // source_csv_malformed — dirty-ingest audit: a CSV feed with broken
+    // rows read under PERMISSIVE mode with a corrupt-record column —
+    // the real-world ingestion posture (FAILFAST kills a 100 TB load on
+    // row one; DROPMALFORMED silently shrinks the dataset; PERMISSIVE
+    // quarantines). The fixture is inline (like text_pii_scrub's),
+    // chosen so row verdicts are parser-unambiguous: bad arity or a
+    // non-numeric amount is corrupt, everything else clean. The oracle
+    // independently re-judges the same lines with split + regex and
+    // must land on the identical quarantine counts and clean-row sums.
+    // ------------------------------------------------------------------
+    QueryDef("source_csv_malformed",
+      s"""WITH raw(line) AS (VALUES
+        |  ${CsvFixture.lines.map(l => s"('${l}')").mkString(",\n  ")}),
+        |p AS (SELECT string_split(line, ',') AS f FROM raw),
+        |j AS (SELECT
+        |        len(f) = 3
+        |          AND regexp_matches(f[1], '^[0-9]+$$')
+        |          AND regexp_matches(f[3], '^-?[0-9]+(\\.[0-9]+)?$$') AS ok,
+        |        f FROM p)
+        |SELECT count(*) AS n_rows,
+        |       CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_clean,
+        |       CAST(count(CASE WHEN NOT ok THEN 1 END) AS BIGINT) AS n_corrupt,
+        |       round(sum(CASE WHEN ok THEN CAST(f[3] AS DOUBLE) END), 2)
+        |         AS clean_amount
+        |FROM j""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val dest = tmp("malformed_csv")
+      // stage the fixture as a real CSV file — the ingest path under
+      // test is spark.read.csv, not an in-memory frame
+      val dir0 = new java.io.File(dest)
+      dir0.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dest, "feed.csv"),
+        CsvFixture.lines.mkString("", "\n", "\n"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("amount", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      // The quarantine verdict needs the FULL row parsed: under column
+      // pruning the CSV parser only parses required columns, so an
+      // aggregate that never touches `id` would silently miss a bad-id
+      // row (Spark's documented corrupt-record caveat — observed here:
+      // 2 corrupt instead of 4 without this). Materialize complete rows
+      // first; a real ingest lands the parsed feed anyway.
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dest)
+        .localCheckpoint(true)
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_corrupt_record").isNull, 1)).cast("long")
+            .as("n_clean"),
+          count(col("_corrupt_record")).cast("long").as("n_corrupt"),
+          round(sum(when(col("_corrupt_record").isNull, col("amount"))), 2)
+            .as("clean_amount"))
     })
+
+  /** The malformed-feed fixture: verdicts must be parser-unambiguous
+    * (see source_csv_malformed). 6 clean rows, 4 corrupt (extra field,
+    * missing field, non-numeric amount, non-numeric id).
+    */
+  private object CsvFixture {
+    val lines: Seq[String] = Seq(
+      "1,alice,10.50",
+      "2,bob,20.00",
+      "3,carol,extra,7.25",   // arity 4 → corrupt
+      "4,dan,-3.75",
+      "5,erin",               // arity 2 → corrupt
+      "6,frank,abc",          // non-numeric amount → corrupt
+      "7,grace,0.25",
+      "x8,henry,5.00",        // non-numeric id → corrupt
+      "9,iris,12.5",
+      "10,judy,100.0")
+  }
 }

@@ -158,6 +158,43 @@ object TextQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** The stopword-hit language classifier, one definition per dialect —
+    * shared by text_language_id (per-doc predictions) and
+    * text_langid_eval (confusion matrix), so the two can never drift.
+    * Emits (doc_id, lang, predicted_lang); argmax with the fixed
+    * en > es > de > fr tie order, 'und' when nothing hits.
+    */
+  private def langIdSql: String =
+    s"""SELECT doc_id, lang,
+       |       CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+       |            WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
+       |            WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+       |            WHEN h_fr > 0 THEN 'fr' ELSE 'und' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |         len(list_intersect(list_distinct($toksDuck), [${sqlList(enStop)}])) AS h_en,
+       |         len(list_intersect(list_distinct($toksDuck), [${sqlList(esStop)}])) AS h_es,
+       |         len(list_intersect(list_distinct($toksDuck), [${sqlList(deStop)}])) AS h_de,
+       |         len(list_intersect(list_distinct($toksDuck), [${sqlList(frStop)}])) AS h_fr
+       |  FROM documents) h""".stripMargin
+
+  private def langIdFrame(s: SparkSession, dir: String): DataFrame = {
+    def hits(ws: Seq[String]) =
+      expr(s"size(array_intersect(array_distinct($toksSpark), array(${sqlList(ws)})))")
+    Scans.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        hits(enStop).as("h_en"), hits(esStop).as("h_es"),
+        hits(deStop).as("h_de"), hits(frStop).as("h_fr"))
+      .select(col("doc_id"), col("lang"),
+        when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de") &&
+             col("h_en") >= col("h_fr") && col("h_en") > 0, "en")
+          .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr") &&
+                col("h_es") > 0, "es")
+          .when(col("h_de") >= col("h_fr") && col("h_de") > 0, "de")
+          .when(col("h_fr") > 0, "fr")
+          .otherwise("und").as("predicted_lang"))
+  }
+
   /** MinHash signature table: doc_id, sig_0..sig_7 (BIGINT). One md5 per
     * 3-word shingle folded to [0, p), then 8 affine families.
     */
@@ -470,37 +507,43 @@ object TextQueries {
 
     // ------------------------------------------------------------------
     // text_language_id — n-gram/stopword-hit language heuristic over
-    // distinct tokens; argmax with a fixed tie order.
+    // distinct tokens; argmax with a fixed tie order. Classifier shared
+    // with text_langid_eval (langIdSql / langIdFrame).
     // ------------------------------------------------------------------
     QueryDef("text_language_id",
-      s"""SELECT doc_id, lang,
-         |       CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
-         |            WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
-         |            WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
-         |            WHEN h_fr > 0 THEN 'fr' ELSE 'und' END AS predicted_lang
-         |FROM (
-         |  SELECT doc_id, lang,
-         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(enStop)}])) AS h_en,
-         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(esStop)}])) AS h_es,
-         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(deStop)}])) AS h_de,
-         |         len(list_intersect(list_distinct($toksDuck), [${sqlList(frStop)}])) AS h_fr
-         |  FROM documents) h
+      s"""SELECT doc_id, lang, predicted_lang FROM ($langIdSql) p
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def hits(ws: Seq[String]) =
-        expr(s"size(array_intersect(array_distinct($toksSpark), array(${sqlList(ws)})))")
-      Scans.table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          hits(enStop).as("h_en"), hits(esStop).as("h_es"),
-          hits(deStop).as("h_de"), hits(frStop).as("h_fr"))
-        .select(col("doc_id"), col("lang"),
-          when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de") &&
-               col("h_en") >= col("h_fr") && col("h_en") > 0, "en")
-            .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr") &&
-                  col("h_es") > 0, "es")
-            .when(col("h_de") >= col("h_fr") && col("h_de") > 0, "de")
-            .when(col("h_fr") > 0, "fr")
-            .otherwise("und").as("predicted_lang"))
-        .orderBy(col("doc_id"))
+      langIdFrame(s, dir).orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // text_langid_eval — classifier quality against the labeled corpus:
+    // the full confusion matrix of the stopword-hit language heuristic
+    // vs the ground-truth lang column, with each cell's share of its
+    // true-language row (per-language recall reads off the diagonal).
+    // The measurement every heuristic gate needs before it filters a
+    // corpus — THE distinct pipeline step on top of the classifier the
+    // two keys share by construction (one definition, both dialects).
+    // The matrix is |langs|²-sized, so the share window runs over a
+    // frame that never grows with the corpus; shares are exact integer
+    // ratios.
+    // ------------------------------------------------------------------
+    QueryDef("text_langid_eval",
+      s"""WITH p AS ($langIdSql)
+         |SELECT lang, predicted_lang, count(*) AS n_docs,
+         |       round(count(*) * 1.0 /
+         |             sum(count(*)) OVER (PARTITION BY lang), 6)
+         |         AS share_of_lang
+         |FROM p GROUP BY lang, predicted_lang
+         |ORDER BY lang, predicted_lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      langIdFrame(s, dir)
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_of_lang",
+          round(col("n_docs") * lit(1.0) /
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))), 6))
+        .orderBy(col("lang"), col("predicted_lang"))
     },
 
     // ------------------------------------------------------------------
