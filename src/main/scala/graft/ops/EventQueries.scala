@@ -1412,6 +1412,49 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_ab_test_eval — the experimentation readout: users assigned
+    // to control/treatment by a salted deterministic hash (assignment
+    // is a pure function of the user key — reproducible, stable under
+    // corpus growth, never reshuffled by repartitioning), per-variant
+    // purchase-value totals and means. Per-user metric rolls up ONCE
+    // (user-keyed shuffle); the variant rollup is 2 rows. The mean
+    // divides the already-2-dp-ROUNDED total by the user count, so
+    // both engines derive it from the identical double and the 4-dp
+    // round cannot straddle a boundary.
+    // ------------------------------------------------------------------
+    QueryDef("events_ab_test_eval",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                        ELSE 0 END), 2) AS pv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT CASE WHEN CAST(concat('0x', substr(md5(concat('ab-',
+        |                   CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |                  % 2 = 0
+        |             THEN 'control' ELSE 'treatment' END AS variant, pv
+        |      FROM u)
+        |SELECT variant, count(*) AS n_users,
+        |       round(sum(pv), 2) AS total_value,
+        |       round(round(sum(pv), 2) / count(*), 4) AS mean_value
+        |FROM v GROUP BY variant ORDER BY variant""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("pv"))
+        .withColumn("variant",
+          when(expr("cast(conv(substring(md5(concat('ab-', cast(user_id AS string))), 1, 15), 16, 10) AS bigint) % 2") === 0,
+            "control").otherwise("treatment"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("pv")), 2).as("total_value"))
+        .withColumn("mean_value",
+          round(col("total_value") / col("n_users"), 4))
+        .select(col("variant"), col("n_users"), col("total_value"),
+          col("mean_value"))
+        .orderBy(col("variant"))
+    },
+
+    // ------------------------------------------------------------------
     // events_dau_wau_mau — the engagement dashboard row: daily active
     // users plus 7-day and 30-day rolling distinct actives per day.
     // The corpus collapses ONCE to distinct (day, user) rows — the only

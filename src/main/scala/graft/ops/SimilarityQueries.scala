@@ -742,6 +742,38 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_ood_detection — embedding-space outlier surfacing: the 20
+    // corpus vectors FURTHEST from every coarse centroid (ood_score =
+    // 1 − best-centroid cosine) — the "does this item belong to the
+    // distribution at all" gate an embedding pipeline runs before
+    // trusting downstream similarity ops (an OOD vector degrades its
+    // IVF cell and its knn neighborhoods). Row-local scoring against
+    // the broadcast codebook (the ivfAssign pass the other ANN keys
+    // share), distributed TakeOrdered for the bottom slice, rank window
+    // after the limit.
+    // ------------------------------------------------------------------
+    QueryDef("sim_ood_detection",
+      s"""WITH $knnPairsCtes
+        |SELECT rank, vec_id, cell, ood_score FROM (
+        |  SELECT vec_id, cell, round(1 - cs, 6) AS ood_score,
+        |         row_number() OVER (ORDER BY round(1 - cs, 6) DESC, vec_id)
+        |           AS rank
+        |  FROM assign) r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      ivfAssign(s, emb)
+        .select(col("vec_id"), col("cell"),
+          round(lit(1.0) - col("cell_cs"), 6).as("ood_score"))
+        .orderBy(col("ood_score").desc, col("vec_id")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("ood_score").desc, col("vec_id")))
+            .cast("long"))
+        .select(col("rank"), col("vec_id"), col("cell"), col("ood_score"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // graph_modularity — partition-quality score of the IVF cells
     // against the k-NN graph: per cell, Newman modularity contribution
     // Q_c = e_c/m − (d_c/2m)² (internal-edge share minus the expected
