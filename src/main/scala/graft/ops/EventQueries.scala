@@ -1412,6 +1412,75 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_top_paths — user-journey mining: the 10 most common
+    // 3-step event-type sequences across all users (two lags over the
+    // user-keyed time order build each trigram in place — one window
+    // shuffle, no per-user collect of whole sequences), counted with a
+    // map-side-combined rollup and sliced with a distributed
+    // TakeOrdered; the rank window sees 10 rows. The step beyond
+    // events_markov_transitions' single transitions: path frequency is
+    // what funnels and UX audits read.
+    // ------------------------------------------------------------------
+    QueryDef("events_top_paths",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 2) OVER w AS t1,
+        |         lag(event_type, 1) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (SELECT concat(t1, '>', t2, '>', event_type) AS path
+        |        FROM o WHERE t1 IS NOT NULL)
+        |SELECT path, freq, rank FROM (
+        |  SELECT path, count(*) AS freq,
+        |         row_number() OVER (ORDER BY count(*) DESC, path) AS rank
+        |  FROM tri GROUP BY path) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Scans.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("path")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("path")))
+            .cast("long"))
+        .select(col("path"), col("freq"), col("rank"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_user_growth — the acquisition curve: per day, first-seen
+    // users and the cumulative registered population. First-seen is a
+    // per-user min (one user-keyed rollup — the only data-proportional
+    // shuffle); the cumulative window then runs over the DAY frame,
+    // bounded by the calendar, never by users or events.
+    // ------------------------------------------------------------------
+    QueryDef("events_user_growth",
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |            FROM events GROUP BY user_id),
+        |nw AS (SELECT d0, count(*) AS new_users FROM fs GROUP BY d0)
+        |SELECT CAST(d0 AS VARCHAR) AS day, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY d0) AS BIGINT)
+        |         AS cumulative_users
+        |FROM nw ORDER BY day""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"))
+        .groupBy(col("d0"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(Window.orderBy(col("d0"))).cast("long"))
+        .select(date_format(col("d0"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cumulative_users"))
+        .orderBy(col("day"))
+    },
+
+    // ------------------------------------------------------------------
     // events_ab_test_eval — the experimentation readout: users assigned
     // to control/treatment by a salted deterministic hash (assignment
     // is a pure function of the user key — reproducible, stable under
