@@ -1481,6 +1481,45 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_activity_streaks — gaps-and-islands: the distribution of
+    // each user's LONGEST consecutive-day activity streak (how sticky
+    // is the product?). The classic island key — activity date minus
+    // the user-ordered row number is constant within a consecutive run
+    // — turns streak detection into a plain (user, island) rollup: one
+    // user-keyed window over the distinct user-day table, two tiny
+    // rollups after it, and the published distribution is bounded by
+    // the calendar, never by users.
+    // ------------------------------------------------------------------
+    QueryDef("events_activity_streaks",
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |            FROM events),
+        |isl AS (SELECT user_id, d,
+        |               d - CAST(row_number() OVER (
+        |                     PARTITION BY user_id ORDER BY d) AS INTEGER)
+        |                 AS grp
+        |        FROM du),
+        |st AS (SELECT user_id, grp, count(*) AS len
+        |       FROM isl GROUP BY user_id, grp),
+        |best AS (SELECT user_id, max(len) AS streak_len
+        |         FROM st GROUP BY user_id)
+        |SELECT streak_len, count(*) AS n_users
+        |FROM best GROUP BY streak_len
+        |ORDER BY streak_len""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      Scans.table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .withColumn("grp", date_sub(col("d"), row_number().over(byUser)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("streak_len"))
+        .groupBy(col("streak_len"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("streak_len"))
+    },
+
+    // ------------------------------------------------------------------
     // events_ab_test_eval — the experimentation readout: users assigned
     // to control/treatment by a salted deterministic hash (assignment
     // is a pure function of the user key — reproducible, stable under

@@ -421,6 +421,56 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_matryoshka_topk — truncated-dimension retrieval (the MRL
+    // serving trade): rank the corpus by cosine over only the FIRST 16
+    // of 64 dimensions — the cheap first-stage a Matryoshka-style
+    // pipeline serves from (4× less vector IO and math per row) — and
+    // flag which of its top-10 survive in the full-precision top-10.
+    // The published in_full_topk column IS the eval: it shows exactly
+    // where the truncation loses the ranking. Same brute-force shape
+    // as sim_brute_force_topk (broadcast query row, row-local scoring,
+    // TakeOrdered); the full top-10 joins in as a 10-row broadcast set.
+    // ------------------------------------------------------------------
+    QueryDef("sim_matryoshka_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |full_r AS (
+        |  SELECT vec_id, row_number() OVER (
+        |           ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+        |                    e.vec_id) AS fr
+        |  FROM e, q WHERE vec_id <> 0),
+        |trunc_r AS (
+        |  SELECT vec_id,
+        |         round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 4)
+        |           AS cos_trunc,
+        |         row_number() OVER (
+        |           ORDER BY round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 4) DESC,
+        |                    e.vec_id) AS rank
+        |  FROM e, q WHERE vec_id <> 0)
+        |SELECT t.rank, t.vec_id, t.cos_trunc,
+        |       coalesce(f.fr <= 10, FALSE) AS in_full_topk
+        |FROM trunc_r t
+        |LEFT JOIN (SELECT vec_id, fr FROM full_r WHERE fr <= 10) f
+        |  ON f.vec_id = t.vec_id
+        |WHERE t.rank <= 10 ORDER BY t.rank""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val corpus = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val fullTop = top10Ranked(corpus.select(col("vec_id"),
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim")))
+        .select(col("vec_id").as("f_id"))
+      val truncTop = top10Ranked(corpus.select(col("vec_id"),
+          round(cosineFast(s)(expr("slice(embedding, 1, 16)"),
+            expr("slice(qv, 1, 16)")), 4).as("cos_sim")))
+      truncTop
+        .join(broadcast(fullTop), col("vec_id") === col("f_id"), "left")
+        .select(col("rank"), col("vec_id"), col("cos_sim").as("cos_trunc"),
+          col("f_id").isNotNull.as("in_full_topk"))
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // dedup_embedding_cosine — embedding near-duplicate detection over a
     // deterministic candidate set (adjacent vec_ids): cosine + threshold.
     // ------------------------------------------------------------------
