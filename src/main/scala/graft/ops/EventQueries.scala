@@ -1481,6 +1481,44 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_conversion_lag — time-to-convert: minutes from a user's
+    // first view to their first purchase, summarized as count / min /
+    // exact median / max over converting users. ONE corpus rollup
+    // (conditional per-user minima for both event types in the same
+    // pass — no per-type rescan), then a 1-row summary; the lag is
+    // integer epoch-minute arithmetic so the exact-percentile median
+    // interpolates an identical multiset on both engines.
+    // ------------------------------------------------------------------
+    QueryDef("events_conversion_lag",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS v0,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+        |  FROM events GROUP BY user_id),
+        |lg AS (SELECT CAST((epoch_ms(p0) - epoch_ms(v0)) // 60000 AS BIGINT)
+        |              AS lag_min
+        |       FROM u
+        |       WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0)
+        |SELECT count(*) AS n_converters,
+        |       CAST(min(lag_min) AS BIGINT) AS min_lag_min,
+        |       round(quantile_cont(lag_min, 0.5), 4) AS median_lag_min,
+        |       CAST(max(lag_min) AS BIGINT) AS max_lag_min
+        |FROM lg""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p0"))
+        .filter(col("v0").isNotNull && col("p0").isNotNull &&
+          col("p0") >= col("v0"))
+        .select(expr("(unix_millis(p0) - unix_millis(v0)) div 60000")
+          .cast("long").as("lag_min"))
+        .agg(count(lit(1)).as("n_converters"),
+          min(col("lag_min")).cast("long").as("min_lag_min"),
+          round(expr("percentile(lag_min, 0.5D)"), 4).as("median_lag_min"),
+          max(col("lag_min")).cast("long").as("max_lag_min"))
+    },
+
+    // ------------------------------------------------------------------
     // events_activity_streaks — gaps-and-islands: the distribution of
     // each user's LONGEST consecutive-day activity streak (how sticky
     // is the product?). The classic island key — activity date minus

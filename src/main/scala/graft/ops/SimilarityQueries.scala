@@ -421,6 +421,38 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_filtered_topk — FILTERED vector search (the "hybrid search"
+    // shape: metadata predicate + similarity ranking): exact top-10
+    // among label=3 vectors only. The filter is applied BEFORE scoring
+    // and reaches the parquet scan (plan-locked PushedFilters on
+    // label), so the at-scale cost is proportional to the filtered
+    // slice, not the corpus — the pre-filtering strategy; the declared
+    // IVF path composes the same predicate into its cell scans when
+    // selectivity is low.
+    // ------------------------------------------------------------------
+    QueryDef("sim_filtered_topk",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT rank, vec_id, cos_sim FROM (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim,
+        |         row_number() OVER (
+        |           ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+        |                    e.vec_id) AS rank
+        |  FROM e, q WHERE e.vec_id <> 0 AND e.label = 3) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val scored = emb.filter(col("vec_id") =!= 0 && col("label") === 3)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim"))
+      top10Ranked(scored)
+    },
+
+    // ------------------------------------------------------------------
     // sim_matryoshka_topk — truncated-dimension retrieval (the MRL
     // serving trade): rank the corpus by cosine over only the FIRST 16
     // of 64 dimensions — the cheap first-stage a Matryoshka-style

@@ -678,6 +678,14 @@ class PlanQualitySpec extends SparkSpecBase {
       s"date range not at the scan: ${scanLine.take(200)}")
   }
 
+  test("sim_filtered_topk pushes the metadata predicate into the vector scan") {
+    val p = plan("sim_filtered_topk")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("EqualTo(label,3)") || pushed.contains("label"),
+      s"label filter not pushed: ${pushed.take(200)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("graph_modularity counts with id-keyed joins only") {
     val p = plan("graph_modularity")
     assert(!p.contains("CartesianProduct"), p.take(2000))
