@@ -1355,14 +1355,17 @@ object EventQueries {
       import graft.streaming.EventStreams
       val scratch = java.nio.file.Files.createTempDirectory("graft_attr_stream")
       try {
-        // ms grain matches the oracle's ORDER BY ts tie-handling: within
-        // a user, (ms, event_id) is the same total order both engines use
-        val raw0 = Scans.normalizeTsMillis(s.read.parquet(s"$dir/events.parquet"))
+        // FULL microsecond grain — the oracle's ORDER BY ts, event_id
+        // sorts on µs timestamps, so the replay must order on the same
+        // precision or same-millisecond touches could reorder between
+        // the engines (ms truncation would be an unpinned-generator
+        // accident, not a contract)
+        val raw0 = Scans.normalizeTs(s.read.parquet(s"$dir/events.parquet"))
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        val bounds = raw0.agg(unix_millis(min(col("ts"))).as("lo"),
-          unix_millis(max(col("ts"))).as("hi"))
+        val bounds = raw0.agg(unix_micros(min(col("ts"))).as("lo"),
+          unix_micros(max(col("ts"))).as("hi"))
         val withB = raw0.crossJoin(broadcast(bounds))
-          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("us", unix_micros(col("ts")))
         val streamDir = scratch.resolve("src")
         java.nio.file.Files.createDirectory(streamDir)
         def stageOne(df: DataFrame, name: String, mtimeBump: Long): Unit = {
@@ -1385,10 +1388,10 @@ object EventQueries {
               System.currentTimeMillis() + mtimeBump))
         }
         val cut = (col("lo") + col("hi")) / 2
-        stageOne(withB.filter(col("ms") <= cut)
+        stageOne(withB.filter(col("us") <= cut)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
           "a_early.parquet", 0L)
-        stageOne(withB.filter(col("ms") > cut)
+        stageOne(withB.filter(col("us") > cut)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
           "z_late.parquet", 120000L)
         import s.implicits._
@@ -1396,7 +1399,7 @@ object EventQueries {
           .schema(s.read.parquet(streamDir.toString).schema)
           .option("maxFilesPerTrigger", 1) // batch 1 = early, batch 2 = late
           .parquet(streamDir.toString)
-          .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
+          .select(col("user_id").as("userId"), unix_micros(col("ts")).as("tsUs"),
             col("event_id").as("eventId"), col("event_type").as("eventType"))
           .as[EventStreams.AttrIn]
         fileSinkReplay(s, EventStreams.attributionStream(typed).toDF()) { sink =>

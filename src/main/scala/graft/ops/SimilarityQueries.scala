@@ -488,14 +488,20 @@ object SimilarityQueries {
       val emb = Scans.table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
-      val corpus = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      val fullTop = top10Ranked(corpus.select(col("vec_id"),
-          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_sim")))
-        .select(col("vec_id").as("f_id"))
-      val truncTop = top10Ranked(corpus.select(col("vec_id"),
+      // BOTH cosines in one corpus pass (vectors are read once; the
+      // materialized frame is 2 doubles + an id per row), then two
+      // TakeOrdereds over the checkpointed scores — two separate scans
+      // would double the vector IO at scale for no reason
+      val scored = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineFast(s)(col("embedding"), col("qv")), 4).as("cos_full"),
           round(cosineFast(s)(expr("slice(embedding, 1, 16)"),
-            expr("slice(qv, 1, 16)")), 4).as("cos_sim")))
-      truncTop
+            expr("slice(qv, 1, 16)")), 4).as("cos_trunc"))
+        .localCheckpoint(true)
+      val fullTop = top10Ranked(scored
+          .select(col("vec_id"), col("cos_full").as("cos_sim")))
+        .select(col("vec_id").as("f_id"))
+      top10Ranked(scored.select(col("vec_id"), col("cos_trunc").as("cos_sim")))
         .join(broadcast(fullTop), col("vec_id") === col("f_id"), "left")
         .select(col("rank"), col("vec_id"), col("cos_sim").as("cos_trunc"),
           col("f_id").isNotNull.as("in_full_topk"))
@@ -758,6 +764,11 @@ object SimilarityQueries {
         labels = next
         iter += 1
       }
+      // the cap is a runaway backstop, not an accuracy knob: publishing
+      // non-minimal labels silently would be a wrong answer, so a graph
+      // that genuinely needs more rounds must fail loudly instead
+      require(changed == 0,
+        s"connected components did not converge within $iter rounds")
       labels
         .select(col("node").as("vec_id"), col("label").as("component_id"))
         .orderBy(col("vec_id"))

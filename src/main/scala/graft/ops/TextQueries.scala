@@ -585,7 +585,9 @@ object TextQueries {
       // tokenizer yields ≥ 1 token — exactly the oracle's domain), which
       // pushes into the parquet scan for free.
       Scans.table(s, dir, "documents")
-        .filter(col("text").rlike("[a-zA-Z0-9]"))
+        .filter(lower(col("text")).rlike("[a-z0-9]")) // tokenizer-exact domain: toks nonempty iff LOWER(text)
+        // has [a-z0-9] (a raw-text ASCII class would drop docs whose
+        // only alphanumerics lowercase INTO the class, e.g. U+212A)
         .select(col("doc_id"), expr(s"array_sort($toksSpark)").as("st"))
         .select(col("doc_id"), expr("size(st)").cast("long").as("n_tokens"),
           // run starts → boundary positions → run lengths by adjacent
@@ -1965,7 +1967,9 @@ object TextQueries {
       Scans.table(s, dir, "documents")
         // same scan-pushable domain as the entropy gate: a doc hashes to
         // ≥ 1 dimension iff its text has an alphanumeric character
-        .filter(col("text").rlike("[a-zA-Z0-9]"))
+        .filter(lower(col("text")).rlike("[a-z0-9]")) // tokenizer-exact domain: toks nonempty iff LOWER(text)
+        // has [a-z0-9] (a raw-text ASCII class would drop docs whose
+        // only alphanumerics lowercase INTO the class, e.g. U+212A)
         .select(col("doc_id"), expr(
           s"""array_sort(transform($toksSpark,
              |  t -> cast(conv(substring(md5(t), 1, 7), 16, 10) AS bigint) % 64))"""

@@ -199,7 +199,7 @@ object EventStreams {
     }
   }
 
-  final case class AttrIn(userId: Long, ms: Long, eventId: Long, eventType: String)
+  final case class AttrIn(userId: Long, tsUs: Long, eventId: Long, eventType: String)
   final case class AttrOut(userId: Long, purchaseId: Long, touchType: String)
 
   /** Keyed last-touch attribution — the streaming dual of
@@ -207,12 +207,15 @@ object EventStreams {
     * holds the single most recent touchpoint (view/click) seen so far
     * (O(1) per key, never the touch history), and each purchase emits
     * one attribution row crediting the state at its position in the
-    * sequence. Rows within a micro-batch are processed in event-time
-    * order `(ms, eventId)`; across batches the source must deliver in
-    * event-time order (the declared replay stages a time-split source;
-    * a production feed is a time-ordered log), so a purchase in a later
-    * batch is credited to a touch carried in state from an earlier one
-    * — the cross-batch carry the declared equivalence key exercises.
+    * sequence. Event time is FULL microseconds — the identical grain
+    * the batch oracle's `ORDER BY ts, event_id` window sorts on, so
+    * same-millisecond touches cannot reorder between the two engines.
+    * Rows within a micro-batch are processed in `(tsUs, eventId)`
+    * order; across batches the source must deliver in event-time order
+    * (the declared replay stages a time-split source; a production
+    * feed is a time-ordered log), so a purchase in a later batch is
+    * credited to a touch carried in state from an earlier one — the
+    * cross-batch carry the declared equivalence key exercises.
     * Purchases with no preceding touch credit 'none'.
     */
   def attributionStream(events: Dataset[AttrIn]): Dataset[AttrOut] = {
@@ -221,10 +224,10 @@ object EventStreams {
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       case (userId, rows, state: GroupState[AttrIn]) =>
         def before(a: AttrIn, b: AttrIn): Boolean =
-          a.ms < b.ms || (a.ms == b.ms && a.eventId < b.eventId)
+          a.tsUs < b.tsUs || (a.tsUs == b.tsUs && a.eventId < b.eventId)
         var last = state.getOption
         val out = Vector.newBuilder[AttrOut]
-        rows.toSeq.sortBy(r => (r.ms, r.eventId)).foreach { r =>
+        rows.toSeq.sortBy(r => (r.tsUs, r.eventId)).foreach { r =>
           r.eventType match {
             case "view" | "click" =>
               if (last.forall(before(_, r))) last = Some(r)

@@ -680,9 +680,11 @@ class PlanQualitySpec extends SparkSpecBase {
 
   test("sim_filtered_topk pushes the metadata predicate into the vector scan") {
     val p = plan("sim_filtered_topk")
-    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
-    assert(pushed.contains("EqualTo(label,3)") || pushed.contains("label"),
-      s"label filter not pushed: ${pushed.take(200)}")
+    // the exact equality must be pushed — an IsNotNull(label) residue
+    // alone would mean the corpus scan is back to full width
+    val pushedLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(_.contains("EqualTo(label,3)")),
+      s"label equality not pushed: ${pushedLines.mkString(" | ").take(300)}")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
