@@ -504,5 +504,87 @@ object PipelineQueries {
           length(col("blob")).cast("long").as("bin_bytes"),
           (col("blob").cast("string") === col("text")).as("roundtrip_ok"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // pipeline_contract_audit — the data-contract gate an ingest runs
+    // before accepting a batch: declared business rules checked across
+    // four tables, reported as (check, n_checked, n_violations) rows.
+    // Rules: lineitem quantity ≤ 45 and discount ≤ 0.08 (both checked
+    // in the SAME lineitem scan — per-table fusion, never one scan per
+    // rule), orders→customer referential integrity (key-equi LEFT ANTI
+    // count), events.event_type in the declared enum, and the
+    // documents n_chars = length(text) consistency invariant. Each
+    // check is one scan or one keyed anti-join; a violation count of 0
+    // is a result, not an absence — the report is the product.
+    // ------------------------------------------------------------------
+    QueryDef("pipeline_contract_audit",
+      """WITH li AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v_qty,
+        |         CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v_disc
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT (SELECT count(*) FROM orders) AS n,
+        |         CAST((SELECT count(*) FROM orders o
+        |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                                 WHERE c.c_custkey = o.o_custkey))
+        |              AS BIGINT) AS v),
+        |ev AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN event_type NOT IN
+        |                ('view', 'click', 'purchase', 'signup') THEN 1
+        |                ELSE 0 END) AS BIGINT) AS v
+        |  FROM events),
+        |dc AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'lineitem_quantity_le_45' AS check_name, n AS n_checked,
+        |         v_qty AS n_violations FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_le_008', n, v_disc FROM li
+        |  UNION ALL
+        |  SELECT 'orders_customer_fk', n, v FROM fk
+        |  UNION ALL
+        |  SELECT 'events_type_enum', n, v FROM ev
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent', n, v FROM dc) r
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      def two(name1: String, name2: String, agg: DataFrame): DataFrame =
+        agg.select(explode(array(
+          struct(lit(name1).as("check_name"), col("n").as("n_checked"),
+            col("v1").as("n_violations")),
+          struct(lit(name2).as("check_name"), col("n").as("n_checked"),
+            col("v2").as("n_violations")))).as("r"))
+          .select(col("r.check_name"), col("r.n_checked"), col("r.n_violations"))
+      def one(name: String, agg: DataFrame): DataFrame =
+        agg.select(lit(name).as("check_name"), col("n").as("n_checked"),
+          col("v").as("n_violations"))
+      val li = two("lineitem_quantity_le_45", "lineitem_discount_le_008",
+        Scans.table(s, dir, "lineitem").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") > 45, 1).otherwise(0)).cast("long").as("v1"),
+          sum(when(col("l_discount") > 0.08, 1).otherwise(0)).cast("long").as("v2")))
+      val orders = Scans.table(s, dir, "orders").select(col("o_custkey"))
+      val fkViol = orders.join(
+          Scans.table(s, dir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("v"))
+      val fk = one("orders_customer_fk",
+        orders.agg(count(lit(1)).as("n")).crossJoin(broadcast(fkViol)))
+      val ev = one("events_type_enum",
+        Scans.table(s, dir, "events").agg(count(lit(1)).as("n"),
+          sum(when(!col("event_type").isin("view", "click", "purchase", "signup"),
+            1).otherwise(0)).cast("long").as("v")))
+      val dc = one("documents_nchars_consistent",
+        Scans.table(s, dir, "documents").agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))
+            .cast("long").as("v")))
+      li.unionAll(fk).unionAll(ev).unionAll(dc).orderBy(col("check_name"))
     })
 }
