@@ -1484,6 +1484,33 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_seasonality_profile — the weekly heat map: event volume
+    // per (ISO weekday, hour-of-day) cell with each cell's share of
+    // total traffic — the capacity-planning / anomaly-baseline profile.
+    // One corpus rollup to the fixed ≤168-cell frame; the share window
+    // runs over that frame, never the stream. Spark's weekday() is
+    // 0=Monday, DuckDB's isodow is 1=Monday — the +1 shift is the whole
+    // dialect difference, pinned here.
+    // ------------------------------------------------------------------
+    QueryDef("events_seasonality_profile",
+      """WITH c AS (
+        |  SELECT isodow(ts) AS dow, extract(hour FROM ts) AS hod,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY dow, hod)
+        |SELECT dow, hod, n_events,
+        |       round(n_events * 1.0 / sum(n_events) OVER (), 6) AS share
+        |FROM c ORDER BY dow, hod""".stripMargin) { (s, dir) =>
+      Scans.table(s, dir, "events")
+        .groupBy((weekday(col("ts")) + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("share",
+          round(col("n_events") * lit(1.0) /
+            sum(col("n_events")).over(Window.partitionBy()), 6))
+        .orderBy(col("dow"), col("hod"))
+    },
+
+    // ------------------------------------------------------------------
     // events_conversion_lag — time-to-convert: minutes from a user's
     // first view to their first purchase, summarized as count / min /
     // exact median / max over converting users. ONE corpus rollup

@@ -421,6 +421,37 @@ object SimilarityQueries {
     },
 
     // ------------------------------------------------------------------
+    // sim_cell_balance — the ANN layout's skew report: one summary row
+    // over the IVF cell assignment (cell count, vector count, min/max
+    // cell size, and imbalance = max·cells/vectors — 1.0 is perfectly
+    // balanced). THE operational number for the partitioned serving
+    // layout: a hot cell bounds probe latency and (for the persisted
+    // partitionBy layout) file skew, and this is the measurement that
+    // says when to re-train centroids. One assignment pass + a
+    // cell-count rollup; integer arithmetic until the final ratio.
+    // ------------------------------------------------------------------
+    QueryDef("sim_cell_balance",
+      s"""WITH $knnPairsCtes,
+        |cs AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(sum(n) AS BIGINT) AS n_vectors,
+        |       CAST(min(n) AS BIGINT) AS min_cell,
+        |       CAST(max(n) AS BIGINT) AS max_cell,
+        |       round(max(n) * 1.0 * count(*) / sum(n), 4) AS imbalance
+        |FROM cs""".stripMargin) { (s, dir) =>
+      val emb = Scans.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      ivfAssign(s, emb)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          sum(col("n")).cast("long").as("n_vectors"),
+          min(col("n")).cast("long").as("min_cell"),
+          max(col("n")).cast("long").as("max_cell"),
+          round(max(col("n")) * lit(1.0) * count(lit(1)) / sum(col("n")), 4)
+            .as("imbalance"))
+    },
+
+    // ------------------------------------------------------------------
     // sim_filtered_topk — FILTERED vector search (the "hybrid search"
     // shape: metadata predicate + similarity ranking): exact top-10
     // among label=3 vectors only. The filter is applied BEFORE scoring
