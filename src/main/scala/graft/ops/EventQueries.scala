@@ -1484,6 +1484,81 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_power_users_pareto — traffic concentration: what share of
+    // all events comes from the top decile of users (the Pareto check
+    // behind capacity planning, abuse detection and sampling design).
+    // Per-user counts roll up once; the decile threshold is ONE exact
+    // percentile row broadcast back; membership is an integer-vs-
+    // boundary compare identical on both engines. 1-row report.
+    // ------------------------------------------------------------------
+    QueryDef("events_power_users_pareto",
+      """WITH uc AS (SELECT user_id, count(*) AS n
+        |            FROM events GROUP BY user_id),
+        |thr AS (SELECT quantile_cont(n, 0.9) AS t FROM uc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(CASE WHEN n >= t THEN 1 END) AS BIGINT)
+        |         AS n_power_users,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(coalesce(sum(CASE WHEN n >= t THEN n END), 0) AS BIGINT)
+        |         AS n_power_events,
+        |       round(coalesce(sum(CASE WHEN n >= t THEN n END), 0) * 1.0
+        |             / sum(n), 6) AS power_share
+        |FROM uc, thr""".stripMargin) { (s, dir) =>
+      val uc = Scans.table(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds the threshold AND the report
+      val thr = uc.agg(expr("percentile(n, 0.9D)").as("t"))
+      uc.crossJoin(broadcast(thr))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          count(when(col("n") >= col("t"), 1)).cast("long")
+            .as("n_power_users"),
+          sum(col("n")).cast("long").as("n_events"),
+          coalesce(sum(when(col("n") >= col("t"), col("n"))), lit(0L))
+            .cast("long").as("n_power_events"),
+          round(coalesce(sum(when(col("n") >= col("t"), col("n"))), lit(0L))
+            * lit(1.0) / sum(col("n")), 6).as("power_share"))
+    },
+
+    // ------------------------------------------------------------------
+    // events_new_vs_returning — per day, traffic split between users on
+    // their FIRST active day and returning users — the acquisition-vs-
+    // retention read every growth dashboard opens with. Two user-keyed
+    // rollups (per-user first day; per (day, user) volume) joined on
+    // user_id, then a calendar-bounded day rollup; the share is an
+    // exact integer ratio.
+    // ------------------------------------------------------------------
+    QueryDef("events_new_vs_returning",
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |            FROM events GROUP BY user_id),
+        |e AS (SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n
+        |      FROM events GROUP BY d, user_id)
+        |SELECT CAST(e.d AS VARCHAR) AS day,
+        |       CAST(sum(CASE WHEN e.d = fs.d0 THEN n ELSE 0 END) AS BIGINT)
+        |         AS new_user_events,
+        |       CAST(sum(CASE WHEN e.d > fs.d0 THEN n ELSE 0 END) AS BIGINT)
+        |         AS returning_events,
+        |       round(sum(CASE WHEN e.d = fs.d0 THEN n ELSE 0 END) * 1.0
+        |             / sum(n), 6) AS new_share
+        |FROM e JOIN fs ON fs.user_id = e.user_id
+        |GROUP BY e.d ORDER BY day""".stripMargin) { (s, dir) =>
+      val ev = Scans.table(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val fs = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      ev.groupBy(col("d"), col("user_id")).agg(count(lit(1)).as("n"))
+        .join(fs, Seq("user_id"))
+        .groupBy(col("d"))
+        .agg(sum(when(col("d") === col("d0"), col("n")).otherwise(0L))
+            .cast("long").as("new_user_events"),
+          sum(when(col("d") > col("d0"), col("n")).otherwise(0L))
+            .cast("long").as("returning_events"),
+          round(sum(when(col("d") === col("d0"), col("n")).otherwise(0L))
+            * lit(1.0) / sum(col("n")), 6).as("new_share"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("new_user_events"), col("returning_events"), col("new_share"))
+        .orderBy(col("day"))
+    },
+
+    // ------------------------------------------------------------------
     // events_seasonality_profile — the weekly heat map: event volume
     // per (ISO weekday, hour-of-day) cell with each cell's share of
     // total traffic — the capacity-planning / anomaly-baseline profile.
