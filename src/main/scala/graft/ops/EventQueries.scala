@@ -1709,13 +1709,14 @@ object EventQueries {
     // events_dau_wau_mau — the engagement dashboard row: daily active
     // users plus 7-day and 30-day rolling distinct actives per day.
     // The corpus collapses ONCE to distinct (day, user) rows — the only
-    // data-proportional shuffle; the sliding windows then expand each
-    // user-day against the broadcast day spine (≤ W spine rows per
-    // user-day, the standard exact sliding-distinct expansion) and
-    // count distinct per window day. Exact is affordable because the
-    // user-day table, not the event stream, is the input; at larger
-    // windows/cardinalities the HLL-sketch path (agg_approx_distinct's
-    // machinery) replaces the exact count, merged per day.
+    // data-proportional shuffle; each user-day then EXPLODES into the
+    // ≤ W window days it covers (sequence(d, d+W−1) — exactly W rows
+    // per user-day, an equi-join groupBy, never a non-equi join whose
+    // nested-loop cost would grow with the calendar) and the window
+    // day counts distinct contributors. Exact is affordable because
+    // the user-day table, not the event stream, is the input; at
+    // larger windows/cardinalities events_dau_wau_mau_hll (next) is
+    // the declared sketch path.
     // ------------------------------------------------------------------
     QueryDef("events_dau_wau_mau",
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
@@ -1743,9 +1744,15 @@ object EventQueries {
       val spine = du.select(col("d").as("day_d")).distinct()
       val dau = du.groupBy(col("d").as("dau_d"))
         .agg(count(lit(1)).as("dau"))
+      // a user-day d contributes to window days d..d+w−1 (day_d ≥ d and
+      // day_d < d+w ⇔ d > day_d−w): exactly w generated rows per
+      // user-day, grouped on the window day — compute is |user-days|·w
+      // regardless of calendar span; days past the spine max fall out
+      // of the inner spine join below
       def rolling(w: Int, name: String): DataFrame =
-        du.join(broadcast(spine),
-            col("d") <= col("day_d") && col("d") > date_sub(col("day_d"), w))
+        du.select(col("user_id"),
+            explode(sequence(col("d"), date_add(col("d"), w - 1)))
+              .as("day_d"))
           .groupBy(col("day_d").as(s"${name}_d"))
           .agg(countDistinct(col("user_id")).as(name))
       spine
@@ -1758,6 +1765,47 @@ object EventQueries {
     },
 
     // ------------------------------------------------------------------
+    // events_dau_wau_mau_hll — the AT-SCALE form of the same dashboard
+    // row: per-day DataSketches HLL sketches of the active-user set
+    // (hll_sketch_agg — one mergeable ~KB sketch per day is all that
+    // survives the user-proportional shuffle), then each day's sketch
+    // fans out to the ≤30 window days it contributes to and the window
+    // merges sketches (hll_union_agg), never users. After the daily
+    // rollup, compute is |days|·W sketch merges — independent of user
+    // cardinality, which is what makes a 365-day window over 100 TB
+    // affordable where the exact key's |user-days|·W expansion is not.
+    // Estimates, not exact counts → no cross-engine hash oracle
+    // (DuckDB's HLL is a different sketch); rows-only here, and
+    // ExtensionsSpec bounds every estimate against events_dau_wau_mau's
+    // exact answer (lgConfigK=12 ⇒ ~1.6% typical relative error).
+    // ------------------------------------------------------------------
+    QueryDef.unoracled("events_dau_wau_mau_hll") { (s, dir) =>
+      val du = Scans.table(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val daily = du.groupBy(col("d"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .localCheckpoint(true) // one corpus rollup feeds spine + windows
+      val spine = daily.select(col("d").as("day_d"))
+      val est = daily
+        .select(col("d"), col("sk"),
+          explode(sequence(col("d"), date_add(col("d"), 29))).as("day_d"))
+        .groupBy(col("day_d"))
+        .agg(
+          hll_sketch_estimate(
+            hll_union_agg(when(col("d") === col("day_d"), col("sk"))))
+            .as("dau_est"),
+          hll_sketch_estimate(
+            hll_union_agg(when(col("d") > date_sub(col("day_d"), 7), col("sk"))))
+            .as("wau_est"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("mau_est"))
+      spine.join(est, Seq("day_d"))
+        .select(date_format(col("day_d"), "yyyy-MM-dd").as("day"),
+          col("dau_est"), col("wau_est"), col("mau_est"))
+        .orderBy(col("day"))
+    },
+
+    // ------------------------------------------------------------------
     // events_forecast_baseline — the seasonal-naive forecast eval: the
     // last day's hourly volume per event type predicted from the mean
     // of prior days at the same hour-of-day, scored with MAE and bias.
@@ -1765,8 +1813,13 @@ object EventQueries {
     // so the pipeline must produce it. ONE fused (type, day, hour)
     // rollup feeds train and test via null-skipping conditional
     // aggregates — no second corpus scan, no train-test self-join; the
-    // eval frame is type×24-sized. Means are exact integer ratios →
-    // engine-identical doubles.
+    // eval frame is type×24-sized. Determinism: the prediction mean is
+    // an exact integer ratio (engine-identical double) QUANTIZED to
+    // the 1e-4 grid as an integer, so the per-hour error is a BIGINT,
+    // the mae/bias sums are exact integer arithmetic, and even the
+    // final 4-dp rounding is an integer half-up quotient — no
+    // summation-order-sensitive double accumulation and no
+    // double-round boundary anywhere in the published values.
     // ------------------------------------------------------------------
     QueryDef("events_forecast_baseline",
       """WITH hourly AS (
@@ -1779,12 +1832,19 @@ object EventQueries {
         |ev AS (SELECT event_type, hod,
         |              avg(CASE WHEN d < dm THEN n END) AS p,
         |              max(CASE WHEN d = dm THEN n END) AS tn
-        |       FROM hx, dmax GROUP BY event_type, hod)
+        |       FROM hx, dmax GROUP BY event_type, hod),
+        |er AS (SELECT event_type,
+        |              CAST(tn AS BIGINT) * 10000
+        |                - coalesce(CAST(round(p * 10000) AS BIGINT), 0) AS err
+        |       FROM ev WHERE tn IS NOT NULL)
         |SELECT event_type, count(*) AS n_test_hours,
-        |       round(avg(abs(tn - coalesce(p, 0))), 4) AS mae,
-        |       round(avg(tn - coalesce(p, 0)), 4) AS bias
-        |FROM ev WHERE tn IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+        |       ((2 * sum(abs(err)) + count(*)) // (2 * count(*)))
+        |         / 10000.0 AS mae,
+        |       (CASE WHEN sum(err) < 0
+        |             THEN -((2 * (-sum(err)) + count(*)) // (2 * count(*)))
+        |             ELSE (2 * sum(err) + count(*)) // (2 * count(*)) END)
+        |         / 10000.0 AS bias
+        |FROM er GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val hourly = Scans.table(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
@@ -1800,10 +1860,27 @@ object EventQueries {
         .agg(avg(when(col("d") < col("dm"), col("n"))).as("p"),
           max(when(col("d") === col("dm"), col("n"))).as("tn"))
         .filter(col("tn").isNotNull)
+        // quantize the prediction to the 1e-4 grid as a BIGINT: round()
+        // yields an exact-integer double on both engines, so the cast
+        // (truncating in Spark, rounding in DuckDB) is identical on it
+        .select(col("event_type"),
+          (col("tn").cast("long") * lit(10000L) -
+            coalesce(round(col("p") * 10000).cast("long"), lit(0L)))
+            .as("err"))
+        // the 4-dp ROUNDING is itself integer arithmetic — half-up
+        // quotient (2S+C) div (2C) scaled by 1e-4 — because round() of
+        // an exact ratio double is NOT engine-portable on half
+        // boundaries (Spark rounds the shortest-decimal rendering,
+        // DuckDB the binary value: 1.43535 → 1.4354 vs 1.4353, the
+        // sf0.1 bias case caught in this round's local gate)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_test_hours"),
-          round(avg(abs(col("tn") - coalesce(col("p"), lit(0.0)))), 4).as("mae"),
-          round(avg(col("tn") - coalesce(col("p"), lit(0.0))), 4).as("bias"))
+        .agg(count(lit(1)).as("cnt"), sum(abs(col("err"))).as("sa"),
+          sum(col("err")).as("sb"))
+        .select(col("event_type"), col("cnt").as("n_test_hours"),
+          (expr("(2 * sa + cnt) div (2 * cnt)") / lit(10000.0)).as("mae"),
+          (when(col("sb") < 0, -expr("(2 * (-sb) + cnt) div (2 * cnt)"))
+            .otherwise(expr("(2 * sb + cnt) div (2 * cnt)")) / lit(10000.0))
+            .as("bias"))
         .orderBy(col("event_type"))
     })
 }

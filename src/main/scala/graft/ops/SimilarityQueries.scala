@@ -154,7 +154,7 @@ object SimilarityQueries {
     * in affinity rank are never compared (production raises H, or adds
     * a second ordering pass on another projection, for recall).
     */
-  private val snmHalfWindow = 8
+  private[graft] val snmHalfWindow = 8
   private def snmBlocks(cellMates: DataFrame): DataFrame =
     cellMates
       .withColumn("r",
@@ -226,9 +226,17 @@ object SimilarityQueries {
     * graph key: per-cell pair count is ≤ 2·c·H, with the block id in the
     * join key (never the O(c²) cell cross product).
     */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = Scans.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairsFrom(s, Scans.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  /** Same, over an explicit `(vec_id, embedding)` corpus frame —
+    * package-visible so the hot-cell property spec can feed a
+    * synthetically skewed corpus (every vector in one cell) and pin
+    * the ≤ 2·c·H per-cell pair bound against the REAL pipeline, not a
+    * re-implementation of it.
+    */
+  private[graft] def candidatePairsFrom(s: SparkSession, emb: DataFrame): DataFrame = {
     val blocks = snmBlocks(ivfAssign(s, emb)
       .select(col("cell"), col("vec_id"), col("embedding"), col("cell_cs")))
     blocks.as("x")
@@ -379,6 +387,115 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  // --- OPTIMIZE-style layout maintenance (sim_cell_retrain) ---------
+  // sim_cell_balance publishes the imbalance signal; this is the pass
+  // that ACTS on it: when the hottest cell pushes imbalance past the
+  // declared τ, split that one cell via a 2-means re-train of ITS
+  // members only and rewrite ONLY its partition directories — the
+  // nightly maintenance loop a persisted 100 TB IVF layout needs
+  // (everything else's files stay byte-identical; spec-asserted).
+  private val ivfOptStaged =
+    scala.collection.mutable.Map.empty[String, (String, Option[Long])]
+
+  /** Declared imbalance threshold: `max_cell · n_cells / n_vectors`
+    * above this triggers the hot-cell split. Default 1.1 (the bench
+    * corpora sit at 1.19–1.47, so the gate runs exercise the REWRITE
+    * path; production tunes this up via the conf). The oracle SQL pins
+    * the default — an overridden τ is for spec-driving only. */
+  val RetrainTauKey = "graft.ivf.retrain.tau"
+  def retrainTau(s: SparkSession): Double =
+    s.conf.getOption(RetrainTauKey).map(_.toDouble).getOrElse(1.1)
+
+  /** Count of physical hot-cell rewrites this JVM — the no-op lock's
+    * witness that an under-τ layout triggers zero rewrite work. */
+  private[graft] val retrainRewrites = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** τ is part of the path: distinct thresholds are distinct layouts,
+    * so a spec-driven high-τ staging can never alias the default one. */
+  def ivfOptLayoutPath(s: SparkSession, dir: String): String = {
+    val tau = retrainTau(s).toString.replace('.', '_').replace('-', 'm')
+    s.conf.getOption(PersistedState.IvfLayoutDirKey) match {
+      case Some(root) =>
+        s"$root/ivf_opt_layout_${PersistedState.corpusKey(dir)}_tau$tau"
+      case None => s"$dir/_graft_ivf_opt_layout_tau$tau"
+    }
+  }
+
+  /** The maintenance pass's base: the full cell-partitioned layout
+    * (same shape as sim_ivf_write_layout's). Individually driveable so
+    * the specs can snapshot the file tree around the retrain step. */
+  def writeOptBase(s: SparkSession, dir: String, path: String): Unit =
+    ivfAssign(s, Scans.table(s, dir, "embeddings"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read the layout's cell census, and if imbalance > τ split the
+    * hottest cell (max size, tie → smaller id): re-train 2 sub-
+    * centroids from its members (seeds = the two smallest vec_ids —
+    * deterministic, engine-replayable), assign each member to the
+    * nearer seed (6-dp cosine, smaller-seed tie-break; winner of the
+    * smaller seed keeps the cell id, the other side becomes id+100),
+    * and dynamic-partition-overwrite ONLY the split cell's partitions.
+    * Returns the split cell id, or None for an under-τ (or <2-member)
+    * layout — in which case NO write of any kind runs.
+    */
+  def retrainIfSkewed(s: SparkSession, path: String): Option[Long] = {
+    val census = s.read.parquet(path)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per cell (16–17)
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nCells = census.length
+    val total = census.map(_._2).sum
+    val mx = census.map(_._2).max
+    // same op order as the oracle: ((max·1.0)·cells)/vectors
+    val imbalance = mx * 1.0 * nCells / total
+    val hot = census.sortBy { case (c, n) => (-n, c) }.head._1
+    if (imbalance <= retrainTau(s) || census.toMap.apply(hot) < 2) None
+    else {
+      val members = s.read.parquet(path)
+        .filter(col("cell") === hot) // partition-pruned: one cell dir read
+        .select(col("vec_id"), col("embedding"), col("cell_cs"))
+      val seedsRow = members.orderBy(col("vec_id")).limit(2)
+        .agg(collect_list(struct(col("vec_id").as("sid"),
+          col("embedding").as("sv"))).as("seeds"))
+      val reassigned = members.crossJoin(broadcast(seedsRow))
+        .select(col("vec_id"), col("embedding"), col("cell_cs"),
+          array_max(transform(col("seeds"), x =>
+            struct(
+              round(cosineFast(s)(col("embedding"), x.getField("sv")), 6).as("cs"),
+              (-x.getField("sid")).as("neg_sid"),
+              x.getField("sid").as("sid")))).as("best"),
+          array_min(transform(col("seeds"), x => x.getField("sid"))).as("s0"))
+        .select(col("vec_id"), col("embedding"), col("cell_cs"),
+          when(col("best.sid") === col("s0"), lit(hot))
+            .otherwise(lit(hot + 100L)).as("cell"))
+      // dynamic overwrite touches exactly the partitions present in the
+      // written frame — cell=hot (replaced) and cell=hot+100 (new);
+      // every other cell's files are untouched (spec-asserted)
+      reassigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+      retrainRewrites.incrementAndGet()
+      Some(hot)
+    }
+  }
+
+  /** Stage base + retrain once per (corpus, τ) per JVM. */
+  def stagedOptLayout(s: SparkSession, dir: String): (String, Option[Long]) =
+    SimilarityQueries.synchronized {
+      ivfOptStaged.getOrElseUpdate(ivfOptLayoutPath(s, dir), {
+        // τ rides the fallback subdir too, so even scratch-fallback
+        // stagings at distinct thresholds can never alias
+        val tauTag = retrainTau(s).toString.replace('.', '_').replace('-', 'm')
+        val actual = PersistedState.writeWithFallback(s,
+          PersistedState.IvfLayoutDirKey,
+          ivfOptLayoutPath(s, dir), dir, s"ivf_opt_layout_tau$tauTag") { p =>
+          writeOptBase(s, dir, p)
+        }
+        (actual, retrainIfSkewed(s, actual))
+      })
+    }
+
   /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
     * is a distributed TakeOrdered (`orderBy.limit`) — the rank window
     * runs single-partition by construction but over exactly 10 rows; a
@@ -449,6 +566,90 @@ object SimilarityQueries {
           max(col("n")).cast("long").as("max_cell"),
           round(max(col("n")) * lit(1.0) * count(lit(1)) / sum(col("n")), 4)
             .as("imbalance"))
+    },
+
+    // ------------------------------------------------------------------
+    // sim_cell_retrain — the maintenance pass that ACTS on
+    // sim_cell_balance's signal (the OPTIMIZE-style loop a persisted
+    // 100 TB IVF layout needs): if imbalance > τ (declared 1.1,
+    // conf-overridable for spec driving), the hottest cell is split by
+    // a 2-means re-train of its members ONLY (seeds = its two smallest
+    // vec_ids — deterministic and engine-replayable; nearest-seed
+    // assignment at 6-dp cosine, smaller-seed tie-break; the smaller
+    // seed's side keeps the cell id, the other becomes id+100), and
+    // the persisted layout is repaired by a DYNAMIC partition
+    // overwrite that rewrites exactly the split cell's directories —
+    // O(hot cell), never a layout rebuild, and an under-τ layout runs
+    // ZERO write jobs (spec-locked). The published report reads the
+    // post-repair PHYSICAL layout (cell census + lineage), so the
+    // oracle's logical replay verifies the rewrite itself.
+    // ------------------------------------------------------------------
+    QueryDef("sim_cell_retrain",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id BETWEEN 1 AND 16),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) a
+        |  WHERE rn = 1),
+        |cs0 AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
+        |dec AS (SELECT CASE WHEN (SELECT max(n) * 1.0 * count(*) / sum(n)
+        |                          FROM cs0) > 1.1
+        |                    THEN (SELECT cell FROM cs0
+        |                          ORDER BY n DESC, cell LIMIT 1)
+        |                    END AS hcell),
+        |members AS (SELECT a.vec_id, e.v FROM assign a
+        |            JOIN e ON e.vec_id = a.vec_id CROSS JOIN dec d
+        |            WHERE a.cell = d.hcell),
+        |seeds AS (SELECT vec_id AS sid, v AS sv FROM members
+        |          ORDER BY vec_id LIMIT 2),
+        |sa AS (SELECT vec_id, sid FROM (
+        |         SELECT m.vec_id, s.sid,
+        |                row_number() OVER (
+        |                  PARTITION BY m.vec_id
+        |                  ORDER BY round(list_cosine_similarity(m.v, s.sv), 6)
+        |                             DESC,
+        |                           s.sid) AS rn
+        |         FROM members m CROSS JOIN seeds s) t
+        |       WHERE rn = 1),
+        |final AS (SELECT a.vec_id,
+        |                 CASE WHEN d.hcell IS NULL OR a.cell <> d.hcell
+        |                        THEN a.cell
+        |                      WHEN sa.sid = (SELECT min(sid) FROM seeds)
+        |                        THEN a.cell
+        |                      ELSE a.cell + 100 END AS cell
+        |          FROM assign a CROSS JOIN dec d
+        |          LEFT JOIN sa ON sa.vec_id = a.vec_id)
+        |SELECT CAST(f.cell AS BIGINT) AS cell,
+        |       CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(CASE WHEN f.cell > 100 THEN f.cell - 100 ELSE f.cell END
+        |            AS BIGINT) AS src_cell,
+        |       CASE WHEN d.hcell IS NOT NULL
+        |             AND (f.cell = d.hcell OR f.cell = d.hcell + 100)
+        |            THEN 'split' ELSE 'kept' END AS action
+        |FROM final f CROSS JOIN dec d
+        |GROUP BY f.cell, d.hcell
+        |ORDER BY cell""".stripMargin) { (s, dir) =>
+      val (layout, hot) = stagedOptLayout(s, dir)
+      val action = hot match {
+        case Some(h) =>
+          when(col("cell") === h || col("cell") === h + 100L, lit("split"))
+            .otherwise(lit("kept"))
+        case None => lit("kept")
+      }
+      s.read.parquet(layout)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"))
+        .select(col("cell"), col("n_vectors"),
+          when(col("cell") > 100, col("cell") - 100).otherwise(col("cell"))
+            .cast("long").as("src_cell"),
+          action.as("action"))
+        .orderBy(col("cell"))
     },
 
     // ------------------------------------------------------------------
@@ -759,9 +960,18 @@ object SimilarityQueries {
         .select(col("vec_id").as("node"))
         .select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
+      // Pointer jumping converges in O(log diameter) ⊆ O(log n) rounds,
+      // so the runaway backstop is derived from the node count (+ slack)
+      // instead of a fixed constant — a legitimately deep component
+      // graph converges instead of aborting; the floor preserves the
+      // prior 20-round contract on tiny corpora. One bounded count on
+      // the already-checkpointed 1-column frame.
+      val nNodes = labels.count()
+      val maxRounds = math.max(20,
+        (math.log(math.max(nNodes.toDouble, 2.0)) / math.log(2.0)).ceil.toInt + 8)
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      while (changed > 0 && iter < maxRounds) {
         val viaEdges = edges
           .join(labels.select(col("node"), col("label")),
             edges("src") === col("node"))
@@ -785,13 +995,19 @@ object SimilarityQueries {
         // materialization job an eager per-round checkpoint pays.
         val jump = stepped
           .select(col("node").as("jnode"), col("label").as("jlabel"))
+        // the convergence read is an OBSERVED metric collected during
+        // the checkpoint's own materialization job (CollectMetrics
+        // accumulators) — one Spark job per round, not a materialize
+        // job plus a separate count() pass over the checkpointed frame
+        val obs = org.apache.spark.sql.Observation()
         val next = stepped.join(jump, stepped("label") === jump("jnode"))
           .select(col("node"), least(col("label"), col("jlabel")).as("label"),
             col("prev"))
+          .observe(obs, coalesce(sum(
+            when(col("label") =!= col("prev"), lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("changed"))
           .localCheckpoint(true)
-        // the convergence read rides the carried prev column — no
-        // comparison join against the previous round
-        changed = next.filter(col("label") =!= col("prev")).count()
+        changed = obs.get("changed").asInstanceOf[Long]
         labels = next
         iter += 1
       }

@@ -144,12 +144,23 @@ object SourceQueries {
       import org.apache.spark.sql.types._
       val dest = tmp("malformed_csv")
       // stage the fixture as a real CSV file — the ingest path under
-      // test is spark.read.csv, not an in-memory frame
+      // test is spark.read.csv, not an in-memory frame. The path is
+      // shared across drivers, so the publish is ATOMIC: write to a
+      // per-process temp name, then rename into place — a concurrent
+      // reader sees either the old complete file or the new complete
+      // file, never a truncated mid-write one. The temp name is
+      // dot-prefixed so Spark's directory listing ignores it even if a
+      // crashed writer strands one.
       val dir0 = new java.io.File(dest)
       dir0.mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dest, "feed.csv"),
+      val staged = java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dest,
+          s".feed.csv.tmp-${java.lang.ProcessHandle.current().pid()}-${Thread.currentThread().getId}"),
         CsvFixture.lines.mkString("", "\n", "\n"))
+      java.nio.file.Files.move(staged,
+        java.nio.file.Paths.get(dest, "feed.csv"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val schema = StructType(Seq(
         StructField("id", LongType), StructField("name", StringType),
         StructField("amount", DoubleType),

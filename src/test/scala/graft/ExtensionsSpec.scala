@@ -910,4 +910,30 @@ class ExtensionsSpec extends SparkSpecBase {
     // starts are 15-minute aligned epoch seconds
     assert(rows.forall(_.getAs[Long]("window_start_s") % 900 == 0))
   }
+
+  test("HLL dau/wau/mau estimates are within 10% of the exact sliding-distinct") {
+    // the sketch path (events_dau_wau_mau_hll) carries no cross-engine
+    // oracle — DuckDB's HLL is a different sketch — so ITS gate is this
+    // bound against the exact key, the same estimate-vs-exact treatment
+    // agg_approx_distinct gets. lgConfigK=12 ⇒ ~1.6% typical relative
+    // error; 10% is the loud-failure line.
+    val exact = run("events_dau_wau_mau").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau")))
+      .toMap
+    val est = run("events_dau_wau_mau_hll").collect()
+    assert(est.nonEmpty)
+    assert(est.map(_.getString(0)).toSet == exact.keySet,
+      "sketch and exact day spines differ")
+    def rel(e: Long, a: Long): Double = math.abs(a - e).toDouble / math.max(e, 1L)
+    est.foreach { r =>
+      val (d, w, m) = exact(r.getString(0))
+      assert(rel(d, r.getAs[Long]("dau_est")) <= 0.10,
+        s"dau estimate off >10% on ${r.getString(0)}")
+      assert(rel(w, r.getAs[Long]("wau_est")) <= 0.10,
+        s"wau estimate off >10% on ${r.getString(0)}")
+      assert(rel(m, r.getAs[Long]("mau_est")) <= 0.10,
+        s"mau estimate off >10% on ${r.getString(0)}")
+    }
+  }
 }

@@ -435,4 +435,99 @@ class QueriesSpec extends SparkSpecBase {
       assert(sizes.max - sizes.min <= 1, s"$src unbalanced bands: $sizes")
     }
   }
+
+  test("sim_cell_retrain rewrites only the split cell's partitions") {
+    import graft.ops.SimilarityQueries
+    import graft.exec.Scans
+    import scala.jdk.CollectionConverters._
+    // drive base + retrain into a throwaway root and snapshot the file
+    // tree between them: the maintenance contract is that the repair
+    // touches EXACTLY the split cell's two partition directories — the
+    // O(hot cell) pass, never a layout rebuild
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_opt_spec")
+    val layout = root.resolve("layout").toString
+    def snapshot(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(layout)
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally walk.close()
+    }
+    def cellOf(f: String): String =
+      f.split("/").find(_.startsWith("cell=")).getOrElse("")
+    try {
+      SimilarityQueries.writeOptBase(spark, sfDir, layout)
+      val before = snapshot()
+      val hot = SimilarityQueries.retrainIfSkewed(spark, layout)
+      assert(hot.nonEmpty,
+        "the bench corpus imbalance should exceed the default τ")
+      val h = hot.get
+      val after = snapshot()
+      val touched = Set(s"cell=$h", s"cell=${h + 100}")
+      // every file outside the split cell survives byte-count-identical
+      before.foreach { case (f, sz) =>
+        if (!touched.contains(cellOf(f)))
+          assert(after.get(f).contains(sz), s"untouched cell disturbed: $f")
+      }
+      // every added or removed file is confined to the split cell's dirs
+      val changed = (after.keySet -- before.keySet) ++
+        (before.keySet -- after.keySet)
+      assert(changed.nonEmpty, "retrain rewrote nothing")
+      changed.foreach { f =>
+        assert(touched.contains(cellOf(f)),
+          s"rewrite leaked outside the split cell: $f")
+      }
+      // membership is preserved exactly, and the split has two real sides
+      val emb = Scans.table(spark, sfDir, "embeddings")
+      val lay = spark.read.parquet(layout)
+      assert(lay.count() == emb.count())
+      assert(lay.select("vec_id").except(emb.select("vec_id")).count() == 0)
+      val sides = lay
+        .filter(col("cell") === h || col("cell") === h + 100)
+        .groupBy(col("cell")).count().collect()
+      assert(sides.length == 2 && sides.forall(_.getLong(1) > 0),
+        s"split did not produce two non-empty sides: ${sides.mkString(",")}")
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("SNM hot-cell bound: pairs stay ≤ 4·H·n when ALL vectors share one cell") {
+    // The 100 TB skew claim (≤ 2·c·H unordered pairs per cell, linear
+    // in cell size) pinned by construction: a synthetic corpus whose
+    // every non-centroid vector is nearest centroid 1, so one cell
+    // holds ~96% of the corpus. Goes through the REAL candidate-pair
+    // pipeline (assignment → SNM blocks → block equi-join); red if the
+    // block join is ever swapped for within-cell all-pairs, which on
+    // this corpus yields ~c² ≈ 160k ordered pairs vs the ~13k bound.
+    import spark.implicits._
+    val dims = 64
+    def basis(c: Int): Array[Float] =
+      Array.tabulate(dims)(j => if (j == c) 1f else 0f)
+    val cents = (1 to 16).map(c => (c.toLong, basis(c - 1)))
+    val corpus = (17 to 416).map { i =>
+      (i.toLong, Array.tabulate(dims)(j =>
+        if (j == 0) 1f
+        else if (j == 1) ((i % 97) + 1) * 1e-4f
+        else 0f))
+    }
+    val emb = (cents ++ corpus).toDF("vec_id", "embedding")
+    val pairs = graft.ops.SimilarityQueries.candidatePairsFrom(spark, emb)
+    val n = cents.size + corpus.size
+    val h = graft.ops.SimilarityQueries.snmHalfWindow
+    val cnt = pairs.count()
+    // premise guard: the hot cell really formed — an accidental spread
+    // across cells would collapse the count and pass vacuously
+    assert(cnt >= 1000, s"hot cell did not form (only $cnt pairs)")
+    // the bound: ordered pairs ≤ 4·H·n across all cells (each rank has
+    // ≤ 3H−1 block-mates, so even the hot cell contributes ≤ ~3·c·H)
+    assert(cnt <= 4L * h * n, s"SNM bound violated: $cnt > ${4L * h * n}")
+  }
 }
