@@ -1006,6 +1006,10 @@ object SimilarityQueries {
           .observe(obs, coalesce(sum(
             when(col("label") =!= col("prev"), lit(1L)).otherwise(lit(0L))),
             lit(0L)).as("changed"))
+          // prev exists only for the observed metric — project it away
+          // so the checkpointed per-round state stays the minimal
+          // (node, label) pair (CollectMetrics still runs underneath)
+          .select(col("node"), col("label"))
           .localCheckpoint(true)
         changed = obs.get("changed").asInstanceOf[Long]
         labels = next

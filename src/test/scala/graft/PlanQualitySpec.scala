@@ -709,6 +709,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("events_dau_wau_mau expands windows by explode, never a nested-loop join") {
+    // the sliding-distinct expansion must be the sequence/explode
+    // equi-join (≤ W generated rows per user-day): a non-equi day-range
+    // join degrades to BroadcastNestedLoopJoin whose compute is
+    // |user-days| × |calendar| — unbounded by W as history grows
+    val p = plan("events_dau_wau_mau")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Generate explode"), "window expansion not explode-based")
+  }
+
   test("sim_cell_retrain: an under-τ layout is a strict no-op (zero rewrite)") {
     // the maintenance pass must COST nothing when the signal says the
     // layout is healthy: no write job, no file touched, no rewrite
