@@ -969,9 +969,22 @@ object SimilarityQueries {
       val nNodes = labels.count()
       val maxRounds = math.max(20,
         (math.log(math.max(nNodes.toDouble, 2.0)) / math.log(2.0)).ceil.toInt + 8)
+      // Size the rounds' shuffles to the GRAPH, not the session default:
+      // each round is two or three shuffles over O(|E|+|V|) rows run
+      // maxRounds times, so at a fixed cluster-wide fan-out the
+      // task-scheduling floor (stages × partitions × rounds) dominates
+      // once the graph is much smaller than the cluster. ~1M rows per
+      // partition; the cap keeps a genuinely large graph on the full
+      // session width, the floor keeps local parallelism. Restored after
+      // the loop — the caller's conf must not leak.
+      val nEdges = edges.count()
+      val sessParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val iterParts = math.max(4, math.min(sessParts,
+        ((nNodes + nEdges) / 1000000L + 1).toInt))
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < maxRounds) {
+      s.conf.set("spark.sql.shuffle.partitions", iterParts)
+      try while (changed > 0 && iter < maxRounds) {
         val viaEdges = edges
           .join(labels.select(col("node"), col("label")),
             edges("src") === col("node"))
@@ -1014,7 +1027,7 @@ object SimilarityQueries {
         changed = obs.get("changed").asInstanceOf[Long]
         labels = next
         iter += 1
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
       // the cap is a runaway backstop, not an accuracy knob: publishing
       // non-minimal labels silently would be a wrong answer, so a graph
       // that genuinely needs more rounds must fail loudly instead
