@@ -69,6 +69,16 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("graph_connected_components restores the session shuffle-partition conf") {
+    // the loop sizes its round shuffles to the graph and must put the
+    // session default back — a leaked setting would silently resize
+    // every later query's shuffles in a shared session
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    SparkEntry.queries("graph_connected_components")(spark, sfDir).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "shuffle-partition conf leaked out of the component loop")
+  }
+
   test("dedup_decontaminate partitions train into contaminated + clean") {
     val r = SparkEntry.queries("dedup_decontaminate")(spark, sfDir).collect()(0)
     val (nBench, nTrain) = (r.getAs[Long]("n_benchmark"), r.getAs[Long]("n_train"))
