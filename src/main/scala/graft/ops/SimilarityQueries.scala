@@ -395,7 +395,7 @@ object SimilarityQueries {
   // nightly maintenance loop a persisted 100 TB IVF layout needs
   // (everything else's files stay byte-identical; spec-asserted).
   private val ivfOptStaged =
-    scala.collection.mutable.Map.empty[String, (String, Option[Long])]
+    scala.collection.mutable.Map.empty[String, (String, Option[(Long, Long)])]
 
   /** Declared imbalance threshold: `max_cell · n_cells / n_vectors`
     * above this triggers the hot-cell split. Default 1.1 (the bench
@@ -410,16 +410,19 @@ object SimilarityQueries {
     * witness that an under-τ layout triggers zero rewrite work. */
   private[graft] val retrainRewrites = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One path-safe encoding of τ shared by every layout path (a second
+    * copy drifting would let distinct-τ stagings alias). */
+  private def tauTag(s: SparkSession): String =
+    retrainTau(s).toString.replace('.', '_').replace('-', 'm')
+
   /** τ is part of the path: distinct thresholds are distinct layouts,
     * so a spec-driven high-τ staging can never alias the default one. */
-  def ivfOptLayoutPath(s: SparkSession, dir: String): String = {
-    val tau = retrainTau(s).toString.replace('.', '_').replace('-', 'm')
+  def ivfOptLayoutPath(s: SparkSession, dir: String): String =
     s.conf.getOption(PersistedState.IvfLayoutDirKey) match {
       case Some(root) =>
-        s"$root/ivf_opt_layout_${PersistedState.corpusKey(dir)}_tau$tau"
-      case None => s"$dir/_graft_ivf_opt_layout_tau$tau"
+        s"$root/ivf_opt_layout_${PersistedState.corpusKey(dir)}_tau${tauTag(s)}"
+      case None => s"$dir/_graft_ivf_opt_layout_tau${tauTag(s)}"
     }
-  }
 
   /** The maintenance pass's base: the full cell-partitioned layout
     * (same shape as sim_ivf_write_layout's). Individually driveable so
@@ -433,12 +436,15 @@ object SimilarityQueries {
     * centroids from its members (seeds = the two smallest vec_ids —
     * deterministic, engine-replayable), assign each member to the
     * nearer seed (6-dp cosine, smaller-seed tie-break; winner of the
-    * smaller seed keeps the cell id, the other side becomes id+100),
-    * and dynamic-partition-overwrite ONLY the split cell's partitions.
-    * Returns the split cell id, or None for an under-τ (or <2-member)
-    * layout — in which case NO write of any kind runs.
+    * smaller seed keeps the cell id, the other side moves to a FRESH
+    * id — max(existing cell) + 1, so a repeated maintenance pass can
+    * never dynamic-overwrite a partition an earlier split created:
+    * every run's new directory is one no prior run has written), and
+    * dynamic-partition-overwrite ONLY the split cell's partitions.
+    * Returns (split cell id, new cell id), or None for an under-τ
+    * (or <2-member) layout — in which case NO write of any kind runs.
     */
-  def retrainIfSkewed(s: SparkSession, path: String): Option[Long] = {
+  def retrainIfSkewed(s: SparkSession, path: String): Option[(Long, Long)] = {
     val census = s.read.parquet(path)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"))
@@ -449,8 +455,10 @@ object SimilarityQueries {
     val mx = census.map(_._2).max
     // same op order as the oracle: ((max·1.0)·cells)/vectors
     val imbalance = mx * 1.0 * nCells / total
+    // hot's count IS mx (chosen as the max, tie to the smaller id)
     val hot = census.sortBy { case (c, n) => (-n, c) }.head._1
-    if (imbalance <= retrainTau(s) || census.toMap.apply(hot) < 2) None
+    val fresh = census.map(_._1).max + 1L
+    if (imbalance <= retrainTau(s) || mx < 2) None
     else {
       val members = s.read.parquet(path)
         .filter(col("cell") === hot) // partition-pruned: one cell dir read
@@ -468,28 +476,28 @@ object SimilarityQueries {
           array_min(transform(col("seeds"), x => x.getField("sid"))).as("s0"))
         .select(col("vec_id"), col("embedding"), col("cell_cs"),
           when(col("best.sid") === col("s0"), lit(hot))
-            .otherwise(lit(hot + 100L)).as("cell"))
+            .otherwise(lit(fresh)).as("cell"))
       // dynamic overwrite touches exactly the partitions present in the
-      // written frame — cell=hot (replaced) and cell=hot+100 (new);
-      // every other cell's files are untouched (spec-asserted)
+      // written frame — cell=hot (replaced) and cell=fresh (new, an id
+      // no existing partition holds); every other cell's files are
+      // untouched (spec-asserted)
       reassigned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(path)
       retrainRewrites.incrementAndGet()
-      Some(hot)
+      Some((hot, fresh))
     }
   }
 
   /** Stage base + retrain once per (corpus, τ) per JVM. */
-  def stagedOptLayout(s: SparkSession, dir: String): (String, Option[Long]) =
+  def stagedOptLayout(s: SparkSession, dir: String): (String, Option[(Long, Long)]) =
     SimilarityQueries.synchronized {
       ivfOptStaged.getOrElseUpdate(ivfOptLayoutPath(s, dir), {
         // τ rides the fallback subdir too, so even scratch-fallback
         // stagings at distinct thresholds can never alias
-        val tauTag = retrainTau(s).toString.replace('.', '_').replace('-', 'm')
         val actual = PersistedState.writeWithFallback(s,
           PersistedState.IvfLayoutDirKey,
-          ivfOptLayoutPath(s, dir), dir, s"ivf_opt_layout_tau$tauTag") { p =>
+          ivfOptLayoutPath(s, dir), dir, s"ivf_opt_layout_tau${tauTag(s)}") { p =>
           writeOptBase(s, dir, p)
         }
         (actual, retrainIfSkewed(s, actual))
@@ -576,7 +584,9 @@ object SimilarityQueries {
     // a 2-means re-train of its members ONLY (seeds = its two smallest
     // vec_ids — deterministic and engine-replayable; nearest-seed
     // assignment at 6-dp cosine, smaller-seed tie-break; the smaller
-    // seed's side keeps the cell id, the other becomes id+100), and
+    // seed's side keeps the cell id, the other moves to the fresh id
+    // max(cell)+1 so repeated passes never collide with an earlier
+    // split's directory), and
     // the persisted layout is repaired by a DYNAMIC partition
     // overwrite that rewrites exactly the split cell's directories —
     // O(hot cell), never a layout rebuild, and an under-τ layout runs
@@ -617,37 +627,41 @@ object SimilarityQueries {
         |                           s.sid) AS rn
         |         FROM members m CROSS JOIN seeds s) t
         |       WHERE rn = 1),
+        |mxc AS (SELECT max(cell) + 1 AS newcell FROM cs0),
         |final AS (SELECT a.vec_id,
         |                 CASE WHEN d.hcell IS NULL OR a.cell <> d.hcell
         |                        THEN a.cell
         |                      WHEN sa.sid = (SELECT min(sid) FROM seeds)
         |                        THEN a.cell
-        |                      ELSE a.cell + 100 END AS cell
-        |          FROM assign a CROSS JOIN dec d
+        |                      ELSE m.newcell END AS cell
+        |          FROM assign a CROSS JOIN dec d CROSS JOIN mxc m
         |          LEFT JOIN sa ON sa.vec_id = a.vec_id)
         |SELECT CAST(f.cell AS BIGINT) AS cell,
         |       CAST(count(*) AS BIGINT) AS n_vectors,
-        |       CAST(CASE WHEN f.cell > 100 THEN f.cell - 100 ELSE f.cell END
-        |            AS BIGINT) AS src_cell,
+        |       CAST(CASE WHEN d.hcell IS NOT NULL AND f.cell = m.newcell
+        |                 THEN d.hcell ELSE f.cell END AS BIGINT) AS src_cell,
         |       CASE WHEN d.hcell IS NOT NULL
-        |             AND (f.cell = d.hcell OR f.cell = d.hcell + 100)
+        |             AND (f.cell = d.hcell OR f.cell = m.newcell)
         |            THEN 'split' ELSE 'kept' END AS action
-        |FROM final f CROSS JOIN dec d
-        |GROUP BY f.cell, d.hcell
+        |FROM final f CROSS JOIN dec d CROSS JOIN mxc m
+        |GROUP BY f.cell, d.hcell, m.newcell
         |ORDER BY cell""".stripMargin) { (s, dir) =>
       val (layout, hot) = stagedOptLayout(s, dir)
-      val action = hot match {
-        case Some(h) =>
-          when(col("cell") === h || col("cell") === h + 100L, lit("split"))
-            .otherwise(lit("kept"))
-        case None => lit("kept")
+      // the (hot → fresh) mapping is this run's split decision — the
+      // report derives lineage from it, never from id arithmetic (a
+      // fresh id carries no encoding of its source cell)
+      val (action, srcCell) = hot match {
+        case Some((h, nw)) =>
+          (when(col("cell") === h || col("cell") === nw, lit("split"))
+            .otherwise(lit("kept")),
+            when(col("cell") === nw, lit(h)).otherwise(col("cell")))
+        case None => (lit("kept"), col("cell"))
       }
       s.read.parquet(layout)
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).cast("long").as("n_vectors"))
         .select(col("cell"), col("n_vectors"),
-          when(col("cell") > 100, col("cell") - 100).otherwise(col("cell"))
-            .cast("long").as("src_cell"),
+          srcCell.cast("long").as("src_cell"),
           action.as("action"))
         .orderBy(col("cell"))
     },

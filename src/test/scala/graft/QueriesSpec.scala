@@ -475,9 +475,9 @@ class QueriesSpec extends SparkSpecBase {
       val hot = SimilarityQueries.retrainIfSkewed(spark, layout)
       assert(hot.nonEmpty,
         "the bench corpus imbalance should exceed the default τ")
-      val h = hot.get
+      val (h, nw) = hot.get
       val after = snapshot()
-      val touched = Set(s"cell=$h", s"cell=${h + 100}")
+      val touched = Set(s"cell=$h", s"cell=$nw")
       // every file outside the split cell survives byte-count-identical
       before.foreach { case (f, sz) =>
         if (!touched.contains(cellOf(f)))
@@ -497,10 +497,20 @@ class QueriesSpec extends SparkSpecBase {
       assert(lay.count() == emb.count())
       assert(lay.select("vec_id").except(emb.select("vec_id")).count() == 0)
       val sides = lay
-        .filter(col("cell") === h || col("cell") === h + 100)
+        .filter(col("cell") === h || col("cell") === nw)
         .groupBy(col("cell")).count().collect()
       assert(sides.length == 2 && sides.forall(_.getLong(1) > 0),
         s"split did not produce two non-empty sides: ${sides.mkString(",")}")
+      // a SECOND pass must never overwrite the first split's new cell:
+      // whatever it does, every vector is still in the layout exactly
+      // once (the repeated-maintenance data-loss case)
+      SimilarityQueries.retrainIfSkewed(spark, layout)
+      val lay2 = spark.read.parquet(layout)
+      assert(lay2.count() == emb.count(),
+        "second maintenance pass changed the layout's vector count")
+      assert(lay2.groupBy(col("vec_id")).count()
+        .filter(col("count") > 1).isEmpty,
+        "second maintenance pass duplicated vectors")
     } finally {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder())

@@ -23,8 +23,23 @@ def main() -> int:
     big_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_full.json"
     small_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_full_sf001.json"
     bound = float(sys.argv[3]) if len(sys.argv) > 3 else 30.0
-    big = json.load(open(big_path))["queries"]
-    small = json.load(open(small_path))["queries"]
+    big_doc = json.load(open(big_path))
+    small_doc = json.load(open(small_path))
+    big = big_doc["queries"]
+    small = small_doc["queries"]
+    # a key with no successful run lands in "failures", not "queries" --
+    # the worst scaling outcome must fail the gate, never drop out of it
+    failed = [(big_path, k) for k in big_doc.get("failures", [])] + \
+             [(small_path, k) for k in small_doc.get("failures", [])]
+    if failed:
+        print("FAIL: keys with no successful run:")
+        for path, k in failed:
+            print(f"  {k} ({path})")
+        return 1
+    one_sided = sorted(set(big) ^ set(small))
+    if one_sided:
+        print(f"FAIL: keys present at only one scale: {one_sided}")
+        return 1
     common = sorted(set(big) & set(small))
     if not common:
         print("FAIL: no common keys between the two bench maps")
@@ -35,8 +50,7 @@ def main() -> int:
         slopes.append((ratio, k, big[k]["min"], small[k]["min"]))
     slopes.sort(reverse=True)
     bad = [s for s in slopes if s[0] > bound]
-    print(f"{len(common)} common keys; "
-          f"skipped: {sorted(set(big) ^ set(small))}")
+    print(f"{len(common)} common keys; no failures, no one-sided keys")
     print("worst 10 slopes (ratio, key, sf0.1 min, sf0.001 min):")
     for ratio, k, b, s in slopes[:10]:
         print(f"  {ratio:7.1f}x  {k}  {b:.3f}s  {s:.3f}s")
