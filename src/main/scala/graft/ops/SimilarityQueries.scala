@@ -443,6 +443,16 @@ object SimilarityQueries {
     * dynamic-partition-overwrite ONLY the split cell's partitions.
     * Returns (split cell id, new cell id), or None for an under-τ
     * (or <2-member) layout — in which case NO write of any kind runs.
+    *
+    * Concurrency contract: ONE maintainer per layout at a time. The
+    * census-read → allocate → overwrite sequence is not atomic, and a
+    * plain parquet directory has no transaction log to detect a
+    * concurrent writer — two simultaneous passes could allocate the
+    * same fresh id and the later overwrite would win. Sequential
+    * repeated passes (the nightly-loop shape) are safe by the fresh-id
+    * allocation; concurrent maintainers need external coordination or
+    * a transactional table format. In-JVM callers are serialized by
+    * [[stagedOptLayout]]'s lock.
     */
   def retrainIfSkewed(s: SparkSession, path: String): Option[(Long, Long)] = {
     val census = s.read.parquet(path)
@@ -966,7 +976,13 @@ object SimilarityQueries {
         |       CAST(coalesce(least(c.src, c.mn), e.vec_id) AS BIGINT)
         |         AS component_id
         |FROM e LEFT JOIN comp c ON c.src = e.vec_id
-        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        |ORDER BY vec_id""".stripMargin) { (s0, dir) =>
+      // the iterative rounds run on a CHILD session (the streaming
+      // replays' isolation idiom) so the graph-sized shuffle override
+      // below can never race with or leak into the caller's conf —
+      // another thread's query on the shared session keeps its own
+      // partitioning no matter when the loop runs
+      val s = s0.newSession()
       val edges = candidatePairs(s, dir).filter(col("cos_sim") >= 0.22)
         .select(col("src_id").as("src"), col("nbr_id").as("dst"))
         .localCheckpoint(true)
@@ -989,16 +1005,21 @@ object SimilarityQueries {
       // task-scheduling floor (stages × partitions × rounds) dominates
       // once the graph is much smaller than the cluster. ~1M rows per
       // partition; the cap keeps a genuinely large graph on the full
-      // session width, the floor keeps local parallelism. Restored after
-      // the loop — the caller's conf must not leak.
+      // session width, the floor keeps local parallelism. A non-numeric
+      // platform setting (e.g. an auto-tuned default) just means no cap
+      // — the data-derived count already bounds the fan-out. Set on the
+      // child session only; the one-time setup above ran at the
+      // caller's partitioning.
       val nEdges = edges.count()
-      val sessParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val sessParts = scala.util
+        .Try(s0.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(Int.MaxValue)
       val iterParts = math.max(4, math.min(sessParts,
         ((nNodes + nEdges) / 1000000L + 1).toInt))
       var changed = 1L
       var iter = 0
       s.conf.set("spark.sql.shuffle.partitions", iterParts)
-      try while (changed > 0 && iter < maxRounds) {
+      while (changed > 0 && iter < maxRounds) {
         val viaEdges = edges
           .join(labels.select(col("node"), col("label")),
             edges("src") === col("node"))
@@ -1041,7 +1062,7 @@ object SimilarityQueries {
         changed = obs.get("changed").asInstanceOf[Long]
         labels = next
         iter += 1
-      } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
+      }
       // the cap is a runaway backstop, not an accuracy knob: publishing
       // non-minimal labels silently would be a wrong answer, so a graph
       // that genuinely needs more rounds must fail loudly instead
