@@ -150,9 +150,21 @@ object Bench {
     // — the stdout line only survives truncated to its last 2000 chars.
     // A SPARK_GRAFT_BENCH_ONLY subset must never clobber the committed
     // full-run artifact: with the filter active, the default landing spot
-    // stays in target/ unless the caller names a path explicitly.
+    // stays in target/ unless the caller names a path explicitly. The
+    // committed landing spot is also SF-AWARE: each committed trend file
+    // holds one scale's numbers (BENCH_full.json = sf0.1,
+    // BENCH_full_sf001.json = sf0.001), so a full run at any other
+    // corpus — or a smoke run at the small scale — must land in target/
+    // rather than silently rewriting a committed artifact with numbers
+    // from a different data scale.
+    val sfBase = new java.io.File(sfDir).getName
     val fullDefault =
-      if (only.isEmpty) "BENCH_full.json" else "target/bench_only.json"
+      if (only.nonEmpty) "target/bench_only.json"
+      else sfBase match {
+        case "sf0.1"   => "BENCH_full.json"
+        case "sf0.001" => "BENCH_full_sf001.json"
+        case b         => s"target/bench_full_$b.json"
+      }
     Seq("target/bench_full.json",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", fullDefault))
       .foreach { p =>
