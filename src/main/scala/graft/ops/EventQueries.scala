@@ -1780,10 +1780,17 @@ object EventQueries {
     // exact answer (lgConfigK=12 ⇒ ~1.6% typical relative error).
     // ------------------------------------------------------------------
     QueryDef.unoracled("events_dau_wau_mau_hll") { (s, dir) =>
-      val du = Scans.table(s, dir, "events")
+      // events aggregate STRAIGHT into per-day sketches — no (day,user)
+      // distinct first: HLL insertion is duplicate-insensitive, so the
+      // sketches are identical, and skipping the dedup means the only
+      // corpus-proportional exchange is partial (map-side) sketch
+      // aggregation shipping |days|·|tasks| ~KB buffers — the property
+      // that makes this the at-scale form (a pre-distinct would shuffle
+      // every (day,user) pair cluster-wide first, exactly the cost this
+      // key exists to avoid)
+      val daily = Scans.table(s, dir, "events")
         .select(to_date(col("ts")).as("d"), col("user_id"))
-        .distinct()
-      val daily = du.groupBy(col("d"))
+        .groupBy(col("d"))
         .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
         .localCheckpoint(true) // one corpus rollup feeds spine + windows
       val spine = daily.select(col("d").as("day_d"))

@@ -398,18 +398,33 @@ object SimilarityQueries {
     scala.collection.mutable.Map.empty[String, (String, Option[(Long, Long)])]
 
   /** Child sessions for the connected-components loop, cached per
-    * (caller, corpus). The loop sizes `spark.sql.shuffle.partitions` to
-    * the graph; doing that on the caller's session would race with and
-    * leak into concurrent queries, while a FRESH child per invocation
-    * measurably costs ~15% in cold per-session state. One cached child
-    * per (caller, corpus) gives the isolation without the re-warm: the
-    * override value is deterministic per corpus, so concurrent
-    * same-corpus invocations set the same number — benign. */
+    * (caller, corpus, caller-shuffle-conf). The loop sizes
+    * `spark.sql.shuffle.partitions` to the graph; doing that on the
+    * caller's session would race with and leak into concurrent queries,
+    * while a FRESH child per invocation measurably costs ~15% in cold
+    * per-session state. A cached child gives the isolation without the
+    * re-warm, and the caller's shuffle setting rides the KEY so the
+    * child's override is fully deterministic per key — the loop's
+    * iterParts is f(caller conf, corpus data), so two invocations that
+    * share a child compute the same number and a caller that changed
+    * its conf gets a different child instead of retargeting an
+    * in-flight loop's partitioning mid-round. The outer map holds its
+    * caller keys WEAKLY: a short-lived caller session's children are
+    * GC-eligible with it rather than pinned for the JVM's life. The
+    * lock is dedicated — the object-wide monitor serializes layout
+    * stagings' multi-second write jobs, and a cache lookup must not
+    * queue behind those. */
   private val ccSessions =
-    scala.collection.mutable.Map.empty[(SparkSession, String), SparkSession]
-  private def ccSession(s0: SparkSession, dir: String): SparkSession =
-    SimilarityQueries.synchronized {
-      ccSessions.getOrElseUpdate((s0, dir), s0.newSession())
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), SparkSession]]()
+  private def ccSession(s0: SparkSession, dir: String,
+      callerParts: String): SparkSession =
+    ccSessions.synchronized {
+      val perCaller = Option(ccSessions.get(s0)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[(String, String), SparkSession]
+        ccSessions.put(s0, m); m
+      }
+      perCaller.getOrElseUpdate((dir, callerParts), s0.newSession())
     }
 
   /** Declared imbalance threshold: `max_cell · n_cells / n_vectors`
@@ -995,11 +1010,14 @@ object SimilarityQueries {
       // the iterative rounds run on a CHILD session so the graph-sized
       // shuffle override below can never race with or leak into the
       // caller's conf (the streaming replays' isolation idiom). The
-      // child is cached per (caller, corpus): a fresh session per
-      // invocation costs ~15% in cold per-session state, and within one
-      // (caller, corpus) the override value is deterministic, so even
-      // concurrent invocations set the same number — benign.
-      val s = ccSession(s0, dir)
+      // child is cached per (caller, corpus, caller-shuffle-conf): a
+      // fresh session per invocation costs ~15% in cold per-session
+      // state, and within one key the override value is deterministic
+      // (iterParts = f(caller conf, corpus data)), so even concurrent
+      // invocations sharing a child set the same number — benign.
+      val callerParts = scala.util
+        .Try(s0.conf.get("spark.sql.shuffle.partitions")).getOrElse("")
+      val s = ccSession(s0, dir, callerParts)
       val edges = candidatePairs(s, dir).filter(col("cos_sim") >= 0.22)
         .select(col("src_id").as("src"), col("nbr_id").as("dst"))
         .localCheckpoint(true)
@@ -1030,8 +1048,9 @@ object SimilarityQueries {
       // slower at bench scale) and is safe here because the conf being
       // set belongs to this invocation's child session.
       val nEdges = edges.count()
-      val sessParts = scala.util
-        .Try(s0.conf.get("spark.sql.shuffle.partitions").toInt)
+      // parsed from the SAME snapshot that keyed the child-session
+      // cache, so iterParts is a pure function of (cache key, corpus)
+      val sessParts = scala.util.Try(callerParts.toInt)
         .getOrElse(Int.MaxValue)
       val iterParts = math.max(4, math.min(sessParts,
         ((nNodes + nEdges) / 1000000L + 1).toInt))

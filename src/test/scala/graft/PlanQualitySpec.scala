@@ -725,37 +725,22 @@ class PlanQualitySpec extends SparkSpecBase {
     // counted — the lock that a nightly OPTIMIZE sweep over thousands
     // of healthy corpora is free
     import graft.ops.SimilarityQueries
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_opt_noop")
     val layout = root.resolve("layout").toString
-    def snapshot(): Map[String, (Long, Long)] = {
-      val base = java.nio.file.Paths.get(layout)
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p))
-        .map(p => base.relativize(p).toString ->
-          (java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis))
-        .toMap
-      finally walk.close()
-    }
     spark.conf.set(SimilarityQueries.RetrainTauKey, "10.0")
     try {
       SimilarityQueries.writeOptBase(spark, sfDir, layout)
-      val before = snapshot()
+      val before = fileTreeStrict(layout)
       val rewritesBefore = SimilarityQueries.retrainRewrites.get()
       val hot = SimilarityQueries.retrainIfSkewed(spark, layout)
       assert(hot.isEmpty, "under-τ census must not select a split cell")
       assert(SimilarityQueries.retrainRewrites.get() == rewritesBefore,
         "under-τ retrain performed a rewrite")
-      assert(snapshot() == before,
+      assert(fileTreeStrict(layout) == before,
         "under-τ retrain modified the persisted layout")
     } finally {
       spark.conf.unset(SimilarityQueries.RetrainTauKey)
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteTree(root)
     }
   }
 }

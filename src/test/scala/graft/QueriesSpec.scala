@@ -313,22 +313,11 @@ class QueriesSpec extends SparkSpecBase {
     // a nightly ingest costs O(batch), never a layout rebuild
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_inc_spec")
     val layout = root.resolve("layout").toString
-    def snapshot(): Map[String, Long] = {
-      val base = java.nio.file.Paths.get(layout)
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
-        .toMap
-      finally walk.close()
-    }
     try {
       SimilarityQueries.writeIncBase(spark, sfDir, layout)
-      val before = snapshot()
+      val before = dataFileSizes(layout)
       SimilarityQueries.appendIncBatch(spark, sfDir, layout)
-      val after = snapshot()
+      val after = dataFileSizes(layout)
       // (a) every pre-existing file survives byte-count-identical
       before.foreach { case (f, sz) =>
         assert(after.get(f).contains(sz), s"existing file disturbed: $f")
@@ -350,12 +339,7 @@ class QueriesSpec extends SparkSpecBase {
       // and the combined layout is exactly the corpus
       assert(spark.read.parquet(layout).count() ==
         Scans.table(spark, sfDir, "embeddings").count())
-    } finally {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally deleteTree(root)
   }
 
   test("graph_pagerank: teleport floor, sub-unit mass, inflow differentiates") {
@@ -511,12 +495,7 @@ class QueriesSpec extends SparkSpecBase {
       assert(lay2.groupBy(col("vec_id")).count()
         .filter(col("count") > 1).isEmpty,
         "second maintenance pass duplicated vectors")
-    } finally {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally deleteTree(root)
   }
 
   test("SNM hot-cell bound: pairs stay ≤ 4·H·n when ALL vectors share one cell") {

@@ -12,6 +12,51 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
 
   val sfDir = "/root/testdata/sf0.001"
+
+  // --- shared file-tree helpers for the persisted-layout contract
+  // specs (incremental append, retrain rewrite, no-op lock) — ONE
+  // definition so a change to the layout's file-tree contract (e.g. a
+  // new metadata file) is fixed in one place, not per-spec copies ----
+
+  /** (relative path -> byte size) of a layout's DATA files — Spark
+    * `_`/`.`-prefixed metadata excluded, because write jobs legitimately
+    * refresh `_SUCCESS` even when no data file changes. */
+  def dataFileSizes(layout: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(layout)
+    val walk = java.nio.file.Files.walk(base)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+      .toMap
+    finally walk.close()
+  }
+
+  /** (relative path -> (size, mtime)) over ALL files including
+    * metadata — the strict form for no-op locks, where not even a
+    * `_SUCCESS` refresh is allowed to run. */
+  def fileTreeStrict(layout: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(layout)
+    val walk = java.nio.file.Files.walk(base)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map(p => base.relativize(p).toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+    finally walk.close()
+  }
+
+  /** Recursive delete of a throwaway spec directory. */
+  def deleteTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
 }
 
 object SparkSpecBase {
