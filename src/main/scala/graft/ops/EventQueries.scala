@@ -101,6 +101,24 @@ object EventQueries {
     * through this helper — no driver-resident memory sink anywhere in
     * the declared surface.
     */
+  /** events_dau_wau_mau_hll's daily rollup: events aggregate STRAIGHT
+    * into per-day HLL sketches — no (day, user) distinct first. HLL
+    * insertion is duplicate-insensitive, so the sketches are identical
+    * to a deduped build's, and skipping the dedup means the ONLY
+    * corpus-proportional exchange is partial (map-side) sketch
+    * aggregation shipping |days|·|tasks| ~KB buffers — the property
+    * that makes the sketch path the at-scale form (a pre-distinct
+    * would shuffle every (day, user) pair cluster-wide first, exactly
+    * the cost the key exists to avoid). Package-visible so the plan
+    * lock can assert the single-exchange shape BEFORE the reuse
+    * checkpoint in the query body truncates the visible plan.
+    */
+  private[graft] def dauHllDaily(s: SparkSession, dir: String): DataFrame =
+    Scans.table(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+
   private def fileSinkReplay(s: SparkSession, streamed: DataFrame)
       (recover: DataFrame => DataFrame): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_stream_sink")
@@ -1780,18 +1798,7 @@ object EventQueries {
     // exact answer (lgConfigK=12 ⇒ ~1.6% typical relative error).
     // ------------------------------------------------------------------
     QueryDef.unoracled("events_dau_wau_mau_hll") { (s, dir) =>
-      // events aggregate STRAIGHT into per-day sketches — no (day,user)
-      // distinct first: HLL insertion is duplicate-insensitive, so the
-      // sketches are identical, and skipping the dedup means the only
-      // corpus-proportional exchange is partial (map-side) sketch
-      // aggregation shipping |days|·|tasks| ~KB buffers — the property
-      // that makes this the at-scale form (a pre-distinct would shuffle
-      // every (day,user) pair cluster-wide first, exactly the cost this
-      // key exists to avoid)
-      val daily = Scans.table(s, dir, "events")
-        .select(to_date(col("ts")).as("d"), col("user_id"))
-        .groupBy(col("d"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val daily = dauHllDaily(s, dir)
         .localCheckpoint(true) // one corpus rollup feeds spine + windows
       val spine = daily.select(col("d").as("day_d"))
       val est = daily

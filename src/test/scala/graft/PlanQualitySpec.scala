@@ -719,6 +719,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Generate explode"), "window expansion not explode-based")
   }
 
+  test("events_dau_wau_mau_hll's daily rollup pays exactly one exchange") {
+    // the sketch path's at-scale claim: events aggregate straight into
+    // per-day sketches, so the ONLY corpus-proportional exchange is the
+    // sketch merge (partial hll_sketch_agg below it, ~KB buffers above
+    // it). A (day,user) pre-distinct — the shape a review caught this
+    // round — adds a second exchange that shuffles every distinct pair
+    // cluster-wide and contradicts the key's reason to exist.
+    val p = graft.ops.EventQueries.dauHllDaily(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*\\+?-? ?Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("partial_hll_sketch_agg"),
+      "daily sketch rollup lost its map-side partial aggregation")
+  }
+
   test("sim_cell_retrain: an under-τ layout is a strict no-op (zero rewrite)") {
     // the maintenance pass must COST nothing when the signal says the
     // layout is healthy: no write job, no file touched, no rewrite
