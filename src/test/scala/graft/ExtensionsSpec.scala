@@ -911,6 +911,26 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Long]("window_start_s") % 900 == 0))
   }
 
+  test("per-day HLL sketches are duplicate-insensitive (no pre-distinct needed)") {
+    // the premise that lets the sketch path skip the (day,user)
+    // distinct — and with it the only corpus-proportional shuffle —
+    // pinned as a property, not a comment: aggregating raw events and
+    // aggregating deduped (day,user) pairs must yield the SAME per-day
+    // estimate for every day (duplicate insertions cannot move an HLL
+    // register, so the sketch state is a function of the distinct set)
+    val ev = Scans.table(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    def daily(src: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      src.groupBy(col("d"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("est"))
+        .collect().map(r => r.get(0).toString -> r.getAs[Long]("est")).toMap
+    val raw = daily(ev)
+    val deduped = daily(ev.distinct())
+    assert(raw.nonEmpty && raw == deduped,
+      "per-day sketch estimates differ between raw and deduped inputs")
+  }
+
   test("HLL dau/wau/mau estimates are within 10% of the exact sliding-distinct") {
     // the sketch path (events_dau_wau_mau_hll) carries no cross-engine
     // oracle — DuckDB's HLL is a different sketch — so ITS gate is this

@@ -79,6 +79,36 @@ class QueriesSpec extends SparkSpecBase {
       "shuffle-partition conf leaked out of the component loop")
   }
 
+  test("graph_connected_components is safe under concurrent invocation") {
+    // the cached-child-session design's claims, exercised rather than
+    // reasoned: two same-caller invocations share one child (identical
+    // override — benign), a caller with a DIFFERENT shuffle conf gets
+    // its own child instead of retargeting the in-flight loop, an
+    // unrelated query interleaves freely, and nobody's session conf
+    // moves. All three component runs must equal the serial answer.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(s: org.apache.spark.sql.SparkSession): Seq[String] =
+      SparkEntry.queries("graph_connected_components")(s, sfDir)
+        .collect().map(_.toString).toSeq
+    val serial = run(spark)
+    val otherCaller = spark.newSession()
+    otherCaller.conf.set("spark.sql.shuffle.partitions", "7")
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val ccRuns = Future.sequence(Seq(
+      Future(run(spark)), Future(run(spark)), Future(run(otherCaller))))
+    val interleaved = Future(
+      SparkEntry.queries("join_broadcast_dim")(spark, sfDir).collect())
+    Await.result(ccRuns, 5.minutes).foreach(r =>
+      assert(r == serial, "concurrent component run diverged from serial"))
+    assert(Await.result(interleaved, 5.minutes).nonEmpty)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore,
+      "concurrent component runs leaked into the caller's conf")
+    assert(otherCaller.conf.get("spark.sql.shuffle.partitions") == "7",
+      "concurrent component runs leaked into the second caller's conf")
+  }
+
   test("dedup_decontaminate partitions train into contaminated + clean") {
     val r = SparkEntry.queries("dedup_decontaminate")(spark, sfDir).collect()(0)
     val (nBench, nTrain) = (r.getAs[Long]("n_benchmark"), r.getAs[Long]("n_train"))
