@@ -30,7 +30,10 @@ final class CopyMonitor extends SparkListener {
     activeTasks.incrementAndGet()
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
-    activeTasks.decrementAndGet()
+    // floor at 0: a task launched BEFORE this listener attached still
+    // delivers its onTaskEnd, which would otherwise drive the gauge
+    // negative and publish nonsense active-task counts in the samples
+    activeTasks.updateAndGet(n => math.max(0, n - 1))
     val m = taskEnd.taskMetrics
     if (m != null) {
       recordsWritten.add(m.outputMetrics.recordsWritten)

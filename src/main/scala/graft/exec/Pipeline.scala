@@ -55,13 +55,9 @@ object Pipeline {
       if (st.isFile) isParquet(st)
       else {
         // first COMMITTED data file anywhere under the root
-        // (short-circuits). Hidden-ness is segment-wise below the root —
-        // a part file nested under a leftover _temporary dir is
-        // uncommitted even though its own name looks committed.
-        val rootPath = fs.makeQualified(root).toUri.getPath
-        def hidden(p: org.apache.hadoop.fs.Path): Boolean =
-          fs.makeQualified(p).toUri.getPath.stripPrefix(rootPath)
-            .split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        // (short-circuits); committed-ness is Sinks.hiddenBelow — the
+        // same predicate reconciliation uses
+        val hidden = Sinks.hiddenBelow(fs, root)
         val it = fs.listFiles(root, true)
         var found = false
         while (!found && it.hasNext) {
@@ -197,7 +193,15 @@ object Pipeline {
       val key =
         if (keys.nonEmpty) abs(Scans.sliceKeyPortable(keys))
         else Scans.sliceKeyHash(base)
-      val fanned = base.repartition(n, pmod(key, lit(n.toLong)))
+      // Drop NULL-key rows BEFORE the fan-out so this path stays
+      // semantically identical to the union-of-slices it replaces:
+      // logicalSlice's pmod(key,n)=i predicate is NULL (row dropped)
+      // for a NULL slice key, while a hash repartition would land the
+      // row in some partition and silently copy it — whether a copy
+      // reconciles would then depend on which code path engaged. Same
+      // guard the physical fan-out below applies to its range.
+      val fanned = base.filter(pmod(key, lit(n.toLong)).isNotNull)
+        .repartition(n, pmod(key, lit(n.toLong)))
       Scans.orderedWithinPartitions(fanned, item.orderHint)
     } else if (completePhysicalSet && flatFileSource) {
       val item = items.head
@@ -267,8 +271,9 @@ object Pipeline {
     val dest = s"$destDir/${dst.name}.parquet"
     def load(): Unit = Retry.withRetry(
       maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
+      // no orderHint: copyFrame's every branch already ends
+      // ordered-within-partitions on the item's hint
       Sinks.bulkInsert(df, dest,
-        orderHint = items.head.orderHint,
         overwrite = truncateDest,
         columnstoreDest = dst.storage == Storage.ClusteredColumnstore,
         batchSizeRows = conf.batchSize)
@@ -323,8 +328,10 @@ object Pipeline {
       case AnalysisOutcome.Success(is) => is
       case other => throw new IllegalStateException(s"${src.name}: $other")
     }
-    val frame = copyFrame(spark, sfDir, items)
-    val ordered = Scans.orderedWithinPartitions(frame, items.head.orderHint)
+    // copyFrame's every branch already ends ordered-within-partitions on
+    // the item's hint — sorting here again would double the sort work if
+    // the optimizer's redundant-sort elimination ever missed the pair
+    val ordered = copyFrame(spark, sfDir, items)
     if (truncateDest)
       // overwrite+truncate is retry-idempotent: every attempt re-truncates
       // before inserting, so a partial failure leaves nothing behind

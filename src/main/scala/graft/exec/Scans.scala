@@ -130,10 +130,14 @@ object Scans {
   /** Ordered scan — reference `SmartBulkCopy.cs:429-438`. The reference
     * orders *each partition's stream*, not the whole table, so the Spark
     * analog is `sortWithinPartitions` (a global `orderBy` would pay a
-    * range-shuffle the reference never pays).
+    * range-shuffle the reference never pays). Computed key columns are
+    * excluded exactly as [[SqlGen.orderByClause]] excludes them — they
+    * are not in the projection, so sorting on one would fail to resolve
+    * here while the SQL-text twin silently skipped it.
     */
   def orderedWithinPartitions(df: DataFrame, keys: Seq[SortKey]): DataFrame = {
-    val cols = keys.map(k => if (k.descending) col(k.col).desc else col(k.col).asc)
+    val cols = keys.filterNot(_.isComputed)
+      .map(k => if (k.descending) col(k.col).desc else col(k.col).asc)
     if (cols.isEmpty) df else df.sortWithinPartitions(cols: _*)
   }
 

@@ -103,17 +103,30 @@ object Sinks {
     * uncommitted rows. Shared by [[committedRowCount]] and the
     * maintenance ops (`pipeline_compact`).
     */
+  /** Segment-wise hidden-ness below `root`: any `_`/`.`-prefixed path
+    * segment under the root marks the file uncommitted (commit-protocol
+    * markers, `_temporary` staging) — a part file nested under a
+    * leftover `_temporary` dir is uncommitted even though its own name
+    * looks committed. ONE definition, shared by [[committedFiles]] and
+    * the safety gate (`Pipeline.safetyCheck`), so a convention change
+    * can never make the gate and reconciliation classify the same file
+    * differently.
+    */
+  def hiddenBelow(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path => Boolean = {
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    p => fs.makeQualified(p).toUri.getPath.stripPrefix(rootPath)
+      .split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+  }
+
   def committedFiles(
       spark: SparkSession,
       path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val rootPath = fs.makeQualified(root).toUri.getPath
-    def isHidden(p: org.apache.hadoop.fs.Path): Boolean = {
-      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootPath)
-      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
-    }
+    val isHidden = hiddenBelow(fs, root)
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
@@ -131,7 +144,13 @@ object Sinks {
     * element.
     */
   def identityCurrent(df: DataFrame, idCol: String): Long =
-    df.agg(max(col(idCol)).cast("long")).collect()(0).getLong(0)
+    // coalesce: max() is NULL on an empty (or all-NULL) source, and the
+    // reference's IDENT_CURRENT answers on empty tables too — 0 makes
+    // every downstream use degrade correctly (a watermark of 0 selects
+    // the whole source as delta; a reseed to 0 restarts the sequence)
+    // instead of an NPE aborting the run
+    df.agg(coalesce(max(col(idCol)).cast("long"), lit(0L)))
+      .collect()(0).getLong(0)
 
   /** Reseed the destination's identity generator — the file-sink analog of
     * `dbcc checkident('t', reseed, ic)` (reference `SmartBulkCopy.cs:

@@ -49,11 +49,16 @@ object SqlGen {
   /** ORDER BY text with per-column direction — reference
     * `TableInfoCollector.cs:52-58` (computed key columns excluded).
     */
-  def orderByClause(keys: Seq[SortKey]): String =
-    if (keys.isEmpty) ""
-    else "ORDER BY " + keys.filterNot(_.isComputed)
+  def orderByClause(keys: Seq[SortKey]): String = {
+    // filter BEFORE the emptiness check: an order hint of ONLY computed
+    // keys must produce no clause at all, not a bare "ORDER BY " that
+    // fails to parse
+    val sortable = keys.filterNot(_.isComputed)
+    if (sortable.isEmpty) ""
+    else "ORDER BY " + sortable
       .map(k => s"${quote(k.col)}${if (k.descending) " DESC" else ""}")
       .mkString(", ")
+  }
 
   /** Full generated SELECT for one work item over a registered view. */
   def selectFor(item: WorkItem, allColumns: Seq[String]): String =

@@ -175,8 +175,15 @@ case class BloomMightContain(left: Expression, right: Expression)
   // executors; lazy vals re-materialize on first probe there)
   @transient private lazy val blob: Array[Byte] =
     left.eval(null).asInstanceOf[Array[Byte]]
-  @transient private lazy val bits: Array[Long] = BloomProbe.deserializeBits(blob)
-  @transient private lazy val k: Int = BloomProbe.deserializeHashes(blob)
+  // null-tolerant: a foldable-but-NULL blob (CAST(NULL AS BINARY)) is a
+  // legal input whose answer is NULL. nullSafeCodeGen never EXECUTES the
+  // probe for a null literal, but it does BUILD the code string, which
+  // forces these lazy vals — deserializing null here would NPE at
+  // codegen time, before a single row is processed.
+  @transient private lazy val bits: Array[Long] =
+    if (blob == null) null else BloomProbe.deserializeBits(blob)
+  @transient private lazy val k: Int =
+    if (blob == null) 0 else BloomProbe.deserializeHashes(blob)
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     BloomProbe.contains(bits, r.asInstanceOf[Long], k)

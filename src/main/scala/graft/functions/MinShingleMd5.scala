@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -16,12 +14,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * `DigestUtils.md5Hex` from codegen).
   */
 object ShingleMd5 {
-
-  private val mdLocal: ThreadLocal[MessageDigest] =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-    }
-  private val hexDigits: Array[Byte] = "0123456789abcdef".getBytes
 
   /** Numeric/text contract is IDENTICAL to the built-in composition
     *
@@ -43,14 +35,7 @@ object ShingleMd5 {
     */
   def compute(text: UTF8String, shingleLen: Int, stride: Int, useICU: Boolean): UTF8String = {
     val rawChars = text.numChars()
-    // the exact lowering the built-in `lower()` performs under the
-    // default UTF8_BINARY collation (including its ICU toggle) — NOT
-    // UTF8String.toLowerCase, which diverges on context-sensitive
-    // mappings (Greek capital sigma in word-final position lowers to ς
-    // under ICU, σ otherwise)
-    val lt =
-      if (useICU) org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
-      else org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinary(text)
+    val lt = TextKernel.lowered(text, useICU)
     val bytes = lt.getBytes
     // byte offset of each code point of lt (offs(numChars) = total bytes):
     // O(n) once, so every shingle slice is O(shingleLen) — never the
@@ -66,7 +51,7 @@ object ShingleMd5 {
     }
     offs(ltChars) = bytes.length
     val last = math.max(rawChars - (shingleLen - 1), 1)
-    val md = mdLocal.get()
+    val md = TextKernel.md5()
     var best: Array[Byte] = null
     var i = 1
     while (i <= last) {
@@ -78,14 +63,7 @@ object ShingleMd5 {
       if (best == null || unsignedLess(dig, best)) best = dig
       i += stride
     }
-    val out = new Array[Byte](32)
-    var j = 0
-    while (j < 16) {
-      out(2 * j) = hexDigits((best(j) >> 4) & 0xf)
-      out(2 * j + 1) = hexDigits(best(j) & 0xf)
-      j += 1
-    }
-    UTF8String.fromBytes(out)
+    UTF8String.fromBytes(TextKernel.hex32(best))
   }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {

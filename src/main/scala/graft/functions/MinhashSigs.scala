@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -42,43 +40,14 @@ object MinhashSigsKernel {
   final val P = 1000000007L
   final val Families = 8
 
-  private val mdLocal: ThreadLocal[MessageDigest] =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-    }
-  private val space = Array[Byte](' ')
-
-  @inline private def isAlnum(b: Byte): Boolean =
-    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-
   def compute(text: UTF8String, useICU: Boolean): ArrayData = {
-    val lt =
-      if (useICU) org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
-      else org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinary(text)
-    val bytes = lt.getBytes
-    val n = bytes.length
+    val bytes = TextKernel.lowered(text, useICU).getBytes
     // token spans: (start, end) byte offsets of each [a-z0-9] run
-    var nTok = 0
-    var cap = 16
-    var starts = new Array[Int](cap)
-    var ends = new Array[Int](cap)
-    var i = 0
-    while (i < n) {
-      if (isAlnum(bytes(i))) {
-        var j = i + 1
-        while (j < n && isAlnum(bytes(j))) j += 1
-        if (nTok == cap) {
-          cap *= 2
-          starts = java.util.Arrays.copyOf(starts, cap)
-          ends = java.util.Arrays.copyOf(ends, cap)
-        }
-        starts(nTok) = i; ends(nTok) = j; nTok += 1
-        i = j
-      } else i += 1
-    }
+    val spans = TextKernel.tokenSpans(bytes)
+    val (starts, ends, nTok) = (spans.starts, spans.ends, spans.n)
     val mins = new Array[Long](Families)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val md = mdLocal.get()
+    val md = TextKernel.md5()
     val lastStart = math.max(nTok - 2, 1) // 1-based shingle-start bound
     var s = 1
     while (s <= lastStart) {
@@ -89,7 +58,7 @@ object MinhashSigsKernel {
       var t = s - 1
       val tEnd = math.min(s + 2, nTok)
       while (t < tEnd) {
-        if (wrote) md.update(space, 0, 1)
+        if (wrote) md.update(TextKernel.space, 0, 1)
         md.update(bytes, starts(t), ends(t) - starts(t))
         wrote = true
         t += 1

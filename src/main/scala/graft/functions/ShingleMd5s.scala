@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -37,43 +35,13 @@ object ShingleMd5sKernel {
 
   final val ShingleTokens = 8
 
-  private val mdLocal: ThreadLocal[MessageDigest] =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-    }
-  private val space = Array[Byte](' ')
-  private val hex = "0123456789abcdef".getBytes
-
-  @inline private def isAlnum(b: Byte): Boolean =
-    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-
   def compute(text: UTF8String, useICU: Boolean): ArrayData = {
-    val lt =
-      if (useICU) org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
-      else org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinary(text)
-    val bytes = lt.getBytes
-    val n = bytes.length
-    var nTok = 0
-    var cap = 16
-    var starts = new Array[Int](cap)
-    var ends = new Array[Int](cap)
-    var i = 0
-    while (i < n) {
-      if (isAlnum(bytes(i))) {
-        var j = i + 1
-        while (j < n && isAlnum(bytes(j))) j += 1
-        if (nTok == cap) {
-          cap *= 2
-          starts = java.util.Arrays.copyOf(starts, cap)
-          ends = java.util.Arrays.copyOf(ends, cap)
-        }
-        starts(nTok) = i; ends(nTok) = j; nTok += 1
-        i = j
-      } else i += 1
-    }
+    val bytes = TextKernel.lowered(text, useICU).getBytes
+    val spans = TextKernel.tokenSpans(bytes)
+    val (starts, ends, nTok) = (spans.starts, spans.ends, spans.n)
     val nShingles = nTok - ShingleTokens + 1
     if (nShingles <= 0) return new GenericArrayData(Array.empty[Any])
-    val md = mdLocal.get()
+    val md = TextKernel.md5()
     val out = new Array[Any](nShingles)
     var s = 0
     while (s < nShingles) {
@@ -81,19 +49,11 @@ object ShingleMd5sKernel {
       var t = s
       val tEnd = s + ShingleTokens
       while (t < tEnd) {
-        if (t > s) md.update(space, 0, 1)
+        if (t > s) md.update(TextKernel.space, 0, 1)
         md.update(bytes, starts(t), ends(t) - starts(t))
         t += 1
       }
-      val dig = md.digest()
-      val hx = new Array[Byte](32)
-      var b = 0
-      while (b < 16) {
-        hx(2 * b) = hex((dig(b) >> 4) & 0xf)
-        hx(2 * b + 1) = hex(dig(b) & 0xf)
-        b += 1
-      }
-      out(s) = UTF8String.fromBytes(hx)
+      out(s) = UTF8String.fromBytes(TextKernel.hex32(md.digest()))
       s += 1
     }
     new GenericArrayData(out)

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -37,46 +35,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimhashTextKernel {
 
-  private val mdLocal: ThreadLocal[MessageDigest] =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-    }
-  private val hexDigits: Array[Byte] = "0123456789abcdef".getBytes
-
-  @inline private def isAlnum(b: Byte): Boolean =
-    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-
   def compute(text: UTF8String, useICU: Boolean): UTF8String = {
-    val lt =
-      if (useICU) org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
-      else org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinary(text)
-    val bytes = lt.getBytes
-    val n = bytes.length
+    val bytes = TextKernel.lowered(text, useICU).getBytes
+    val spans = TextKernel.tokenSpans(bytes)
     val votes = new Array[Int](64)
-    var any = false
-    val md = mdLocal.get()
-    var i = 0
-    while (i < n) {
-      if (isAlnum(bytes(i))) {
-        var j = i + 1
-        while (j < n && isAlnum(bytes(j))) j += 1
-        any = true
-        md.reset()
-        md.update(bytes, i, j - i)
-        val dig = md.digest()
-        var b = 0
-        while (b < 64) {
-          val d = (b >> 2) // 0-based digit index
-          val nib =
-            if ((d & 1) == 0) (dig(d >> 1) >> 4) & 0xf
-            else dig(d >> 1) & 0xf
-          votes(b) += (((nib >> (b & 3)) & 1) << 1) - 1
-          b += 1
-        }
-        i = j
-      } else i += 1
+    val md = TextKernel.md5()
+    var t = 0
+    while (t < spans.n) {
+      md.reset()
+      md.update(bytes, spans.starts(t), spans.ends(t) - spans.starts(t))
+      val dig = md.digest()
+      var b = 0
+      while (b < 64) {
+        val d = (b >> 2) // 0-based digit index
+        val nib =
+          if ((d & 1) == 0) (dig(d >> 1) >> 4) & 0xf
+          else dig(d >> 1) & 0xf
+        votes(b) += (((nib >> (b & 3)) & 1) << 1) - 1
+        b += 1
+      }
+      t += 1
     }
-    if (!any) return null
+    if (spans.n == 0) return null
     val out = new Array[Byte](16)
     var d = 0
     while (d < 16) {
@@ -86,7 +66,7 @@ object SimhashTextKernel {
         if (votes(4 * d + k) > 0) v |= 1 << k
         k += 1
       }
-      out(d) = hexDigits(v)
+      out(d) = TextKernel.hexDigits(v)
       d += 1
     }
     UTF8String.fromBytes(out)

@@ -1,0 +1,85 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared primitives of the fused text-hash kernels ([[ShingleMd5]],
+  * [[ShingleMd5sKernel]], [[MinhashSigsKernel]], [[SimhashTextKernel]]).
+  * ONE definition of the tokenizer, the lowering, the thread-local MD5
+  * and the hex alphabet: the four kernels must stay digest-compatible
+  * with each other and with the built-in compositions they replace, so
+  * a tokenization or lowering fix must land everywhere at once — not in
+  * four drifting copies.
+  */
+object TextKernel {
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
+  /** Per-thread reusable MD5 instance (callers `reset()` before use). */
+  def md5(): MessageDigest = mdLocal.get()
+
+  /** Lowercase hex alphabet — the encoding `md5()`'s hex form uses. */
+  val hexDigits: Array[Byte] = "0123456789abcdef".getBytes
+
+  /** Single-space separator used when shingling token runs. */
+  val space: Array[Byte] = Array[Byte](' ')
+
+  /** Post-lowering token alphabet: [a-z0-9] byte runs are tokens. */
+  @inline def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** The exact lowering the built-in `lower()` performs under the
+    * default UTF8_BINARY collation (including its ICU toggle) — NOT
+    * `UTF8String.toLowerCase`, which diverges on context-sensitive
+    * mappings (Greek capital sigma in word-final position lowers to ς
+    * under ICU, σ otherwise).
+    */
+  def lowered(text: UTF8String, useICU: Boolean): UTF8String =
+    if (useICU) org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
+    else org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinary(text)
+
+  /** Byte-offset spans of each [a-z0-9] token run in `bytes`:
+    * `starts(i) until ends(i)` for `i < n`. Arrays may be longer than
+    * `n` (grow-by-doubling) — read only the first `n` entries.
+    */
+  final class TokenSpans(val starts: Array[Int], val ends: Array[Int], val n: Int)
+
+  def tokenSpans(bytes: Array[Byte]): TokenSpans = {
+    val len = bytes.length
+    var nTok = 0
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var i = 0
+    while (i < len) {
+      if (isAlnum(bytes(i))) {
+        var j = i + 1
+        while (j < len && isAlnum(bytes(j))) j += 1
+        if (nTok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nTok) = i; ends(nTok) = j; nTok += 1
+        i = j
+      } else i += 1
+    }
+    new TokenSpans(starts, ends, nTok)
+  }
+
+  /** 32-char lowercase hex of a 16-byte digest — `md5()`'s text form. */
+  def hex32(dig: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      out(2 * j) = hexDigits((dig(j) >> 4) & 0xf)
+      out(2 * j + 1) = hexDigits(dig(j) & 0xf)
+      j += 1
+    }
+    out
+  }
+}

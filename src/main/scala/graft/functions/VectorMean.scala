@@ -19,20 +19,29 @@ object VectorMean extends Aggregator[Array[Float], (Array[Double], Long), Array[
 
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
+  // Ragged inputs fail LOUDLY: the buffer takes the first vector's
+  // dimension, and partition/merge order is nondeterministic, so
+  // silently truncating a mismatched vector would make both the output
+  // dimension and the per-dimension means vary run to run. A mean over
+  // mixed-dimension vectors has no defined answer — reject it.
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     if (v == null) return b
     val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    require(v.length == sums.length,
+      s"vector_mean over ragged dimensions: ${v.length} vs ${sums.length}")
     var i = 0
-    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    while (i < v.length) { sums(i) += v(i); i += 1 }
     (sums, b._2 + 1)
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
     if (a._1.isEmpty) return b
     if (b._1.isEmpty) return a
+    require(a._1.length == b._1.length,
+      s"vector_mean over ragged dimensions: ${a._1.length} vs ${b._1.length}")
     val out = a._1.clone()
     var i = 0
-    while (i < out.length && i < b._1.length) { out(i) += b._1(i); i += 1 }
+    while (i < out.length) { out(i) += b._1(i); i += 1 }
     (out, a._2 + b._2)
   }
 

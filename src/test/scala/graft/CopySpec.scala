@@ -19,6 +19,45 @@ class CopySpec extends SparkSpecBase {
     assert(Copy.run(spark, sfDir, destDir, Seq("region", "nation")) == 0)
   }
 
+  test("identityCurrent is 0 on an empty source, not an NPE") {
+    // the reference's IDENT_CURRENT answers on empty tables too: an
+    // empty source with syncIdentity on must reseed to 0 (next value
+    // restarts the sequence), and a 0 watermark selects the whole
+    // source as delta — max() returning NULL must not abort the run
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("id")
+    assert(exec.Sinks.identityCurrent(empty, "id") == 0L)
+    val allNull = Seq[Option[Long]](None, None).toDF("id")
+    assert(exec.Sinks.identityCurrent(allNull, "id") == 0L)
+  }
+
+  test("copyFrame's single-scan fan-out drops NULL slice keys like the union") {
+    // path-equivalence contract: logicalSlice's pmod(key,n)=i predicate
+    // is NULL (row dropped) for a NULL slice key, so the complete-set
+    // fan-out must pre-filter them — otherwise whether a NULL-keyed row
+    // is copied (and whether reconciliation passes) would depend on
+    // which code path engaged
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nullslice")
+    try {
+      Seq[(Option[Long], String)]((Some(1L), "a"), (Some(2L), "b"),
+        (None, "x"), (Some(4L), "d"), (None, "y"), (Some(6L), "f"))
+        .toDF("k", "v")
+        .write.parquet(root.resolve("widgets.parquet").toString)
+      val tm = TableMeta("dbo", "widgets", Storage.Heap)
+      val n = 3
+      val items = (0 until n).map(i =>
+        WorkItem(tm, SliceSpec.Logical(Seq("k"), n, i), Nil))
+      val fanned = exec.Pipeline.copyFrame(spark, root.toString, items)
+      val union = items.map(Scans.forWorkItem(spark, root.toString, _))
+        .reduce(_ unionAll _)
+      assert(union.count() == 4, "slice union must drop the NULL-key rows")
+      assert(fanned.count() == 4, "fan-out must drop the same NULL-key rows")
+      assert(fanned.select("k", "v").except(union.select("k", "v")).isEmpty &&
+        union.select("k", "v").except(fanned.select("k", "v")).isEmpty)
+    } finally deleteTree(root)
+  }
+
   test("foreign keys on the destination exit with the FK ordinal (5)") {
     val dst = Catalog.collect(spark, sfDir, "region")
       .copy(storage = Storage.Heap, secondaryIndexCount = 0, history = None,

@@ -482,6 +482,30 @@ class ExtensionsSpec extends SparkSpecBase {
       brute.get(id).foreach(bf => assert(math.abs(bf - c) < 1e-9)) }
   }
 
+  test("bloom_might_contain with a NULL literal blob is NULL, not a crash") {
+    // a foldable-but-NULL blob passes analysis (BinaryType literal); the
+    // expression must evaluate to NULL per null semantics — building the
+    // codegen used to force deserialization of the null blob and NPE
+    // before a single row ran
+    val rows = spark.range(3)
+      .selectExpr("bloom_might_contain(CAST(NULL AS BINARY), id) AS hit")
+      .collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(0)))
+  }
+
+  test("VectorMean rejects ragged dimensions loudly instead of truncating") {
+    // partition/merge order is nondeterministic, so silently truncating
+    // a mismatched vector would make the output dimension (and the
+    // means) vary run to run — a mean over mixed dims has no answer
+    import graft.functions.VectorMean
+    val b2 = VectorMean.reduce(VectorMean.zero, Array(1f, 2f))
+    intercept[IllegalArgumentException] {
+      VectorMean.reduce(b2, Array(1f, 2f, 3f))
+    }
+    val b3 = VectorMean.reduce(VectorMean.zero, Array(1f, 2f, 3f))
+    intercept[IllegalArgumentException] { VectorMean.merge(b2, b3) }
+  }
+
   test("typed VectorMean aggregator agrees with the posexplode centroid") {
     import spark.implicits._
     import org.apache.spark.sql.functions.udaf

@@ -347,6 +347,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(viaSql.count() > 0)
   }
 
+  test("an all-computed order hint emits no ORDER BY and both paths agree") {
+    // an order hint of ONLY computed keys must produce parseable SQL
+    // (no bare "ORDER BY") and the DataFrame twin must skip the same
+    // keys — computed columns are excluded from the projection, so
+    // sorting on one would fail resolution
+    import graft.exec.{Scans, SqlGen}
+    val computedOnly = Seq(SortKey("phantom", isComputed = true))
+    assert(SqlGen.orderByClause(computedOnly) == "")
+    val meta = Catalog.collect(spark, sfDir, "region")
+    val item = WorkItem(meta, SliceSpec.Whole, orderHint = computedOnly)
+    val viaSql = SqlGen.run(spark, sfDir, item)   // would ParseException
+    val viaApi = Scans.forWorkItem(spark, sfDir, item) // would AnalysisException
+    assert(viaSql.count() == viaApi.count())
+  }
+
   test("incremental copy is idempotent across runs and reconciles") {
     val fn = SparkEntry.queries("pipeline_incremental_copy")
     val a = fn(spark, sfDir).collect().toSeq
