@@ -52,15 +52,26 @@ final case class MediaFeatures(
   */
 object MultimodalQueries {
 
+  /** ONE 6-dp rounding for every feature value in this module — the
+    * oracle parity of decodeStub, decodeImage and the oracle-side
+    * meanFeatures replay requires these to agree BIT-exactly, so the
+    * definition must not fork per call site.
+    */
+  private def round6(v: Double): Double = math.round(v * 1e6) / 1e6
+
   /** STUB — stands in for a decoder this JVM genuinely lacks (video
     * frame / audio sample feature extraction). Deterministic: features
-    * are the first 4 payload bytes scaled to [0,1]. A real
-    * implementation would decode `r.blob` with a media library here;
-    * the signature and the batch shape are what matter.
+    * are the first 4 payload bytes (UNSIGNED, as any real codec reads
+    * octets) scaled to [0,1]. A real implementation would decode
+    * `r.blob` with a media library here; the signature and the batch
+    * shape are what matter. Oracle caveat: the DuckDB twin replays this
+    * with character functions (`ascii`/`length`), which equal unsigned
+    * bytes only while the corpus text is pure ASCII — a premise the
+    * testdata contract spec pins loudly.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     def feat(i: Int): Double =
-      if (i < r.blob.length) math.round(r.blob(i).toDouble / 255.0 * 1e6) / 1e6
+      if (i < r.blob.length) round6((r.blob(i) & 0xff).toDouble / 255.0)
       else 0.0
     MediaFeatures(r.doc_id, r.media_type, r.blob.length.toLong,
       r.width.toLong, r.height.toLong, feat(0), feat(1), feat(2), feat(3))
@@ -143,7 +154,6 @@ object MultimodalQueries {
       val (w, h) = dims(fmt, id)
       val cs = colors(fmt, id)
       val (top, bot) = (h / 2, h - h / 2)
-      def round6(v: Double): Double = math.round(v * 1e6) / 1e6
       def m(i: Int): Double =
         round6(w * (top.toLong * cs(i) + bot.toLong * cs(i + 3)) / (w * h * 255.0))
       val all = round6(
@@ -176,7 +186,6 @@ object MultimodalQueries {
       }
       y += 1
     }
-    def round6(v: Double): Double = math.round(v * 1e6) / 1e6
     MediaFeatures(r.doc_id, r.media_type, w.toLong * h * 3, w.toLong, h.toLong,
       round6(sumR / (w * h * 255.0)),
       round6(sumG / (w * h * 255.0)),

@@ -13,8 +13,13 @@ import graft.exec.Scans
   */
 object SourceQueries {
 
+  // Per-PROCESS scratch root: two drivers on one machine must never
+  // share a staging directory — a concurrent overwrite-then-read on a
+  // shared path can surface as FileNotFound or a partial mix of old and
+  // new part-files, indistinguishable from a real correctness failure.
   private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft_sources_" +
+      s"${java.lang.ProcessHandle.current().pid()}/$name"
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -144,13 +149,13 @@ object SourceQueries {
       import org.apache.spark.sql.types._
       val dest = tmp("malformed_csv")
       // stage the fixture as a real CSV file — the ingest path under
-      // test is spark.read.csv, not an in-memory frame. The path is
-      // shared across drivers, so the publish is ATOMIC: write to a
-      // per-process temp name, then rename into place — a concurrent
-      // reader sees either the old complete file or the new complete
-      // file, never a truncated mid-write one. The temp name is
-      // dot-prefixed so Spark's directory listing ignores it even if a
-      // crashed writer strands one.
+      // test is spark.read.csv, not an in-memory frame. The root is
+      // per-process (see tmp), and the publish is ATOMIC anyway (write
+      // to a temp name, rename into place) so even concurrent THREADS
+      // of this driver see either the old complete file or the new
+      // complete one, never a truncated mid-write state. The temp name
+      // is dot-prefixed so Spark's directory listing ignores it even if
+      // a crashed writer strands one.
       val dir0 = new java.io.File(dest)
       dir0.mkdirs()
       val staged = java.nio.file.Files.writeString(

@@ -79,10 +79,13 @@ object EventStreams {
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class SessionOut(userId: Long, nEvents: Long, durationMs: Long)
 
-  /** Session tracking with explicit keyed state — the streaming form of
-    * `events_sessionize` via `flatMapGroupsWithState`: a session closes
-    * after 30 minutes of silence (processing-time timeout in streaming;
-    * final flush in batch tests via `EventTimeTimeout`-free semantics).
+  /** Session tracking with explicit keyed state — the BATCH demo form of
+    * `events_sessionize` via `flatMapGroupsWithState` (one invocation
+    * sees all of a key's rows; the trailing open session is flushed at
+    * the end, `NoTimeout`). NOT a streaming operator: on a real stream
+    * it would re-emit a still-open session every micro-batch and never
+    * evict quiet users' state — the streaming form with real
+    * watermark-driven eviction is [[sessionizeEventTime]].
     */
   def sessionize(events: Dataset[(Long, Long)]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -153,7 +156,17 @@ object EventStreams {
             case ((done, Some(st)), ms) =>
               if (ms - st.last >= gapMs) // >= gap: new session (session_window rule)
                 (done :+ emit(st), Some(SessionState(ms, ms, 1)))
-              else (done, Some(st.copy(last = ms, events = st.events + 1)))
+              else
+                // min/max, not assignment: a LATE cross-batch event
+                // (admitted by the watermark, ms < st.last) extends the
+                // session's span exactly as native session_window's
+                // overlap merge would — plain `last = ms` would shrink
+                // the armed close (or invert the window outright).
+                // Single-open-session state assumes watermark delay ≤
+                // gap, so every admitted late event overlaps the open
+                // window.
+                (done, Some(SessionState(math.min(st.start, ms),
+                  math.max(st.last, ms), st.events + 1)))
           }
           open.foreach { st =>
             state.update(st)
@@ -281,10 +294,24 @@ object EventStreams {
       batchSizeRows: Int = 100000): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "_batch_id" = ?""")
-      try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
-    } catch {
-      case _: java.sql.SQLException => () // first batch: table not created yet
+      // The delete is skipped ONLY when the table provably does not
+      // exist yet (first batch against a fresh destination) — checked
+      // via connection metadata, not by swallowing SQLException: a
+      // TRANSIENT delete failure (lock timeout, dropped connection)
+      // must propagate and fail the micro-batch, or the append below
+      // would land a second copy of a replayed batch's rows and
+      // silently break the exactly-once-effect contract. (Unquoted
+      // identifiers are stored case-folded — Derby/most engines upper —
+      // so probe the name as-given and upper-cased.)
+      val meta = conn.getMetaData
+      def exists(n: String): Boolean = {
+        val rs = meta.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+      if (exists(table) || exists(table.toUpperCase(java.util.Locale.ROOT))) {
+        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "_batch_id" = ?""")
+        try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+      }
     } finally conn.close()
     batch.withColumn("_batch_id", lit(batchId))
       .write.mode("append")

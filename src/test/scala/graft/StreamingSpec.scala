@@ -347,6 +347,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a late cross-batch event extends the open session instead of shrinking it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val typed = mem.toDF.toDF("user_id", "ts")
+      .withWatermark("ts", "20 minutes")
+      .select(col("user_id").as("_1"), col("ts").as("_2"))
+      .as[(Long, Timestamp)]
+    val q = EventStreams.sessionizeEventTime(typed)
+      .writeStream.format("memory").queryName("sslate")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1's open session ends 10:00 (armed close 10:30)
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 09:50 — admitted (watermark is 09:40)
+      // and inside the gap. The session must keep last=10:00 (native
+      // session_window's overlap merge), not regress to 09:50.
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 09:50:00")))
+      q.processAllAvailable()
+      // advance the watermark past the 10:30 close to evict
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT session_start_ms, session_end_ms, n_events FROM sslate " +
+          "WHERE user_id = 1").collect()
+      val start = Timestamp.valueOf("2024-01-01 09:50:00").getTime
+      val end = Timestamp.valueOf("2024-01-01 10:00:00").getTime + 30L * 60 * 1000
+      assert(rows.length == 1, s"expected one session, got ${rows.length}")
+      assert(rows.head.getLong(0) == start,
+        "late event did not extend the session start")
+      assert(rows.head.getLong(1) == end,
+        "late event regressed the session end (last must be the max)")
+      assert(rows.head.getLong(2) == 2L)
+    } finally q.stop()
+  }
+
   test("declared events_stream_session_timeout equals the native session_window replay") {
     val timedOut = SparkEntry.queries("events_stream_session_timeout")(spark, sfDir)
       .collect().toSeq

@@ -87,4 +87,21 @@ class TestdataContractSpec extends SparkSpecBase {
       assert(names.contains(c), s"documents missing '$c': ${sch.simpleString}")
     assert(sch("text").dataType == StringType)
   }
+
+  test("documents text is pure ASCII (multimodal byte/char oracle premise)") {
+    // the multimodal oracles replay byte-level engine work (decodeStub's
+    // unsigned payload bytes, resize/metadata lengths) with CHARACTER
+    // functions (ascii/length/substr) — identical only while every text
+    // is single-byte ASCII. If the corpus ever grows multi-byte text,
+    // this fires loudly and those oracles must move to byte-level forms
+    // (octet_length/blob indexing, as multimodal_shard_manifest already
+    // does) instead of silently hash-mismatching.
+    val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.expr(
+        "octet_length(text) != length(text)"))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text — the char-based " +
+        "multimodal oracles no longer equal the byte-based engine")
+  }
 }
