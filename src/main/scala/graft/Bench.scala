@@ -16,23 +16,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
-      // our TypedImperativeAggregates (simhash_votes) hold one small
-      // fixed-size long[64] buffer per group: let ObjectHashAggregateExec
-      // keep hashing far past its 128-group default before the sort-based
-      // fallback (64k groups x ~600B buffers ~ 40MB/partition, and the
-      // fallback remains the graceful path beyond that)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
-      .config("spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the SHARED session config (GraftSession): the benchmarked engine
+    // must be configured identically to the verified one
+    val spark = GraftSession.build(cpus)
     // Scoped, bench-only silence for WindowExec's no-partition warning:
     // every global window in the engine runs AFTER an orderBy().limit(N<=20)
     // TakeOrdered (single partition of <=20 rows by construction — audited
@@ -42,9 +28,6 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // testdata is read-only: persisted pipeline state goes to scratch
-    // instead of its production default beside the corpus
-    graft.ops.PersistedState.relocateToScratch(spark)
     // Untimed warm-up: JVM classloading, codegen compiler, parquet reader
     // init — one-time session costs, not per-query cost.
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -171,7 +154,14 @@ object Bench {
         try {
           val w = new java.io.PrintWriter(p)
           try w.println(full) finally w.close()
-        } catch { case _: Exception => () }
+        } catch { case e: Exception =>
+          // LOUD: a silently failed write leaves the PREVIOUS round's
+          // numbers in the committed artifact while stdout reports
+          // success — a trend-reader would ingest stale timings as
+          // this code's (the stale-artifact failure the sf-aware
+          // landing spot exists to prevent)
+          System.err.println(s"[bench] artifact write failed for $p: $e")
+        }
       }
     // totals over SUCCESSFUL queries only: the -1 failure sentinel must
     // not subtract from the sum (per-query -1s still show in the maps)

@@ -121,6 +121,15 @@ object Copy {
       p
     }
     val tables = Pipeline.expandTableList(patterns)
+    // an empty expansion (e.g. a typo'd wildcard matching nothing) must
+    // NOT fall through to a vacuous success: every later phase iterates
+    // the empty list and the run would exit 0 having copied nothing —
+    // the reference aborts when the table list is empty
+    if (tables.isEmpty) {
+      System.err.println(
+        s"[copy] table list is empty (patterns: ${patterns.mkString(",")})")
+      return analysisExitCode(AnalysisOutcome.TableNotFound)
+    }
 
     // Analysis phase: collect + analyze every table BEFORE any copy —
     // the first non-success outcome aborts the whole run with its code.
@@ -165,7 +174,13 @@ object Copy {
               retryDelayIncrementMs = retryDelayIncrementMs)
           postCopyHook(src.name)
         }
-      } catch { case _: Exception => erroredTasks += 1 }
+      } catch { case e: Exception =>
+        // the reference's worker pool logs errored items as it counts
+        // them — an exit 3 with no line naming the failed table(s) gives
+        // the operator nothing to act on
+        System.err.println(s"[copy] ${src.name} failed: $e")
+        erroredTasks += 1
+      }
     }
     if (erroredTasks > 0) return 3
 

@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** The ONE local-session configuration every entry point runs
+  * (Verify, Bench; the spec base mirrors it). A conf added here reaches
+  * both the verified engine and the benchmarked engine at once — the
+  * two mains used to carry verbatim copies of this block, and a conf
+  * added to one but not the other would silently benchmark a different
+  * engine than the one verified.
+  */
+object GraftSession {
+
+  def build(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      // our TypedImperativeAggregates (simhash_votes) hold one small
+      // fixed-size long[64] buffer per group: let ObjectHashAggregateExec
+      // keep hashing far past its 128-group default before the sort-based
+      // fallback (64k groups x ~600B buffers ~ 40MB/partition, and the
+      // fallback remains the graceful path beyond that)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // testdata is read-only: persisted pipeline state goes to scratch
+    // instead of its production default beside the corpus
+    graft.ops.PersistedState.relocateToScratch(s)
+    s
+  }
+}

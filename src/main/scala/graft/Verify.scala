@@ -24,6 +24,19 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
+      // delete any STALE result dir for this key first: a reused outDir
+      // (the documented local-iteration loop) must never let a previous
+      // run's parquet satisfy this run's completeness check — a query
+      // whose write silently produced nothing would read as a false
+      // PASS, the exact failure mode the belt-and-braces check exists
+      // to catch
+      val target = java.nio.file.Paths.get(outDir, name)
+      if (java.nio.file.Files.exists(target)) {
+        val walk = java.nio.file.Files.walk(target)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -65,27 +78,18 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
-      // our TypedImperativeAggregates (simhash_votes) hold one small
-      // fixed-size long[64] buffer per group: let ObjectHashAggregateExec
-      // keep hashing far past its 128-group default before the sort-based
-      // fallback (64k groups x ~600B buffers ~ 40MB/partition, and the
-      // fallback remains the graceful path beyond that)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
-      .config("spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // testdata is read-only: persisted pipeline state goes to scratch
-    // instead of its production default beside the corpus
-    graft.ops.PersistedState.relocateToScratch(spark)
+    // unknown names FAIL LOUDLY: a typo'd filter silently matching
+    // nothing would run zero queries and exit 0 — a green gate for a
+    // key that was never executed
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown query name(s): ${unknown.mkString(",")}")
+        sys.exit(2)
+      }
+    }
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val (errors, missing) = run(spark, selected, SparkEntry.oracleSql, sfDir, outDir)

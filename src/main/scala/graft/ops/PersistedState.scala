@@ -17,11 +17,20 @@ object PersistedState {
   val FpIndexDirKey = "graft.fp.index.dir"
   val IvfLayoutDirKey = "graft.ivf.layout.dir"
 
+  // Scratch roots are per-PROCESS: the staged-once-per-JVM guards
+  // (fpIndexStaged etc.) are process-local, so two driver JVMs against
+  // the same corpus would otherwise race overwrite-then-read on one
+  // shared index path (JVM A's overwrite deletes the directory while
+  // JVM B's anti-join scans it). Same hazard class as the source-staging
+  // root, fixed the same way. Deterministic within a process, so every
+  // session of one JVM shares one staging.
+  private val procTag: Long = java.lang.ProcessHandle.current().pid()
+
   /** Point all persisted-state defaults at local scratch space. */
   def relocateToScratch(spark: SparkSession): Unit = {
     val tmp = System.getProperty("java.io.tmpdir")
-    spark.conf.set(FpIndexDirKey, s"$tmp/graft_fp_index")
-    spark.conf.set(IvfLayoutDirKey, s"$tmp/graft_ivf_layout")
+    spark.conf.set(FpIndexDirKey, s"$tmp/graft_fp_index_$procTag")
+    spark.conf.set(IvfLayoutDirKey, s"$tmp/graft_ivf_layout_$procTag")
   }
 
   /** Short corpus-dir digest — the collision key for relocated state
@@ -35,7 +44,7 @@ object PersistedState {
     * no relocation conf set — e.g. a driver that never calls
     * [[relocateToScratch]]). */
   def scratchFallback(dir: String, subdir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_$subdir/${corpusKey(dir)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${subdir}_$procTag/${corpusKey(dir)}"
 
   /** Write persisted state via `write(path)` at the preferred location,
     * falling back to scratch when the BESIDE-THE-CORPUS DEFAULT is
@@ -53,7 +62,19 @@ object PersistedState {
     def preferredWritable: Boolean =
       try {
         val p = new org.apache.hadoop.fs.Path(preferred)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(p) && {
+          // mkdirs on an ALREADY-EXISTING dir is a no-op success even on
+          // read-only storage (a state dir staged while writable, or
+          // copied along with the corpus) — prove writability with a
+          // real create+delete, or the later parquet write throws where
+          // the fallback should have engaged
+          val probe = new org.apache.hadoop.fs.Path(p,
+            s".graft_write_probe_$procTag")
+          fs.create(probe, true).close()
+          fs.delete(probe, false)
+          true
+        }
       } catch { case _: Exception => false }
     val target =
       if (spark.conf.getOption(confKey).nonEmpty || preferredWritable) preferred

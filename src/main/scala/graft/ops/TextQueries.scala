@@ -125,7 +125,9 @@ object TextQueries {
     * table so one query's executor-storage footprint doesn't leak into
     * the next query's measurement. */
   def releaseCaches(): Unit = synchronized {
-    cachedSigs.foreach(_._2.unpersist(false))
+    // best-effort for the same stopped-session reason as lshCandidates
+    cachedSigs.foreach(p => try p._2.unpersist(false)
+      catch { case _: Exception => () })
     cachedSigs = None
   }
 
@@ -246,7 +248,12 @@ object TextQueries {
       cachedSigs match {
         case Some((d, df)) if d == dir && df.sparkSession.eq(s) => df
         case prev =>
-          prev.foreach(_._2.unpersist(false))
+          // best-effort: the previous cache may belong to a STOPPED
+          // session (multi-session JVM) — its blocks died with the
+          // context, and the unpersist RPC against it throws; that must
+          // not fail the new session's first query
+          prev.foreach(p => try p._2.unpersist(false)
+            catch { case _: Exception => () })
           val fresh = minhashSigs(s, dir).cache()
           cachedSigs = Some((dir, fresh))
           fresh
