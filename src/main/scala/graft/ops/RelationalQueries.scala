@@ -286,7 +286,7 @@ object RelationalQueries {
         |SELECT c.o_orderkey, c.o_custkey, round(c.o_totalprice, 2) AS price,
         |       (2 * ca.sum_cents + ca.cnt) // (2 * ca.cnt) AS cust_avg_cents
         |FROM c JOIN ca ON ca.ca_custkey = c.o_custkey
-        |WHERE c.cents * ca.cnt > 2 * ca.sum_cents
+        |WHERE c.cents * ca.cnt > ca.sum_cents
         |ORDER BY c.o_orderkey""".stripMargin) { (s, dir) =>
       val orders = Scans.table(s, dir, "orders")
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
@@ -294,7 +294,7 @@ object RelationalQueries {
         .agg(sum(col("cents")).cast("long").as("sum_cents"),
           count(lit(1)).as("cnt"))
       orders.join(custAvg, col("o_custkey") === col("ca_custkey"))
-        .filter(col("cents") * col("cnt") > lit(2) * col("sum_cents"))
+        .filter(col("cents") * col("cnt") > col("sum_cents"))
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"),
           expr("(2 * sum_cents + cnt) div (2 * cnt)").as("cust_avg_cents"))
@@ -513,7 +513,6 @@ object RelationalQueries {
         |               ORDER BY c_acctbal, c_custkey), 6) AS cd
         |FROM customer WHERE c_custkey <= 200
         |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
       Scans.table(s, dir, "customer")
