@@ -90,17 +90,6 @@ object EventQueries {
     }
   }
 
-  /** Run a finite streaming replay through the sink shape a production
-    * pipeline actually runs — a parquet FILE sink with a
-    * checkpointLocation — then recover the result from the COMMITTED
-    * files (`spark.read` over a file-sink directory consults its
-    * `_spark_metadata` transaction log, so only files the checkpoint
-    * committed are visible: the restart-safe recovery path) and
-    * materialize `recover`'s rollup via `localCheckpoint(eager)` BEFORE
-    * the scratch sink is deleted. Every declared streaming replay goes
-    * through this helper — no driver-resident memory sink anywhere in
-    * the declared surface.
-    */
   /** events_dau_wau_mau_hll's daily rollup: events aggregate STRAIGHT
     * into per-day HLL sketches — no (day, user) distinct first. HLL
     * insertion is duplicate-insensitive, so the sketches are identical
@@ -119,6 +108,55 @@ object EventQueries {
       .groupBy(col("d"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
 
+  /** Child session with the replay's state-store fan-out capped to
+    * `parts` shuffle partitions, leaving the caller's conf untouched:
+    * keyed streaming state costs one state-store instance per shuffle
+    * partition per micro-batch, and a replay's per-user/per-window key
+    * cardinality never warrants the session default (measured across
+    * the replays: the store count is the dominant replay cost; a
+    * production stream sizes this to its continuous key throughput
+    * instead). The streaming replays' ONE isolation idiom — a conf
+    * pinned here (e.g. a future state-store setting) reaches every
+    * replay at once.
+    */
+  private def cappedSession(s0: SparkSession, parts: Int): SparkSession = {
+    val c = s0.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", parts)
+    c
+  }
+
+  /** Recover the CDC snapshot from a latest-state sink and roll it up
+    * under events_cdc_merge's oracle grain: the sink may hold one row
+    * per (restart, re-delivery) of a user, so recovery is the per-user
+    * MAX (ms, eventId, eventType) struct — at-least-once re-delivery
+    * collapses to exactly-once state — then the bucket/type rollup with
+    * the integer-exact pmod-floor second truncation. ONE definition
+    * shared by the memory-shaped and file-sink CDC replays: the
+    * recovery-is-per-user-max property is part of the declared
+    * equivalence contract, and two copies could silently diverge.
+    */
+  private def recoverCdcSnapshot(sink: DataFrame): DataFrame =
+    sink
+      .groupBy(col("userId"))
+      .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
+      .select(col("userId").as("user_id"), col("b.ms").as("ms"),
+        col("b.eventType").as("event_type"))
+      .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Run a finite streaming replay through the sink shape a production
+    * pipeline actually runs — a parquet FILE sink with a
+    * checkpointLocation — then recover the result from the COMMITTED
+    * files (`spark.read` over a file-sink directory consults its
+    * `_spark_metadata` transaction log, so only files the checkpoint
+    * committed are visible: the restart-safe recovery path) and
+    * materialize `recover`'s rollup via `localCheckpoint(eager)` BEFORE
+    * the scratch sink is deleted. Every declared streaming replay goes
+    * through this helper — no driver-resident memory sink anywhere in
+    * the declared surface.
+    */
   private def fileSinkReplay(s: SparkSession, streamed: DataFrame)
       (recover: DataFrame => DataFrame): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_stream_sink")
@@ -134,16 +172,6 @@ object EventQueries {
     } finally deleteTree(scratch)
   }
 
-  /** Stage a one-row sentinel DataFrame as a single parquet file inside
-    * `streamDir`, stamped strictly newer than `newerThan` on both the
-    * name axis (`z_` prefix vs `a_`) and the mtime axis — so under
-    * `maxFilesPerTrigger=1` the sentinel is deterministically the LAST
-    * micro-batch whatever the file source's tie-break. A far-future
-    * sentinel event drives the watermark past every real window, which
-    * is what lets a FINITE replay finalize append-mode windowed state
-    * the way an unbounded stream eventually would; the sentinel's own
-    * open window never emits, so it needs no filtering downstream.
-    */
   /** One-row sentinel frame whose `ts` sits `hours` hours past the corpus
     * max, rendered in the raw events file's OWN physical representation of
     * `ts` (long-ns / µs-NTZ / µs-timestamp) so the staged file's schema
@@ -167,32 +195,54 @@ object EventQueries {
     }
   }
 
+  /** Stage a one-row sentinel DataFrame as a single parquet file inside
+    * `streamDir`, stamped strictly newer than `newerThan` on both the
+    * name axis (`z_` prefix vs `a_`) and the mtime axis — so under
+    * `maxFilesPerTrigger=1` the sentinel is deterministically the LAST
+    * micro-batch whatever the file source's tie-break. A far-future
+    * sentinel event drives the watermark past every real window, which
+    * is what lets a FINITE replay finalize append-mode windowed state
+    * the way an unbounded stream eventually would; the sentinel's own
+    * open window never emits, so it needs no filtering downstream.
+    */
   private def stageSentinelFile(
       streamDir: java.nio.file.Path,
       sentinelRow: DataFrame,
       newerThan: java.nio.file.Path): Unit = {
-    val buildDir = streamDir.resolve("sentinel_build")
-    sentinelRow.coalesce(1).write.parquet(buildDir.toString)
-    val sentinel = streamDir.resolve("z_sentinel.parquet")
-    val listing = java.nio.file.Files.list(buildDir)
-    val staged =
-      try {
-        val it = listing.iterator()
-        var moved = false
-        while (it.hasNext && !moved) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            java.nio.file.Files.move(p, sentinel); moved = true
-          }
-        }
-        moved
-      } finally listing.close()
-    require(staged, "sentinel parquet not written")
     val baseMtime = java.nio.file.Files
       .getLastModifiedTime(newerThan).toMillis // follows to the target
-    java.nio.file.Files.setLastModifiedTime(sentinel,
-      java.nio.file.attribute.FileTime.fromMillis(
-        math.max(System.currentTimeMillis(), baseMtime + 60000)))
+    stageParquetFile(sentinelRow, streamDir.resolve("sentinel_build"),
+      streamDir.resolve("z_sentinel.parquet"),
+      // guard against a future-dated base file: strictly newer on the
+      // mtime axis whatever the base carries
+      math.max(System.currentTimeMillis(), baseMtime + 60000))
+  }
+
+  /** Write `df` as ONE parquet file at `dest` (coalesced build under
+    * `buildDir`, first part-file moved into place) stamped `mtimeMs` —
+    * the staging primitive behind every deterministic multi-batch file
+    * source: under `maxFilesPerTrigger=1` the file source orders
+    * batches by (mtime, name), so the stamp IS the batch-order
+    * contract. ONE definition (sentinel + time-split replays) so the
+    * ordering contract cannot drift between stagings.
+    */
+  private def stageParquetFile(df: DataFrame, buildDir: java.nio.file.Path,
+      dest: java.nio.file.Path, mtimeMs: Long): Unit = {
+    df.coalesce(1).write.parquet(buildDir.toString)
+    val listing = java.nio.file.Files.list(buildDir)
+    val staged = try {
+      val it = listing.iterator(); var moved = false
+      while (it.hasNext && !moved) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, dest); moved = true
+        }
+      }
+      moved
+    } finally listing.close()
+    require(staged, s"staged parquet ${dest.getFileName} not written")
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -337,7 +387,15 @@ object EventQueries {
     // strictly-overlapping extents).
     // ------------------------------------------------------------------
     QueryDef("events_session_window", sessionWindowOracle) { (s, dir) =>
-      Scans.table(s, dir, "events")
+      // ms-truncated event time, NOT the raw µs ts: the oracle (and the
+      // timeout replay, which runs on Timestamp.getTime) evaluates the
+      // 30-minute gap on ms-floored epochs, while the native
+      // session_window would compare at µs grain — a boundary gap of
+      // exactly 30 min in ms but 29:59.999xxx in µs would merge here
+      // and split there (the same straddle events_stream_join_equiv
+      // pins via normalizeTsMillis). One grain across all three
+      // session paths.
+      Scans.normalizeTsMillis(Scans.table(s, dir, "events"))
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -368,8 +426,16 @@ object EventQueries {
         |       round((SELECT count(*) FROM conv) * 1.0 /
         |             (SELECT count(DISTINCT user_id) FROM c), 6) AS conversion_rate""".stripMargin) {
       (s, dir) =>
+      // ONE corpus scan: the click/purchase projection is materialized
+      // once and feeds the semi-join (both sides), the distinct-user
+      // count and the converting count — without this, clicks is
+      // scanned twice and purchases a third time (the double-scan class
+      // events_power_users_pareto eliminates the same way), which is
+      // what dominates at 100 TB
       val ev = Scans.table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+        .localCheckpoint(true)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ms"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -693,8 +759,7 @@ object EventQueries {
       // state/checkpoint IO without touching the caller's conf (same
       // economics as the join/session replays; measured on the other
       // replays, the store count is the dominant replay cost)
-      val s: SparkSession = { val c = s0.newSession()
-        c.conf.set("spark.sql.shuffle.partitions", 8); c }
+      val s: SparkSession = cappedSession(s0, 8)
       import s.implicits._
       import graft.streaming.EventStreams
       val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_restart")
@@ -726,15 +791,7 @@ object EventQueries {
         // rows as a new file — the at-least-once source shape
         java.nio.file.Files.createSymbolicLink(srcDir.resolve("b.parquet"), target)
         runStream()
-        s.read.parquet(scratch.resolve("sink").toString)
-          .groupBy(col("userId"))
-          .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
-          .select(col("userId").as("user_id"), col("b.ms").as("ms"),
-            col("b.eventType").as("event_type"))
-          .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
-          .agg(count(lit(1)).as("n_users"),
-            sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
-          .orderBy(col("bucket"), col("event_type"))
+        recoverCdcSnapshot(s.read.parquet(scratch.resolve("sink").toString))
           // materialize before the finally deletes the sink files it reads
           .localCheckpoint(true)
       } finally deleteTree(scratch)
@@ -755,8 +812,7 @@ object EventQueries {
     // ------------------------------------------------------------------
     QueryDef("events_cdc_stream_files", cdcMergeOracle) { (s0, dir) =>
       // same 8-partition child-session cap as events_cdc_stream_equiv
-      val s: SparkSession = { val c = s0.newSession()
-        c.conf.set("spark.sql.shuffle.partitions", 8); c }
+      val s: SparkSession = cappedSession(s0, 8)
       import s.implicits._
       import graft.streaming.EventStreams
       val streamDir = stageEventsDir(dir)
@@ -768,17 +824,7 @@ object EventQueries {
           .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
             col("event_id").as("eventId"), col("event_type").as("eventType"))
           .as[EventStreams.LatestIn]
-        fileSinkReplay(s, EventStreams.latestState(in).toDF()) { sink =>
-          sink
-            .groupBy(col("userId"))
-            .agg(max(struct(col("ms"), col("eventId"), col("eventType"))).as("b"))
-            .select(col("userId").as("user_id"), col("b.ms").as("ms"),
-              col("b.eventType").as("event_type"))
-            .groupBy((col("user_id") % 20).as("bucket"), col("event_type"))
-            .agg(count(lit(1)).as("n_users"),
-              sum(expr("(ms - pmod(ms, 1000)) div 1000")).cast("long").as("sum_s"))
-            .orderBy(col("bucket"), col("event_type"))
-        }
+        fileSinkReplay(s, EventStreams.latestState(in).toDF())(recoverCdcSnapshot)
       } finally dropStagedEventsDir(streamDir)
     },
 
@@ -813,8 +859,7 @@ object EventQueries {
       // without touching the caller's conf. At production stream rates
       // the partition count is sized to the continuous key throughput
       // instead; the join itself is identical.
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", 4)
+      val ss = cappedSession(s, 4)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_join")
       try {
         // Pre-split the two sides ONCE into separate staged sources —
@@ -875,8 +920,7 @@ object EventQueries {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin) { (s0, dir) =>
       // (window, bucket) keyed state is a few hundred cells — the same
       // 8-partition child-session cap as the other stateful replays
-      val s: SparkSession = { val c = s0.newSession()
-        c.conf.set("spark.sql.shuffle.partitions", 8); c }
+      val s: SparkSession = cappedSession(s0, 8)
       import s.implicits._
       import graft.streaming.EventStreams
       val streamDir = java.nio.file.Files.createTempDirectory("graft_hist_stream")
@@ -973,8 +1017,7 @@ object EventQueries {
         |       CAST(sum(epoch_ms(ts) // 1000) AS BIGINT) AS sum_s
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s0, dir) =>
       // same 8-partition child-session cap as the other keyed replays
-      val s: SparkSession = { val c = s0.newSession()
-        c.conf.set("spark.sql.shuffle.partitions", 8); c }
+      val s: SparkSession = cappedSession(s0, 8)
       import graft.streaming.EventStreams
       val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
       try {
@@ -1056,9 +1099,7 @@ object EventQueries {
     QueryDef("events_stream_session_equiv", sessionWindowOracle) { (s, dir) =>
       // same state-store economics as the stream-stream join replay: a
       // child session caps the session-window state at 8 partitions
-      val ss0 = s.newSession()
-      ss0.conf.set("spark.sql.shuffle.partitions", 8)
-      val s2: SparkSession = ss0
+      val s2: SparkSession = cappedSession(s, 8)
       val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
       // everything after the scratch dir exists runs under its cleanup —
       // a staging failure must not leak the dir (or the symlink into the
@@ -1073,7 +1114,10 @@ object EventQueries {
         stageSentinelFile(streamDir,
           sentinelFrame(s, dir, 10, Seq("user_id" -> lit(-1L))),
           eventsLink)
-        val raw = Scans.normalizeTs(s2.readStream
+        // ms grain, like the batch twin and the timeout replay: one
+        // event-time grain across all three session paths (see
+        // events_session_window)
+        val raw = Scans.normalizeTsMillis(s2.readStream
             .schema(rawSchema)
             .option("maxFilesPerTrigger", 1)
             .parquet(streamDir.toString))
@@ -1111,9 +1155,7 @@ object EventQueries {
     // session_window pair: three execution paths, one contract.
     // ------------------------------------------------------------------
     QueryDef("events_stream_session_timeout", sessionWindowOracle) { (s, dir) =>
-      val ss0 = s.newSession()
-      ss0.conf.set("spark.sql.shuffle.partitions", 8)
-      val s2: SparkSession = ss0
+      val s2: SparkSession = cappedSession(s, 8)
       import s2.implicits._
       import graft.streaming.EventStreams
       val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_timeout")
@@ -1368,8 +1410,7 @@ object EventQueries {
         |FROM conv GROUP BY touch_type
         |ORDER BY touch_type""".stripMargin) { (s0, dir) =>
       // same keyed-replay partition cap as the other stateful replays
-      val s: SparkSession = { val c = s0.newSession()
-        c.conf.set("spark.sql.shuffle.partitions", 8); c }
+      val s: SparkSession = cappedSession(s0, 8)
       import graft.streaming.EventStreams
       val scratch = java.nio.file.Files.createTempDirectory("graft_attr_stream")
       try {
@@ -1386,25 +1427,9 @@ object EventQueries {
           .withColumn("us", unix_micros(col("ts")))
         val streamDir = scratch.resolve("src")
         java.nio.file.Files.createDirectory(streamDir)
-        def stageOne(df: DataFrame, name: String, mtimeBump: Long): Unit = {
-          val build = scratch.resolve(s"${name}_build")
-          df.coalesce(1).write.parquet(build.toString)
-          val listing = java.nio.file.Files.list(build)
-          val staged = try {
-            val it = listing.iterator(); var moved = false
-            while (it.hasNext && !moved) {
-              val p = it.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                java.nio.file.Files.move(p, streamDir.resolve(name)); moved = true
-              }
-            }
-            moved
-          } finally listing.close()
-          require(staged, s"split file $name not written")
-          java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() + mtimeBump))
-        }
+        def stageOne(df: DataFrame, name: String, mtimeBump: Long): Unit =
+          stageParquetFile(df, scratch.resolve(s"${name}_build"),
+            streamDir.resolve(name), System.currentTimeMillis() + mtimeBump)
         val cut = (col("lo") + col("hi")) / 2
         stageOne(withB.filter(col("us") <= cut)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
@@ -1704,7 +1729,8 @@ object EventQueries {
         |      FROM u)
         |SELECT variant, count(*) AS n_users,
         |       round(sum(pv), 2) AS total_value,
-        |       round(round(sum(pv), 2) / count(*), 4) AS mean_value
+        |       ((2 * CAST(round(round(sum(pv), 2) * 100) AS BIGINT) * 100
+        |           + count(*)) // (2 * count(*))) / 10000.0 AS mean_value
         |FROM v GROUP BY variant ORDER BY variant""".stripMargin) { (s, dir) =>
       Scans.table(s, dir, "events")
         .groupBy(col("user_id"))
@@ -1716,8 +1742,16 @@ object EventQueries {
         .groupBy(col("variant"))
         .agg(count(lit(1)).as("n_users"),
           round(sum(col("pv")), 2).as("total_value"))
+        // integer half-up 4-dp rounding, like events_forecast_baseline:
+        // total_value is 2-dp-rounded so total*100 is an exact integer
+        // (cents, non-negative purchase values), and round() of the
+        // quotient double is NOT engine-portable on half boundaries
+        // (Spark rounds the shortest-decimal rendering, DuckDB the
+        // binary value) — the quotient (2*cents*100 + n) div (2n)
+        // rounds half-up in pure integer math on both engines
         .withColumn("mean_value",
-          round(col("total_value") / col("n_users"), 4))
+          expr("(2 * cast(round(total_value * 100) as bigint) * 100" +
+            " + n_users) div (2 * n_users)") / lit(10000.0))
         .select(col("variant"), col("n_users"), col("total_value"),
           col("mean_value"))
         .orderBy(col("variant"))

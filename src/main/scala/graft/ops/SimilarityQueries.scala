@@ -1875,20 +1875,14 @@ object SimilarityQueries {
         |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
         |FROM assign GROUP BY subspace, code
         |ORDER BY subspace, code""".stripMargin) { (s, dir) =>
+      // the SHARED encode building blocks (pqCodebook + pqCodesCol),
+      // not an inline re-implementation: sim_pq_train documents its
+      // codes as "exactly sim_pq_quantize's encode", and the ADC keys
+      // decode against the same contract — one definition keeps the
+      // 6-dp distance and smaller-cid tie-break from forking
       val emb = Scans.table(s, dir, "embeddings")
-      val codebook = emb.filter(col("vec_id").between(1, 4))
-        .agg(collect_list(struct(col("vec_id").as("cid"),
-          col("embedding").as("cv"))).as("cb"))
-      emb.crossJoin(broadcast(codebook))
-        .select(col("vec_id"), posexplode(expr(
-          """transform(sequence(0, 7), m ->
-            |  (array_min(transform(cb, c -> struct(
-            |    round(aggregate(
-            |      zip_with(slice(embedding, m*8+1, 8), slice(c.cv, m*8+1, 8),
-            |        (x, y) -> (cast(x AS double) - cast(y AS double))
-            |                  * (cast(x AS double) - cast(y AS double))),
-            |      cast(0 AS double), (acc, v) -> acc + v), 6) AS d,
-            |    c.cid AS cid)))).cid)""".stripMargin)))
+      emb.crossJoin(broadcast(pqCodebook(emb)))
+        .select(col("vec_id"), posexplode(pqCodesCol("embedding")))
         .select(col("vec_id"), col("pos").cast("long").as("subspace"),
           col("col").as("code"))
         .groupBy(col("subspace"), col("code"))
