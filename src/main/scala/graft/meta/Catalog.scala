@@ -290,6 +290,11 @@ object Catalog {
   }
 
   def valuesCte(name: String, cols: Seq[String], rows: Seq[Product]): String = {
+    // empty rows would render "AS (VALUES )" — invalid SQL whose parse
+    // error surfaces far from the cause, inside whichever oracle embeds
+    // the CTE. The derived row collections are non-empty for the
+    // declared catalog; if a fixture change empties one, fail HERE.
+    require(rows.nonEmpty, s"valuesCte $name: no rows — VALUES would be invalid SQL")
     val body = rows.map(r => "(" + r.productIterator.map(lit).mkString(", ") + ")")
       .mkString(", ")
     s"$name(${cols.mkString(", ")}) AS (VALUES $body)"

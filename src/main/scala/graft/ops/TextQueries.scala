@@ -42,17 +42,28 @@ object TextQueries {
     * length-preserving in Unicode (İ → i̇), and the cross-engine contract
     * (the DuckDB twin) derives shingle starts from the raw length.
     */
-  def fingerprintFrame(docs: DataFrame): DataFrame =
-    if (docs.sparkSession.catalog.functionExists("min_shingle_md5"))
-      docs.select(col("doc_id"),
-        call_function("min_shingle_md5", col("text")).as("fp"))
+  /** Append the fingerprint column `fp` to a frame carrying `text` —
+    * the ONE definition of the winnowing-lite fingerprint (min md5
+    * over 8-char shingles at stride 4 of the lowered text, raw-char
+    * start bound): the persisted incremental-dedup index AND the
+    * declared text_fingerprint output both derive from here, so the
+    * two cannot drift. Native fused loop when registered; the HOF
+    * fallback hoists the lowering into its own projection (no
+    * cross-invocation CSE in interpreted HOFs).
+    */
+  def withFingerprint(df: DataFrame): DataFrame =
+    if (df.sparkSession.catalog.functionExists("min_shingle_md5"))
+      df.withColumn("fp", call_function("min_shingle_md5", col("text")))
     else
-      docs.select(col("doc_id"), length(col("text")).as("len"),
-          lower(col("text")).as("lt"))
-        .select(col("doc_id"),
-          array_min(expr(
-            "transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
-            .as("fp"))
+      df.withColumn("_fp_len", length(col("text")))
+        .withColumn("_fp_lt", lower(col("text")))
+        .withColumn("fp", array_min(expr(
+          "transform(sequence(1, greatest(_fp_len - 7, 1), 4), i -> md5(substring(_fp_lt, i, 8)))")))
+        .drop("_fp_len", "_fp_lt")
+
+  def fingerprintFrame(docs: DataFrame): DataFrame =
+    withFingerprint(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("fp"))
 
   /** Where the persisted fingerprint index for a corpus lives. Persisted
     * pipeline state belongs BESIDE the data it indexes — default
@@ -91,7 +102,10 @@ object TextQueries {
   def ensureFpIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     val docs = Scans.table(s, dir, "documents")
-    val cut = docs.agg(expr("max(doc_id) * 9 div 10")).as[Long].head()
+    // coalesce: max() is NULL on an empty corpus — a cut of 0 degrades
+    // to an empty history exactly like the oracle's NULL cut, instead
+    // of an NPE decoding a non-nullable Long
+    val cut = docs.agg(expr("coalesce(max(doc_id) * 9 div 10, 0)")).as[Long].head()
     ensureFpIndex(s, dir, fingerprintFrame(docs).filter(col("doc_id") < cut))
   }
 
@@ -315,9 +329,16 @@ object TextQueries {
       var labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
         .cache()
+      // runaway backstop derived from the node count (min-label
+      // propagation converges within the component diameter ≤ |V|
+      // rounds; log-derived plus slack like graph_connected_components'
+      // pointer-jumped loop, floored at the prior 50-round contract)
+      val nNodes = labels.count()
+      val maxRounds = math.max(50,
+        (math.log(math.max(nNodes.toDouble, 2.0)) / math.log(2.0)).ceil.toInt * 8)
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 50) {
+      while (changed > 0 && iter < maxRounds) {
         val propagated = edges
           .join(labels, edges("src") === labels("node"))
           .select(col("dst").as("node"), col("label"))
@@ -334,6 +355,11 @@ object TextQueries {
       }
       edges.unpersist(false)
       cached.unpersist(false) // labels live on checkpointed blocks now
+      // silent non-convergence would publish a component split into
+      // multiple clusters as if it were the answer — fail loudly
+      // instead, like the graph component loop
+      require(changed == 0,
+        s"cluster collapse did not converge within $iter rounds")
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }
   }
@@ -625,15 +651,20 @@ object TextQueries {
     // lookaround-free so Java regex (Spark) and RE2 (DuckDB) agree.
     // ------------------------------------------------------------------
     QueryDef("text_bpe_tokens",
+      // the whitespace class is EXPLICIT ([\t\n\f\r ]) on both sides,
+      // never \s: Java's \s includes U+000B (vertical tab) while
+      // DuckDB/RE2's does not, so a VT in a document would make the
+      // token counts diverge between the engines — the explicit class
+      // is the intersection both implement identically
       """SELECT doc_id,
-        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
-        |       len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_ws_tokens,
-        |       round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) * 1.0 /
-        |             greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')), 1), 6)
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]+')) AS n_bpe_tokens,
+        |       len(list_filter(string_split_regex(text, '[\t\n\f\r ]+'), t -> t != '')) AS n_ws_tokens,
+        |       round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]+')) * 1.0 /
+        |             greatest(len(list_filter(string_split_regex(text, '[\t\n\f\r ]+'), t -> t != '')), 1), 6)
         |         AS bpe_per_word
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val bpe = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)"
-      val ws = "filter(split(text, '\\\\s+'), t -> t != '')"
+      val bpe = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\t\\\\n\\\\f\\\\r ]+', 0)"
+      val ws = "filter(split(text, '[\\\\t\\\\n\\\\f\\\\r ]+'), t -> t != '')"
       Scans.table(s, dir, "documents")
         .select(col("doc_id"),
           expr(s"size($bpe)").cast("long").as("n_bpe_tokens"),
@@ -655,28 +686,18 @@ object TextQueries {
         |FROM documents d,
         |     unnest(generate_series(1, greatest(length(d.text) - 7, 1), 4)) AS u(i)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      // One row-local projection. n_shingles is the shingle-start count
-      // — the length of sequence(1, greatest(len - 7, 1), 4) as plain
-      // arithmetic, never a materialized array. The fingerprint uses the
-      // native fused loop when registered (see fingerprintFrame — same
-      // definition as the incremental-dedup index, so the two can never
-      // drift); the HOF fallback keeps lower(text) hoisted out of the
-      // lambda (no cross-invocation CSE in interpreted HOFs).
-      val nShingles =
-        expr("cast((greatest(len - 7, 1) - 1) div 4 + 1 AS bigint)").as("n_shingles")
-      val docs = Scans.table(s, dir, "documents")
-      val fp =
-        if (s.catalog.functionExists("min_shingle_md5"))
-          docs.select(col("doc_id"), length(col("text")).as("len"),
-              call_function("min_shingle_md5", col("text")).as("fingerprint"))
-        else
-          docs.select(col("doc_id"), length(col("text")).as("len"),
-              lower(col("text")).as("lt"))
-            .select(col("doc_id"), col("len"),
-              array_min(expr(
-                "transform(sequence(1, greatest(len - 7, 1), 4), i -> md5(substring(lt, i, 8)))"))
-                .as("fingerprint"))
-      fp.select(col("doc_id"), col("fingerprint"), nShingles)
+      // One row-local projection. The fingerprint column IS
+      // withFingerprint's — the same single definition the persisted
+      // incremental-dedup index uses, so the two cannot drift (the
+      // guarantee used to rest on a copy-pasted restatement here).
+      // n_shingles is the shingle-start count — the length of
+      // sequence(1, greatest(len - 7, 1), 4) as plain arithmetic,
+      // never a materialized array.
+      withFingerprint(Scans.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("fp").as("fingerprint"),
+          expr("cast((greatest(length(text) - 7, 1) - 1) div 4 + 1 AS bigint)")
+            .as("n_shingles"))
         .orderBy(col("doc_id"))
     },
 
@@ -1366,7 +1387,8 @@ object TextQueries {
         |         AS sum_survivor_ids""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Scans.table(s, dir, "documents")
-      val cut = docs.agg(expr("max(doc_id) * 9 div 10")).as[Long].head()
+      // coalesce for the empty corpus — see ensureFpIndex
+      val cut = docs.agg(expr("coalesce(max(doc_id) * 9 div 10, 0)")).as[Long].head()
       val f = fingerprintFrame(docs)
       val indexPath = ensureFpIndex(s, dir, f.filter(col("doc_id") < cut))
       val hist = s.read.parquet(indexPath)
@@ -1685,9 +1707,15 @@ object TextQueries {
       val docs = Scans.table(s, dir, "documents")
       val sh = docs.select(col("doc_id"), expr(toksSpark).as("tk"))
         .select(col("doc_id"), explode(expr(
+          // try_element_at, not element_at: a short doc (<5 tokens)
+          // contributes one partial shingle from whatever tokens exist
+          // (concat_ws skips the NULL lookups) — plain element_at
+          // THROWS on the out-of-bounds index under ANSI mode (the
+          // session default), where the oracle's tk[i] yields NULL
           """transform(sequence(1, greatest(size(tk) - 4, 1)),
-            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1),
-            |                 element_at(tk, i+2), element_at(tk, i+3), element_at(tk, i+4)))"""
+            |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i+1),
+            |                 try_element_at(tk, i+2), try_element_at(tk, i+3),
+            |                 try_element_at(tk, i+4)))"""
             .stripMargin)).as("sh"))
         .filter(col("sh") =!= "")
       val bench = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()

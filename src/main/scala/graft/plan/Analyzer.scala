@@ -131,9 +131,12 @@ object Analyzer {
     *     clamp to [3, 3×tasks] (`:248-261`)
     *   - SizeGb: ceil(size / gb-per-partition)
     *   - Count: fixed
-    * Always rounded **up to odd** for better hash-mod distribution
-    * (`:270`, `docs/CONFIG.md:23-32`); capped at `maxLogicalPartitions`
-    * (`SmartBulkCopyConfig.cs:74`).
+    * Capped at `maxLogicalPartitions` (`SmartBulkCopyConfig.cs:74`),
+    * THEN rounded **up to odd** for better hash-mod distribution
+    * (`:270`, `docs/CONFIG.md:23-32`) — so an even cap yields cap+1:
+    * the result is bounded by `maxLogicalPartitions + 1`, the contract
+    * the property tests pin (odd-rounding deliberately wins over the
+    * exact cap).
     */
   def logicalPartitionCount(t: TableMeta, conf: PlanConfig): Int = {
     val raw: Long = conf.strategy match {
