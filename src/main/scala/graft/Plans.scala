@@ -11,18 +11,13 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    // testdata is read-only: persisted pipeline state goes to scratch
-    // instead of its production default beside the corpus
-    graft.ops.PersistedState.relocateToScratch(spark)
+    // the SHARED session config (GraftSession): a plan audited here must
+    // be the plan the verified/benchmarked engine actually runs — this
+    // main used to carry a drifted verbatim copy (no ObjectHashAggregate
+    // headroom, no warehouse override), so the audited aggregate shapes
+    // could differ from the shipped ones
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR") // plans only — keep output clean
     val keys =
       if (args.nonEmpty) args.toSeq
       else Seq("scan_project", "scan_physical_partition", "join_broadcast_dim",

@@ -49,10 +49,11 @@ object Retry {
     // (BatchUpdateException) chain the real error there, not in the cause
     val seen = scala.collection.mutable.Set.empty[Throwable]
     val queue = scala.collection.mutable.Queue[Throwable](e)
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Throwable]
     while (queue.nonEmpty) {
       val cur = queue.dequeue()
       if (cur != null && seen.add(cur)) {
-        if (isTransientRoot(cur)) return true
+        chain += cur
         queue.enqueue(cur.getCause)
         cur match {
           case s: java.sql.SQLException => queue.enqueue(s.getNextException)
@@ -60,7 +61,14 @@ object Retry {
         }
       }
     }
-    false
+    // PERMANENT roots dominate the whole chain: Hadoop/Parquet readers
+    // routinely wrap a FileNotFound/EOF root in a generic IOException,
+    // and classifying the wrapper first would retry maxAttempts full
+    // jobs for a source that never heals — the exact waste the
+    // fail-fast carve-out exists to prevent
+    if (chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+        c.isInstanceOf[java.io.EOFException])) false
+    else chain.exists(isTransientRoot)
   }
 
   private def isTransientRoot(e: Throwable): Boolean = e match {
@@ -77,8 +85,11 @@ object Retry {
     case _: java.io.EOFException          => false
     case _: java.io.IOException => true
     case e: RuntimeException =>
-      val m = Option(e.getMessage).getOrElse("")
-      m.contains("transient") || m.contains("Connection reset")
+      // last-resort message heuristic (case-insensitive — a capitalized
+      // "Transient network error" must not slip past); typed and
+      // SQLState classification above always wins where available
+      val m = Option(e.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+      m.contains("transient") || m.contains("connection reset")
     case _ => false
   }
 
@@ -86,6 +97,10 @@ object Retry {
       extends RuntimeException(s"failed after $attempts attempts", last)
 
   def withRetry[T](maxAttempts: Int = 5, delayMs: Long = 0L)(body: => T): T = {
+    // maxAttempts <= 0 would skip the body entirely and throw
+    // RetriesExhausted(0, null) — a silently-skipped copy with a
+    // misleading null-cause error; "no retries" is maxAttempts = 1
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt < maxAttempts) {

@@ -81,7 +81,14 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             LambdaFunction(add: Add,
               Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
             LambdaFunction(finish, Seq(facc: NamedLambdaVariable), _))
-          if zero == 0.0 &&
+          // raw-bits +0.0 only: Scala's numeric == also matches -0.0,
+          // but the native loops seed their accumulator at +0.0, so
+          // fusing a -0.0-seeded fold would flip the sign of a zero
+          // result (e.g. empty arrays) — visible to the value-hashing
+          // oracle gate, breaking the "invisible to results" contract
+          if zero != null &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.asInstanceOf[Double]) == 0L &&
             ((isVar(add.left, acc) && isVar(add.right, elem)) ||
              (isVar(add.left, elem) && isVar(add.right, acc))) &&
             isVar(finish, facc) &&

@@ -100,7 +100,14 @@ object SliceSpec {
     */
   final case class Logical(keyCols: Seq[String], count: Int, index: Int)
       extends SliceSpec {
-    def describe = s"pmod(hash(${keyCols.mkString(",")}), $count) = $index"
+    // mirrors the REAL predicate both realizations emit (Scans.
+    // sliceKeyPortable / SqlGen.whereClause): integer 31-fold over the
+    // key columns, or xxhash64 over all columns for a key-less table —
+    // never Spark's hash()
+    def describe =
+      if (keyCols.nonEmpty)
+        s"pmod(abs(${keyCols.mkString(" * 31 + ")}), $count) = $index"
+      else s"pmod(abs(xxhash64(*)), $count) = $index"
   }
 }
 

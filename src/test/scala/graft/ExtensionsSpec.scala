@@ -155,6 +155,27 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("RewriteDotProduct leaves a -0.0-seeded fold alone") {
+    // the native loops seed at +0.0; fusing a -0.0 seed would flip the
+    // sign of an all-zero fold (e.g. empty arrays), so the rule must
+    // match +0.0 by raw bits, not numeric == (which treats -0.0 == 0.0)
+    import spark.implicits._
+    val df = Seq((Seq.empty[Float], Seq.empty[Float]))
+      .toDF("a", "b")
+      .select(aggregate(
+        zip_with(col("a"), col("b"),
+          (p, q) => p.cast("double") * q.cast("double")),
+        lit(-0.0), (acc, v) => acc + v).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("dot_product"),
+      s"-0.0-seeded fold must not fuse:\n$optimized")
+    // and the unfused empty-array fold returns the seed verbatim: -0.0
+    // (a fused loop would have returned +0.0 — an oracle-visible flip)
+    val bits = java.lang.Double.doubleToRawLongBits(
+      df.collect()(0).getDouble(0))
+    assert(bits == java.lang.Double.doubleToRawLongBits(-0.0))
+  }
+
   test("squared-L2 idiom fuses to the native loop and is value-invisible") {
     // the ADC/PQ hot loop: (x-y)*(x-y) folded from 0.0 must fuse to
     // squared_l2 (HOF lambdas never codegen; the fused loop does)

@@ -136,6 +136,25 @@ class PipelineSpec extends SparkSpecBase {
           new java.io.FileNotFoundException("gone.parquet")) }
     }
     assert(f == 1)
+    // a permanent root DOMINATES a transient-looking wrapper: Hadoop
+    // wraps FileNotFound in a generic IOException, and IOException alone
+    // is whitelisted — the chain walk must still fail fast
+    var g = 0
+    intercept[java.io.IOException] {
+      Retry.withRetry(3) { g += 1
+        throw new java.io.IOException("read failed",
+          new java.io.FileNotFoundException("gone.parquet")) }
+    }
+    assert(g == 1)
+  }
+
+  test("retry: message heuristic is case-insensitive; maxAttempts >= 1") {
+    var a = 0
+    assert(Retry.withRetry(3) { a += 1
+      if (a < 2) throw new RuntimeException("Transient network error")
+      a } == 2)
+    // maxAttempts = 0 would silently skip the body; must refuse loudly
+    intercept[IllegalArgumentException] { Retry.withRetry(0) { 42 } }
   }
 
   test("jdbc overwrite+truncate keeps table identity (secondary index survives)") {
