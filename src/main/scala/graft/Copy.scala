@@ -113,6 +113,17 @@ object Copy {
     // database (the reference's actual destination shape) instead of the
     // parquet file sink. Everything source-side — analysis, safe-check
     // footprints, timeouts — is sink-agnostic and shared.
+    // normalize + validate the safe-check mode HERE, not just in the
+    // config loader: a direct caller passing the config surface's
+    // "read-only" spelling (or any typo) would otherwise silently run
+    // with the immutability gate OFF — exactly the failure the gate
+    // exists to catch. IllegalArgumentException maps to exit 1 in main.
+    val safeCheckMode = safeCheck.toLowerCase(java.util.Locale.ROOT) match {
+      case "read-only"                            => "readonly"
+      case m @ ("readonly" | "none" | "snapshot") => m
+      case other => throw new IllegalArgumentException(
+        s"safe-check can only contain 'none', 'readonly' or 'snapshot'; got: $other")
+    }
     val jdbcDest = destDir.startsWith("jdbc:")
     def jdbcProps: java.util.Properties = {
       val p = new java.util.Properties()
@@ -149,7 +160,7 @@ object Copy {
     // safe-check "readonly": footprint snapshot BEFORE the first slice
     // reads — stability is re-verified after the copy phase.
     val preFootprint: Map[String, Map[String, (Long, Long)]] =
-      if (safeCheck == "readonly")
+      if (safeCheckMode == "readonly")
         analyzed.map { case (src, _) =>
           src.name -> Pipeline.sourceFootprint(spark, sfDir, src.name)
         }.toMap
@@ -272,10 +283,14 @@ object Copy {
         throw new java.util.concurrent.TimeoutException(
           s"command-timeout: copy of $table exceeded ${timeoutSec}s")
       case e: java.util.concurrent.ExecutionException =>
-        e.getCause match {
-          case ex: Exception => throw ex
-          case _             => throw e
-        }
+        // rethrow the CAUSE unconditionally: an Error cause (OOM,
+        // LinkageError) kept inside the ExecutionException wrapper would
+        // be caught by the copy phase's `case e: Exception` counter and
+        // downgrade a fatal JVM condition to one errored table — the
+        // run would keep copying in a heap-exhausted JVM. Without a
+        // timeout the same Error crashes the run; behavior must not
+        // diverge on a config knob.
+        throw Option[Throwable](e.getCause).getOrElse(e)
     } finally exec.shutdownNow()
   }
 
@@ -298,6 +313,13 @@ object Copy {
           System.err.println(s"graft.Copy config error: ${e.getMessage}")
           return 1
       }
+    // the reference's compatibility-mode only switches its bulk-write
+    // call style (sync WriteToServer vs async, SmartBulkCopy.cs:78-80,
+    // :528-535) with identical results and logs the mode; Spark writes
+    // are already synchronous, so the mode is acknowledged, not silent
+    if (cfg.compatibilityMode)
+      System.err.println("[copy] compatibility-mode requested: write path " +
+        "is already synchronous in this engine; results are identical")
     run(spark, cfg.sourceDir, cfg.destDir, cfg.tablePatterns, cfg.plan,
       truncateTables = cfg.truncateTables,
       retryMaxAttempts = cfg.retryMaxAttempt,
@@ -316,14 +338,13 @@ object Copy {
     val destDir = args.lift(1).filter(_ => !viaConfig).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_copy_run")
     val patterns = if (!viaConfig && args.length > 2) args.drop(2).toSeq else Seq("*")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the SHARED session config (GraftSession) — this main used to carry
+    // a drifted verbatim copy, so copies could run under different
+    // session semantics (extensions, aggregate headroom, warehouse) than
+    // the verified engine
+    val spark = GraftSession.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"),
+      master = sys.env.get("SPARK_GRAFT_MASTER"))
     val code =
       try {
         if (viaConfig)

@@ -52,6 +52,11 @@ final case class CopyConfig(
       * reseed each identity table's destination to the source's current
       * value and verify by read-back; a failed verify exits 2. */
     syncIdentity: Boolean,
+    /** Reference `compatibility-mode` (`SmartBulkCopyConfig.cs:31,148`):
+      * switches its bulk write from async to the synchronous
+      * `WriteToServer` call with identical results. Spark writes are
+      * already synchronous, so [[graft.Copy]] acknowledges the flag with
+      * a log line and changes nothing. */
     compatibilityMode: Boolean)
 
 object CopyConfig {
@@ -102,7 +107,16 @@ object CopyConfig {
           throw new IllegalArgumentException("tables.include must be a non-empty array")
         inc ++ arr("exclude", "-:")
       case Some(t) if t.isArray =>
-        (0 until t.size).map(i => t.get(i).asText())
+        (0 until t.size).map { i =>
+          val e = t.get(i)
+          // same strictness as include/exclude: a nested array or null
+          // stringifies to ""/"null", silently breaking the pattern it
+          // was meant to be — reject at load time (exit 1), not at the
+          // far-away TableNotFound the mangled pattern produces later
+          if (!e.isTextual) throw new IllegalArgumentException(
+            "tables entries must be strings")
+          e.asText()
+        }
       case Some(_) =>
         throw new IllegalArgumentException("tables must be an object or an array")
       case None => Seq("*")

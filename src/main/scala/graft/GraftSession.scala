@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def build(cpus: String): SparkSession = {
+  def build(cpus: String, master: Option[String] = None): SparkSession = {
     val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master.getOrElse(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -23,8 +23,14 @@ object GraftSession {
       // fallback (64k groups x ~600B buffers ~ 40MB/partition, and the
       // fallback remains the graceful path beyond that)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
+      // per-PROCESS warehouse: bucketed_join_colocated truncates and
+      // rewrites saved tables in here, so two driver JVMs (a Bench run
+      // beside a Verify loop) sharing one warehouse would race
+      // truncate-vs-scan — the same two-JVM hazard PersistedState's
+      // procTag exists for, fixed the same way
       .config("spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse_" +
+          java.lang.ProcessHandle.current().pid())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

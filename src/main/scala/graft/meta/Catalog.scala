@@ -34,7 +34,11 @@ object Catalog {
     */
   val declared: Map[String, TableMeta] = Map(
     "region"   -> TableMeta("main", "region", Storage.Heap),
-    "nation"   -> TableMeta("main", "nation", Storage.Heap),
+    // foreignKeyCount mirrors this table's parent rows in
+    // [[foreignKeyRows]] (fk_nation_region) — the two catalog
+    // representations must agree or a consumer crossing them (a
+    // declared-derived destMeta vs the sys frame) reads different facts
+    "nation"   -> TableMeta("main", "nation", Storage.Heap, foreignKeyCount = 1),
     "customer" -> TableMeta("main", "customer", Storage.ClusteredRowstore,
       sortKeys = Seq(SortKey("c_custkey")), foreignKeyCount = 1),
     "supplier" -> TableMeta("main", "supplier", Storage.Heap, foreignKeyCount = 1),
@@ -106,10 +110,10 @@ object Catalog {
     if (!fs.exists(p)) return 0L
     val st = fs.getFileStatus(p)
     if (st.isFile) return st.getLen
-    val rootPath = fs.makeQualified(p).toUri.getPath
-    def hidden(q: org.apache.hadoop.fs.Path): Boolean =
-      fs.makeQualified(q).toUri.getPath.stripPrefix(rootPath)
-        .split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    // committed-ness is Sinks.hiddenBelow — the ONE definition the
+    // safety gate and reconciliation also read; an inline copy here
+    // could silently diverge the planner's size input from the gate
+    val hidden = graft.exec.Sinks.hiddenBelow(fs, p)
     var total = 0L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
@@ -129,11 +133,22 @@ object Catalog {
     * oracle `VALUES` CTEs ([[valuesCte]]) so both sides of the correctness
     * gate are generated from one source of truth.
     */
+  /** History-table name → synthesized object_id (100, 101, …): each
+    * temporal table points at ITS OWN history table's id — a second
+    * declared temporal pair must not alias the first one's history rows.
+    */
+  lazy val historyTableIds: Map[String, Int] =
+    tableNames.flatMap(n => declared(n).history.map(_.historyTable))
+      .distinct.zipWithIndex.map { case (h, k) => h -> (100 + k) }.toMap
+
   lazy val tableRows: Seq[(Int, String, String, Option[Int], Option[Int])] = {
     tableNames.zipWithIndex.map { case (n, i) =>
       val m = declared(n)
-      (i + 1, m.schema, n, m.history.map(_ => 100), m.history.map(_.retentionDays))
-    } :+ ((100, "main", "orders_history", None, None))
+      (i + 1, m.schema, n, m.history.map(h => historyTableIds(h.historyTable)),
+        m.history.map(_.retentionDays))
+    } ++ historyTableIds.toSeq.sortBy(_._2).map { case (h, hid) =>
+      (hid, "main", h, Option.empty[Int], Option.empty[Int])
+    }
   }
 
   /** `sys.tables ⋈ sys.schemas`-shaped catalog: (object_id, schema_name,

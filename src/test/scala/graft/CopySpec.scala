@@ -472,6 +472,71 @@ class CopySpec extends SparkSpecBase {
       safeCheck = "readonly") == 0)
   }
 
+  test("safe-check accepts the read-only alias and rejects unknown modes") {
+    // the config surface normalizes "read-only"; a direct caller must
+    // get the same gate, and a typo must refuse loudly instead of
+    // silently running with the immutability check off
+    def stage(): String = {
+      val s = java.nio.file.Files.createTempDirectory("graft_alias_src").toString
+      Scans.table(spark, sfDir, "region").coalesce(1)
+        .write.parquet(s"$s/region.parquet")
+      s
+    }
+    def touchSource(src: String): Unit = {
+      val f = new java.io.File(s"$src/region.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      Thread.sleep(1100)
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    val s = stage()
+    assert(Copy.run(spark, s, destDir, Seq("region"), truncateTables = true,
+      safeCheck = "read-only", postCopyHook = _ => touchSource(s)) == 2)
+    intercept[IllegalArgumentException] {
+      Copy.run(spark, sfDir, destDir, Seq("region"), safeCheck = "readony")
+    }
+  }
+
+  test("command-timeout rethrows a fatal Error instead of counting it") {
+    // an OOM-class Error inside the timeout wrapper must crash the run,
+    // not be downgraded to one errored table (exit 3) while the copy
+    // keeps going in a broken JVM — same behavior as with no timeout
+    intercept[LinkageError] {
+      Copy.withCommandTimeout(spark, "t", 30) { throw new LinkageError("boom") }
+    }
+  }
+
+  test("legacy flat tables array rejects non-string entries at load") {
+    intercept[IllegalArgumentException] {
+      CopyConfig.parse(
+        """{"source": {"connection-string": "s"},
+          |"destination": {"connection-string": "d"},
+          |"tables": ["*", ["-:events"]]}""".stripMargin, _ => None)
+    }
+  }
+
+  test("declared metas agree with the synthesized sys catalog rows") {
+    // two representations of one fixture: TableMeta.foreignKeyCount must
+    // equal this table's parent rows in sysForeignKeys, and each temporal
+    // table must point at ITS OWN history table's object id — a consumer
+    // crossing the representations (destMeta vs sys frames) reads the
+    // same facts either way
+    Catalog.tableNames.zipWithIndex.foreach { case (n, i) =>
+      val declaredFks = Catalog.declared(n).foreignKeyCount
+      val rowFks = Catalog.foreignKeyRows.count(_._2 == i + 1)
+      assert(declaredFks == rowFks,
+        s"$n: declared foreignKeyCount $declaredFks != catalog rows $rowFks")
+      Catalog.declared(n).history.foreach { h =>
+        val hid = Catalog.historyTableIds(h.historyTable)
+        val pointed = Catalog.tableRows.find(_._3 == n).flatMap(_._4)
+        assert(pointed.contains(hid),
+          s"$n: history_table_id $pointed != ${h.historyTable}'s id $hid")
+        assert(Catalog.tableRows.exists(r => r._1 == hid && r._3 == h.historyTable),
+          s"${h.historyTable}: no catalog row under its own id $hid")
+      }
+    }
+  }
+
   test("analysis failure aborts BEFORE any table is copied") {
     val d = destDir
     val dst = Catalog.collect(spark, sfDir, "nation")

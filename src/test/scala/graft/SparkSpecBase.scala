@@ -72,8 +72,11 @@ object SparkSpecBase {
       // same ObjectHashAggregate headroom as Verify/Bench (simhash_votes
       // holds one small fixed-size buffer per group)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
+      // per-process like GraftSession: a concurrent Verify/Bench JVM must
+      // never share the warehouse the bucketed-table tests rewrite
       .config("spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse_" +
+          java.lang.ProcessHandle.current().pid())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

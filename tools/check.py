@@ -79,7 +79,6 @@ def main():
                                 eq = False; detail = f" col={c}"
                                 break
                     results[name] = ("MATCH (loose)" if eq else f"VALUE_MISMATCH{detail}")
-                    if eq: continue_ = True
                 else:
                     results[name] = "MATCH"
             except Exception as ex:
