@@ -134,17 +134,30 @@ object CopyConfig {
         // integer GB only — the reference int.Parses the size
         // (SmartBulkCopyConfig.cs:152-170), so "8.5gb"/"1e2gb" reject
         val n = lp.dropRight(2).trim
-        try PartitionStrategy.SizeGb(n.toInt.toDouble)
-        catch { case _: NumberFormatException =>
+        val gb =
+          try n.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad logical-partitions size: $lp")
+          }
+        // 0gb would divide the planner to Infinity (max fan-out from an
+        // invalid value); reject HERE like every other malformed option
+        if (gb <= 0)
           throw new IllegalArgumentException(s"bad logical-partitions size: $lp")
-        }
+        PartitionStrategy.SizeGb(gb.toDouble)
       case Some(lp) =>
-        try PartitionStrategy.Count(lp.toInt)
-        catch { case _: NumberFormatException =>
+        val n =
+          try lp.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              "logical-partitions can only contain \"auto\", a number (eg: 7) " +
+                s"or a size in GB (eg: 10GB); got: $lp")
+          }
+        // "0" or a negative count would plan zero slices — a silent
+        // no-copy; reject at load, not at the empty run it produces
+        if (n <= 0)
           throw new IllegalArgumentException(
-            "logical-partitions can only contain \"auto\", a number (eg: 7) " +
-              s"or a size in GB (eg: 10GB); got: $lp")
-        }
+            s"logical-partitions count must be positive; got: $lp")
+        PartitionStrategy.Count(n)
     }
 
     val safeCheck = opt("safe-check").map(_.asText().toLowerCase) match {

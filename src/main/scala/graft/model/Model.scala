@@ -31,12 +31,14 @@ object Storage {
 
 /** One key column of an index with its sort direction — reference
   * `TableInfoCollector.cs:34-40` (`IndexColumn.IsDescending`,
-  * `PartitionOrdinal`, `IsComputed`).
+  * `IsComputed`). The reference's `PartitionOrdinal` fact lives in
+  * [[TableMeta.partitionCol]] (and the synthesized
+  * `sys.index_columns.partition_ordinal` in `graft.meta.Catalog`), not
+  * here — a field on this class would be a second, never-read copy.
   */
 final case class SortKey(
     col: String,
     descending: Boolean = false,
-    partitionOrdinal: Int = 0,
     isComputed: Boolean = false)
 
 /** Temporal-table orchestration metadata — reference
@@ -101,13 +103,19 @@ object SliceSpec {
   final case class Logical(keyCols: Seq[String], count: Int, index: Int)
       extends SliceSpec {
     // mirrors the REAL predicate both realizations emit (Scans.
-    // sliceKeyPortable / SqlGen.whereClause): integer 31-fold over the
-    // key columns, or xxhash64 over all columns for a key-less table —
-    // never Spark's hash()
+    // sliceKeyPortable / SqlGen.whereClause): a LEFT-NESTED integer
+    // 31-fold over the key columns — ((a*31+b)*31+c), the same reduce
+    // both executors run, NOT the flat a*31+b*31+c a plain mkString
+    // would render — or xxhash64 over all columns for a key-less
+    // table; never Spark's hash(). Keyed equality with the generated
+    // SQL is pinned in PlannerSpec.
     def describe =
-      if (keyCols.nonEmpty)
-        s"pmod(abs(${keyCols.mkString(" * 31 + ")}), $count) = $index"
-      else s"pmod(abs(xxhash64(*)), $count) = $index"
+      if (keyCols.nonEmpty) {
+        val fold = keyCols
+          .map(c => s"CAST(`${c.replace("`", "``")}` AS BIGINT)")
+          .reduce((a, b) => s"($a * 31 + $b)")
+        s"pmod(abs($fold), $count) = $index"
+      } else s"pmod(abs(xxhash64(*)), $count) = $index"
   }
 }
 

@@ -133,8 +133,14 @@ object CoreQueries {
     // drop events too (spec-asserted in PipelineSpec).
     // ------------------------------------------------------------------
     QueryDef("tables_wildcard_match",
+      // the oracle's table list derives from the SAME catalog rows the
+      // Spark side scans (declared tables + every synthesized history
+      // table), never a hardcoded history-table literal — declaring a
+      // second temporal pair must change both sides together or the
+      // gate failure would misattribute to this unrelated query
       s"""WITH sys_tables(table_name) AS (VALUES ${
-          (Catalog.tableNames :+ "orders_history").map(n => s"('$n')").mkString(", ")})
+          (Catalog.tableNames ++ Catalog.historyTableIds.keys)
+            .map(n => s"('$n')").mkString(", ")})
          |SELECT DISTINCT table_name FROM sys_tables
          |WHERE NOT regexp_matches(table_name, '^e.*$$')
          |   OR table_name = 'events'

@@ -20,14 +20,32 @@ import graft.meta.Catalog
   */
 object MetaQueries {
 
-  /** Env-var connection-string fallback value (reference
-    * `SmartBulkCopyConfig.cs:141`): the real process environment when
-    * set, a deterministic sentinel otherwise. Shared between the Spark
-    * builder and the oracle SQL (interpolated as a literal at build
-    * time) so the gate can never diverge on environment.
+  /** Env-var connection-string fallback SENTINEL (reference
+    * `SmartBulkCopyConfig.cs:141`): a fixed value standing in for "the
+    * config had no connection string, the environment supplied it".
+    * Deliberately NOT `sys.env` — a declared query must be a pure
+    * function of the corpus, or the frozen bench hash becomes
+    * environment-sensitive (a run with the variable set would hash
+    * differently from the committed map recorded in a clean
+    * environment). The LIVE env fallback itself is `CopyConfig.parse`'s
+    * (spec-pinned in CopySpec with an injected environment).
     */
-  private val envSourceConn: String =
-    sys.env.getOrElse("source-connection-string", "env://source-connection-string")
+  private val envSourceConn: String = "env://source-connection-string"
+
+  /** meta_schema_diff's drifted destination schema: customer with ONE
+    * real column dropped and one added, so the full-outer classification
+    * exercises all three statuses. The require fails loudly if a
+    * testdata schema change ever makes the drop a no-op again (the
+    * silent degeneration the r10 review found: a drop target that never
+    * existed meant 'source_only' never appeared, on BOTH gate sides).
+    */
+  private val schemaDiffDropped = "c_mktsegment"
+  private def schemaDiffDst: Seq[String] = {
+    val src = Catalog.schemaColumns("customer")
+    require(src.contains(schemaDiffDropped),
+      s"meta_schema_diff: dropped column $schemaDiffDropped is not in the customer schema")
+    src.filterNot(_ == schemaDiffDropped) :+ "c_loyalty_tier"
+  }
   private def envSourceConnSql: String = envSourceConn.replace("'", "''")
 
   val entries: Seq[QueryDef] = Seq(
@@ -98,15 +116,17 @@ object MetaQueries {
     // on the destination; extra destination columns receive no data;
     // the tool never alters schemas, docs/FAQ.md:10-16). Source =
     // customer's collected schema; destination = a drifted collected
-    // schema (one column dropped, one added). Full outer join on the
-    // column name classifies each as mapped / source_only (copy would
-    // fail or skip) / dest_only (stays empty); missing-side ordinals
-    // are -1, not NULL, to keep the compare type-exact.
+    // schema (one column dropped, one added) — the dropped column is
+    // guarded by schemaDiffDst's require so all THREE classifications
+    // (mapped / source_only / dest_only) are always exercised: an
+    // earlier version dropped a column the schema doesn't have, so
+    // 'source_only' silently never appeared on either gate side. Full
+    // outer join on the column name classifies each; missing-side
+    // ordinals are -1, not NULL, to keep the compare type-exact.
     // ------------------------------------------------------------------
     QueryDef("meta_schema_diff", {
       val srcCols = Catalog.schemaColumns("customer").zipWithIndex
-      val dstCols = Catalog.schemaColumns("customer")
-        .filterNot(_ == "c_comment").:+("c_loyalty_tier").zipWithIndex
+      val dstCols = schemaDiffDst.zipWithIndex
       val srcVals = srcCols.map { case (c, i) => s"('$c', $i)" }.mkString(", ")
       val dstVals = dstCols.map { case (c, i) => s"('$c', $i)" }.mkString(", ")
       s"""WITH src(col_name, src_ordinal) AS (VALUES $srcVals),
@@ -127,9 +147,7 @@ object MetaQueries {
       // the reference (SmartBulkCopy.cs:143-152)
       val src = Scans.table(s, dir, "customer").schema.fieldNames.toSeq
         .zipWithIndex.toDF("s_name", "src_ordinal")
-      val dst = (Catalog.schemaColumns("customer")
-          .filterNot(_ == "c_comment") :+ "c_loyalty_tier")
-        .zipWithIndex.toDF("d_name", "dst_ordinal")
+      val dst = schemaDiffDst.zipWithIndex.toDF("d_name", "dst_ordinal")
       src.join(dst, col("s_name") === col("d_name"), "full_outer")
         .select(
           coalesce(col("s_name"), col("d_name")).as("col_name"),
@@ -328,21 +346,31 @@ object MetaQueries {
     // config_parse — JSON config → typed options with the tri-modal
     // `logical-partitions` parse: "auto" | "<n>gb" | "<count>"
     // (reference SmartBulkCopyConfig.cs:118-222, tri-modal at 152-170).
-    // Spark-first: from_json + when/otherwise + regexp_extract; the
-    // oracle pins the expected parse as literals.
+    // Spark-first: from_json + when/otherwise + regexp_extract. The
+    // classification MIRRORS the live loader (CopyConfig.parse):
+    // integer-only GB (the reference int.Parses the size, so
+    // "8.5gb"/"1e2gb" reject), positive-only counts and sizes — and a
+    // 'reject' mode for the inputs the loader throws on, so the hash
+    // gate locks the reject surface too. CopySpec cross-checks every
+    // fixture's mode against the LIVE parser, the same live-derivation
+    // discipline as copy_exit_codes.
     // ------------------------------------------------------------------
     QueryDef("config_parse",
       """SELECT * FROM (VALUES
         |  ('auto', 7, 100000, 'auto', CAST(NULL AS DOUBLE)),
         |  ('count', 16, 50000, 'count', 24.0),
-        |  ('size', 32, 102400, 'size-gb', 8.0))
+        |  ('frac_size', 20, 75000, 'reject', CAST(NULL AS DOUBLE)),
+        |  ('size', 32, 102400, 'size-gb', 8.0),
+        |  ('zero_size', 12, 60000, 'reject', CAST(NULL AS DOUBLE)))
         |  AS t(config_name, tasks, batch_size, lp_mode, lp_value)
         |ORDER BY config_name""".stripMargin) { (s, dir) =>
       import s.implicits._
       val confs = Seq(
         ("auto",  """{"tasks": 7,  "batch-size": 100000, "logical-partitions": "auto"}"""),
         ("count", """{"tasks": 16, "batch-size": 50000,  "logical-partitions": "24"}"""),
-        ("size",  """{"tasks": 32, "batch-size": 102400, "logical-partitions": "8gb"}"""))
+        ("frac_size", """{"tasks": 20, "batch-size": 75000, "logical-partitions": "8.5gb"}"""),
+        ("size",  """{"tasks": 32, "batch-size": 102400, "logical-partitions": "8gb"}"""),
+        ("zero_size", """{"tasks": 12, "batch-size": 60000, "logical-partitions": "0gb"}"""))
         .toDF("config_name", "raw")
       val schema = StructType(Seq(
         StructField("tasks", IntegerType),
@@ -350,17 +378,24 @@ object MetaQueries {
         StructField("logical-partitions", StringType)))
       val parsed = confs.withColumn("j", from_json(col("raw"), schema))
       val lp = col("j").getField("logical-partitions")
+      // integer-only, positive-only — the live parse. A non-integer or
+      // out-of-int-range numeral nulls the cast, and `null > 0` is
+      // false-ish under `when`, landing in 'reject' exactly where the
+      // loader's NumberFormatException lands.
+      val gbVal = regexp_extract(lp, "^([0-9]+)[Gg][Bb]$", 1).cast("int")
+      val mode =
+        when(lp === "auto", lit("auto"))
+          .when(lp.rlike("^[0-9]+[Gg][Bb]$") && gbVal > 0, lit("size-gb"))
+          .when(lp.rlike("^-?[0-9]+$") && lp.cast("int") > 0, lit("count"))
+          .otherwise(lit("reject"))
       parsed.select(
           col("config_name"),
           col("j").getField("tasks").as("tasks"),
           col("j").getField("batch-size").as("batch_size"),
-          when(lp === "auto", lit("auto"))
-            .when(lp.rlike("^[0-9.]+[Gg][Bb]$"), lit("size-gb"))
-            .otherwise(lit("count")).as("lp_mode"),
-          when(lp === "auto", lit(null).cast("double"))
-            .when(lp.rlike("^[0-9.]+[Gg][Bb]$"),
-              regexp_extract(lp, "^([0-9.]+)", 1).cast("double"))
-            .otherwise(lp.cast("double")).as("lp_value"))
+          mode.as("lp_mode"),
+          when(mode === "size-gb", gbVal.cast("double"))
+            .when(mode === "count", lp.cast("double"))
+            .otherwise(lit(null).cast("double")).as("lp_value"))
         .orderBy(col("config_name"))
     },
 

@@ -11,8 +11,18 @@ import graft.model._
 sealed trait PartitionStrategy
 object PartitionStrategy {
   case object Auto extends PartitionStrategy
-  final case class Count(n: Int) extends PartitionStrategy
-  final case class SizeGb(gb: Double) extends PartitionStrategy
+  // non-positive values guard at CONSTRUCTION, not deep in the planner:
+  // Count(0) would plan zero slices (a silent no-copy) and SizeGb(0)
+  // divides to Infinity — the maximum fan-out (129 slices) for a config
+  // value that is plainly invalid. The require throws
+  // IllegalArgumentException, which CopyConfig's loader and Copy.main
+  // already map to exit 1 like every other malformed option.
+  final case class Count(n: Int) extends PartitionStrategy {
+    require(n > 0, s"logical-partitions count must be positive; got: $n")
+  }
+  final case class SizeGb(gb: Double) extends PartitionStrategy {
+    require(gb > 0, s"logical-partitions size must be positive; got: $gb")
+  }
 }
 
 final case class PlanConfig(
@@ -116,8 +126,10 @@ object Analyzer {
     * partition key only (`SmartBulkCopy.cs:492-509`).
     */
   def orderHint(src: TableMeta, dst: TableMeta): Seq[SortKey] = {
-    if (src.storage == Storage.ClusteredRowstore &&
-        dst.storage == Storage.ClusteredRowstore &&
+    // "carries an ORDER BY" is Storage.ordered — the ONE definition of
+    // which layouts are order-bearing (reference TableInfoCollector.cs:
+    // 48,83-89), not a storage-value comparison re-derived here
+    if (src.storage.ordered && dst.storage.ordered &&
         src.sortKeys.nonEmpty && src.sortKeys == dst.sortKeys)
       src.sortKeys.filterNot(_.isComputed)
     else if (dst.isPartitioned && dst.partitionCol.nonEmpty &&

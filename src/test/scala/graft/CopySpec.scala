@@ -211,6 +211,19 @@ class CopySpec extends SparkSpecBase {
     assert(!sized.truncateTables && sized.safeCheck == "readonly")
   }
 
+  test("config parse rejects non-positive logical-partitions at load") {
+    // "0gb" would divide the planner to the max fan-out, "0"/"-3" would
+    // plan a silent no-copy — all must exit at load like any other
+    // malformed option, never reach the planner
+    for (lp <- Seq("0gb", "-2gb", "0", "-3", "8.5gb", "1e2gb"))
+      intercept[IllegalArgumentException] {
+        CopyConfig.parse(
+          s"""{"source": {"connection-string": "s"},
+             |"destination": {"connection-string": "d"},
+             |"options": {"logical-partitions": "$lp"}}""".stripMargin, _ => None)
+      }
+  }
+
   test("sync-identity reseeds the destination and verifies by read-back") {
     val d = destDir
     // supplier HAS an identity column; region does not — the sync must

@@ -75,6 +75,29 @@ class PlannerSpec extends AnyFunSuite {
     assert(Analyzer.orderHint(src, dst) == Seq(SortKey("pcol")))
   }
 
+  test("non-positive partition strategies are unconstructible") {
+    // Count(0) would plan a silent no-copy, SizeGb(0) divides the
+    // planner to the maximum fan-out — both must throw at construction,
+    // not misplan downstream
+    intercept[IllegalArgumentException] { PartitionStrategy.Count(0) }
+    intercept[IllegalArgumentException] { PartitionStrategy.Count(-3) }
+    intercept[IllegalArgumentException] { PartitionStrategy.SizeGb(0.0) }
+    intercept[IllegalArgumentException] { PartitionStrategy.SizeGb(-1.0) }
+  }
+
+  test("Logical.describe renders the exact predicate SqlGen emits") {
+    // the human-readable slice description must be the REAL left-nested
+    // 31-fold ((a*31+b)*31+c), not the flat a*31+b*31+c a naive render
+    // would produce — anyone pasting it into SQL to reproduce a slice
+    // must select the same rows the executor did
+    for (keys <- Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"))) {
+      val slice = SliceSpec.Logical(keys, 7, 3)
+      assert("WHERE " + slice.describe ==
+        graft.exec.SqlGen.whereClause(slice, keys),
+        s"describe drifted from the generated SQL for $keys")
+    }
+  }
+
   // --- reference outcome tests (tests/Misc.cs:14-38) -------------------
   test("destination abort gates") {
     val src = heap(100, 0.1)

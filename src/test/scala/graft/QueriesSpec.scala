@@ -38,6 +38,45 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("config_parse's mode classification matches the LIVE config loader") {
+    // the query models CopyConfig.parse's tri-modal parse; every fixture's
+    // published lp_mode must agree with what the loader actually does —
+    // 'reject' iff parse throws, otherwise the strategy class. This is
+    // the drift the r10 review found: the query used to accept
+    // fractional GB ("8.5gb") that the loader rejects.
+    val rows = SparkEntry.queries("config_parse")(spark, sfDir).collect()
+    val lpByName = Map(
+      "auto" -> "auto", "count" -> "24", "frac_size" -> "8.5gb",
+      "size" -> "8gb", "zero_size" -> "0gb")
+    assert(rows.map(_.getString(0)).toSet == lpByName.keySet)
+    rows.foreach { r =>
+      val (name, mode) = (r.getString(0), r.getString(3))
+      val json =
+        s"""{"source": {"connection-string": "/s"},
+           |"destination": {"connection-string": "/d"},
+           |"options": {"logical-partitions": "${lpByName(name)}"}}""".stripMargin
+      val live =
+        try Some(CopyConfig.parse(json, _ => None).plan.strategy)
+        catch { case _: IllegalArgumentException => None }
+      (mode, live) match {
+        case ("reject", None)                                        => ()
+        case ("auto", Some(graft.plan.PartitionStrategy.Auto))       => ()
+        case ("count", Some(graft.plan.PartitionStrategy.Count(_)))  => ()
+        case ("size-gb", Some(graft.plan.PartitionStrategy.SizeGb(_))) => ()
+        case other => fail(s"$name: query says $mode, live parse says $other")
+      }
+    }
+  }
+
+  test("meta_schema_diff exercises all three mapping classifications") {
+    // the full-outer classification must produce mapped AND source_only
+    // AND dest_only rows — a drop target missing from the source schema
+    // silently degenerates source_only away on BOTH gate sides
+    val statuses = SparkEntry.queries("meta_schema_diff")(spark, sfDir)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("mapped", "source_only", "dest_only"))
+  }
+
   test("sim_lsh_bucket buckets partition the corpus") {
     // the invariant the r2 query computed with a driver collect(), now
     // where it belongs: every vector lands in exactly one bucket (the
