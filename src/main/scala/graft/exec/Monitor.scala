@@ -35,7 +35,7 @@ final class CopyMonitor extends SparkListener {
     // negative and publish nonsense active-task counts in the samples
     activeTasks.updateAndGet(n => math.max(0, n - 1))
     val m = taskEnd.taskMetrics
-    if (m != null) {
+    if (m != null && CopyMonitor.countsAttempt(taskEnd.reason)) {
       recordsWritten.add(m.outputMetrics.recordsWritten)
       bytesWritten.add(m.outputMetrics.bytesWritten)
       recordsRead.add(m.inputMetrics.recordsRead)
@@ -61,6 +61,17 @@ final class CopyMonitor extends SparkListener {
 }
 
 object CopyMonitor {
+  /** SUCCESSFUL attempts only: a failed/killed attempt still delivers
+    * `onTaskEnd` with its partial `outputMetrics`, so counting it would
+    * double-book the rows its retry writes again — `records_written`
+    * would exceed the destination count on a copy that actually
+    * succeeded (the exact over-count a throughput monitor exists to
+    * catch, reported against itself). Local `maxFailures=1` can't stage
+    * a live retry, so the predicate is exposed and spec-pinned directly.
+    */
+  private[graft] def countsAttempt(reason: org.apache.spark.TaskEndReason): Boolean =
+    reason == org.apache.spark.Success
+
   /** One periodic report line — the fields of the reference's ~5 s
     * console report (`SmartBulkCopy.cs:723-743`: MB/s, tasks running,
     * queue depth): cumulative counters plus interval throughput.

@@ -16,27 +16,37 @@ import graft.plan.{Analyzer, PartitionStrategy, PlanConfig}
   */
 object PipelineQueries {
 
+  // Per-PROCESS destination root, like the source-staging and
+  // persisted-state roots (SourceQueries.tmp, PersistedState): two
+  // driver JVMs on one machine (a Bench run beside a Verify loop) must
+  // never share a destination path — a concurrent overwrite-then-read
+  // surfaces as FileNotFound mid-scan or a silent cross-corpus row mix,
+  // indistinguishable from a real correctness failure.
   private[graft] def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_dest/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft_dest_" +
+      s"${java.lang.ProcessHandle.current().pid()}/$name"
 
-  /** Source dir whose fragmented compaction input is already staged —
+  /** Source dirs whose fragmented compaction input is already staged —
     * fragmenting is test setup for pipeline_compact, not the measured
-    * operator, so it is paid once per source like the bucketed layout.
+    * operator, so it is paid once per (JVM, corpus) like the bucketed
+    * layout. A SET keyed like the corpus-keyed path, not a single
+    * last-dir slot: a session alternating corpora (Verify at sf0.01,
+    * Bench at sf0.1 in one JVM) must not re-pay the 64-file rewrite on
+    * every switch.
     */
-  private var fragmentedDir: Option[String] = None
+  private val fragmentedDirs = scala.collection.mutable.Set[String]()
 
   /** Stage the fragmented copy of `orders` once per (JVM, dir) — the
     * small-file state pipeline_compact exists to repair. Setup, not the
     * measured op; Bench pre-stages it before the timed region. Returns
     * the fragmented path. */
   def ensureFragmented(s: SparkSession, dir: String): String = {
-    val fragmented = tmp("compact_src")
+    val fragmented = tmp(s"compact_src_${PersistedState.corpusKey(dir)}")
     PipelineQueries.synchronized {
-      if (!fragmentedDir.contains(dir)) {
-        fragmentedDir = None
+      if (!fragmentedDirs.contains(dir)) {
         Scans.table(s, dir, "orders")
           .repartition(64).write.mode("overwrite").parquet(fragmented)
-        fragmentedDir = Some(dir)
+        fragmentedDirs += dir
       }
     }
     fragmented
@@ -222,15 +232,20 @@ object PipelineQueries {
       // arithmetic so both engines compute the identical cut)
       val w = src.agg(expr("max(o_orderkey) * 4 div 5")).as[Long].head()
       Sinks.bulkInsert(src.filter(col("o_orderkey") <= w), dest, overwrite = true)
-      val pre = s.read.parquet(dest).count()
+      // destination row counts from parquet FOOTERS (the copy path's
+      // reconciliation primitive), never a full data scan per count —
+      // at scale two extra destination scans for bookkeeping dwarf the
+      // delta copy this key measures
+      val pre = Sinks.committedRowCount(s, dest)
       // incremental step: watermark from the DESTINATION, delta scan on
       // the source with the predicate pushed to the parquet reader
       val wmark = Sinks.identityCurrent(s.read.parquet(dest), "o_orderkey")
       val delta = src.filter(col("o_orderkey") > wmark)
+      val deltaRows = delta.count()
       Sinks.bulkInsert(delta, dest)
-      val post = s.read.parquet(dest).count()
+      val post = Sinks.committedRowCount(s, dest)
       val appended = post - pre
-      Seq(("orders", pre, appended, post, post == pre + delta.count()))
+      Seq(("orders", pre, appended, post, post == pre + deltaRows))
         .toDF("table_name", "pre_rows", "appended_rows", "post_rows", "is_match")
     },
 
@@ -514,7 +529,11 @@ object PipelineQueries {
           col("doc_id"),
           md5(col("blob")).as("bin_md5"),
           length(col("blob")).cast("long").as("bin_bytes"),
-          (col("blob").cast("string") === col("text")).as("roundtrip_ok"))
+          // null-safe <=>: a NULL text row round-trips vacuously (blob
+          // is NULL too), matching the oracle's constant TRUE — plain
+          // === would yield NULL there and fail the gate on a corpus
+          // that ever grows a NULL document
+          (col("blob").cast("string") <=> col("text")).as("roundtrip_ok"))
         .orderBy(col("doc_id"))
     },
 

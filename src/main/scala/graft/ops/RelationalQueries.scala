@@ -15,12 +15,16 @@ import graft.exec.Scans
   */
 object RelationalQueries {
 
-  /** Source dir whose bucketed tables are currently materialized — the
-    * write-time layout is paid once per source and amortized over every
-    * subsequent join (the point of bucketing); a repeat run against the
-    * same source reuses the tables instead of rewriting them.
+  /** Source dirs whose bucketed tables are currently materialized — the
+    * write-time layout is paid once per (JVM, source) and amortized over
+    * every subsequent join (the point of bucketing); a repeat run
+    * against the same source reuses the tables instead of rewriting
+    * them. A SET, and the table names are corpus-keyed: a session
+    * alternating corpora (Verify at sf0.01, Bench at sf0.1 in one JVM)
+    * must neither clobber the other corpus's layout nor re-pay the
+    * bucketed rewrite on every switch.
     */
-  private var bucketedDir: Option[String] = None
+  private val bucketedDirs = scala.collection.mutable.Set[String]()
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -44,7 +48,6 @@ object RelationalQueries {
         |SELECT 'union', count(*) FROM (
         |  SELECT * FROM eu UNION SELECT * FROM asia)
         |ORDER BY op""".stripMargin) { (s, dir) =>
-      import s.implicits._
       val nation = Scans.table(s, dir, "nation")
       val region = Scans.table(s, dir, "region")
       def inRegion(r: String) =
@@ -240,19 +243,22 @@ object RelationalQueries {
           .write.mode("overwrite").bucketBy(8, key).sortBy(key)
           .saveAsTable(table)
       }
+      val ck = PersistedState.corpusKey(dir)
+      val (ordersTable, customerTable) =
+        (s"graft_orders_bucketed_$ck", s"graft_customer_bucketed_$ck")
       RelationalQueries.synchronized {
-        val ready = bucketedDir.contains(dir) &&
-          s.catalog.tableExists("graft_orders_bucketed") &&
-          s.catalog.tableExists("graft_customer_bucketed")
+        val ready = bucketedDirs.contains(dir) &&
+          s.catalog.tableExists(ordersTable) &&
+          s.catalog.tableExists(customerTable)
         if (!ready) {
-          bucketedDir = None
-          rewrite("orders", "o_custkey", "graft_orders_bucketed")
-          rewrite("customer", "c_custkey", "graft_customer_bucketed")
-          bucketedDir = Some(dir)
+          bucketedDirs -= dir
+          rewrite("orders", "o_custkey", ordersTable)
+          rewrite("customer", "c_custkey", customerTable)
+          bucketedDirs += dir
         }
       }
-      val o = s.table("graft_orders_bucketed")
-      val c = s.table("graft_customer_bucketed")
+      val o = s.table(ordersTable)
+      val c = s.table(customerTable)
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),

@@ -928,8 +928,11 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(viaLayout.nonEmpty)
     // the layout really is multi-dimensional: several z_bucket dirs
     // exist (pruning has something to prune) and every row is conserved
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dest/" +
-      s"zorder_${graft.ops.PersistedState.corpusKey(sfDir)}"
+    // the ONE destination-root definition (per-process since r10) — an
+    // inline copy here would silently probe a path the query no longer
+    // writes
+    val out = graft.ops.PipelineQueries.tmp(
+      s"zorder_${graft.ops.PersistedState.corpusKey(sfDir)}")
     val dirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("z_bucket="))
     assert(dirs.length > 1, s"degenerate single-bucket layout: ${dirs.length}")

@@ -238,6 +238,36 @@ class PipelineSpec extends SparkSpecBase {
     assert(quiet.samples.isEmpty)
   }
 
+  test("monitor counts only successful task attempts") {
+    // a failed/killed attempt's partial outputMetrics must not
+    // double-book rows its retry writes again; local maxFailures=1
+    // cannot stage a live retry, so the decision predicate is pinned
+    import graft.exec.CopyMonitor
+    assert(CopyMonitor.countsAttempt(org.apache.spark.Success))
+    assert(!CopyMonitor.countsAttempt(org.apache.spark.UnknownReason))
+    assert(!CopyMonitor.countsAttempt(
+      org.apache.spark.TaskKilled("speculative duplicate")))
+  }
+
+  test("fragmented staging is corpus-keyed and never re-stages a seen dir") {
+    import graft.ops.PipelineQueries
+    val first = PipelineQueries.ensureFragmented(spark, sfDir)
+    def census(p: String): Seq[(String, Long)] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).sortBy(_._1)
+    val before = census(first)
+    // a different corpus stages to a DIFFERENT path (no clobber)...
+    val otherDir = "/root/testdata/sf0.01"
+    val other = PipelineQueries.ensureFragmented(spark, otherDir)
+    assert(other != first, "corpus staging paths must not collide")
+    // ...and re-requesting the first corpus is a no-op, not a re-write
+    // (the alternation a Verify-then-Bench session performs)
+    assert(PipelineQueries.ensureFragmented(spark, sfDir) == first)
+    assert(census(first) == before,
+      "alternating corpora must not re-pay the fragmentation write")
+  }
+
   test("copyFrame on a SUBSET of logical slices returns only those slices") {
     val src = Catalog.collect(spark, sfDir, "orders")
     val keys = Seq("o_orderkey")
