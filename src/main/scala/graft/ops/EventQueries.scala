@@ -68,15 +68,61 @@ object EventQueries {
     */
   private def stageEventsDir(dir: String): java.nio.file.Path = {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
-    streamDir
+    // a throw AFTER the mkdir but before the caller's try/finally is
+    // armed must not leak the fresh dir (callers stage OUTSIDE their
+    // replay try block — the helper owns cleanup until it returns)
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
+      streamDir
+    } catch { case e: Throwable =>
+      dropStagedEventsDir(streamDir)
+      throw e
+    }
   }
 
   private def dropStagedEventsDir(streamDir: java.nio.file.Path): Unit = {
     java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
     java.nio.file.Files.deleteIfExists(streamDir)
+  }
+
+  /** Stage a sentinel-driven replay source: scratch dir + the corpus
+    * file symlinked as `a_events.parquet` (FIRST by name) + the
+    * far-future sentinel frame staged as the LAST micro-batch — the
+    * name/mtime ordering contract the watermark-driven replays
+    * (histogram, both session paths) share. ONE definition: a future
+    * fix to the ordering or the sentinel ts derivation must reach all
+    * three replays at once (the two-copies-could-silently-diverge rule
+    * the CDC recovery helper already follows). On a staging throw the
+    * helper cleans its own dir; after it returns, the caller owns
+    * cleanup via [[deleteTree]].
+    */
+  private def stageSentinelSource(
+      s: SparkSession, dir: String, prefix: String,
+      extras: Seq[(String, Column)]): java.nio.file.Path = {
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      val eventsLink = streamDir.resolve("a_events.parquet")
+      java.nio.file.Files.createSymbolicLink(eventsLink,
+        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
+      stageSentinelFile(streamDir, sentinelFrame(s, dir, 10, extras), eventsLink)
+      streamDir
+    } catch { case e: Throwable => deleteTree(streamDir); throw e }
+  }
+
+  /** The CDC replays' shared input projection: representation-agnostic
+    * ts normalization down to the `LatestIn` grain — ONE definition for
+    * both replay shapes (single-run file sink and restart/re-delivery),
+    * identical to the batch path's derivation.
+    */
+  private def cdcLatestIn(s: SparkSession, raw: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.streaming.EventStreams.LatestIn] = {
+    import s.implicits._
+    Scans.normalizeTs(raw)
+      .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
+        col("event_id").as("eventId"), col("event_type").as("eventType"))
+      .as[graft.streaming.EventStreams.LatestIn]
   }
 
   /** Recursive scratch cleanup for file-sink + checkpoint replays (sink
@@ -272,18 +318,25 @@ object EventQueries {
         |FROM et CROSS JOIN hours
         |LEFT JOIN b ON b.event_type = et.event_type AND b.h = hours.h
         |ORDER BY et.event_type, hour_ms""".stripMargin) { (s, dir) =>
-      val ev = Scans.table(s, dir, "events")
-      val hourly = ev
+      // ONE corpus scan: bounds and the type domain both derive from
+      // the (type, hour) rollup itself (hour-truncation commutes with
+      // min/max), not from two extra passes over the raw events
+      val hourly = Scans.table(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
-      val spine = ev
-        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-          date_trunc("hour", max(col("ts"))).as("h1"))
+        .localCheckpoint(true)
+      val spine = hourly
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(explode(sequence(col("h0"), col("h1"),
           expr("INTERVAL 1 HOUR"))).as("h"))
-      val types = ev.select(col("event_type")).distinct()
+      val types = hourly.select(col("event_type")).distinct()
+      // the broadcast belongs on the RIGHT side of the left-outer join
+      // (BuildRight is the only broadcastable side there): hinting only
+      // the cross-join inputs leaves the outer join a sort-merge with
+      // both sides exchanged unless AQE happens to rescue it — and the
+      // post-aggregation rollup is exactly the small side at any scale
       broadcast(types).crossJoin(broadcast(spine))
-        .join(hourly, Seq("event_type", "h"), "left")
+        .join(broadcast(hourly), Seq("event_type", "h"), "left")
         .select(col("event_type"), unix_millis(col("h")).as("hour_ms"),
           coalesce(col("n"), lit(0L)).as("n_events"))
         .orderBy(col("event_type"), col("hour_ms"))
@@ -421,10 +474,12 @@ object EventQueries {
         |         WHERE EXISTS (SELECT 1 FROM p
         |                       WHERE p.user_id = c.user_id
         |                         AND p.ms > c.ms AND p.ms <= c.ms + 3600000))
-        |SELECT (SELECT count(DISTINCT user_id) FROM c) AS clicking_users,
-        |       (SELECT count(*) FROM conv) AS converting_users,
-        |       round((SELECT count(*) FROM conv) * 1.0 /
-        |             (SELECT count(DISTINCT user_id) FROM c), 6) AS conversion_rate""".stripMargin) {
+        |, m AS (SELECT (SELECT count(DISTINCT user_id) FROM c) AS cu,
+        |             (SELECT count(*) FROM conv) AS cv)
+        |SELECT cu AS clicking_users, cv AS converting_users,
+        |       ((2 * cv * 1000000 + cu) // (2 * cu)) / 1000000.0
+        |         AS conversion_rate
+        |FROM m""".stripMargin) {
       (s, dir) =>
       // ONE corpus scan: the click/purchase projection is materialized
       // once and feeds the semi-join (both sides), the distinct-user
@@ -446,10 +501,15 @@ object EventQueries {
           "left_semi")
         .select(col("user_id")).distinct()
         .agg(count(lit(1)).as("converting_users"))
+      // the published rate is an integer half-up quotient at 6 dp —
+      // round() of a ratio double is the non-portable step (Spark
+      // rounds the shortest-decimal rendering, DuckDB the binary
+      // value), the class the ab-test/forecast keys already fixed
       clicks.agg(count_distinct(col("user_id")).as("clicking_users"))
         .crossJoin(converting)
         .select(col("clicking_users"), col("converting_users"),
-          round(col("converting_users") * 1.0 / col("clicking_users"), 6)
+          (expr("(2 * converting_users * 1000000 + clicking_users)" +
+            " div (2 * clicking_users)") / lit(1000000.0))
             .as("conversion_rate"))
     },
 
@@ -469,10 +529,15 @@ object EventQueries {
         |FROM act JOIN f ON act.user_id = f.user_id
         |WHERE date_diff('day', f.d0, act.day) <= 7
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val d = Scans.table(s, dir, "events")
+      // ONE corpus scan: the per-user first day derives from the
+      // distinct user-day table itself (min commutes with distinct),
+      // not a second pass over raw events
+      val act = Scans.table(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
-      val first = d.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
-      d.distinct()
+        .distinct()
+        .localCheckpoint(true)
+      val first = act.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      act
         .join(first, "user_id")
         .select(datediff(col("day"), col("d0")).cast("long").as("day_offset"))
         .filter(col("day_offset") <= 7)
@@ -545,23 +610,48 @@ object EventQueries {
         |  SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events
         |  FROM events GROUP BY 1),
         |stats AS (
-        |  SELECT avg(n_events * 1.0) AS mu, stddev_samp(n_events * 1.0) AS sigma
-        |  FROM hourly)
+        |  SELECT count(*) AS cnt, sum(n_events) AS sx,
+        |         sum(n_events * n_events) AS sxx
+        |  FROM hourly),
+        |z AS (
+        |  SELECT hour_start, n_events,
+        |         (n_events - sx * 1.0 / cnt) /
+        |           sqrt((cnt * sxx - sx * sx) * 1.0 / (cnt * (cnt - 1))) AS zr
+        |  FROM hourly CROSS JOIN stats)
         |SELECT hour_start, n_events,
-        |       round((n_events - mu) / sigma, 3) AS zscore,
-        |       abs((n_events - mu) / sigma) > 2 AS is_anomaly
-        |FROM hourly CROSS JOIN stats
-        |ORDER BY hour_start""".stripMargin) { (s, dir) =>
+        |       (CASE WHEN zr < 0 THEN -floor(-zr * 1000 + 0.5)
+        |             ELSE floor(zr * 1000 + 0.5) END) / 1000.0 AS zscore,
+        |       abs(zr) > 2 AS is_anomaly
+        |FROM z ORDER BY hour_start""".stripMargin) { (s, dir) =>
+      // Cross-engine determinism, the events_forecast_baseline
+      // discipline: built-in avg/stddev_samp accumulate DOUBLES whose
+      // partial sums reorder under parallelism, so their low bits (and
+      // a subsequent round) are engine- and partitioning-dependent.
+      // Instead mu and sigma derive from EXACT integer sums (count,
+      // Σx, Σx² over hourly counts — exact in BIGINT while
+      // cnt·Σx² < 2^63, i.e. far past this corpus) through the
+      // IDENTICAL op sequence on both engines: one division, one
+      // sqrt, both correctly-rounded IEEE — so zr is bit-identical.
+      // The 3-dp rounding is floor(|z|·1000 + 0.5) with the sign
+      // reapplied (round-half-away-from-zero), because round() itself
+      // is the non-portable step: Spark rounds the shortest-decimal
+      // RENDERING of a double, DuckDB the binary value.
       val hourly = Scans.table(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
         .agg(count(lit(1)).as("n_events"))
       val stats = hourly.agg(
-        avg(col("n_events") * lit(1.0)).as("mu"),
-        stddev_samp(col("n_events") * lit(1.0)).as("sigma"))
+        count(lit(1)).as("cnt"), sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+      val zr = (col("n_events") - col("sx") * lit(1.0) / col("cnt")) /
+        sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")) * lit(1.0) /
+          (col("cnt") * (col("cnt") - lit(1))))
       hourly.crossJoin(broadcast(stats))
+        .withColumn("zr", zr)
         .select(col("hour_start"), col("n_events"),
-          round((col("n_events") - col("mu")) / col("sigma"), 3).as("zscore"),
-          (abs((col("n_events") - col("mu")) / col("sigma")) > 2).as("is_anomaly"))
+          (when(col("zr") < 0, -floor(-col("zr") * lit(1000) + lit(0.5)))
+            .otherwise(floor(col("zr") * lit(1000) + lit(0.5))) / lit(1000.0))
+            .as("zscore"),
+          (abs(col("zr")) > 2).as("is_anomaly"))
         .orderBy(col("hour_start"))
     },
 
@@ -770,12 +860,9 @@ object EventQueries {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def runStream(): Unit = {
           val raw = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-          // identical ts derivation to the batch path: one shared
-          // representation-agnostic normalization (Scans.normalizeTs)
-          val in = Scans.normalizeTs(raw)
-            .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
-              col("event_id").as("eventId"), col("event_type").as("eventType"))
-            .as[EventStreams.LatestIn]
+          // identical ts derivation to the batch path — the shared
+          // cdcLatestIn projection both CDC replay shapes read
+          val in = cdcLatestIn(s, raw)
           val q = EventStreams.latestState(in)
             .writeStream.format("parquet")
             .option("path", scratch.resolve("sink").toString)
@@ -820,10 +907,7 @@ object EventQueries {
         val raw = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
           .parquet(streamDir.toString)
-        val in = Scans.normalizeTs(raw)
-          .select(col("user_id").as("userId"), unix_millis(col("ts")).as("ms"),
-            col("event_id").as("eventId"), col("event_type").as("eventType"))
-          .as[EventStreams.LatestIn]
+        val in = cdcLatestIn(s, raw)
         fileSinkReplay(s, EventStreams.latestState(in).toDF())(recoverCdcSnapshot)
       } finally dropStagedEventsDir(streamDir)
     },
@@ -873,8 +957,13 @@ object EventQueries {
         // sub-ms precision straddles the bound would count on one side
         // only (the source-encoding → ms floor composes with the
         // oracle's µs → ms floor whatever the physical representation)
+        // localCheckpoint makes "one filtering scan up front" literal:
+        // without it each side's write re-reads and re-normalizes the
+        // full events file (two corpus scans per replay, not one)
         val raw0 = Scans.normalizeTsMillis(ss.read.parquet(s"$dir/events.parquet"))
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .filter(col("event_type").isin("click", "view"))
+          .localCheckpoint(true)
         val clickDir = scratch.resolve("clicks").toString
         val viewDir = scratch.resolve("views").toString
         raw0.filter(col("event_type") === "click").drop("event_type")
@@ -921,20 +1010,12 @@ object EventQueries {
       // (window, bucket) keyed state is a few hundred cells — the same
       // 8-partition child-session cap as the other stateful replays
       val s: SparkSession = cappedSession(s0, 8)
-      import s.implicits._
       import graft.streaming.EventStreams
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_hist_stream")
+      // sentinel 10 h after the corpus max — far past the 2 h watermark
+      // delay + 1 h window, so every real window finalizes
+      val streamDir = stageSentinelSource(s, dir, "graft_hist_stream",
+        Seq("value" -> lit(0.0d)))
       try {
-        val target =
-          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
-        val eventsLink = streamDir.resolve("a_events.parquet")
-        java.nio.file.Files.createSymbolicLink(eventsLink, target)
-        // sentinel: one event 10 h after the corpus max — far past the
-        // 2 h watermark delay + 1 h window, so every real window
-        // finalizes; written in the raw schema's own ts representation
-        stageSentinelFile(streamDir,
-          sentinelFrame(s, dir, 10, Seq("value" -> lit(0.0d))),
-          eventsLink)
         val raw = Scans.normalizeTs(s.readStream
             .schema(s.read.parquet(s"$dir/events.parquet").schema)
             .option("maxFilesPerTrigger", 1) // sentinel lands in batch 2
@@ -1100,20 +1181,12 @@ object EventQueries {
       // same state-store economics as the stream-stream join replay: a
       // child session caps the session-window state at 8 partitions
       val s2: SparkSession = cappedSession(s, 8)
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
-      // everything after the scratch dir exists runs under its cleanup —
-      // a staging failure must not leak the dir (or the symlink into the
-      // corpus) any more than a replay failure would
+      // sentinel: one far-future event for user -1 (real user_ids are
+      // >= 0), written in the raw schema's own ts representation
+      val streamDir = stageSentinelSource(s, dir, "graft_sess_stream",
+        Seq("user_id" -> lit(-1L)))
       try {
         val rawSchema = s2.read.parquet(s"$dir/events.parquet").schema
-        val eventsLink = streamDir.resolve("a_events.parquet")
-        java.nio.file.Files.createSymbolicLink(eventsLink,
-          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
-        // sentinel: one far-future event for user -1 (real user_ids are
-        // >= 0), written in the raw schema's own ts representation
-        stageSentinelFile(streamDir,
-          sentinelFrame(s, dir, 10, Seq("user_id" -> lit(-1L))),
-          eventsLink)
         // ms grain, like the batch twin and the timeout replay: one
         // event-time grain across all three session paths (see
         // events_session_window)
@@ -1158,15 +1231,10 @@ object EventQueries {
       val s2: SparkSession = cappedSession(s, 8)
       import s2.implicits._
       import graft.streaming.EventStreams
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_timeout")
+      val streamDir = stageSentinelSource(s, dir, "graft_sess_timeout",
+        Seq("user_id" -> lit(-1L)))
       try {
         val rawSchema = s2.read.parquet(s"$dir/events.parquet").schema
-        val eventsLink = streamDir.resolve("a_events.parquet")
-        java.nio.file.Files.createSymbolicLink(eventsLink,
-          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize())
-        stageSentinelFile(streamDir,
-          sentinelFrame(s, dir, 10, Seq("user_id" -> lit(-1L))),
-          eventsLink)
         val raw = Scans.normalizeTs(s2.readStream
             .schema(rawSchema)
             .option("maxFilesPerTrigger", 1)
@@ -1247,8 +1315,10 @@ object EventQueries {
         |  FROM events)
         |SELECT prev_type, event_type AS next_type,
         |       count(*) AS n_transitions,
-        |       round(count(*) * 1.0 /
-        |             sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+        |       ((2 * count(*) * 1000000
+        |           + sum(count(*)) OVER (PARTITION BY prev_type))
+        |         // (2 * sum(count(*)) OVER (PARTITION BY prev_type)))
+        |         / 1000000.0 AS p
         |FROM o WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
@@ -1261,9 +1331,14 @@ object EventQueries {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type"))
         .agg(count(lit(1)).as("n_transitions"))
+      // p is an integer half-up quotient at 6 dp — round() of a ratio
+      // double is the non-portable step (see events_funnel)
       counts
-        .withColumn("p", round(col("n_transitions") * lit(1.0) /
-          sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))), 6))
+        .withColumn("tot",
+          sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+        .withColumn("p",
+          expr("(2 * n_transitions * 1000000 + tot) div (2 * tot)")
+            / lit(1000000.0))
         .select(col("prev_type"), col("event_type").as("next_type"),
           col("n_transitions"), col("p"))
         .orderBy(col("prev_type"), col("next_type"))
@@ -1309,11 +1384,17 @@ object EventQueries {
         |       round(sum(mon), 2) AS sum_monetary
         |FROM sc GROUP BY r_q, f_q, m_q
         |ORDER BY r_q, f_q, m_q""".stripMargin) { (s, dir) =>
-      val ev = Scans.table(s, dir, "events")
-      val maxD = ev.agg(to_date(max(col("ts"))).as("max_d"))
-      val users = ev.groupBy(col("user_id"))
+      // ONE corpus scan: the per-user rollup is checkpointed and feeds
+      // the global max day (max of per-user maxes — truncation commutes
+      // with max), the quartile boundaries AND the final scoring pass;
+      // without it the corpus was scanned three times
+      val perUser = Scans.table(s, dir, "events")
+        .groupBy(col("user_id"))
         .agg(to_date(max(col("ts"))).as("u_d"), count(lit(1)).as("freq"),
           round(sum(col("value")), 2).as("mon"))
+        .localCheckpoint(true)
+      val maxD = perUser.agg(max(col("u_d")).as("max_d"))
+      val users = perUser
         .crossJoin(broadcast(maxD))
         .select(col("user_id"), datediff(col("max_d"), col("u_d")).as("rec"),
           col("freq"), col("mon"))
@@ -1360,8 +1441,8 @@ object EventQueries {
         |conv AS (SELECT coalesce(last_touch, 'none') AS touch_type
         |         FROM o WHERE event_type = 'purchase')
         |SELECT touch_type, count(*) AS n_conversions,
-        |       round(count(*) * 1.0 /
-        |             sum(count(*)) OVER (), 6) AS share
+        |       ((2 * count(*) * 1000000 + sum(count(*)) OVER ())
+        |         // (2 * sum(count(*)) OVER ())) / 1000000.0 AS share
         |FROM conv GROUP BY touch_type
         |ORDER BY touch_type""".stripMargin) { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id"))
@@ -1375,10 +1456,14 @@ object EventQueries {
         .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
         .agg(count(lit(1)).as("n_conversions"))
       // share normalizes over the touch-type-sized frame (a handful of
-      // rows at any corpus size), not the event stream
-      conv.withColumn("share",
-          round(col("n_conversions") * lit(1.0) /
-            sum(col("n_conversions")).over(Window.partitionBy()), 6))
+      // rows at any corpus size), not the event stream; the published
+      // share is an integer half-up quotient at 6 dp (see events_funnel)
+      conv
+        .withColumn("tot",
+          sum(col("n_conversions")).over(Window.partitionBy()))
+        .select(col("touch_type"), col("n_conversions"),
+          (expr("(2 * n_conversions * 1000000 + tot) div (2 * tot)")
+            / lit(1000000.0)).as("share"))
         .orderBy(col("touch_type"))
     },
 
@@ -1405,8 +1490,8 @@ object EventQueries {
         |conv AS (SELECT coalesce(last_touch, 'none') AS touch_type
         |         FROM o WHERE event_type = 'purchase')
         |SELECT touch_type, count(*) AS n_conversions,
-        |       round(count(*) * 1.0 /
-        |             sum(count(*)) OVER (), 6) AS share
+        |       ((2 * count(*) * 1000000 + sum(count(*)) OVER ())
+        |         // (2 * sum(count(*)) OVER ())) / 1000000.0 AS share
         |FROM conv GROUP BY touch_type
         |ORDER BY touch_type""".stripMargin) { (s0, dir) =>
       // same keyed-replay partition cap as the other stateful replays
@@ -1449,9 +1534,12 @@ object EventQueries {
           val counts = sink
             .groupBy(col("touchType").as("touch_type"))
             .agg(count(lit(1)).as("n_conversions"))
-          counts.withColumn("share",
-              round(col("n_conversions") * lit(1.0) /
-                sum(col("n_conversions")).over(Window.partitionBy()), 6))
+          counts
+            .withColumn("tot",
+              sum(col("n_conversions")).over(Window.partitionBy()))
+            .select(col("touch_type"), col("n_conversions"),
+              (expr("(2 * n_conversions * 1000000 + tot) div (2 * tot)")
+                / lit(1000000.0)).as("share"))
             .orderBy(col("touch_type"))
         }
       } finally deleteTree(scratch)
@@ -1537,29 +1625,36 @@ object EventQueries {
     QueryDef("events_power_users_pareto",
       """WITH uc AS (SELECT user_id, count(*) AS n
         |            FROM events GROUP BY user_id),
-        |thr AS (SELECT quantile_cont(n, 0.9) AS t FROM uc)
-        |SELECT CAST(count(*) AS BIGINT) AS n_users,
-        |       CAST(count(CASE WHEN n >= t THEN 1 END) AS BIGINT)
-        |         AS n_power_users,
-        |       CAST(sum(n) AS BIGINT) AS n_events,
-        |       CAST(coalesce(sum(CASE WHEN n >= t THEN n END), 0) AS BIGINT)
-        |         AS n_power_events,
-        |       round(coalesce(sum(CASE WHEN n >= t THEN n END), 0) * 1.0
-        |             / sum(n), 6) AS power_share
-        |FROM uc, thr""".stripMargin) { (s, dir) =>
+        |thr AS (SELECT quantile_cont(n, 0.9) AS t FROM uc),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(count(CASE WHEN n >= t THEN 1 END) AS BIGINT)
+        |           AS n_power_users,
+        |         CAST(sum(n) AS BIGINT) AS n_events,
+        |         CAST(coalesce(sum(CASE WHEN n >= t THEN n END), 0) AS BIGINT)
+        |           AS n_power_events
+        |  FROM uc, thr)
+        |SELECT n_users, n_power_users, n_events, n_power_events,
+        |       ((2 * n_power_events * 1000000 + n_events) // (2 * n_events))
+        |         / 1000000.0 AS power_share
+        |FROM agg""".stripMargin) { (s, dir) =>
       val uc = Scans.table(s, dir, "events")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
         .localCheckpoint(true) // feeds the threshold AND the report
       val thr = uc.agg(expr("percentile(n, 0.9D)").as("t"))
+      // power_share is an integer half-up quotient at 6 dp (see
+      // events_funnel) — computed from the named aggregate columns in a
+      // second select, never a round() of the ratio double
       uc.crossJoin(broadcast(thr))
         .agg(count(lit(1)).cast("long").as("n_users"),
           count(when(col("n") >= col("t"), 1)).cast("long")
             .as("n_power_users"),
           sum(col("n")).cast("long").as("n_events"),
           coalesce(sum(when(col("n") >= col("t"), col("n"))), lit(0L))
-            .cast("long").as("n_power_events"),
-          round(coalesce(sum(when(col("n") >= col("t"), col("n"))), lit(0L))
-            * lit(1.0) / sum(col("n")), 6).as("power_share"))
+            .cast("long").as("n_power_events"))
+        .withColumn("power_share",
+          expr("(2 * n_power_events * 1000000 + n_events) div (2 * n_events)")
+            / lit(1000000.0))
     },
 
     // ------------------------------------------------------------------
@@ -1571,33 +1666,42 @@ object EventQueries {
     // exact integer ratio.
     // ------------------------------------------------------------------
     QueryDef("events_new_vs_returning",
-      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
-        |            FROM events GROUP BY user_id),
-        |e AS (SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n
-        |      FROM events GROUP BY d, user_id)
-        |SELECT CAST(e.d AS VARCHAR) AS day,
-        |       CAST(sum(CASE WHEN e.d = fs.d0 THEN n ELSE 0 END) AS BIGINT)
-        |         AS new_user_events,
-        |       CAST(sum(CASE WHEN e.d > fs.d0 THEN n ELSE 0 END) AS BIGINT)
-        |         AS returning_events,
-        |       round(sum(CASE WHEN e.d = fs.d0 THEN n ELSE 0 END) * 1.0
-        |             / sum(n), 6) AS new_share
-        |FROM e JOIN fs ON fs.user_id = e.user_id
-        |GROUP BY e.d ORDER BY day""".stripMargin) { (s, dir) =>
-      val ev = Scans.table(s, dir, "events")
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n
+        |      FROM events GROUP BY d, user_id),
+        |fs AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY user_id),
+        |per_day AS (
+        |  SELECT e.d,
+        |         CAST(sum(CASE WHEN e.d = fs.d0 THEN n ELSE 0 END) AS BIGINT)
+        |           AS new_user_events,
+        |         CAST(sum(CASE WHEN e.d > fs.d0 THEN n ELSE 0 END) AS BIGINT)
+        |           AS returning_events,
+        |         CAST(sum(n) AS BIGINT) AS tot
+        |  FROM e JOIN fs ON fs.user_id = e.user_id
+        |  GROUP BY e.d)
+        |SELECT CAST(d AS VARCHAR) AS day, new_user_events, returning_events,
+        |       ((2 * new_user_events * 1000000 + tot) // (2 * tot))
+        |         / 1000000.0 AS new_share
+        |FROM per_day ORDER BY day""".stripMargin) { (s, dir) =>
+      // ONE corpus scan: the per-user first day derives from the
+      // (day, user) rollup itself, not a second pass over raw events;
+      // new_share is an integer half-up quotient at 6 dp (see
+      // events_funnel)
+      val e = Scans.table(s, dir, "events")
         .select(to_date(col("ts")).as("d"), col("user_id"))
-      val fs = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
-      ev.groupBy(col("d"), col("user_id")).agg(count(lit(1)).as("n"))
-        .join(fs, Seq("user_id"))
+        .groupBy(col("d"), col("user_id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val fs = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      e.join(fs, Seq("user_id"))
         .groupBy(col("d"))
         .agg(sum(when(col("d") === col("d0"), col("n")).otherwise(0L))
             .cast("long").as("new_user_events"),
           sum(when(col("d") > col("d0"), col("n")).otherwise(0L))
             .cast("long").as("returning_events"),
-          round(sum(when(col("d") === col("d0"), col("n")).otherwise(0L))
-            * lit(1.0) / sum(col("n")), 6).as("new_share"))
+          sum(col("n")).cast("long").as("tot"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-          col("new_user_events"), col("returning_events"), col("new_share"))
+          col("new_user_events"), col("returning_events"),
+          (expr("(2 * new_user_events * 1000000 + tot) div (2 * tot)")
+            / lit(1000000.0)).as("new_share"))
         .orderBy(col("day"))
     },
 
@@ -1616,15 +1720,18 @@ object EventQueries {
         |         count(*) AS n_events
         |  FROM events GROUP BY dow, hod)
         |SELECT dow, hod, n_events,
-        |       round(n_events * 1.0 / sum(n_events) OVER (), 6) AS share
+        |       ((2 * n_events * 1000000 + sum(n_events) OVER ())
+        |         // (2 * sum(n_events) OVER ())) / 1000000.0 AS share
         |FROM c ORDER BY dow, hod""".stripMargin) { (s, dir) =>
+      // share is an integer half-up quotient at 6 dp (see events_funnel)
       Scans.table(s, dir, "events")
         .groupBy((weekday(col("ts")) + 1).cast("long").as("dow"),
           hour(col("ts")).cast("long").as("hod"))
         .agg(count(lit(1)).as("n_events"))
-        .withColumn("share",
-          round(col("n_events") * lit(1.0) /
-            sum(col("n_events")).over(Window.partitionBy()), 6))
+        .withColumn("tot", sum(col("n_events")).over(Window.partitionBy()))
+        .select(col("dow"), col("hod"), col("n_events"),
+          (expr("(2 * n_events * 1000000 + tot) div (2 * tot)")
+            / lit(1000000.0)).as("share"))
         .orderBy(col("dow"), col("hod"))
     },
 
