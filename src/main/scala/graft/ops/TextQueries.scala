@@ -24,7 +24,18 @@ object TextQueries {
     * engaged). The index is persisted pipeline state, not part of the
     * measured per-ingest op.
     */
-  private val fpIndexStaged = scala.collection.mutable.Map.empty[String, String]
+  private val fpIndexStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-index-path monitors: staging and ingest serialize on THEIR
+    * index only, so one session's minutes-long index build never blocks
+    * another session's unrelated path (and the whole-object lock stays
+    * free for the cheap cache bookkeeping it guards).
+    */
+  private val fpIndexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def fpIndexLock(path: String): Object =
+    fpIndexLocks.computeIfAbsent(path, _ => new Object)
 
   /** doc_id → winnowing fingerprint (min shingle md5) — the unit the
     * incremental-dedup index stores; same definition as text_fingerprint
@@ -87,15 +98,28 @@ object TextQueries {
     * corpus with no relocation conf degrades to local scratch instead of
     * failing the query.
     */
-  def ensureFpIndex(s: SparkSession, dir: String, history: => DataFrame): String =
-    synchronized {
-      fpIndexStaged.getOrElseUpdate(fpIndexPath(s, dir),
-        PersistedState.writeWithFallback(s, PersistedState.FpIndexDirKey,
-          fpIndexPath(s, dir), dir, "fp_index") { p =>
-          history.select(col("fp")).distinct()
-            .write.mode("overwrite").parquet(p)
-        })
+  def ensureFpIndex(s: SparkSession, dir: String, history: => DataFrame): String = {
+    val preferred = fpIndexPath(s, dir)
+    val hit = fpIndexStaged.get(preferred)
+    if (hit != null) hit
+    else fpIndexLock(preferred).synchronized {
+      // double-check under THIS path's lock — a concurrent staging of
+      // the same index must not run the build twice, but an unrelated
+      // path must never wait on this build
+      val again = fpIndexStaged.get(preferred)
+      if (again != null) again
+      else {
+        val staged =
+          PersistedState.writeWithFallback(s, PersistedState.FpIndexDirKey,
+            preferred, dir, "fp_index") { p =>
+            history.select(col("fp")).distinct()
+              .write.mode("overwrite").parquet(p)
+          }
+        fpIndexStaged.put(preferred, staged)
+        staged
+      }
     }
+  }
 
   /** Default-history staging (the declared query's shape): history =
     * docs below the 90% doc_id cut. */
@@ -126,14 +150,20 @@ object TextQueries {
     * recomputed against the grown index, deduping the batch against
     * itself.
     */
-  def ingestBatch(s: SparkSession, batch: DataFrame, indexPath: String): DataFrame = {
-    val fps = fingerprintFrame(batch)
-    val survivors = fps
-      .join(s.read.parquet(indexPath), Seq("fp"), "left_anti")
-      .localCheckpoint(true)
-    appendToFpIndex(fps, indexPath)
-    survivors
-  }
+  def ingestBatch(s: SparkSession, batch: DataFrame, indexPath: String): DataFrame =
+    // serialized per index path: two concurrent ingests would BOTH
+    // anti-join the pre-append index (cross-batch duplicates all
+    // survive, violating the next-ingest-sees-this-batch contract) and
+    // their append jobs would share one _temporary dir, where the first
+    // committer's cleanup can silently drop the second's files
+    fpIndexLock(indexPath).synchronized {
+      val fps = fingerprintFrame(batch)
+      val survivors = fps
+        .join(s.read.parquet(indexPath), Seq("fp"), "left_anti")
+        .localCheckpoint(true)
+      appendToFpIndex(fps, indexPath)
+      survivors
+    }
 
   /** Bench-isolation hook: drop the session-scoped cached signature
     * table so one query's executor-storage footprint doesn't leak into
@@ -215,7 +245,6 @@ object TextQueries {
     * 3-word shingle folded to [0, p), then 8 affine families.
     */
   def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    import graft.exec.Scans
     // The corpus arrives in few file-splits relative to core count (one
     // split here; at 100 TB still often CPU-bound vs split count), so fan
     // the per-row digest work out to full cluster width first — the tiny
@@ -329,10 +358,14 @@ object TextQueries {
       var labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
         .cache()
-      // runaway backstop derived from the node count (min-label
-      // propagation converges within the component diameter ≤ |V|
-      // rounds; log-derived plus slack like graph_connected_components'
-      // pointer-jumped loop, floored at the prior 50-round contract)
+      // Each round does edge-propagation AND a pointer jump (label :=
+      // label's own label — every label is a node id, so it has a row).
+      // Plain min-label propagation alone converges in O(diameter)
+      // rounds, so a log-derived cap would spuriously abort a legitimate
+      // long-chain component (the r10 review finding); with the jump the
+      // label graph halves in depth per round like
+      // graph_connected_components' pointer-jumped loop, making the
+      // O(log |V|) cap sound. Floored at the prior 50-round contract.
       val nNodes = labels.count()
       val maxRounds = math.max(50,
         (math.log(math.max(nNodes.toDouble, 2.0)) / math.log(2.0)).ceil.toInt * 8)
@@ -342,13 +375,26 @@ object TextQueries {
         val propagated = edges
           .join(labels, edges("src") === labels("node"))
           .select(col("dst").as("node"), col("label"))
-        val next = labels.select(col("node"), col("label"))
+        // checkpoint BEFORE the self-join: it cuts the per-round lineage
+        // AND gives the jump join an unambiguous plan (a self-join
+        // through the union trips Catalyst's constraint rewrite)
+        val folded = labels.select(col("node"), col("label"))
           .unionAll(propagated)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint() // cut lineage each round
+          .localCheckpoint()
+        // pointer jump: jnode = label always exists as a node, and
+        // jlabel ≤ jnode, so the join only ever lowers labels — the
+        // fixpoint (label = component min) is unchanged, reached in
+        // O(log d) with the jump instead of O(d) without
+        val byLabel = folded
+          .select(col("node").as("jnode"), col("label").as("jlabel"))
+        val next = folded.join(byLabel, col("label") === col("jnode"))
+          .select(col("node"), col("jlabel").as("label"))
+          .localCheckpoint()
         changed = next.as("a")
           .join(labels.as("b"), col("a.node") === col("b.node"))
           .filter(col("a.label") =!= col("b.label")).count()
+        folded.unpersist(false)
         labels.unpersist(false)
         labels = next
         iter += 1
@@ -514,26 +560,51 @@ object TextQueries {
     // ------------------------------------------------------------------
     QueryDef("text_quality_score",
       s"""SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
-         |       round(CASE WHEN n_tokens < 100 THEN n_tokens / 100.0 ELSE 1.0 END
-         |             * (1.0 - stopword_ratio) * (1.0 - punct_ratio), 6) AS quality_score
+         |       floor((CASE WHEN n_tokens < 100 THEN n_tokens / 100.0 ELSE 1.0 END
+         |              * (1.0 - stopword_ratio) * (1.0 - punct_ratio))
+         |             * 1000000 + 0.5) / 1000000.0 AS quality_score
          |FROM (
          |  SELECT doc_id,
          |         len($toksDuck) AS n_tokens,
-         |         round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-         |               / greatest(length(text), 1) / 1.0, 6) AS punct_ratio,
-         |         round(len(list_filter($toksDuck, t -> list_contains([${sqlList(enStop)}], t)))
-         |               / greatest(len($toksDuck), 1) / 1.0, 6) AS stopword_ratio
+         |         ((2 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1000000
+         |             + greatest(length(text), 1))
+         |           // (2 * greatest(length(text), 1))) / 1000000.0 AS punct_ratio,
+         |         ((2 * len(list_filter($toksDuck, t -> list_contains([${sqlList(enStop)}], t))) * 1000000
+         |             + greatest(len($toksDuck), 1))
+         |           // (2 * greatest(len($toksDuck), 1))) / 1000000.0 AS stopword_ratio
          |  FROM documents) q
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Ratio discipline (the events-slice form): both published ratios
+      // are integer half-up quotients at 6 dp — round() of a ratio
+      // double is the non-portable step. The composite score multiplies
+      // the two published grid doubles and a n/100.0 term (all derived
+      // from identical integers through identical IEEE ops on both
+      // engines), so the final 6-dp quantize is sign-free
+      // floor(x*1e6 + 0.5) — portable because floor of an identical
+      // double is identical, unlike round()'s rendering-vs-binary split.
+      // The punct strip runs on LOWER(text) — the tokenizer's own case
+      // fold — so sentence-case letters are not counted as punctuation
+      // (a gate-blind both-sides defect the r10 review caught: both
+      // engines agreed on the wrong ratio, so the oracle never saw it).
       Scans.table(s, dir, "documents")
         .select(col("doc_id"),
           expr(s"size($toksSpark)").cast("long").as("n_tokens"),
-          expr("round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))) / greatest(length(text), 1) / 1.0, 6)")
+          // D-suffixed literals: a bare 1000000.0 inside a Spark expr
+          // STRING parses as DECIMAL (unlike lit(1000000.0)), silently
+          // turning the published column into decimal — a dtype the
+          // oracle compare reads as a different value rendering
+          expr("""((2 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))) * 1000000
+                 |    + greatest(length(text), 1))
+                 |  div (2 * greatest(length(text), 1))) / 1000000.0D""".stripMargin)
             .as("punct_ratio"),
-          expr(s"round(size(filter($toksSpark, t -> array_contains(array(${sqlList(enStop)}), t))) / greatest(size($toksSpark), 1) / 1.0, 6)")
+          expr(s"""((2 * size(filter($toksSpark, t -> array_contains(array(${sqlList(enStop)}), t))) * 1000000
+                  |    + greatest(size($toksSpark), 1))
+                  |  div (2 * greatest(size($toksSpark), 1))) / 1000000.0D""".stripMargin)
             .as("stopword_ratio"))
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"), col("stopword_ratio"),
-          expr("round(CASE WHEN n_tokens < 100 THEN n_tokens / 100.0 ELSE 1.0 END * (1.0 - stopword_ratio) * (1.0 - punct_ratio), 6)")
+          expr("""floor((CASE WHEN n_tokens < 100 THEN n_tokens / 100.0D ELSE 1.0D END
+                 |       * (1.0D - stopword_ratio) * (1.0D - punct_ratio))
+                 |      * 1000000 + 0.5D) / 1000000.0D""".stripMargin)
             .as("quality_score"))
         .orderBy(col("doc_id"))
     },
@@ -588,8 +659,15 @@ object TextQueries {
     // row, no explode, no token-grain shuffle — at 100 TB this runs
     // embarrassingly parallel over the scan like the other gates);
     // the oracle states the same entropy as grouped SQL. Both compute
-    // h = log2(T) − Σ c·log2(c) / T and round at 4 decimals, absorbing
-    // the engines' different summation orders.
+    // h = log2(T) − Σ c·log2(c) / T and round at 4 decimals. The round
+    // REDUCES, not eliminates, cross-engine divergence: summation order
+    // differs (Spark folds sorted runs, DuckDB sums hash groups) and
+    // libm log2 is only ≤1-ulp accurate, so a document whose entropy
+    // lands within ~1 ulp of a 0.00005 boundary could round apart. An
+    // exact integer form does not exist for logs (unlike the ratio
+    // keys); the residual risk is accepted as per-doc ~1e-12 — if it
+    // ever fires, the fix is a sorted deterministic fold on BOTH
+    // dialects, not a wider round.
     // ------------------------------------------------------------------
     QueryDef("text_entropy_filter",
       s"""WITH tok AS (
@@ -1613,7 +1691,7 @@ object TextQueries {
          |         CAST(sum(len($toksDuck)) AS BIGINT) AS n_tokens,
          |         CAST(sum(length(text)) AS BIGINT) AS n_chars,
          |         CAST(sum(CASE WHEN len($toksDuck) >= 20
-         |                        AND (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 10
+         |                        AND (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 10
          |                            <= length(text) * 3
          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
          |  FROM documents GROUP BY source, lang),
@@ -1631,7 +1709,9 @@ object TextQueries {
          |                              ORDER BY n_docs DESC, lang) AS rn
          |    FROM l1) r WHERE rn = 1)
          |SELECT t.source, t.n_docs, t.n_tokens, t.n_chars, t.n_langs,
-         |       p.top_lang, round(p.top_cnt * 1.0 / t.n_docs, 6) AS top_lang_share,
+         |       p.top_lang,
+         |       ((2 * p.top_cnt * 1000000 + t.n_docs) // (2 * t.n_docs))
+         |         / 1000000.0 AS top_lang_share,
          |       t.n_quality_pass
          |FROM tot t JOIN top p ON t.source = p.source
          |ORDER BY t.source""".stripMargin) { (s, dir) =>
@@ -1640,8 +1720,10 @@ object TextQueries {
         .select(col("source"), col("lang"),
           expr(s"size($toksSpark)").cast("long").as("n_toks"),
           length(col("text")).cast("long").as("len"),
+          // LOWER(text) like text_quality_score: sentence-case letters
+          // are not punctuation
           (length(col("text")) -
-            length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+            length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
             .cast("long").as("punct"))
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1668,8 +1750,10 @@ object TextQueries {
           col("t_chars").cast("long").as("n_chars"),
           col("t_langs").cast("long").as("n_langs"),
           col("lang").as("top_lang"),
-          round(col("n_docs") * lit(1.0) / col("t_docs"), 6)
-            .as("top_lang_share"),
+          // integer half-up quotient at 6 dp — round() of a ratio double
+          // is the non-portable step (the events-slice discipline)
+          (expr("(2 * n_docs * 1000000 + t_docs) div (2 * t_docs)")
+            / lit(1000000.0)).as("top_lang_share"),
           col("t_pass").cast("long").as("n_quality_pass"))
         .orderBy(col("source"))
     },
@@ -1679,12 +1763,14 @@ object TextQueries {
     // documents that share any 5-token shingle with a held-out
     // benchmark set (here the deterministic doc_id % 97 slice standing
     // in for an eval suite) — the step that keeps test data out of the
-    // training corpus. The benchmark shingle set is SMALL by
-    // construction, so the membership probe is a broadcast left-semi
-    // join: the corpus is scanned once, never shuffled on shingles,
-    // and cost at 100 TB is O(corpus scan + benchmark size). Short
-    // docs (<5 tokens) contribute their full-token shingle; empty
-    // shingles are excluded on both engines.
+    // training corpus. The benchmark shingle set scales with the
+    // benchmark slice, so the membership probe carries NO forced
+    // broadcast (a hint would be a driver-OOM cliff when the bench
+    // side is large): AQE broadcasts the probe side while it measures
+    // small — the bench-scale plan — and degrades to a shuffled semi
+    // join beyond that instead of collapsing the driver. Short docs
+    // (<5 tokens) contribute their full-token shingle; empty shingles
+    // are excluded on both engines.
     // ------------------------------------------------------------------
     QueryDef("dedup_decontaminate",
       s"""WITH toks AS (SELECT doc_id, $toksDuck AS tk FROM documents),
@@ -1718,9 +1804,14 @@ object TextQueries {
             |                 try_element_at(tk, i+4)))"""
             .stripMargin)).as("sh"))
         .filter(col("sh") =!= "")
+      // NO broadcast hint on the benchmark shingle set: it is
+      // corpus-proportional (all distinct 5-gram shingles of the 1/97
+      // slice — hundreds of GB at the 100 TB target), so forcing it to
+      // the driver is the scale cliff dedup_lsh_verified deliberately
+      // avoids; AQE broadcasts it anyway when it measures small
       val bench = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
       val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .join(bench, Seq("sh"), "left_semi")
         .select(col("doc_id")).distinct()
       val train = docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
       val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
@@ -1741,8 +1832,11 @@ object TextQueries {
     // shuffles on the token key (map-side combined — ≤|vocab| partials
     // per task); at 100 TB the model table is vocabulary-sized, not
     // corpus-sized, and the scoring join lets AQE broadcast it when it
-    // fits. Declared per-doc for doc_id < 20 (hash-stable rounding:
-    // ln/avg at 4 dp, perplexity at 2 dp).
+    // fits. Declared per-doc for doc_id < 20. The 4-dp/2-dp rounds
+    // REDUCE, not eliminate, cross-engine divergence (summation order
+    // of ln terms + ≤1-ulp libm ln — the same accepted residual as
+    // text_entropy_filter's comment spells out; no exact integer form
+    // exists for logs).
     // ------------------------------------------------------------------
     QueryDef("text_unigram_perplexity",
       s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents),

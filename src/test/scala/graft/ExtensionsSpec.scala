@@ -55,6 +55,19 @@ class ExtensionsSpec extends SparkSpecBase {
       viaPropagation.exceptAll(viaUnionFind).count() == 0)
   }
 
+  test("distributed collapse converges on a long chain within the log cap") {
+    // a 300-node path has diameter 299: plain min-label propagation
+    // needs ~300 rounds and would abort on the log-derived cap (~66) —
+    // the pointer jump makes the cap sound (red without it)
+    import graft.ops.TextQueries
+    import spark.implicits._
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = TextQueries.collapseClusters(chain, driverMaxEdges = 0L)
+    assert(labels.count() == 300)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0,
+      "every chain node must collapse to the component minimum 0")
+  }
+
   test("verified LSH pairs are a subset of candidates with jaccard >= 0.5") {
     val cand = run("dedup_minhash_lsh").select(col("doc_a"), col("doc_b"))
     val verified = run("dedup_lsh_verified")

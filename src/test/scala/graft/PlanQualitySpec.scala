@@ -331,13 +331,17 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("dedup_decontaminate probes the benchmark set via broadcast semi join") {
-    // the benchmark shingle set is small by construction — the corpus
-    // must NEVER shuffle on shingles; membership is a broadcast probe
-    val p = plan("dedup_decontaminate")
+    // The benchmark shingle set is corpus-proportional, so the query
+    // carries NO forced broadcast hint (a hint is a driver-OOM cliff at
+    // the 100 TB target); the contract is that AQE broadcasts the probe
+    // side at runtime while it measures small — so the lock reads the
+    // FINAL adaptive plan after execution, not the static estimate.
+    val df = SparkEntry.queries("dedup_decontaminate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       p.take(2500))
-    // no shingle-keyed SORT-MERGE join anywhere: the only hash-
-    // partitioning on sh is the tiny benchmark side's distinct — the
+    // no shingle-keyed SORT-MERGE join survives at this scale: the
     // corpus side must reach the semi join unexchanged (broadcast probe)
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled on shingles:\n${p.take(2500)}")
