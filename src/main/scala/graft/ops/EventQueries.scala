@@ -516,9 +516,15 @@ object EventQueries {
     // ------------------------------------------------------------------
     // events_retention — cohort retention: for each user take their
     // first active day (d0), then count users active again at each day
-    // offset 0..7. Two aggregations and one equi-join, all shuffling on
-    // user_id — the partitioning is reused across the steps, and the
-    // per-user state is one date, so the shape holds at any scale.
+    // offset 0..7. ONE corpus scan and ONE data-proportional shuffle:
+    // collect_set(day) per user dedups in the map-side partials (the
+    // same collapse a separate distinct would shuffle for) and lands
+    // each user's whole active-day set on one reducer, where d0
+    // (array_min) and every offset are row-local. Per-user state is the
+    // distinct active-day set — bounded by the calendar, a few KB even
+    // for a bot active daily for a decade — so the single-shuffle form
+    // is also the at-scale one; the distinct→window and distinct→join
+    // alternatives both pay a second full shuffle of the user-day table.
     // ------------------------------------------------------------------
     QueryDef("events_retention",
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -529,16 +535,12 @@ object EventQueries {
         |FROM act JOIN f ON act.user_id = f.user_id
         |WHERE date_diff('day', f.d0, act.day) <= 7
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      // ONE corpus scan: the per-user first day derives from the
-      // distinct user-day table itself (min commutes with distinct),
-      // not a second pass over raw events
-      val act = Scans.table(s, dir, "events")
+      Scans.table(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
-        .localCheckpoint(true)
-      val first = act.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
-      act
-        .join(first, "user_id")
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("day")).as("days"))
+        .select(array_min(col("days")).as("d0"),
+          explode(col("days")).as("day"))
         .select(datediff(col("day"), col("d0")).cast("long").as("day_offset"))
         .filter(col("day_offset") <= 7)
         .groupBy(col("day_offset"))
