@@ -30,13 +30,7 @@ object Verify {
       // whose write silently produced nothing would read as a false
       // PASS, the exact failure mode the belt-and-braces check exists
       // to catch
-      val target = java.nio.file.Paths.get(outDir, name)
-      if (java.nio.file.Files.exists(target)) {
-        val walk = java.nio.file.Files.walk(target)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      graft.exec.Fs.deleteTree(java.nio.file.Paths.get(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,24 @@
+package graft.exec
+
+/** Local-filesystem scratch helpers shared by the mains and the ops
+  * layer — Verify's stale-result cleanup, the streaming replays'
+  * sink/checkpoint teardown, and the spec base all need the same
+  * recursive delete, and per-file copies of the walk meant a fix to one
+  * (fd handling, ordering) left the others divergent.
+  */
+object Fs {
+
+  /** Recursive delete, children before parents; no-op on a missing
+    * root. The walk's paths are collected and the stream closed BEFORE
+    * any delete runs — `Files.walk` holds an open directory fd per
+    * level, and deleting under a live stream is platform-dependent.
+    */
+  def deleteTree(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}

@@ -24,9 +24,14 @@ object VectorMean extends Aggregator[Array[Float], (Array[Double], Long), Array[
   // silently truncating a mismatched vector would make both the output
   // dimension and the per-dimension means vary run to run. A mean over
   // mixed-dimension vectors has no defined answer — reject it.
+  // "Uninitialized" is count == 0, NOT an empty sums array: a
+  // zero-LENGTH input vector is a legitimate 0-dim vector whose buffer
+  // is (empty sums, n>0), and conflating it with the zero buffer would
+  // let an empty-first partition skip the ragged check (silent
+  // order-dependent skew) while an empty-last one aborted.
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     if (v == null) return b
-    val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    val sums = if (b._2 == 0) new Array[Double](v.length) else b._1
     require(v.length == sums.length,
       s"vector_mean over ragged dimensions: ${v.length} vs ${sums.length}")
     var i = 0
@@ -35,8 +40,8 @@ object VectorMean extends Aggregator[Array[Float], (Array[Double], Long), Array[
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) return b
-    if (b._1.isEmpty) return a
+    if (a._2 == 0) return b
+    if (b._2 == 0) return a
     require(a._1.length == b._1.length,
       s"vector_mean over ragged dimensions: ${a._1.length} vs ${b._1.length}")
     val out = a._1.clone()

@@ -126,15 +126,10 @@ object EventQueries {
   }
 
   /** Recursive scratch cleanup for file-sink + checkpoint replays (sink
-    * and checkpoint directories nest metadata/state files). */
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(root) // stream holds an open dir fd
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
+    * and checkpoint directories nest metadata/state files) — the shared
+    * [[graft.exec.Fs.deleteTree]] walk. */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    graft.exec.Fs.deleteTree(root)
 
   /** events_dau_wau_mau_hll's daily rollup: events aggregate STRAIGHT
     * into per-day HLL sketches — no (day, user) distinct first. HLL

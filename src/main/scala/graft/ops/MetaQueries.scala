@@ -346,21 +346,29 @@ object MetaQueries {
     // config_parse — JSON config → typed options with the tri-modal
     // `logical-partitions` parse: "auto" | "<n>gb" | "<count>"
     // (reference SmartBulkCopyConfig.cs:118-222, tri-modal at 152-170).
-    // Spark-first: from_json + when/otherwise + regexp_extract. The
-    // classification MIRRORS the live loader (CopyConfig.parse):
-    // integer-only GB (the reference int.Parses the size, so
-    // "8.5gb"/"1e2gb" reject), positive-only counts and sizes — and a
-    // 'reject' mode for the inputs the loader throws on, so the hash
-    // gate locks the reject surface too. CopySpec cross-checks every
-    // fixture's mode against the LIVE parser, the same live-derivation
-    // discipline as copy_exit_codes.
+    // Spark-first: from_json + when/otherwise + try_cast. The
+    // classification MIRRORS the live loader (CopyConfig.parse) STEP BY
+    // STEP: lowercase+trim first, endsWith("gb") → dropRight(2).trim →
+    // String.toInt (which accepts a leading '+', so "+8gb"/"8 gb"
+    // parse; "8.5gb"/"1e2gb" reject), otherwise toInt the whole string
+    // ("+24" parses), positive-only both ways, absent/empty → auto.
+    // try_cast is the relational toInt: a non-integer or
+    // out-of-int-range numeral goes null (where the loader throws
+    // NumberFormatException), and `null > 0` is false-ish under `when`,
+    // landing in 'reject' — an ANSI cast would abort the query on the
+    // exact inputs the loader merely rejects. QueriesSpec cross-checks
+    // every fixture's mode against the LIVE parser, the same
+    // live-derivation discipline as copy_exit_codes.
     // ------------------------------------------------------------------
     QueryDef("config_parse",
       """SELECT * FROM (VALUES
         |  ('auto', 7, 100000, 'auto', CAST(NULL AS DOUBLE)),
         |  ('count', 16, 50000, 'count', 24.0),
         |  ('frac_size', 20, 75000, 'reject', CAST(NULL AS DOUBLE)),
+        |  ('padded_auto', 9, 80000, 'auto', CAST(NULL AS DOUBLE)),
+        |  ('plus_count', 14, 40000, 'count', 24.0),
         |  ('size', 32, 102400, 'size-gb', 8.0),
+        |  ('spaced_size', 18, 90000, 'size-gb', 8.0),
         |  ('zero_size', 12, 60000, 'reject', CAST(NULL AS DOUBLE)))
         |  AS t(config_name, tasks, batch_size, lp_mode, lp_value)
         |ORDER BY config_name""".stripMargin) { (s, dir) =>
@@ -369,7 +377,10 @@ object MetaQueries {
         ("auto",  """{"tasks": 7,  "batch-size": 100000, "logical-partitions": "auto"}"""),
         ("count", """{"tasks": 16, "batch-size": 50000,  "logical-partitions": "24"}"""),
         ("frac_size", """{"tasks": 20, "batch-size": 75000, "logical-partitions": "8.5gb"}"""),
+        ("padded_auto", """{"tasks": 9, "batch-size": 80000, "logical-partitions": " AUTO "}"""),
+        ("plus_count", """{"tasks": 14, "batch-size": 40000, "logical-partitions": "+24"}"""),
         ("size",  """{"tasks": 32, "batch-size": 102400, "logical-partitions": "8gb"}"""),
+        ("spaced_size", """{"tasks": 18, "batch-size": 90000, "logical-partitions": "8 gb"}"""),
         ("zero_size", """{"tasks": 12, "batch-size": 60000, "logical-partitions": "0gb"}"""))
         .toDF("config_name", "raw")
       val schema = StructType(Seq(
@@ -377,24 +388,32 @@ object MetaQueries {
         StructField("batch-size", IntegerType),
         StructField("logical-partitions", StringType)))
       val parsed = confs.withColumn("j", from_json(col("raw"), schema))
-      val lp = col("j").getField("logical-partitions")
-      // integer-only, positive-only — the live parse. A non-integer or
-      // out-of-int-range numeral nulls the cast, and `null > 0` is
-      // false-ish under `when`, landing in 'reject' exactly where the
-      // loader's NumberFormatException lands.
-      val gbVal = regexp_extract(lp, "^([0-9]+)[Gg][Bb]$", 1).cast("int")
+        // the loader's normalization, in order: asText.toLowerCase.trim
+        .withColumn("lp_norm",
+          lower(trim(col("j").getField("logical-partitions"))))
+        // endsWith("gb") → dropRight(2).trim — the gb body keeps any
+        // sign the way String.toInt will see it
+        .withColumn("gb_body", trim(regexp_replace(col("lp_norm"), "gb$", "")))
+        .withColumn("gb_val", expr(
+          "CASE WHEN gb_body RLIKE '^[+-]?[0-9]+$'" +
+            " THEN try_cast(gb_body AS int) END"))
+        .withColumn("cnt_val", expr(
+          "CASE WHEN lp_norm RLIKE '^[+-]?[0-9]+$'" +
+            " THEN try_cast(lp_norm AS int) END"))
+      val isGb = col("lp_norm").rlike("gb$")
       val mode =
-        when(lp === "auto", lit("auto"))
-          .when(lp.rlike("^[0-9]+[Gg][Bb]$") && gbVal > 0, lit("size-gb"))
-          .when(lp.rlike("^-?[0-9]+$") && lp.cast("int") > 0, lit("count"))
+        when(col("lp_norm").isNull || col("lp_norm") === "" ||
+            col("lp_norm") === "auto", lit("auto"))
+          .when(isGb && col("gb_val") > 0, lit("size-gb"))
+          .when(!isGb && col("cnt_val") > 0, lit("count"))
           .otherwise(lit("reject"))
       parsed.select(
           col("config_name"),
           col("j").getField("tasks").as("tasks"),
           col("j").getField("batch-size").as("batch_size"),
           mode.as("lp_mode"),
-          when(mode === "size-gb", gbVal.cast("double"))
-            .when(mode === "count", lp.cast("double"))
+          when(mode === "size-gb", col("gb_val").cast("double"))
+            .when(mode === "count", col("cnt_val").cast("double"))
             .otherwise(lit(null).cast("double")).as("lp_value"))
         .orderBy(col("config_name"))
     },

@@ -490,6 +490,10 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n"))
       .collect() // bounded: one row per cell (16–17)
       .map(r => r.getLong(0) -> r.getLong(1))
+    // a row-less layout (empty corpus) has nothing to split — the same
+    // graceful no-op the oracle's NULL max(n) path takes, not an
+    // empty.max throw before the τ gate is even read
+    if (census.isEmpty) return None
     val nCells = census.length
     val total = census.map(_._2).sum
     val mx = census.map(_._2).max

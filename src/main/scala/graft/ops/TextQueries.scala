@@ -204,6 +204,25 @@ object TextQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** text_quality_score's published ratios, ONE definition shared with
+    * the spec that pins their BIGINT arithmetic: length()/size() are
+    * INT, and 2*count*10^6 overflows INT at count ≥ 1074 (≈7 KB of
+    * prose) — under ANSI mode that's a thrown query. The 2L leads the
+    * chain so every product is BIGINT, matching the DuckDB oracle's
+    * native BIGINT length(). D-suffixed fractional literals: a bare
+    * 1000000.0 inside an expr STRING parses as DECIMAL (unlike
+    * lit(1000000.0)), silently changing the published column dtype.
+    */
+  private[graft] def punctRatioExpr: org.apache.spark.sql.Column =
+    expr("""((2L * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))) * 1000000L
+           |    + greatest(length(text), 1))
+           |  div (2L * greatest(length(text), 1))) / 1000000.0D""".stripMargin)
+
+  private[graft] def stopwordRatioExpr: org.apache.spark.sql.Column =
+    expr(s"""((2L * size(filter($toksSpark, t -> array_contains(array(${sqlList(enStop)}), t))) * 1000000L
+            |    + greatest(size($toksSpark), 1))
+            |  div (2L * greatest(size($toksSpark), 1))) / 1000000.0D""".stripMargin)
+
   /** The stopword-hit language classifier, one definition per dialect —
     * shared by text_language_id (per-doc predictions) and
     * text_langid_eval (confusion matrix), so the two can never drift.
@@ -589,18 +608,10 @@ object TextQueries {
       Scans.table(s, dir, "documents")
         .select(col("doc_id"),
           expr(s"size($toksSpark)").cast("long").as("n_tokens"),
-          // D-suffixed literals: a bare 1000000.0 inside a Spark expr
-          // STRING parses as DECIMAL (unlike lit(1000000.0)), silently
-          // turning the published column into decimal — a dtype the
-          // oracle compare reads as a different value rendering
-          expr("""((2 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))) * 1000000
-                 |    + greatest(length(text), 1))
-                 |  div (2 * greatest(length(text), 1))) / 1000000.0D""".stripMargin)
-            .as("punct_ratio"),
-          expr(s"""((2 * size(filter($toksSpark, t -> array_contains(array(${sqlList(enStop)}), t))) * 1000000
-                  |    + greatest(size($toksSpark), 1))
-                  |  div (2 * greatest(size($toksSpark), 1))) / 1000000.0D""".stripMargin)
-            .as("stopword_ratio"))
+          // BIGINT-chained half-up quotients — see punctRatioExpr's doc
+          // (the spec drives the same defs over a >1074-punct document)
+          punctRatioExpr.as("punct_ratio"),
+          stopwordRatioExpr.as("stopword_ratio"))
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"), col("stopword_ratio"),
           expr("""floor((CASE WHEN n_tokens < 100 THEN n_tokens / 100.0D ELSE 1.0D END
                  |       * (1.0D - stopword_ratio) * (1.0D - punct_ratio))

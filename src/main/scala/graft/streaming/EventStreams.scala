@@ -304,8 +304,18 @@ object EventStreams {
       // identifiers are stored case-folded — Derby/most engines upper —
       // so probe the name as-given and upper-cased.)
       val meta = conn.getMetaData
+      // getTables' name argument is a LIKE pattern: '_' and '%' are
+      // wildcards, so an unescaped "stream_events" also matches
+      // "streamXevents" and the probe could answer for the wrong table
+      // (skipping — or worse, running — the delete on bad evidence).
+      // Escape them with the driver's own escape string.
+      val esc = meta.getSearchStringEscape
+      def escaped(n: String): String = n.flatMap { c =>
+        if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
+        else c.toString
+      }
       def exists(n: String): Boolean = {
-        val rs = meta.getTables(null, null, n, null)
+        val rs = meta.getTables(null, null, escaped(n), null)
         try rs.next() finally rs.close()
       }
       if (exists(table) || exists(table.toUpperCase(java.util.Locale.ROOT))) {

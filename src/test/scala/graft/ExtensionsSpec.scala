@@ -540,6 +540,49 @@ class ExtensionsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { VectorMean.merge(b2, b3) }
   }
 
+  test("quality-score ratios stay BIGINT on documents past the INT cliff") {
+    // 2 * punct_count * 10^6 overflows INT at 1074 punctuation chars
+    // (≈7 KB of prose) — under the session's ANSI mode the old
+    // INT-typed chain THREW on such a document while the DuckDB
+    // oracle's native BIGINT length() succeeded; the shared exprs must
+    // evaluate, and exactly (all-punct doc → ratio 1, stopword-only
+    // doc → ratio 1)
+    import spark.implicits._
+    val row = Seq(
+      ("!" * 5000,                          "allpunct"),
+      (Seq.fill(2000)("the").mkString(" "), "allstop"))
+      .toDF("text", "kind")
+      .select(col("kind"), graft.ops.TextQueries.punctRatioExpr.as("pr"),
+        graft.ops.TextQueries.stopwordRatioExpr.as("sr"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(row("allpunct")._1 == 1.0)
+    assert(row("allstop")._2 == 1.0)
+  }
+
+  test("VectorMean treats a zero-length vector as ragged in EVERY order") {
+    // a 0-dim vector's buffer is (empty sums, n>0) — if the empty sums
+    // array doubled as the 'uninitialized' sentinel, an empty-FIRST
+    // partition would re-initialize on the next real vector and
+    // silently fold the empty into the count (order-dependent skew),
+    // while empty-LAST aborted; both orders must abort identically
+    import graft.functions.VectorMean
+    val emptyFirst = VectorMean.reduce(VectorMean.zero, Array.empty[Float])
+    intercept[IllegalArgumentException] {
+      VectorMean.reduce(emptyFirst, Array(1f, 2f))
+    }
+    val real = VectorMean.reduce(VectorMean.zero, Array(1f, 2f))
+    intercept[IllegalArgumentException] {
+      VectorMean.reduce(real, Array.empty[Float])
+    }
+    intercept[IllegalArgumentException] { VectorMean.merge(emptyFirst, real) }
+    intercept[IllegalArgumentException] { VectorMean.merge(real, emptyFirst) }
+    // an all-0-dim group is well-defined: its mean is the 0-dim vector
+    val both = VectorMean.merge(emptyFirst,
+      VectorMean.reduce(VectorMean.zero, Array.empty[Float]))
+    assert(both._2 == 2 && VectorMean.finish(both).isEmpty)
+  }
+
   test("typed VectorMean aggregator agrees with the posexplode centroid") {
     import spark.implicits._
     import org.apache.spark.sql.functions.udaf

@@ -42,12 +42,16 @@ class QueriesSpec extends SparkSpecBase {
     // the query models CopyConfig.parse's tri-modal parse; every fixture's
     // published lp_mode must agree with what the loader actually does —
     // 'reject' iff parse throws, otherwise the strategy class. This is
-    // the drift the r10 review found: the query used to accept
-    // fractional GB ("8.5gb") that the loader rejects.
+    // the drift the r10 review found twice: first the query accepted
+    // fractional GB ("8.5gb") that the loader rejects, then it rejected
+    // spellings the loader accepts (String.toInt takes a leading '+',
+    // dropRight(2).trim takes an inner space, and the loader
+    // lowercase+trims before matching 'auto') — those now have fixtures.
     val rows = SparkEntry.queries("config_parse")(spark, sfDir).collect()
     val lpByName = Map(
       "auto" -> "auto", "count" -> "24", "frac_size" -> "8.5gb",
-      "size" -> "8gb", "zero_size" -> "0gb")
+      "padded_auto" -> " AUTO ", "plus_count" -> "+24",
+      "size" -> "8gb", "spaced_size" -> "8 gb", "zero_size" -> "0gb")
     assert(rows.map(_.getString(0)).toSet == lpByName.keySet)
     rows.foreach { r =>
       val (name, mode) = (r.getString(0), r.getString(3))
@@ -502,24 +506,13 @@ class QueriesSpec extends SparkSpecBase {
   test("sim_cell_retrain rewrites only the split cell's partitions") {
     import graft.ops.SimilarityQueries
     import graft.exec.Scans
-    import scala.jdk.CollectionConverters._
     // drive base + retrain into a throwaway root and snapshot the file
     // tree between them: the maintenance contract is that the repair
     // touches EXACTLY the split cell's two partition directories — the
     // O(hot cell) pass, never a layout rebuild
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_opt_spec")
     val layout = root.resolve("layout").toString
-    def snapshot(): Map[String, Long] = {
-      val base = java.nio.file.Paths.get(layout)
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
-        .toMap
-      finally walk.close()
-    }
+    def snapshot(): Map[String, Long] = dataFileSizes(layout)
     def cellOf(f: String): String =
       f.split("/").find(_.startsWith("cell=")).getOrElse("")
     try {

@@ -51,12 +51,8 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Recursive delete of a throwaway spec directory. */
-  def deleteTree(root: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(root)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
-  }
+  def deleteTree(root: java.nio.file.Path): Unit =
+    graft.exec.Fs.deleteTree(root)
 }
 
 object SparkSpecBase {
