@@ -435,6 +435,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SinglePartition"), p.take(2500))
   }
 
+  test("events_retention pays ONE data-proportional shuffle (user_id)") {
+    // collect_set(day) dedups in the map-side partials, so the user-day
+    // collapse and the per-user first day share a single
+    // hashpartitioning(user_id) exchange; everything after the explode
+    // is row-local until the tiny day_offset rollup. A second user or
+    // (user, day) exchange — the distinct→join / distinct→window
+    // forms — would reshuffle the whole user-day table again.
+    val p = plan("events_retention")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"$userExchanges user_id exchanges\n${p.take(2500)}")
+    // the day_offset rollup exchange is the tiny report shuffle and is
+    // fine; a (user_id, day)- or day-keyed exchange is not ("day#"
+    // avoids matching hashpartitioning(day_offset#…))
+    val dayKeyed = p.linesIterator.filter(_.contains("Exchange"))
+      .exists(l => l.contains(", day#") || l.contains("hashpartitioning(day#"))
+    assert(!dayKeyed, p.take(2500))
+  }
+
   test("kmeans training assignment is a pure Project: zero Exchange per round") {
     // the literal-codebook design's whole point: a training ROUND scans
     // the corpus once and nothing else — no broadcast join node, no
