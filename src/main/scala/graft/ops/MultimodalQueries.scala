@@ -330,16 +330,23 @@ object MultimodalQueries {
     // multimodal_frame_sample — video-style frame sampling: 4 evenly
     // spaced 8-byte "frames" per payload, fanned out one row per frame
     // (posexplode) — the shape of a frame-extraction pipeline stage.
+    // The stride numerator is clamped at 0: a payload shorter than one
+    // frame samples the same leading frame 4 times, and — decisively —
+    // a NEGATIVE numerator is where the engines fork (Spark `div`
+    // truncates toward zero, DuckDB `//` floors, and the resulting
+    // non-positive substring starts mean different things: Spark counts
+    // them from the END of the string). greatest/0 keeps both sides in
+    // the non-negative domain where div and // agree.
     // ------------------------------------------------------------------
     QueryDef("multimodal_frame_sample",
       """SELECT d.doc_id, u.i AS frame_idx,
-        |       md5(substr(d.text, 1 + u.i * ((length(d.text) - 8) // 3), 8)) AS frame_md5
+        |       md5(substr(d.text, 1 + u.i * (greatest(length(d.text) - 8, 0) // 3), 8)) AS frame_md5
         |FROM documents d, unnest(generate_series(0, 3)) AS u(i)
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       Scans.table(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(expr(
-            "transform(sequence(0, 3), f -> md5(substring(text, 1 + f * ((length(text) - 8) div 3), 8)))")))
+            "transform(sequence(0, 3), f -> md5(substring(text, 1 + f * (greatest(length(text) - 8, 0) div 3), 8)))")))
         .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
           col("col").as("frame_md5"))
         .orderBy(col("doc_id"), col("frame_idx"))
@@ -386,13 +393,19 @@ object MultimodalQueries {
         |       max(length(text)) AS max_bytes,
         |       CAST(sum(length(text)) AS BIGINT) AS total_bytes
         |FROM documents""".stripMargin) { (s, dir) =>
+      // media_type is the constant 'image' tag, so this is a GLOBAL
+      // aggregate tagged with the literal — like the oracle's no-GROUP-BY
+      // SELECT it yields exactly one row even over an empty corpus
+      // (groupBy on the constant would yield zero rows there and fail
+      // the row-count compare)
       mediaTable(s, dir)
-        .select(col("media_type"), length(col("blob")).cast("long").as("n_bytes"))
-        .groupBy(col("media_type"))
+        .select(length(col("blob")).cast("long").as("n_bytes"))
         .agg(count(lit(1)).as("n_media"),
           min(col("n_bytes")).as("min_bytes"),
           max(col("n_bytes")).as("max_bytes"),
           sum(col("n_bytes")).as("total_bytes"))
+        .select(lit("image").as("media_type"), col("n_media"),
+          col("min_bytes"), col("max_bytes"), col("total_bytes"))
     },
 
     // ------------------------------------------------------------------

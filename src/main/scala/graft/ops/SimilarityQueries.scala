@@ -117,6 +117,21 @@ object SimilarityQueries {
   private def ivfAssign(s: SparkSession, emb: DataFrame): DataFrame =
     ivfAssignWith(s, emb, emb)
 
+  /** The determinism-critical best-centroid argmax, ONE definition for
+    * every coarse-quantizer call site (IVF assignment, the kmeans
+    * trajectory, the hot-cell re-seed): 6-dp-rounded cosine against
+    * each struct&lt;cid,cv&gt; entry, struct-ordered so max cs wins and
+    * max(-cid) = the SMALLER cid breaks 6-dp ties — the contract the
+    * oracle states, which must not fork per call site (same rationale
+    * as the shared PQ encode blocks).
+    */
+  private def bestCentroid(s: SparkSession, codebook: Column): Column =
+    array_max(transform(codebook, c =>
+      struct(
+        round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
+        (-c.getField("cid")).as("neg_cid"),
+        c.getField("cid").as("cid"))))
+
   /** Cell-assign the rows of `batch` against the codebook drawn from
     * `codebookSrc` — the two differ exactly in the incremental-ingest
     * path, where a new day's vectors are assigned under the EXISTING
@@ -128,12 +143,7 @@ object SimilarityQueries {
       .agg(collect_list(struct(col("cid"), col("cv"))).as("codebook"))
     batch.crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("embedding"),
-        array_max(transform(col("codebook"), c =>
-          struct(
-            round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
-            (-c.getField("cid")).as("neg_cid"),
-            c.getField("cid").as("cid"))))
-          .as("best"))
+        bestCentroid(s, col("codebook")).as("best"))
       .select(col("vec_id"), col("embedding"),
         col("best.cid").as("cell"),
         // centroid affinity rides along: the sorted-neighborhood bound
@@ -507,19 +517,18 @@ object SimilarityQueries {
       val members = s.read.parquet(path)
         .filter(col("cell") === hot) // partition-pruned: one cell dir read
         .select(col("vec_id"), col("embedding"), col("cell_cs"))
+      // the seeds ARE a 2-entry codebook (cid = seed vec_id), scored by
+      // the shared bestCentroid argmax — the 6-dp/smaller-cid contract
+      // cannot fork from the IVF assignment's
       val seedsRow = members.orderBy(col("vec_id")).limit(2)
-        .agg(collect_list(struct(col("vec_id").as("sid"),
-          col("embedding").as("sv"))).as("seeds"))
+        .agg(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv"))).as("seeds"))
       val reassigned = members.crossJoin(broadcast(seedsRow))
         .select(col("vec_id"), col("embedding"), col("cell_cs"),
-          array_max(transform(col("seeds"), x =>
-            struct(
-              round(cosineFast(s)(col("embedding"), x.getField("sv")), 6).as("cs"),
-              (-x.getField("sid")).as("neg_sid"),
-              x.getField("sid").as("sid")))).as("best"),
-          array_min(transform(col("seeds"), x => x.getField("sid"))).as("s0"))
+          bestCentroid(s, col("seeds")).as("best"),
+          array_min(transform(col("seeds"), x => x.getField("cid"))).as("s0"))
         .select(col("vec_id"), col("embedding"), col("cell_cs"),
-          when(col("best.sid") === col("s0"), lit(hot))
+          when(col("best.cid") === col("s0"), lit(hot))
             .otherwise(lit(fresh)).as("cell"))
       // dynamic overwrite touches exactly the partitions present in the
       // written frame — cell=hot (replaced) and cell=fresh (new, an id
@@ -1022,6 +1031,16 @@ object SimilarityQueries {
       val callerParts = scala.util
         .Try(s0.conf.get("spark.sql.shuffle.partitions")).getOrElse("")
       val s = ccSession(s0, dir, callerParts)
+      // a REUSED child still carries the previous invocation's
+      // graph-sized rounds override — reset to the caller's width
+      // before the corpus-proportional candidate-pair derivation (SNM
+      // window + block self-join must run at full session width, not
+      // at a stale iterParts floor of 4); the rounds re-derive and
+      // re-apply their own size below. This also propagates a caller's
+      // RUNTIME shuffle setting into a fresh child, which newSession()
+      // (initialized from the builder conf alone) would miss.
+      if (callerParts.nonEmpty)
+        s.conf.set("spark.sql.shuffle.partitions", callerParts)
       val edges = candidatePairs(s, dir).filter(col("cos_sim") >= 0.22)
         .select(col("src_id").as("src"), col("nbr_id").as("dst"))
         .localCheckpoint(true)
@@ -1826,12 +1845,7 @@ object SimilarityQueries {
         .agg(collect_list(struct(col("cid"), col("cv"))).as("codebook"))
       val assigned = emb.crossJoin(broadcast(codebook))
         .select(col("vec_id"), col("embedding"),
-          array_max(transform(col("codebook"), c =>
-            struct(
-              round(cosineFast(s)(col("embedding"), c.getField("cv")), 6).as("cs"),
-              (-c.getField("cid")).as("neg_cid"),
-              c.getField("cid").as("cid"))))
-            .getField("cid").as("cell"))
+          bestCentroid(s, col("codebook")).getField("cid").as("cell"))
       val d = assigned.select(col("cell"), posexplode(col("embedding")))
         .select(col("cell"), col("pos").as("dim"),
           col("col").cast("double").as("x"))
