@@ -54,19 +54,22 @@ object Pipeline {
       val st = fs.getFileStatus(root)
       if (st.isFile) isParquet(st)
       else {
-        // first COMMITTED data file anywhere under the root
-        // (short-circuits); committed-ness is Sinks.hiddenBelow — the
-        // same predicate reconciliation uses
+        // the FIRST committed data file under the root decides the
+        // verdict (one 4-byte read — the probe stays catalog-cheap like
+        // the reference's): a corrupt first file FAILS the gate rather
+        // than falling through to a later valid one, which would clear
+        // a source the copy phase is about to choke on. Committed-ness
+        // is Sinks.hiddenBelow — the same predicate reconciliation uses.
         val hidden = Sinks.hiddenBelow(fs, root)
         val it = fs.listFiles(root, true)
-        var found = false
-        while (!found && it.hasNext) {
+        var verdict: Option[Boolean] = None
+        while (verdict.isEmpty && it.hasNext) {
           val f = it.next()
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
               !hidden(f.getPath))
-            found = isParquet(f)
+            verdict = Some(isParquet(f))
         }
-        found
+        verdict.getOrElse(false)
       }
     } catch { case _: Exception => false }
   }
@@ -238,6 +241,15 @@ object Pipeline {
   /** Copy one table end-to-end: plan → scan slices → bulk insert →
     * reconcile. `destDir` is the destination "database".
     */
+  /** Committed destination rowcount for the append-retry guard: a
+    * missing destination is a legitimate 0 (first load), but any OTHER
+    * probe failure propagates — mapping it to a sentinel would either
+    * spuriously trip the guard or silently disable it (the conflation
+    * the JDBC twin's -1 used to carry). */
+  private def committedRowsOrAbsent(spark: SparkSession, dest: String): Long =
+    try Sinks.committedRowCount(spark, dest)
+    catch { case _: java.io.FileNotFoundException => 0L }
+
   def copyTable(
       spark: SparkSession,
       sfDir: String,
@@ -269,15 +281,40 @@ object Pipeline {
     }
     val df = copyFrame(spark, sfDir, items)
     val dest = s"$destDir/${dst.name}.parquet"
-    def load(): Unit = Retry.withRetry(
-      maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
+    def attempt(): Unit =
       // no orderHint: copyFrame's every branch already ends
       // ordered-within-partitions on the item's hint
       Sinks.bulkInsert(df, dest,
         overwrite = truncateDest,
         columnstoreDest = dst.storage == Storage.ClusteredColumnstore,
         batchSizeRows = conf.batchSize)
-    }
+    def load(): Unit =
+      if (truncateDest)
+        // overwrite is retry-idempotent: every attempt replaces the
+        // destination wholesale
+        Retry.withRetry(
+          maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs)(
+          attempt())
+      else {
+        // Append is NOT blindly retryable for the file sink either: a
+        // commit protocol that commits per task (v2, common on object
+        // stores) — or a transient error thrown after job commit — can
+        // leave committed part files behind, and re-running the append
+        // would land the dataset again. Same guard as the JDBC twin:
+        // every attempt requires the destination to still hold its
+        // pre-load committed count; a partial attempt fails loudly
+        // (copy-phase error, exit 3) instead of silently double-loading.
+        val preRows = committedRowsOrAbsent(spark, dest)
+        Retry.withRetry(
+          maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
+          val nowRows = committedRowsOrAbsent(spark, dest)
+          if (nowRows != preRows)
+            throw new IllegalStateException(
+              s"${dst.name}: partial append detected (rows $preRows -> " +
+                s"$nowRows); append-mode file load is not safely retryable")
+          attempt()
+        }
+      }
     // only pay the listener attach/settle when live reporting is on
     if (reportEveryMs > 0) CopyMonitor.monitored(spark, reportEveryMs, onReport)(load())
     else load()
@@ -352,14 +389,21 @@ object Pipeline {
       // safe because its bulk insert is one transaction per table,
       // `SmartBulkCopy.cs:440-561`; per-partition JDBC commits trade that
       // for parallelism, so the guard restores the safety.)
-      val preRows =
-        try spark.read.jdbc(url, dst.name, props).count()
-        catch { case _: Exception => -1L } // destination table absent yet
+      // None = destination table absent (a legitimate first load). A
+      // probe CONNECTION failure propagates instead of hiding behind a
+      // sentinel: the old catch-all -1 either spuriously tripped the
+      // guard on a momentary blip (-1 vs recovered count → a misleading
+      // permanent 'partial append' failure) or, with both probes
+      // failing, vacuously passed it and re-enabled the double-load.
+      // Inside the retry a thrown probe classifies via isTransient like
+      // any other attempt error.
+      def probe(): Option[Long] =
+        if (!Sinks.jdbcTableExists(url, dst.name, props)) None
+        else Some(spark.read.jdbc(url, dst.name, props).count())
+      val preRows = probe()
       Retry.withRetry(
         maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
-        val nowRows =
-          try spark.read.jdbc(url, dst.name, props).count()
-          catch { case _: Exception => -1L }
+        val nowRows = probe()
         if (nowRows != preRows)
           throw new IllegalStateException(
             s"${dst.name}: partial append detected (rows $preRows -> $nowRows); " +

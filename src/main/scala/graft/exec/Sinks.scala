@@ -165,8 +165,45 @@ object Sinks {
     val p = new org.apache.hadoop.fs.Path(tablePath, "_graft_identity_seed.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"""{"column":"$idCol","seed":$seed}""".getBytes("UTF-8"))
+    // Jackson-serialized, never raw interpolation: an exotic (or
+    // hostile) column spelling with a quote/backslash/control char must
+    // produce VALID JSON — the same threat model quoteIdent states for
+    // statements; a malformed sidecar would make the read-back verify
+    // throw instead of reporting a mismatch (exit 2)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+    node.put("column", idCol)
+    node.put("seed", seed)
+    try out.write(node.toString.getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Destination-table existence via connection metadata — the ONE
+    * definition the JDBC append guard and the streaming upsert share.
+    * The name is LIKE-escaped before reaching `getTables` ('_' and '%'
+    * are wildcards in its pattern argument, so an unescaped
+    * "stream_events" also matches "streamXevents"), and the case-folded
+    * spelling is probed too (unquoted identifiers store folded —
+    * Derby/most engines upper). Throws on connection failure: absence
+    * and unreachability are DIFFERENT answers, and hiding the latter
+    * behind a sentinel is how a guard gets spuriously tripped or
+    * silently disabled.
+    */
+  def jdbcTableExists(
+      url: String, table: String, props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val meta = conn.getMetaData
+      val esc = meta.getSearchStringEscape
+      def escaped(n: String): String = n.flatMap { c =>
+        if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
+        else c.toString
+      }
+      def one(n: String): Boolean = {
+        val rs = meta.getTables(null, null, escaped(n), null)
+        try rs.next() finally rs.close()
+      }
+      one(table) || one(table.toUpperCase(java.util.Locale.ROOT))
+    } finally conn.close()
   }
 
   /** Live-database reseed — the literal `DBCC CHECKIDENT('t', RESEED, n)`

@@ -60,20 +60,33 @@ object SqlGen {
       .mkString(", ")
   }
 
-  /** Full generated SELECT for one work item over a registered view. */
-  def selectFor(item: WorkItem, allColumns: Seq[String]): String =
+  /** Full generated SELECT for one work item over a registered view
+    * (`fromName` overrides the FROM target when the view is registered
+    * under a scoped name; the statement text is otherwise identical). */
+  def selectFor(item: WorkItem, allColumns: Seq[String],
+      fromName: Option[String] = None): String =
     Seq(
       s"SELECT ${selectList(allColumns, item.table.excludedColumns)}",
-      s"FROM ${quote(item.table.name)}",
+      s"FROM ${quote(fromName.getOrElse(item.table.name))}",
       whereClause(item.slice,
         allColumns.filterNot(item.table.excludedColumns.contains(_))),
       orderByClause(item.orderHint)
     ).filter(_.nonEmpty).mkString(" ")
 
-  /** Register the table as a temp view and run the generated text. */
+  /** Register the table as a temp view and run the generated text. The
+    * view name is PER-CALL unique, never the bare table name: a
+    * session-global view named `lineitem` races across threads/corpora
+    * sharing one session (B's re-register landing between A's register
+    * and A's sql() silently resolves A's SELECT against B's corpus) and
+    * permanently clobbers any user view of that name. The view is
+    * dropped once the statement is ANALYZED — the returned frame holds
+    * the resolved relation, not the name. */
   def run(spark: SparkSession, sfDir: String, item: WorkItem): DataFrame = {
     val df = Scans.table(spark, sfDir, item.table.name)
-    df.createOrReplaceTempView(item.table.name)
-    spark.sql(selectFor(item, df.columns.toSeq))
+    val view = s"${item.table.name}_sqlgen_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    df.createOrReplaceTempView(view)
+    try spark.sql(selectFor(item, df.columns.toSeq, fromName = Some(view)))
+    finally spark.catalog.dropTempView(view)
   }
 }

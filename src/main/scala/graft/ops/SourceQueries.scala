@@ -13,13 +13,18 @@ import graft.exec.Scans
   */
 object SourceQueries {
 
-  // Per-PROCESS scratch root: two drivers on one machine must never
-  // share a staging directory — a concurrent overwrite-then-read on a
-  // shared path can surface as FileNotFound or a partial mix of old and
-  // new part-files, indistinguishable from a real correctness failure.
-  private def tmp(name: String): String =
+  // Per-PROCESS and per-CORPUS scratch root: two drivers on one machine
+  // must never share a staging directory, and two corpora in ONE driver
+  // (Verify at sf0.01 interleaving with a bench run at sf0.1 — the
+  // same-JVM scenario the staged-state caches defend against) must not
+  // either — the staged bytes are corpus-DEPENDENT, so a shared path
+  // can surface as FileNotFound mid-overwrite or an aggregate silently
+  // computed over a mix of both corpora's part files. Same path shape
+  // as PersistedState.scratchFallback (proc tag + corpusKey).
+  private def tmp(dir: String, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_sources_" +
-      s"${java.lang.ProcessHandle.current().pid()}/$name"
+      s"${java.lang.ProcessHandle.current().pid()}/" +
+      s"${PersistedState.corpusKey(dir)}/$name"
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -32,7 +37,7 @@ object SourceQueries {
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
         |       min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation""".stripMargin) { (s, dir) =>
-      val dest = tmp("nation_csv")
+      val dest = tmp(dir, "nation_csv")
       val src = Scans.table(s, dir, "nation")
       src.write.mode("overwrite").option("header", "true").csv(dest)
       s.read.option("header", "true").schema(src.schema).csv(dest)
@@ -53,7 +58,7 @@ object SourceQueries {
         |       round(sum(c_acctbal), 2) AS total_bal
         |FROM customer WHERE c_custkey <= 1000
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
-      val dest = tmp("customer_orc")
+      val dest = tmp(dir, "customer_orc")
       val src = Scans.table(s, dir, "customer")
       src.write.mode("overwrite").orc(dest)
       s.read.orc(dest)
@@ -82,7 +87,7 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey
         |  FROM nation) u""".stripMargin) { (s, dir) =>
-      val dest = tmp("nation_evolving")
+      val dest = tmp(dir, "nation_evolving")
       val src = Scans.table(s, dir, "nation")
       src.select(col("n_nationkey"), col("n_name"))
         .write.mode("overwrite").parquet(s"$dest/batch_v1")
@@ -107,7 +112,7 @@ object SourceQueries {
         |       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_date
         |FROM orders WHERE o_orderkey < 5000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-      val dest = tmp("orders_json")
+      val dest = tmp(dir, "orders_json")
       val src = Scans.table(s, dir, "orders").filter(col("o_orderkey") < 5000)
       src.write.mode("overwrite").json(dest)
       s.read.schema(src.schema).json(dest)
@@ -147,7 +152,7 @@ object SourceQueries {
         |         AS clean_amount
         |FROM j""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types._
-      val dest = tmp("malformed_csv")
+      val dest = tmp(dir, "malformed_csv")
       // stage the fixture as a real CSV file — the ingest path under
       // test is spark.read.csv, not an in-memory frame. The root is
       // per-process (see tmp), and the publish is ATOMIC anyway (write
@@ -175,7 +180,11 @@ object SourceQueries {
       // aggregate that never touches `id` would silently miss a bad-id
       // row (Spark's documented corrupt-record caveat — observed here:
       // 2 corrupt instead of 4 without this). Materialize complete rows
-      // first; a real ingest lands the parsed feed anyway.
+      // first. localCheckpoint stores UNREPLICATED executor blocks — a
+      // lost executor between checkpoint and action is unrecoverable
+      // (lineage is cut) — which is acceptable for this 10-line inline
+      // fixture; a real 100 TB ingest lands the parsed feed to durable
+      // staging instead, exactly what the quarantine posture wants.
       s.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")

@@ -300,25 +300,11 @@ object EventStreams {
       // TRANSIENT delete failure (lock timeout, dropped connection)
       // must propagate and fail the micro-batch, or the append below
       // would land a second copy of a replayed batch's rows and
-      // silently break the exactly-once-effect contract. (Unquoted
-      // identifiers are stored case-folded — Derby/most engines upper —
-      // so probe the name as-given and upper-cased.)
-      val meta = conn.getMetaData
-      // getTables' name argument is a LIKE pattern: '_' and '%' are
-      // wildcards, so an unescaped "stream_events" also matches
-      // "streamXevents" and the probe could answer for the wrong table
-      // (skipping — or worse, running — the delete on bad evidence).
-      // Escape them with the driver's own escape string.
-      val esc = meta.getSearchStringEscape
-      def escaped(n: String): String = n.flatMap { c =>
-        if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
-        else c.toString
-      }
-      def exists(n: String): Boolean = {
-        val rs = meta.getTables(null, null, escaped(n), null)
-        try rs.next() finally rs.close()
-      }
-      if (exists(table) || exists(table.toUpperCase(java.util.Locale.ROOT))) {
+      // silently break the exactly-once-effect contract. The probe is
+      // the shared LIKE-escaped, case-fold-aware definition
+      // (graft.exec.Sinks.jdbcTableExists) the JDBC append guard uses
+      // too, so the wildcard-escape fix cannot fork.
+      if (graft.exec.Sinks.jdbcTableExists(url, table, props)) {
         val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "_batch_id" = ?""")
         try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
       }

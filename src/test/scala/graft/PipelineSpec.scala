@@ -434,6 +434,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(!Pipeline.safetyCheck(spark, sfDir, "no_such"))
   }
 
+  test("safety check fails when the first committed data file is corrupt") {
+    // the gate is a cheap first-file probe, but its verdict must be the
+    // FIRST file's — falling through a failed magic check to a later
+    // valid file would clear a source the copy phase is about to choke on
+    import graft.exec.Scans
+    val d = destDir
+    Scans.table(spark, sfDir, "region").coalesce(1)
+      .write.parquet(s"$d/corrupted.parquet")
+    val dir = new java.io.File(s"$d/corrupted.parquet")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    // overwrite the magic bytes: committed name, garbage content
+    val raf = new java.io.RandomAccessFile(part, "rw")
+    try { raf.seek(0); raf.write("XXXX".getBytes("US-ASCII")) }
+    finally raf.close()
+    assert(!Pipeline.safetyCheck(spark, d, "corrupted"))
+  }
+
   test("safety check sees data files nested under partition directories") {
     import graft.exec.Scans
     val d = destDir
