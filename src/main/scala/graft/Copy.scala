@@ -118,12 +118,8 @@ object Copy {
     // "read-only" spelling (or any typo) would otherwise silently run
     // with the immutability gate OFF — exactly the failure the gate
     // exists to catch. IllegalArgumentException maps to exit 1 in main.
-    val safeCheckMode = safeCheck.toLowerCase(java.util.Locale.ROOT) match {
-      case "read-only"                            => "readonly"
-      case m @ ("readonly" | "none" | "snapshot") => m
-      case other => throw new IllegalArgumentException(
-        s"safe-check can only contain 'none', 'readonly' or 'snapshot'; got: $other")
-    }
+    // SHARED normalizer with the loader, so the mode list cannot fork.
+    val safeCheckMode = CopyConfig.normalizeSafeCheck(safeCheck)
     val jdbcDest = destDir.startsWith("jdbc:")
     def jdbcProps: java.util.Properties = {
       val p = new java.util.Properties()
@@ -148,9 +144,7 @@ object Copy {
       if (!Catalog.declared.contains(t) || !Pipeline.safetyCheck(spark, sfDir, t))
         return analysisExitCode(AnalysisOutcome.TableNotFound)
       val src = Catalog.collect(spark, sfDir, t)
-      val dst = destMeta.getOrElse(t,
-        src.copy(storage = Storage.Heap, foreignKeyCount = 0,
-          secondaryIndexCount = 0, history = None))
+      val dst = destMeta.getOrElse(t, Pipeline.cleanDest(src))
       Analyzer.analyze(src, dst, conf) match {
         case _: AnalysisOutcome.Success => (src, dst)
         case failure                    => return analysisExitCode(failure)
@@ -204,13 +198,21 @@ object Copy {
     if (mutatedSources) return 2
 
     // CheckResults phase (`SmartBulkCopy.cs:216-245`): recount both ends
-    // — source from the immutable snapshot, destination from committed
-    // parquet footers — after ALL copies are done.
+    // — source from the count already collected under the analysis
+    // phase (re-scanning every source here would double the run's
+    // source-side IO at 100 TB for zero extra verification: the
+    // readonly footprint re-stat above already proves the source
+    // unchanged since that count was taken, and copyTable's own
+    // reconciliation reuses the same number), destination from
+    // committed parquet footers — after ALL copies are done.
     val allMatch = analyzed.forall { case (src, dst) =>
       val destRows =
         if (jdbcDest) spark.read.jdbc(destDir, dst.name, jdbcProps).count()
         else Sinks.committedRowCount(spark, s"$destDir/${dst.name}.parquet")
-      Scans.table(spark, sfDir, src.name).count() == destRows
+      val srcRows =
+        if (src.rowCount > 0L) src.rowCount
+        else Scans.table(spark, sfDir, src.name).count()
+      srcRows == destRows
     }
     if (!allMatch) return 2
 

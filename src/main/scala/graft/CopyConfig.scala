@@ -61,6 +61,21 @@ final case class CopyConfig(
 
 object CopyConfig {
 
+  /** The ONE safe-check normalizer (reference alias surface,
+    * `SmartBulkCopy.cs:174-193`): 'read-only' folds to 'readonly',
+    * anything outside the three modes throws. Shared by the config
+    * loader AND `Copy.run`'s direct-caller validation — two inline
+    * copies of the alias match would let the mode list fork (a mode
+    * added to one site silently rejected, or accepted unvalidated, by
+    * the other). */
+  def normalizeSafeCheck(mode: String): String =
+    mode.toLowerCase(java.util.Locale.ROOT) match {
+      case "read-only"                            => "readonly"
+      case m @ ("readonly" | "none" | "snapshot") => m
+      case other => throw new IllegalArgumentException(
+        s"safe-check can only contain 'none', 'readonly' or 'snapshot'; got: $other")
+    }
+
   def load(path: String, env: String => Option[String] = sys.env.get): CopyConfig =
     parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)), env)
 
@@ -160,12 +175,8 @@ object CopyConfig {
         PartitionStrategy.Count(n)
     }
 
-    val safeCheck = opt("safe-check").map(_.asText().toLowerCase) match {
-      case None | Some("readonly") | Some("read-only") => "readonly"
-      case Some(v @ ("none" | "snapshot"))             => v
-      case Some(other) => throw new IllegalArgumentException(
-        s"safe-check can only contain 'none', 'readonly' or 'snapshot'; got: $other")
-    }
+    val safeCheck = opt("safe-check").map(_.asText())
+      .fold("readonly")(normalizeSafeCheck)
 
     // stop-if flags default ON; only an explicit false removes one
     val stopIf = opt("stop-if")

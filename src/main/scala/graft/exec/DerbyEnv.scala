@@ -13,12 +13,18 @@ package graft.exec
   */
 object DerbyEnv {
 
-  /** Fixed scratch root for long-lived bench databases (reused across runs
-    * by design — e.g. the copy-destination DBs that a later run truncates).
-    * Evaluated lazily exactly once per JVM.
+  /** Per-PROCESS scratch root for the bench databases, evaluated lazily
+    * exactly once per JVM. Embedded Derby allows ONE booting JVM per
+    * database — under a fixed shared path a second concurrent driver on
+    * the machine (Verify beside a bench loop, the same dual-JVM scenario
+    * the staged parquet roots defend against) fails its boot with
+    * XJ040/XSDB6, a spurious error indistinguishable from a real
+    * regression. The cost is that sequential runs rebuild instead of
+    * truncating — each query stages its own tables anyway.
     */
   lazy val home: String = {
-    val h = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
+    val h = s"${System.getProperty("java.io.tmpdir")}/graft_derby_" +
+      s"${java.lang.ProcessHandle.current().pid()}"
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", h)
     new java.io.File(h).mkdirs()
@@ -43,11 +49,6 @@ object DerbyEnv {
   def shutdownAndDelete(dbPath: String, root: java.nio.file.Path): Unit = {
     try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true")
     catch { case _: java.sql.SQLException => () } // success path throws
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(root)
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    Fs.deleteTree(root)
   }
 }

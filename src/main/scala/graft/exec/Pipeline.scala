@@ -241,6 +241,17 @@ object Pipeline {
   /** Copy one table end-to-end: plan → scan slices → bulk insert →
     * reconcile. `destDir` is the destination "database".
     */
+  /** Destination-side TableMeta: same shape as the source, none of the
+    * abort conditions (the reference aborts on destination FKs /
+    * secondary indexes / temporal pairing, `TableAnalyzer.cs:39-107`).
+    * The ONE definition `Copy.run`'s default destination and the bench
+    * queries share — a TableMeta field added to one inline copy but not
+    * the other would make the two paths analyze different destination
+    * metadata. */
+  def cleanDest(src: TableMeta, storage: Storage = Storage.Heap): TableMeta =
+    src.copy(storage = storage, foreignKeyCount = 0, secondaryIndexCount = 0,
+      history = None)
+
   /** Committed destination rowcount for the append-retry guard: a
     * missing destination is a legitimate 0 (first load), but any OTHER
     * probe failure propagates — mapping it to a sentinel would either

@@ -191,19 +191,24 @@ object Sinks {
   def jdbcTableExists(
       url: String, table: String, props: java.util.Properties): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val meta = conn.getMetaData
-      val esc = meta.getSearchStringEscape
-      def escaped(n: String): String = n.flatMap { c =>
-        if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
-        else c.toString
-      }
-      def one(n: String): Boolean = {
-        val rs = meta.getTables(null, null, escaped(n), null)
-        try rs.next() finally rs.close()
-      }
-      one(table) || one(table.toUpperCase(java.util.Locale.ROOT))
-    } finally conn.close()
+    try jdbcTableExists(conn, table) finally conn.close()
+  }
+
+  /** Connection-reusing overload: a caller that already holds the
+    * connection (the streaming upsert probes and then DELETEs on one)
+    * must not pay a second connection per micro-batch for the probe. */
+  def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val meta = conn.getMetaData
+    val esc = meta.getSearchStringEscape
+    def escaped(n: String): String = n.flatMap { c =>
+      if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
+      else c.toString
+    }
+    def one(n: String): Boolean = {
+      val rs = meta.getTables(null, null, escaped(n), null)
+      try rs.next() finally rs.close()
+    }
+    one(table) || one(table.toUpperCase(java.util.Locale.ROOT))
   }
 
   /** Live-database reseed — the literal `DBCC CHECKIDENT('t', RESEED, n)`

@@ -369,6 +369,7 @@ object MetaQueries {
         |  ('plus_count', 14, 40000, 'count', 24.0),
         |  ('size', 32, 102400, 'size-gb', 8.0),
         |  ('spaced_size', 18, 90000, 'size-gb', 8.0),
+        |  ('tab_size', 11, 45000, 'size-gb', 8.0),
         |  ('zero_size', 12, 60000, 'reject', CAST(NULL AS DOUBLE)))
         |  AS t(config_name, tasks, batch_size, lp_mode, lp_value)
         |ORDER BY config_name""".stripMargin) { (s, dir) =>
@@ -381,19 +382,29 @@ object MetaQueries {
         ("plus_count", """{"tasks": 14, "batch-size": 40000, "logical-partitions": "+24"}"""),
         ("size",  """{"tasks": 32, "batch-size": 102400, "logical-partitions": "8gb"}"""),
         ("spaced_size", """{"tasks": 18, "batch-size": 90000, "logical-partitions": "8 gb"}"""),
+        // \t is a JSON escape (triple-quoted Scala passes it through
+        // raw): the parsed value carries a REAL tab, the String.trim
+        // vs trim() divergence the javaTrim mirror exists for
+        ("tab_size", """{"tasks": 11, "batch-size": 45000, "logical-partitions": "8\tgb"}"""),
         ("zero_size", """{"tasks": 12, "batch-size": 60000, "logical-partitions": "0gb"}"""))
         .toDF("config_name", "raw")
       val schema = StructType(Seq(
         StructField("tasks", IntegerType),
         StructField("batch-size", IntegerType),
         StructField("logical-partitions", StringType)))
+      // String.trim strips EVERY char <= U+0020 from both ends; Spark's
+      // trim() strips only the ASCII space — a tab or newline inside the
+      // config value would fork the mirror from the loader
+      def javaTrim(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
       val parsed = confs.withColumn("j", from_json(col("raw"), schema))
         // the loader's normalization, in order: asText.toLowerCase.trim
         .withColumn("lp_norm",
-          lower(trim(col("j").getField("logical-partitions"))))
+          lower(javaTrim(col("j").getField("logical-partitions"))))
         // endsWith("gb") → dropRight(2).trim — the gb body keeps any
         // sign the way String.toInt will see it
-        .withColumn("gb_body", trim(regexp_replace(col("lp_norm"), "gb$", "")))
+        .withColumn("gb_body",
+          javaTrim(regexp_replace(col("lp_norm"), "gb$", "")))
         .withColumn("gb_val", expr(
           "CASE WHEN gb_body RLIKE '^[+-]?[0-9]+$'" +
             " THEN try_cast(gb_body AS int) END"))

@@ -52,13 +52,10 @@ object PipelineQueries {
     fragmented
   }
 
-  /** Destination-side TableMeta: same shape, none of the abort conditions
-    * (reference aborts on destination FKs / secondary indexes / temporal,
-    * `TableAnalyzer.cs:39-107`).
-    */
+  /** Destination-side TableMeta — the shared [[Pipeline.cleanDest]]
+    * definition (one place zeroes the abort conditions). */
   private def cleanDest(src: TableMeta, storage: Storage): TableMeta =
-    src.copy(storage = storage, foreignKeyCount = 0, secondaryIndexCount = 0,
-      history = None)
+    Pipeline.cleanDest(src, storage)
 
   private def copyResultDf(s: SparkSession, r: Pipeline.CopyResult): DataFrame = {
     import s.implicits._
@@ -192,20 +189,34 @@ object PipelineQueries {
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // one job group spans all 4 workers: shutdownNow() alone only
+      // interrupts the SUBMITTING threads — already-submitted Spark jobs
+      // keep running (writing into the destination, holding executors)
+      // unless the group is cancelled, the same contract
+      // Copy.withCommandTimeout enforces for the single-table path
+      val groupId = s"graft-full-copy-${java.util.UUID.randomUUID()}"
       try {
         val tables = Pipeline.expandTableList(
           Seq("*", "-:documents", "-:embeddings", "-:events"))
         val fut = Future.traverse(tables) { t => Future {
-          val src = Catalog.collect(s, dir, t)
-          val r = Pipeline.copyTable(s, dir, tmp("pipeline_full_copy"),
-            src, cleanDest(src, Storage.Heap), PlanConfig())
-          (r.table, r.srcRows, r.dstRows, r.ok)
+          s.sparkContext.setJobGroup(groupId, s"pipeline_full_copy $t",
+            interruptOnCancel = true)
+          try {
+            val src = Catalog.collect(s, dir, t)
+            val r = Pipeline.copyTable(s, dir, tmp("pipeline_full_copy"),
+              src, cleanDest(src, Storage.Heap), PlanConfig())
+            (r.table, r.srcRows, r.dstRows, r.ok)
+          } finally s.sparkContext.clearJobGroup()
         }}
-        // bounded wait: a wedged copy fails the query instead of hanging
-        Await.result(fut, Duration(10, "min"))
+        // bounded wait: a wedged copy fails the query instead of hanging,
+        // and its in-flight jobs are cancelled, not orphaned
+        try Await.result(fut, Duration(10, "min"))
           .toDF("table_name", "src_rows", "dst_rows", "is_match")
           .orderBy(col("table_name"))
-      } finally pool.shutdownNow() // don't leave in-flight copies running
+        catch { case e: java.util.concurrent.TimeoutException =>
+          s.sparkContext.cancelJobGroup(groupId); throw e
+        }
+      } finally pool.shutdownNow()
     },
 
     // ------------------------------------------------------------------

@@ -303,8 +303,9 @@ object EventStreams {
       // silently break the exactly-once-effect contract. The probe is
       // the shared LIKE-escaped, case-fold-aware definition
       // (graft.exec.Sinks.jdbcTableExists) the JDBC append guard uses
-      // too, so the wildcard-escape fix cannot fork.
-      if (graft.exec.Sinks.jdbcTableExists(url, table, props)) {
+      // too, so the wildcard-escape fix cannot fork — on THIS
+      // connection, not a second one per micro-batch.
+      if (graft.exec.Sinks.jdbcTableExists(conn, table)) {
         val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "_batch_id" = ?""")
         try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
       }

@@ -196,7 +196,8 @@ class PipelineSpec extends SparkSpecBase {
     assert(Scans.table(spark, sfDir, "supplier")
       .agg(max(col("s_suppkey")).cast("long")).collect()(0).getLong(0) == identCurrent)
     // the generator must KEEP continuing, not just survive one insert
-    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft_derby/identdb"
+    // (DerbyEnv.dbPath — the home is per-process now, never a literal)
+    val url = s"jdbc:derby:${graft.exec.DerbyEnv.dbPath("identdb")}"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val ins = conn.prepareStatement(

@@ -51,14 +51,21 @@ class QueriesSpec extends SparkSpecBase {
     val lpByName = Map(
       "auto" -> "auto", "count" -> "24", "frac_size" -> "8.5gb",
       "padded_auto" -> " AUTO ", "plus_count" -> "+24",
-      "size" -> "8gb", "spaced_size" -> "8 gb", "zero_size" -> "0gb")
+      "size" -> "8gb", "spaced_size" -> "8 gb", "tab_size" -> "8\tgb",
+      "zero_size" -> "0gb")
     assert(rows.map(_.getString(0)).toSet == lpByName.keySet)
     rows.foreach { r =>
       val (name, mode) = (r.getString(0), r.getString(3))
+      // JSON-escape the fixture value: a raw tab inside a JSON string is
+      // invalid (Jackson rejects unescaped control chars), so the
+      // tab_size fixture must reach the loader as the \t escape — the
+      // same bytes the query's inline JSON carries
+      val jsonLp = lpByName(name).replace("\\", "\\\\")
+        .replace("\"", "\\\"").replace("\t", "\\t").replace("\n", "\\n")
       val json =
         s"""{"source": {"connection-string": "/s"},
            |"destination": {"connection-string": "/d"},
-           |"options": {"logical-partitions": "${lpByName(name)}"}}""".stripMargin
+           |"options": {"logical-partitions": "$jsonLp"}}""".stripMargin
       val live =
         try Some(CopyConfig.parse(json, _ => None).plan.strategy)
         catch { case _: IllegalArgumentException => None }
