@@ -11,10 +11,14 @@ import graft.exec.Scans
   * [[graft.streaming.EventStreams]]; batch mode keeps the oracle
   * DuckDB-expressible.
   *
-  * Timestamps are compared as epoch milliseconds: the source column is
-  * nanosecond-precision parquet, Spark truncates to microseconds on read
-  * (`Scans.table`), and ns→µs→ms truncation composes, so both engines
-  * agree on every derived value.
+  * The engine's event-time grain is MICROSECONDS (Spark's
+  * TimestampType): a nanosecond-precision source truncates to µs on read
+  * (`Scans.table`), and every oracle comparison or ordering on a raw
+  * timestamp goes through `epoch_us`/`epoch_ms` so DuckDB judges at the
+  * same (or a composing coarser) grain — a raw-`ts` compare in an oracle
+  * would silently re-introduce the ns residue the engine has already
+  * dropped (two same-µs events whose ns order opposes their event_id
+  * tiebreak would sequence differently per engine).
   */
 object EventQueries {
 
@@ -347,14 +351,21 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,
-        |       round(sum(value), 2) AS sum_value
+        |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      // integer-CENTS sum (here and in every key summing `value`):
+      // value is 2-dp money, so round(value*100) is an exact-integer
+      // double on both engines and the running sum is BIGINT — exact,
+      // summation-order-independent, partitioning-independent. A double
+      // sum's low bits reorder under parallelism (the anomaly-zscore
+      // caveat), so round(sum(value), 2) could flake near a .005
+      // boundary run to run, let alone across engines.
       Scans.table(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          round(sum(col("value")), 2).as("sum_value"))
+          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("n_users"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
@@ -472,8 +483,8 @@ object EventQueries {
         |, m AS (SELECT (SELECT count(DISTINCT user_id) FROM c) AS cu,
         |             (SELECT count(*) FROM conv) AS cv)
         |SELECT cu AS clicking_users, cv AS converting_users,
-        |       ((2 * cv * 1000000 + cu) // (2 * cu)) / 1000000.0
-        |         AS conversion_rate
+        |       ((2 * cv * 1000000 + greatest(cu, 1)) // (2 * greatest(cu, 1)))
+        |         / 1000000.0 AS conversion_rate
         |FROM m""".stripMargin) {
       (s, dir) =>
       // ONE corpus scan: the click/purchase projection is materialized
@@ -502,9 +513,12 @@ object EventQueries {
       // value), the class the ab-test/forecast keys already fixed
       clicks.agg(count_distinct(col("user_id")).as("clicking_users"))
         .crossJoin(converting)
+        // greatest(cu, 1): a corpus slice with zero clicks must report
+        // a 0 rate, not throw DIVIDE_BY_ZERO under ANSI (converters are
+        // click-gated, so cv is 0 whenever cu is)
         .select(col("clicking_users"), col("converting_users"),
-          (expr("(2 * converting_users * 1000000 + clicking_users)" +
-            " div (2 * clicking_users)") / lit(1000000.0))
+          (expr("(2 * converting_users * 1000000 + greatest(clicking_users, 1))" +
+            " div (2 * greatest(clicking_users, 1))") / lit(1000000.0))
             .as("conversion_rate"))
     },
 
@@ -553,7 +567,7 @@ object EventQueries {
     QueryDef("window_range_frame",
       """SELECT event_id, user_id, ms,
         |       count(*) OVER w AS n_trailing_hour,
-        |       round(sum(value) OVER w, 2) AS sum_trailing_hour
+        |       (sum(CAST(round(value * 100) AS BIGINT)) OVER w) / 100.0 AS sum_trailing_hour
         |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms, value
         |      FROM events WHERE user_id < 20) e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ms
@@ -567,7 +581,7 @@ object EventQueries {
           unix_millis(col("ts")).as("ms"), col("value"))
         .select(col("event_id"), col("user_id"), col("ms"),
           count(lit(1)).over(w).as("n_trailing_hour"),
-          round(sum(col("value")).over(w), 2).as("sum_trailing_hour"))
+          (sum(expr("cast(round(value * 100) as bigint)")).over(w) / lit(100.0)).as("sum_trailing_hour"))
         .orderBy(col("user_id"), col("ms"), col("event_id"))
     },
 
@@ -581,7 +595,7 @@ object EventQueries {
       """SELECT user_id,
         |       min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
         |       count(DISTINCT CAST(ts AS DATE)) AS active_days,
-        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         |FROM events WHERE user_id < 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       Scans.table(s, dir, "events")
@@ -591,7 +605,7 @@ object EventQueries {
           max(unix_millis(col("ts"))).as("last_ms"),
           countDistinct(to_date(col("ts"))).as("active_days"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("total_value"))
         .orderBy(col("user_id"))
     },
 
@@ -687,13 +701,13 @@ object EventQueries {
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |       CAST(floor(value / 25.0) AS BIGINT) * 25 AS bucket_lo,
         |       count(*) AS n_events,
-        |       round(sum(value), 2) AS sum_value
+        |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket""".stripMargin) { (s, dir) =>
       val bucket = floor(col("value") / 25.0).cast("long")
       Scans.table(s, dir, "events")
         .groupBy(bucket.as("bucket"), (bucket * 25).as("bucket_lo"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
         .orderBy(col("bucket"))
     },
 
@@ -713,12 +727,12 @@ object EventQueries {
         |w AS (SELECT ((ms // 900000) - u.k) * 900 AS window_start_s, value
         |      FROM e, unnest(generate_series(0, 3)) AS u(k))
         |SELECT window_start_s, count(*) AS n_events,
-        |       round(sum(value), 2) AS sum_value
+        |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM w GROUP BY 1 ORDER BY window_start_s""".stripMargin) { (s, dir) =>
       Scans.table(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
         // epoch seconds via unix_millis (exact: window starts are whole
         // 15-min boundaries) — unlike cast-to-long this stays legal
         // whatever timestamp flavor the window carries
@@ -754,11 +768,12 @@ object EventQueries {
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
         |  FROM a)
         |SELECT part, count(*) AS n_events,
-        |       CAST(count(CASE WHEN ts < hwm THEN 1 END) AS BIGINT) AS n_late,
-        |       CAST(coalesce(max(CASE WHEN ts < hwm
+        |       CAST(count(CASE WHEN epoch_us(ts) < epoch_us(hwm) THEN 1 END)
+        |            AS BIGINT) AS n_late,
+        |       CAST(coalesce(max(CASE WHEN epoch_us(ts) < epoch_us(hwm)
         |                          THEN (epoch_ms(hwm) - epoch_ms(ts)) // 1000 END), 0)
         |            AS BIGINT) AS max_late_s,
-        |       CAST(coalesce(sum(CASE WHEN ts < hwm
+        |       CAST(coalesce(sum(CASE WHEN epoch_us(ts) < epoch_us(hwm)
         |                          THEN (epoch_ms(hwm) - epoch_ms(ts)) // 1000 END), 0)
         |            AS BIGINT) AS sum_late_s
         |FROM o GROUP BY part ORDER BY part""".stripMargin) { (s, dir) =>
@@ -1002,7 +1017,7 @@ object EventQueries {
     QueryDef("events_stream_histogram_equiv",
       """SELECT date_trunc('hour', ts) AS window_start,
         |       CAST(floor(value / 25.0) AS BIGINT) AS bucket,
-        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin) { (s0, dir) =>
       // (window, bucket) keyed state is a few hundred cells — the same
       // 8-partition child-session cap as the other stateful replays
@@ -1154,7 +1169,7 @@ object EventQueries {
             .groupBy(col("c_mktsegment"))
             .agg(count(lit(1)).as("n_events"),
               sum(col("event_id")).cast("long").as("id_sum"),
-              round(sum(col("value")), 2).as("sum_value"))
+              (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
             .select(col("c_mktsegment").as("segment"), col("n_events"),
               col("id_sum"), col("sum_value"))
             .orderBy(col("segment"))
@@ -1308,7 +1323,7 @@ object EventQueries {
       """WITH o AS (
         |  SELECT user_id, event_type,
         |         lag(event_type) OVER (PARTITION BY user_id
-        |                               ORDER BY ts, event_id) AS prev_type
+        |                               ORDER BY epoch_us(ts), event_id) AS prev_type
         |  FROM events)
         |SELECT prev_type, event_type AS next_type,
         |       count(*) AS n_transitions,
@@ -1362,7 +1377,7 @@ object EventQueries {
         |             date_diff('day', CAST(max(ts) AS DATE),
         |                       (SELECT max_d FROM mx)) AS rec,
         |             count(*) AS freq,
-        |             round(sum(value), 2) AS mon
+        |             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS mon
         |      FROM events GROUP BY user_id),
         |q AS (SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS qr,
         |             quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
@@ -1388,7 +1403,7 @@ object EventQueries {
       val perUser = Scans.table(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(to_date(max(col("ts"))).as("u_d"), count(lit(1)).as("freq"),
-          round(sum(col("value")), 2).as("mon"))
+          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("mon"))
         .localCheckpoint(true)
       val maxD = perUser.agg(max(col("u_d")).as("max_d"))
       val users = perUser
@@ -1432,7 +1447,7 @@ object EventQueries {
         |  SELECT user_id, event_type,
         |         lag(CASE WHEN event_type IN ('view', 'click')
         |                  THEN event_type END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |           AS last_touch
         |  FROM events),
         |conv AS (SELECT coalesce(last_touch, 'none') AS touch_type
@@ -1481,7 +1496,7 @@ object EventQueries {
         |  SELECT user_id, event_type,
         |         lag(CASE WHEN event_type IN ('view', 'click')
         |                  THEN event_type END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |           AS last_touch
         |  FROM events),
         |conv AS (SELECT coalesce(last_touch, 'none') AS touch_type
@@ -1558,7 +1573,7 @@ object EventQueries {
         |         lag(event_type, 2) OVER w AS t1,
         |         lag(event_type, 1) OVER w AS t2
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |tri AS (SELECT concat(t1, '>', t2, '>', event_type) AS path
         |        FROM o WHERE t1 IS NOT NULL)
         |SELECT path, freq, rank FROM (
@@ -1750,7 +1765,8 @@ object EventQueries {
         |lg AS (SELECT CAST((epoch_ms(p0) - epoch_ms(v0)) // 60000 AS BIGINT)
         |              AS lag_min
         |       FROM u
-        |       WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0)
+        |       WHERE v0 IS NOT NULL AND p0 IS NOT NULL
+        |         AND epoch_us(p0) >= epoch_us(v0))
         |SELECT count(*) AS n_converters,
         |       CAST(min(lag_min) AS BIGINT) AS min_lag_min,
         |       round(quantile_cont(lag_min, 0.5), 4) AS median_lag_min,

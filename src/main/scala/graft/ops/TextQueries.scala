@@ -157,7 +157,11 @@ object TextQueries {
     // their append jobs would share one _temporary dir, where the first
     // committer's cleanup can silently drop the second's files
     fpIndexLock(indexPath).synchronized {
-      val fps = fingerprintFrame(batch)
+      // checkpoint the FINGERPRINTS, not just the survivors: fps feeds
+      // the anti-join AND the index append, and without materializing
+      // it first the append re-evaluates the tokenize + min-shingle-md5
+      // lineage from the source — doubling the dominant per-ingest cost
+      val fps = fingerprintFrame(batch).localCheckpoint(true)
       val survivors = fps
         .join(s.read.parquet(indexPath), Seq("fp"), "left_anti")
         .localCheckpoint(true)
@@ -305,22 +309,28 @@ object TextQueries {
   // cache so repeated runs don't pin executor storage forever.
   private var cachedSigs: Option[(String, DataFrame)] = None
 
-  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sigs = synchronized {
-      cachedSigs match {
-        case Some((d, df)) if d == dir && df.sparkSession.eq(s) => df
-        case prev =>
-          // best-effort: the previous cache may belong to a STOPPED
-          // session (multi-session JVM) — its blocks died with the
-          // context, and the unpersist RPC against it throws; that must
-          // not fail the new session's first query
-          prev.foreach(p => try p._2.unpersist(false)
-            catch { case _: Exception => () })
-          val fresh = minhashSigs(s, dir).cache()
-          cachedSigs = Some((dir, fresh))
-          fresh
-      }
+  /** The session-cached signature table, shared by EVERY key that reads
+    * signatures (candidates / verified / calibration / the declared
+    * signature key) — a second `minhashSigs` call would re-pay the full
+    * tokenize + per-shingle md5 pass the cache exists to amortize. */
+  def sharedSigs(s: SparkSession, dir: String): DataFrame = synchronized {
+    cachedSigs match {
+      case Some((d, df)) if d == dir && df.sparkSession.eq(s) => df
+      case prev =>
+        // best-effort: the previous cache may belong to a STOPPED
+        // session (multi-session JVM) — its blocks died with the
+        // context, and the unpersist RPC against it throws; that must
+        // not fail the new session's first query
+        prev.foreach(p => try p._2.unpersist(false)
+          catch { case _: Exception => () })
+        val fresh = minhashSigs(s, dir).cache()
+        cachedSigs = Some((dir, fresh))
+        fresh
     }
+  }
+
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sigs = sharedSigs(s, dir)
     val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), col(s"sig_${2 * b}").as("k1"),
@@ -646,18 +656,26 @@ object TextQueries {
     QueryDef("text_langid_eval",
       s"""WITH p AS ($langIdSql)
          |SELECT lang, predicted_lang, count(*) AS n_docs,
-         |       round(count(*) * 1.0 /
-         |             sum(count(*)) OVER (PARTITION BY lang), 6)
+         |       ((2 * count(*) * 1000000 + sum(count(*)) OVER (PARTITION BY lang))
+         |         // (2 * sum(count(*)) OVER (PARTITION BY lang))) / 1000000.0
          |         AS share_of_lang
          |FROM p GROUP BY lang, predicted_lang
          |ORDER BY lang, predicted_lang""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // integer half-up quotient at 6 dp (the events-slice discipline):
+      // round() of a count-ratio double diverges between engines when
+      // the exact ratio has >6 significant decimals and its shortest
+      // rendering sits on a half boundary (41/640 = 0.0640625 → Spark
+      // 0.064063, DuckDB 0.064062) — the same class the forecast/funnel
+      // keys already fixed
       langIdFrame(s, dir)
         .groupBy(col("lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"))
-        .withColumn("share_of_lang",
-          round(col("n_docs") * lit(1.0) /
-            sum(col("n_docs")).over(Window.partitionBy(col("lang"))), 6))
+        .withColumn("lang_total",
+          sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("predicted_lang"), col("n_docs"),
+          (expr("(2 * n_docs * 1000000 + lang_total) div (2 * lang_total)")
+            / lit(1000000.0)).as("share_of_lang"))
         .orderBy(col("lang"), col("predicted_lang"))
     },
 
@@ -748,9 +766,10 @@ object TextQueries {
       """SELECT doc_id,
         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]+')) AS n_bpe_tokens,
         |       len(list_filter(string_split_regex(text, '[\t\n\f\r ]+'), t -> t != '')) AS n_ws_tokens,
-        |       round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]+')) * 1.0 /
-        |             greatest(len(list_filter(string_split_regex(text, '[\t\n\f\r ]+'), t -> t != '')), 1), 6)
-        |         AS bpe_per_word
+        |       ((2 * len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]+')) * 1000000
+        |           + greatest(len(list_filter(string_split_regex(text, '[\t\n\f\r ]+'), t -> t != '')), 1))
+        |         // (2 * greatest(len(list_filter(string_split_regex(text, '[\t\n\f\r ]+'), t -> t != '')), 1)))
+        |         / 1000000.0 AS bpe_per_word
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val bpe = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\t\\\\n\\\\f\\\\r ]+', 0)"
       val ws = "filter(split(text, '[\\\\t\\\\n\\\\f\\\\r ]+'), t -> t != '')"
@@ -758,9 +777,12 @@ object TextQueries {
         .select(col("doc_id"),
           expr(s"size($bpe)").cast("long").as("n_bpe_tokens"),
           expr(s"size($ws)").cast("long").as("n_ws_tokens"))
+        // integer half-up quotient at 6 dp (both counts are LONGs) —
+        // the round()-of-ratio-double class the jaccard keys shed
         .select(col("doc_id"), col("n_bpe_tokens"), col("n_ws_tokens"),
-          round(col("n_bpe_tokens") * lit(1.0) /
-            greatest(col("n_ws_tokens"), lit(1L)), 6).as("bpe_per_word"))
+          (expr("(2 * n_bpe_tokens * 1000000 + greatest(n_ws_tokens, 1))" +
+            " div (2 * greatest(n_ws_tokens, 1))") / lit(1000000.0))
+            .as("bpe_per_word"))
         .orderBy(col("doc_id"))
     },
 
@@ -935,16 +957,23 @@ object TextQueries {
       s"""WITH toks AS (
          |  SELECT doc_id, list_distinct($toksDuck) AS ts FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       round(len(list_intersect(a.ts, b.ts)) /
-         |             greatest(len(list_distinct(a.ts || b.ts)), 1) / 1.0, 6) AS jaccard
+         |       ((2 * len(list_intersect(a.ts, b.ts)) * 1000000
+         |           + greatest(len(list_distinct(a.ts || b.ts)), 1))
+         |         // (2 * greatest(len(list_distinct(a.ts || b.ts)), 1)))
+         |         / 1000000.0 AS jaccard
          |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin) { (s, dir) =>
       val toks = Scans.table(s, dir, "documents")
         .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
+      // integer half-up quotient at 6 dp: both counts are exact ints,
+      // so the published grid value is engine-identical — round() of the
+      // ratio double diverges on rendering-half cases (41/640 class)
       toks.as("a").join(toks.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("round(size(array_intersect(a.ts, b.ts)) / greatest(size(array_union(a.ts, b.ts)), 1) / 1.0, 6)")
-            .as("jaccard"))
+          expr("""((2L * size(array_intersect(a.ts, b.ts)) * 1000000L
+                 |    + greatest(size(array_union(a.ts, b.ts)), 1))
+                 |  div (2L * greatest(size(array_union(a.ts, b.ts)), 1))) / 1000000.0D"""
+            .stripMargin).as("jaccard"))
         .orderBy(col("doc_a"))
     },
 
@@ -963,7 +992,7 @@ object TextQueries {
          |SELECT doc_id,
          |       ${(0 until 8).map(i => s"min((h * ${2 * i + 1} + $i) % 1000000007) AS sig_$i").mkString(",\n       ")}
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      minhashSigs(s, dir).orderBy(col("doc_id"))
+      sharedSigs(s, dir).orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------
@@ -993,9 +1022,10 @@ object TextQueries {
          |tsets AS (SELECT doc_id, list_distinct(tk) AS ts FROM toks)
          |SELECT * FROM (
          |  SELECT c.doc_a, c.doc_b,
-         |         round(len(list_intersect(ta.ts, tb.ts)) /
-         |               greatest(len(list_distinct(ta.ts || tb.ts)), 1) / 1.0, 6)
-         |           AS jaccard
+         |         ((2 * len(list_intersect(ta.ts, tb.ts)) * 1000000
+         |             + greatest(len(list_distinct(ta.ts || tb.ts)), 1))
+         |           // (2 * greatest(len(list_distinct(ta.ts || tb.ts)), 1)))
+         |           / 1000000.0 AS jaccard
          |  FROM cand c
          |  JOIN tsets ta ON ta.doc_id = c.doc_a
          |  JOIN tsets tb ON tb.doc_id = c.doc_b) v
@@ -1010,9 +1040,15 @@ object TextQueries {
       cand
         .join(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), Seq("doc_a"))
         .join(tsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), Seq("doc_b"))
+        // integer half-up quotient: the jaccard the >= 0.5 VERIFY gate
+        // filters on must be engine-identical, or a ratio on a rounding
+        // boundary passes on one engine and drops on the other — a
+        // row-COUNT mismatch, not just a cell difference
         .select(col("doc_a"), col("doc_b"),
-          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(array_union(ts_a, ts_b)), 1) / 1.0, 6)")
-            .as("jaccard"))
+          expr("""((2L * size(array_intersect(ts_a, ts_b)) * 1000000L
+                 |    + greatest(size(array_union(ts_a, ts_b)), 1))
+                 |  div (2L * greatest(size(array_union(ts_a, ts_b)), 1))) / 1000000.0D"""
+            .stripMargin).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -1040,9 +1076,10 @@ object TextQueries {
          |        JOIN sigs sa ON sa.doc_id = c.doc_a
          |        JOIN sigs sb ON sb.doc_id = c.doc_b),
          |tru AS (SELECT c.doc_a, c.doc_b,
-         |        round(len(list_intersect(ta.ts, tb.ts)) /
-         |              greatest(len(list_distinct(ta.ts || tb.ts)), 1) / 1.0, 6)
-         |          AS true_j
+         |        ((2 * len(list_intersect(ta.ts, tb.ts)) * 1000000
+         |            + greatest(len(list_distinct(ta.ts || tb.ts)), 1))
+         |          // (2 * greatest(len(list_distinct(ta.ts || tb.ts)), 1)))
+         |          / 1000000.0 AS true_j
          |        FROM cand c
          |        JOIN tsets ta ON ta.doc_id = c.doc_a
          |        JOIN tsets tb ON tb.doc_id = c.doc_b)
@@ -1053,7 +1090,10 @@ object TextQueries {
          |FROM est e JOIN tru t ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
          |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, dir) =>
       val cand = lshCandidates(s, dir)
-      val sigs = minhashSigs(s, dir)
+      // the CACHED table (lshCandidates just built it) — a fresh
+      // minhashSigs lineage here would re-tokenize and re-md5 the corpus
+      // once per join side, the cost the session cache exists to share
+      val sigs = sharedSigs(s, dir)
       val matchExpr = (0 until 8)
         .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
         .reduce(_ + _)
@@ -1070,8 +1110,14 @@ object TextQueries {
           Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (matchExpr / lit(8.0)).as("est_j"),
-          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(array_union(ts_a, ts_b)), 1) / 1.0, 6)")
-            .as("true_jaccard"))
+          // integer half-up quotient like the other jaccard keys; the
+          // abs_err round below is then stable too (est_j is an exact
+          // k/8 and true_jaccard an exact 6-dp grid value, so their
+          // difference is an engine-identical double ON the grid)
+          expr("""((2L * size(array_intersect(ts_a, ts_b)) * 1000000L
+                 |    + greatest(size(array_union(ts_a, ts_b)), 1))
+                 |  div (2L * greatest(size(array_union(ts_a, ts_b)), 1))) / 1000000.0D"""
+            .stripMargin).as("true_jaccard"))
         .select(col("doc_a"), col("doc_b"),
           round(col("est_j"), 6).as("est_jaccard"), col("true_jaccard"),
           round(abs(col("est_j") - col("true_jaccard")), 6).as("abs_err"))
@@ -1092,10 +1138,12 @@ object TextQueries {
          |tsets AS (SELECT doc_id, list_distinct(tk) AS ts FROM toks)
          |SELECT * FROM (
          |  SELECT c.doc_a, c.doc_b,
-         |         round(len(list_intersect(ta.ts, tb.ts)) /
-         |               greatest(len(ta.ts), 1) / 1.0, 6) AS contain_a,
-         |         round(len(list_intersect(ta.ts, tb.ts)) /
-         |               greatest(len(tb.ts), 1) / 1.0, 6) AS contain_b
+         |         ((2 * len(list_intersect(ta.ts, tb.ts)) * 1000000
+         |             + greatest(len(ta.ts), 1))
+         |           // (2 * greatest(len(ta.ts), 1))) / 1000000.0 AS contain_a,
+         |         ((2 * len(list_intersect(ta.ts, tb.ts)) * 1000000
+         |             + greatest(len(tb.ts), 1))
+         |           // (2 * greatest(len(tb.ts), 1))) / 1000000.0 AS contain_b
          |  FROM cand c
          |  JOIN tsets ta ON ta.doc_id = c.doc_a
          |  JOIN tsets tb ON tb.doc_id = c.doc_b) v
@@ -1106,10 +1154,17 @@ object TextQueries {
       lshCandidates(s, dir)
         .join(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), Seq("doc_a"))
         .join(tsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), Seq("doc_b"))
+        // integer half-up quotients like the jaccard keys: the >= 0.5
+        // admission gate below reads these, so they must be
+        // engine-identical or the published row SET forks
         .select(col("doc_a"), col("doc_b"),
-          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(ts_a), 1) / 1.0, 6)")
+          expr("""((2L * size(array_intersect(ts_a, ts_b)) * 1000000L
+                 |    + greatest(size(ts_a), 1))
+                 |  div (2L * greatest(size(ts_a), 1))) / 1000000.0D""".stripMargin)
             .as("contain_a"),
-          expr("round(size(array_intersect(ts_a, ts_b)) / greatest(size(ts_b), 1) / 1.0, 6)")
+          expr("""((2L * size(array_intersect(ts_a, ts_b)) * 1000000L
+                 |    + greatest(size(ts_b), 1))
+                 |  div (2L * greatest(size(ts_b), 1))) / 1000000.0D""".stripMargin)
             .as("contain_b"))
         .filter(greatest(col("contain_a"), col("contain_b")) >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1217,7 +1272,7 @@ object TextQueries {
          |n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
          |scored AS (
          |  SELECT tf.doc_id, tf.tok,
-         |         round(tf.tf * n.n * 1.0 / df.df, 6) AS tfidf
+         |         floor(tf.tf * n.n * 1.0 / df.df * 1000000.0 + 0.5) / 1000000.0 AS tfidf
          |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
          |  WHERE tf.doc_id < 20)
          |SELECT doc_id, tok, tfidf, rk FROM (
@@ -1238,8 +1293,15 @@ object TextQueries {
       tf.filter(col("doc_id") < 20)
         .join(df, "tok")
         .crossJoin(broadcast(n))
+        // sign-free half-up quantize, floor(x*1e6 + 0.5): x is the SAME
+        // double on both engines (identical integer operands, identical
+        // op order), and floor of an identical double is identical —
+        // round() splits on the rendering-vs-binary half case (the
+        // forecast-key class). An integer quotient is avoided here
+        // because 2*tf*n*10^6 can overflow BIGINT at corpus scale.
         .select(col("doc_id"), col("tok"),
-          round(col("tf") * col("n") * lit(1.0) / col("df"), 6).as("tfidf"))
+          (floor(col("tf") * col("n") * lit(1.0) / col("df")
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("tfidf"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("tok"), col("tfidf"), col("rk"))
@@ -1281,7 +1343,7 @@ object TextQueries {
          |  FROM d),
          |scored AS (
          |  SELECT doc_id,
-         |         round($score, 4) AS bm25
+         |         floor(($score) * 10000.0 + 0.5) / 10000.0 AS bm25
          |  FROM d CROSS JOIN stats)
          |SELECT rank, doc_id, bm25 FROM (
          |  SELECT doc_id, bm25,
@@ -1304,8 +1366,13 @@ object TextQueries {
             sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("double")
               .as(s"df_$i")): _*)
       // identical association order to the oracle text: every +/*/'/' is
-      // correctly-rounded IEEE double, so same order ⇒ same bits ⇒ the
-      // 4-dp round can't straddle engines
+      // correctly-rounded IEEE double, so same order ⇒ same bits. The
+      // 4-dp quantize is then floor(x*1e4 + 0.5) — portable because
+      // floor of an identical double is identical, while round()
+      // diverges on rendering-half cases (forecast-key class) — and the
+      // score is non-negative (linear idf, tf ≥ 0), so floor(+0.5) IS
+      // half-up. The quantized value drives ORDER BY and the rank cut,
+      // so a divergence near rank 10/11 would change the row SET.
       val score = bm25Terms.indices.map { i =>
         (col("n") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)) *
           (col(s"tf_$i") * lit(2.2)) /
@@ -1313,7 +1380,8 @@ object TextQueries {
             (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n"))))
       }.reduce(_ + _)
       perDoc.crossJoin(broadcast(stats))
-        .select(col("doc_id"), round(score, 4).as("bm25"))
+        .select(col("doc_id"),
+          (floor(score * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(10)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
@@ -2049,8 +2117,8 @@ object TextQueries {
          |         row_number() OVER (ORDER BY freq DESC, term) AS rank
          |  FROM tf) r WHERE rank <= 50)
          |SELECT rank, term, freq,
-         |       round(sum(freq) OVER (ORDER BY rank) * 1.0 / tot.total, 6)
-         |         AS cum_share
+         |       ((2 * sum(freq) OVER (ORDER BY rank) * 1000000 + tot.total)
+         |         // (2 * tot.total)) / 1000000.0 AS cum_share
          |FROM top, tot ORDER BY rank""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val tf = Scans.table(s, dir, "documents")
@@ -2063,9 +2131,14 @@ object TextQueries {
           row_number().over(Window.orderBy(col("freq").desc, col("term")))
             .cast("long"))
         .crossJoin(broadcast(tot))
+        // integer half-up quotient (cumulative freq and total are exact
+        // LONGs; total >= 1 whenever a top row exists) — the
+        // round()-of-ratio class the jaccard keys shed
+        .withColumn("cum_freq",
+          sum(col("freq")).over(Window.orderBy(col("rank"))))
         .withColumn("cum_share",
-          round(sum(col("freq")).over(Window.orderBy(col("rank"))) * lit(1.0)
-            / col("total"), 6))
+          expr("(2 * cum_freq * 1000000 + total) div (2 * total)")
+            / lit(1000000.0))
         .select(col("rank"), col("term"), col("freq"), col("cum_share"))
         .orderBy(col("rank"))
     },
