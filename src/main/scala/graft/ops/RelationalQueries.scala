@@ -347,19 +347,32 @@ object RelationalQueries {
     QueryDef("window_ntile",
       """SELECT c_custkey, c_mktsegment,
         |       ntile(4) OVER w AS balance_quartile,
-        |       round(percent_rank() OVER w, 6) AS pct_rank
+        |       ((2 * (row_number() OVER w - 1) * 1000000
+        |           + greatest(count(*) OVER p - 1, 1))
+        |         // (2 * greatest(count(*) OVER p - 1, 1))) / 1000000.0
+        |         AS pct_rank
         |FROM customer
         |WHERE c_custkey <= 500
         |WINDOW w AS (PARTITION BY c_mktsegment
-        |             ORDER BY c_acctbal, c_custkey)
+        |             ORDER BY c_acctbal, c_custkey),
+        |       p AS (PARTITION BY c_mktsegment)
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      val p = Window.partitionBy(col("c_mktsegment"))
+      // percent_rank as an integer half-up quotient: the order key ends
+      // in the unique c_custkey, so there are no peers and
+      // (row_number−1)/(n−1) IS percent_rank — published on the 6-dp
+      // grid instead of round()'s engine-divergent half handling
       Scans.table(s, dir, "customer")
         .filter(col("c_custkey") <= 500)
         .select(col("c_custkey"), col("c_mktsegment"),
           ntile(4).over(w).cast("long").as("balance_quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"))
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(p).as("n"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("balance_quartile"),
+          (expr("(2 * (rn - 1) * 1000000 + greatest(n - 1, 1))" +
+            " div (2 * greatest(n - 1, 1))") / lit(1000000.0)).as("pct_rank"))
         .orderBy(col("c_custkey"))
     },
 
@@ -513,19 +526,34 @@ object RelationalQueries {
     // ------------------------------------------------------------------
     QueryDef("window_percent_rank",
       """SELECT c_nationkey, c_custkey,
-        |       round(percent_rank() OVER (PARTITION BY c_nationkey
-        |               ORDER BY c_acctbal, c_custkey), 6) AS pr,
-        |       round(cume_dist() OVER (PARTITION BY c_nationkey
-        |               ORDER BY c_acctbal, c_custkey), 6) AS cd
+        |       ((2 * (row_number() OVER w - 1) * 1000000
+        |           + greatest(count(*) OVER p - 1, 1))
+        |         // (2 * greatest(count(*) OVER p - 1, 1))) / 1000000.0 AS pr,
+        |       ((2 * row_number() OVER w * 1000000 + count(*) OVER p)
+        |         // (2 * count(*) OVER p)) / 1000000.0 AS cd
         |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal, c_custkey),
+        |       p AS (PARTITION BY c_nationkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      val p = Window.partitionBy(col("c_nationkey"))
+      // the order key ends in the unique c_custkey, so there are no
+      // peers: percent_rank = (row_number−1)/(n−1) and cume_dist =
+      // row_number/n exactly — published as integer half-up quotients
+      // on the 6-dp grid (round() of the rank-ratio double is the
+      // engine-divergent rendering-half class the jaccard keys shed)
       Scans.table(s, dir, "customer")
         .filter(col("c_custkey") <= 200)
         .select(col("c_nationkey"), col("c_custkey"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(p).as("n"))
+        .select(col("c_nationkey"), col("c_custkey"),
+          (expr("(2 * (rn - 1) * 1000000 + greatest(n - 1, 1))" +
+            " div (2 * greatest(n - 1, 1))") / lit(1000000.0)).as("pr"),
+          (expr("(2 * rn * 1000000 + n) div (2 * n)") / lit(1000000.0))
+            .as("cd"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
     })
 }
