@@ -59,7 +59,12 @@ object Bench {
     def timed(body: => Unit): Option[Double] = {
       val t0 = System.nanoTime()
       try { body; Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      // NonFatal only: swallowing an OOM/LinkageError would let the
+      // bench keep "measuring" in a heap-thrashing JVM and overwrite
+      // the committed trend artifact with post-OOM garbage while
+      // exiting 0 — a fatal error must crash the run so no artifact
+      // lands at all
+      catch { case scala.util.control.NonFatal(_) => None }
     }
     // lower-median over successful runs: with min alone, a noisy
     // measurement window (the r5 driver/builder 57-vs-44 s delta) is

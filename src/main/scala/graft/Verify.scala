@@ -86,7 +86,15 @@ object Verify {
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val (errors, missing) = run(spark, selected, SparkEntry.oracleSql, sfDir, outDir)
+    // a FILTERED run scopes the oracle manifest to the filter too: the
+    // stale-dir delete only covers selected keys, so an unfiltered
+    // manifest over a reused outDir would pair THIS build's oracle SQL
+    // with a previous build's parquet for every unselected key — old
+    // results reading as this run's correctness, the exact false-PASS
+    // the stale-dir delete exists to prevent
+    val oracles = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val (errors, missing) = run(spark, selected, oracles, sfDir, outDir)
     spark.stop()
     if (errors.nonEmpty || missing.nonEmpty) {
       System.err.println(

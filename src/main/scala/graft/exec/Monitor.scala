@@ -26,14 +26,26 @@ final class CopyMonitor extends SparkListener {
   private val _samples =
     new java.util.concurrent.CopyOnWriteArrayList[CopyMonitor.Sample]
 
-  override def onTaskStart(taskStart: SparkListenerTaskStart): Unit =
+  // wall-clock anchor for the cumulative throughput read
+  private val attachedNs = System.nanoTime()
+
+  // task ids this listener actually saw START: a task launched BEFORE
+  // the listener attached still delivers its onTaskEnd, and decrementing
+  // for it would under-report the gauge for the whole overlap (a floor
+  // at 0 only hides the symptom once it reaches zero — mid-range the
+  // count is still wrong)
+  private val started =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  override def onTaskStart(taskStart: SparkListenerTaskStart): Unit = {
+    started.add(taskStart.taskInfo.taskId)
     activeTasks.incrementAndGet()
+  }
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
-    // floor at 0: a task launched BEFORE this listener attached still
-    // delivers its onTaskEnd, which would otherwise drive the gauge
-    // negative and publish nonsense active-task counts in the samples
-    activeTasks.updateAndGet(n => math.max(0, n - 1))
+    // decrement ONLY for tasks this listener counted in
+    if (taskEnd.taskInfo != null && started.remove(taskEnd.taskInfo.taskId))
+      activeTasks.decrementAndGet()
     val m = taskEnd.taskMetrics
     if (m != null && CopyMonitor.countsAttempt(taskEnd.reason)) {
       recordsWritten.add(m.outputMetrics.recordsWritten)
@@ -54,8 +66,14 @@ final class CopyMonitor extends SparkListener {
     _samples.asScala.toSeq
   }
 
+  /** Cumulative WALL-CLOCK MB/s since the listener attached — the same
+    * basis as the sampler's intervalMbPerSec and the reference's
+    * 'Log Bytes Flushed/sec' analog. Dividing by the summed per-task
+    * executor time (`taskTimeMs`, still exposed as its own counter)
+    * would under-report by roughly the parallelism factor — a 32-task
+    * copy would read 32× slower than the interval samples around it. */
   def mbPerSec: Double = {
-    val secs = taskTimeMs.sum() / 1000.0
+    val secs = (System.nanoTime() - attachedNs) / 1e9
     if (secs <= 0) 0.0 else bytesWritten.sum() / (1024.0 * 1024.0) / secs
   }
 }

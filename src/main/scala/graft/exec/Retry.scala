@@ -61,29 +61,54 @@ object Retry {
         }
       }
     }
-    // PERMANENT roots dominate the whole chain: Hadoop/Parquet readers
-    // routinely wrap a FileNotFound/EOF root in a generic IOException,
-    // and classifying the wrapper first would retry maxAttempts full
-    // jobs for a source that never heals — the exact waste the
-    // fail-fast carve-out exists to prevent
-    if (chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+    // An EXPLICITLY transient SQL classification anywhere in the chain
+    // wins outright: JDBC drivers report severed connections as
+    // SQLState-08 / whitelisted-vendor-code exceptions WRAPPING an
+    // EOFException (MySQL's CommunicationsException is exactly
+    // 'Can not read response' caused by EOFException), and letting the
+    // file-error carve-out below dominate would fail-fast the precise
+    // connection-severed family the whitelist exists to retry.
+    if (chain.exists(isTransientSql)) true
+    // Then PERMANENT roots dominate: Hadoop/Parquet readers routinely
+    // wrap a FileNotFound/EOF root in a generic IOException, and
+    // classifying the wrapper first would retry maxAttempts full jobs
+    // for a source that never heals
+    else if (chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
         c.isInstanceOf[java.io.EOFException])) false
     else chain.exists(isTransientRoot)
   }
 
-  private def isTransientRoot(e: Throwable): Boolean = e match {
-    // JDBC's own classification: driver says "retry may succeed"
+  /** The SQL layer's own "retry may succeed" verdicts — authoritative
+    * over file-level carve-outs (see isTransient's ordering). */
+  private def isTransientSql(e: Throwable): Boolean = e match {
     case _: java.sql.SQLTransientException   => true
     case _: java.sql.SQLRecoverableException => true
     case e: java.sql.SQLException =>
       val state = Option(e.getSQLState).getOrElse("")
       transientSqlStateClasses.exists(state.startsWith) ||
         transientVendorCodes.contains(e.getErrorCode)
+    case _ => false
+  }
+
+  private def isTransientRoot(e: Throwable): Boolean = e match {
+    // JDBC's own classification: driver says "retry may succeed"
+    case s: java.sql.SQLException => isTransientSql(s)
     // permanent file errors: a missing or truncated source never heals
     // by retrying — fail fast instead of burning maxAttempts full jobs
     case _: java.io.FileNotFoundException => false
     case _: java.io.EOFException          => false
-    case _: java.io.IOException => true
+    // permanent LOCAL-FS members of the IOException family: an
+    // unwritable path or an existing target never heals either
+    case _: java.nio.file.AccessDeniedException      => false
+    case _: java.nio.file.NoSuchFileException        => false
+    case _: java.nio.file.FileAlreadyExistsException => false
+    case e: java.io.IOException =>
+      // disk-full surfaces as a bare IOException with a stable message —
+      // retrying 5 full jobs against a full disk is the burn the
+      // fail-fast carve-outs exist to prevent
+      val m = Option(e.getMessage).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT)
+      !m.contains("no space left")
     case e: RuntimeException =>
       // last-resort message heuristic (case-insensitive — a capitalized
       // "Transient network error" must not slip past); typed and

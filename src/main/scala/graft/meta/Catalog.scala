@@ -182,11 +182,20 @@ object Catalog {
     tableNames.zipWithIndex.flatMap { case (n, i) =>
       val m = declared(n)
       val colIds = columnIds(n)
+      // the PRINCIPAL index id must match the sys.indexes row the table
+      // actually emits (heap → 0, clustered → 1) — hardcoding 1 leaves a
+      // partitioned or sorted Heap's column rows dangling: no
+      // (object_id, index_id) partner in sys_indexes, so a catalog join
+      // silently drops them on BOTH gate sides at once
+      val principal = m.storage match {
+        case Storage.Heap => 0
+        case _            => 1
+      }
       val keyRows = m.sortKeys.zipWithIndex.map { case (k, ord) =>
-        (i + 1, 1, colIds(k.col), ord + 1, if (k.descending) 1 else 0, 0)
+        (i + 1, principal, colIds(k.col), ord + 1, if (k.descending) 1 else 0, 0)
       }
       val partRows = m.partitionCol.toSeq.map { pc =>
-        (i + 1, 1, colIds(pc), 0, 0, 1)
+        (i + 1, principal, colIds(pc), 0, 0, 1)
       }
       keyRows ++ partRows
     }

@@ -75,7 +75,29 @@ object PersistedState {
           fs.delete(probe, false)
           true
         }
-      } catch { case _: Exception => false }
+      } catch {
+        // only a PERMISSION/read-only verdict selects the fallback; any
+        // other probe failure (HDFS safe-mode, an object store's 503)
+        // PROPAGATES — the same rule the write itself follows, because a
+        // momentary blip at probe time would otherwise silently divert
+        // durable state to node-local scratch for the rest of the JVM
+        // (callers cache the chosen path), never populate the production
+        // location, and lose appended history with the node
+        case _: org.apache.hadoop.security.AccessControlException => false
+        case _: java.nio.file.AccessDeniedException               => false
+        // the preferred path can NEVER be a state dir (a corpus that is
+        // itself a file, or a file squatting on the dir name) — as
+        // permanent as a permission denial
+        case _: org.apache.hadoop.fs.ParentNotDirectoryException  => false
+        case _: java.nio.file.FileAlreadyExistsException          => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException   => false
+        case e: java.io.IOException if {
+          val m = Option(e.getMessage).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT)
+          m.contains("read-only") || m.contains("permission denied") ||
+            m.contains("access denied")
+        } => false
+      }
     val target =
       if (spark.conf.getOption(confKey).nonEmpty || preferredWritable) preferred
       else {
