@@ -148,6 +148,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(g == 1)
   }
 
+  test("retry: transient SQL verdict beats the file carve-out; local FS fails fast") {
+    // MySQL's CommunicationsException shape: a SQLState-08 connection
+    // error WRAPPING an EOFException — the SQL layer's explicit
+    // transient verdict must win over the EOF fail-fast carve-out, or
+    // the exact connection-severed family the whitelist exists to retry
+    // fails on attempt 1
+    var a = 0
+    assert(Retry.withRetry(3) { a += 1
+      if (a < 2) throw new java.sql.SQLException(
+        "Can not read response from server", "08S01",
+        new java.io.EOFException("unexpected end of stream"))
+      a } == 2)
+    // permanent members of the IOException family never heal: disk-full
+    // and access-denied must not burn maxAttempts full jobs
+    var b = 0
+    intercept[java.io.IOException] {
+      Retry.withRetry(3) { b += 1
+        throw new java.io.IOException("No space left on device") }
+    }
+    assert(b == 1)
+    var c = 0
+    intercept[java.nio.file.AccessDeniedException] {
+      Retry.withRetry(3) { c += 1
+        throw new java.nio.file.AccessDeniedException("/readonly/dest") }
+    }
+    assert(c == 1)
+  }
+
   test("retry: message heuristic is case-insensitive; maxAttempts >= 1") {
     var a = 0
     assert(Retry.withRetry(3) { a += 1
@@ -248,6 +276,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(!CopyMonitor.countsAttempt(org.apache.spark.UnknownReason))
     assert(!CopyMonitor.countsAttempt(
       org.apache.spark.TaskKilled("speculative duplicate")))
+  }
+
+  test("monitor gauge ignores tasks it never saw start") {
+    // a task launched BEFORE the listener attached still delivers its
+    // onTaskEnd — decrementing for it under-reports the gauge for the
+    // whole overlap (and a floor at 0 only hides the symptom at zero)
+    import org.apache.spark.scheduler._
+    val mon = new graft.exec.CopyMonitor
+    def info(id: Long) =
+      new TaskInfo(id, 0, 0, 0, 0L, "exec", "host", TaskLocality.ANY, false)
+    def end(id: Long) = SparkListenerTaskEnd(
+      1, 0, "ResultTask", org.apache.spark.Success, info(id), null, null)
+    mon.onTaskEnd(end(1)) // pre-attach task: never counted in
+    assert(mon.activeTasks.get() == 0)
+    mon.onTaskStart(SparkListenerTaskStart(1, 0, info(2)))
+    assert(mon.activeTasks.get() == 1)
+    mon.onTaskEnd(end(1)) // another unseen end mid-run: gauge untouched
+    assert(mon.activeTasks.get() == 1)
+    mon.onTaskEnd(end(2))
+    assert(mon.activeTasks.get() == 0)
   }
 
   test("fragmented staging is corpus-keyed and never re-stages a seen dir") {
