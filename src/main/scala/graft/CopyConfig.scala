@@ -154,10 +154,10 @@ object CopyConfig {
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(s"bad logical-partitions size: $lp")
           }
-        // 0gb would divide the planner to Infinity (max fan-out from an
-        // invalid value); reject HERE like every other malformed option
-        if (gb <= 0)
-          throw new IllegalArgumentException(s"bad logical-partitions size: $lp")
+        // non-positive sizes reject at CONSTRUCTION —
+        // PartitionStrategy.SizeGb's own require is the one copy of the
+        // bound, and its IllegalArgumentException maps to exit 1 here
+        // exactly like a loader-thrown one
         PartitionStrategy.SizeGb(gb.toDouble)
       case Some(lp) =>
         val n =
@@ -167,21 +167,35 @@ object CopyConfig {
               "logical-partitions can only contain \"auto\", a number (eg: 7) " +
                 s"or a size in GB (eg: 10GB); got: $lp")
           }
-        // "0" or a negative count would plan zero slices — a silent
-        // no-copy; reject at load, not at the empty run it produces
-        if (n <= 0)
-          throw new IllegalArgumentException(
-            s"logical-partitions count must be positive; got: $lp")
+        // non-positive counts reject at CONSTRUCTION (the
+        // PartitionStrategy.Count require — one copy of the bound)
         PartitionStrategy.Count(n)
     }
 
     val safeCheck = opt("safe-check").map(_.asText())
       .fold("readonly")(normalizeSafeCheck)
 
+    // STRICT boolean: only a JSON true/false (or the exact strings
+    // "true"/"false") is accepted — Jackson's lenient asBoolean would
+    // turn "yes"/"True"/1 into the DEFAULT silently, so a user writing
+    // "truncate-tables": "yes" would run an append and fail
+    // reconciliation with no hint why, and "stop-if" gates they thought
+    // disabled would still abort the run. Same hazard class as the
+    // fractional batch-size asIntStrict rejects.
+    def asBooleanStrict(n: JsonNode, key: String): Boolean =
+      if (n.isBoolean) n.asBoolean()
+      else n.asText() match {
+        case "true"  => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"$key must be true or false; got: $other")
+      }
+
     // stop-if flags default ON; only an explicit false removes one
     val stopIf = opt("stop-if")
     def stopFlag(key: String): Boolean =
-      stopIf.flatMap(at(_, key)).forall(_.asBoolean(true))
+      stopIf.flatMap(at(_, key))
+        .forall(asBooleanStrict(_, s"stop-if.$key"))
 
     def asIntStrict(n: JsonNode, key: String): Int =
       if (n.isIntegralNumber && n.canConvertToInt) n.asInt()
@@ -195,6 +209,12 @@ object CopyConfig {
       }
     def intOpt(key: String, default: Int): Int =
       opt(key).map(asIntStrict(_, key)).getOrElse(default)
+    // a scalar where the retry OBJECT belongs must throw, not silently
+    // run with default retry policy
+    opt("retry-connection").foreach { n =>
+      if (!n.isObject) throw new IllegalArgumentException(
+        "retry-connection must be an object with max-attempt/delay-increment")
+    }
     def retryOpt(key: String, default: Int): Int =
       opt("retry-connection").flatMap(at(_, key))
         .map(asIntStrict(_, s"retry-connection.$key")).getOrElse(default)
@@ -217,11 +237,14 @@ object CopyConfig {
       plan = plan,
       safeCheck = safeCheck,
       // reference default: false (SmartBulkCopyConfig.cs:104)
-      truncateTables = opt("truncate-tables").exists(_.asBoolean(false)),
+      truncateTables = opt("truncate-tables")
+        .exists(asBooleanStrict(_, "truncate-tables")),
       retryMaxAttempt = retryOpt("max-attempt", 5),
       retryDelayIncrement = retryOpt("delay-increment", 10),
       commandTimeout = intOpt("command-timeout", 90 * 60),
-      syncIdentity = opt("sync-identity").exists(_.asBoolean(false)),
-      compatibilityMode = opt("compatibility-mode").exists(_.asBoolean(false)))
+      syncIdentity = opt("sync-identity")
+        .exists(asBooleanStrict(_, "sync-identity")),
+      compatibilityMode = opt("compatibility-mode")
+        .exists(asBooleanStrict(_, "compatibility-mode")))
   }
 }

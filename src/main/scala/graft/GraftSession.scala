@@ -34,6 +34,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the per-pid warehouse is garbage once this process ends (no later
+    // run can reuse a dead pid's path) — reclaim it at exit instead of
+    // accumulating one copy per bench/verify process until tmp fills
+    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
     // testdata is read-only: persisted pipeline state goes to scratch
     // instead of its production default beside the corpus
     graft.ops.PersistedState.relocateToScratch(s)

@@ -21,4 +21,23 @@ object Fs {
       paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  private val exitPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val exitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      exitPaths.forEach(p =>
+        try deleteTree(p) catch { case _: Exception => () })
+    }, "graft-scratch-cleanup"))
+
+  /** Register a per-PROCESS scratch root for best-effort deletion at JVM
+    * exit. The per-pid naming that makes these roots race-free across
+    * concurrent drivers also makes them garbage the moment this process
+    * ends — no later run can ever reuse a path keyed by a dead pid, so
+    * without the hook a bench loop accumulates one warehouse + staging
+    * copy per process until tmp fills. */
+  def deleteOnExit(path: java.nio.file.Path): Unit = {
+    exitHook
+    exitPaths.add(path)
+  }
 }

@@ -9,8 +9,14 @@ import graft.model._
   * `client/CopyInfo.cs:24-68`). This module renders the same shapes in
   * Spark SQL dialect (backtick quoting = the QUOTENAME analog,
   * `SmartBulkCopy.cs:836`) and executes them with `spark.sql` over
-  * registered views — proving the engine's declared plans and its SQL
-  * surface agree.
+  * registered views — proving the engine's ROW results and its SQL
+  * surface agree (PipelineSpec compares via exceptAll). Plan shapes
+  * intentionally differ on one axis: this surface renders the
+  * reference's literal global `ORDER BY` (text fidelity), while the
+  * engine's own executor uses sortWithinPartitions — per-partition
+  * order is all the partition-parallel sink consumes, and a global
+  * range-shuffle would pay for a total order nothing reads
+  * (`Scans.orderedWithinPartitions`).
   */
 object SqlGen {
 
@@ -34,9 +40,17 @@ object SqlGen {
   def whereClause(slice: SliceSpec, allColumns: Seq[String]): String = slice match {
     case SliceSpec.Whole => ""
     case SliceSpec.Physical(pcol, n) =>
-      // range form of `$partition.pf(col) = n` (pushdown-friendly)
+      // range form of `$partition.pf(col) = n`, with PLAIN string
+      // literals: Spark's analyzer casts the string side to the COLUMN's
+      // own type (date, timestamp, or ntz — the three encodings the
+      // testdata contract accepts), so the predicate pushes down for
+      // every one of them. A typed TIMESTAMP literal against a DATE
+      // column would instead cast the COLUMN, lose PushedFilters, and
+      // full-scan each physical slice — the drift the DataFrame twin
+      // (Scans.physicalPartitionRange, which casts the literal) exists
+      // to prevent.
       val lo = Scans.DefaultEpochYear + n
-      s"WHERE ${quote(pcol)} >= TIMESTAMP '$lo-01-01' AND ${quote(pcol)} < TIMESTAMP '${lo + 1}-01-01'"
+      s"WHERE ${quote(pcol)} >= '$lo-01-01' AND ${quote(pcol)} < '${lo + 1}-01-01'"
     case SliceSpec.Logical(keys, count, index) =>
       val key =
         if (keys.nonEmpty)

@@ -106,16 +106,20 @@ object SliceSpec {
     // sliceKeyPortable / SqlGen.whereClause): a LEFT-NESTED integer
     // 31-fold over the key columns — ((a*31+b)*31+c), the same reduce
     // both executors run, NOT the flat a*31+b*31+c a plain mkString
-    // would render — or xxhash64 over all columns for a key-less
-    // table; never Spark's hash(). Keyed equality with the generated
-    // SQL is pinned in PlannerSpec.
+    // would render; never Spark's hash(). Keyed equality with the
+    // generated SQL is pinned in PlannerSpec. The key-less form hashes
+    // the work item's SELECTED column list, which this slice object
+    // does not carry — the placeholder says so explicitly, because a
+    // literal `xxhash64(*)` pasted over the raw table would hash the
+    // EXCLUDED columns too and select different rows than the executor
+    // (SqlGen.whereClause enumerates the filtered list).
     def describe =
       if (keyCols.nonEmpty) {
         val fold = keyCols
           .map(c => s"CAST(`${c.replace("`", "``")}` AS BIGINT)")
           .reduce((a, b) => s"($a * 31 + $b)")
         s"pmod(abs($fold), $count) = $index"
-      } else s"pmod(abs(xxhash64(*)), $count) = $index"
+      } else s"pmod(abs(xxhash64(<selected columns>)), $count) = $index"
   }
 }
 

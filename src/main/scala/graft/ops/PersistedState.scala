@@ -31,6 +31,9 @@ object PersistedState {
     val tmp = System.getProperty("java.io.tmpdir")
     spark.conf.set(FpIndexDirKey, s"$tmp/graft_fp_index_$procTag")
     spark.conf.set(IvfLayoutDirKey, s"$tmp/graft_ivf_layout_$procTag")
+    // per-pid roots are unreachable once this process ends — reclaim
+    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(s"$tmp/graft_fp_index_$procTag"))
+    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(s"$tmp/graft_ivf_layout_$procTag"))
   }
 
   /** Short corpus-dir digest — the collision key for relocated state
@@ -43,8 +46,13 @@ object PersistedState {
     * the beside-the-corpus default is unwritable (read-only storage and
     * no relocation conf set — e.g. a driver that never calls
     * [[relocateToScratch]]). */
-  def scratchFallback(dir: String, subdir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${subdir}_$procTag/${corpusKey(dir)}"
+  def scratchFallback(dir: String, subdir: String): String = {
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_${subdir}_$procTag"
+    // per-pid scratch is garbage after this process — reclaim at exit
+    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(root))
+    s"$root/${corpusKey(dir)}"
+  }
 
   /** Write persisted state via `write(path)` at the preferred location,
     * falling back to scratch when the BESIDE-THE-CORPUS DEFAULT is

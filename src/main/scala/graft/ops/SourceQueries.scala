@@ -21,10 +21,13 @@ object SourceQueries {
   // can surface as FileNotFound mid-overwrite or an aggregate silently
   // computed over a mix of both corpora's part files. Same path shape
   // as PersistedState.scratchFallback (proc tag + corpusKey).
-  private def tmp(dir: String, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_sources_" +
-      s"${java.lang.ProcessHandle.current().pid()}/" +
-      s"${PersistedState.corpusKey(dir)}/$name"
+  private def tmp(dir: String, name: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_sources_" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    // per-pid staging is garbage after this process — reclaim at exit
+    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(root))
+    s"$root/${PersistedState.corpusKey(dir)}/$name"
+  }
 
   val entries: Seq[QueryDef] = Seq(
 

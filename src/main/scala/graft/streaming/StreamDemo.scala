@@ -10,12 +10,11 @@ import java.sql.Timestamp
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
-    val spark: SparkSession = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the ONE shared session config (GraftSession) — a verbatim builder
+    // copy here is the drifted-session bug class the shared def exists
+    // to end: a conf added there (extension, codegen flag, timezone)
+    // would silently not reach this entry point's streaming run
+    val spark: SparkSession = graft.GraftSession.build("4")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
