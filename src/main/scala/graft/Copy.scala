@@ -198,19 +198,29 @@ object Copy {
     if (mutatedSources) return 2
 
     // CheckResults phase (`SmartBulkCopy.cs:216-245`): recount both ends
-    // — source from the count already collected under the analysis
-    // phase (re-scanning every source here would double the run's
-    // source-side IO at 100 TB for zero extra verification: the
-    // readonly footprint re-stat above already proves the source
-    // unchanged since that count was taken, and copyTable's own
-    // reconciliation reuses the same number), destination from
-    // committed parquet footers — after ALL copies are done.
+    // after ALL copies are done. Source side reuses the analysis-phase
+    // count ONLY when the run holds evidence it is still current:
+    //   - "readonly": the footprint re-stat above just proved every
+    //     source byte-identical since that count was taken — a recount
+    //     would double the run's source-side IO at 100 TB for zero
+    //     extra verification;
+    //   - "snapshot": the caller DECLARED the inputs externally
+    //     immutable (an immutable snapshot path); trusting the declared
+    //     count is that mode's contract — a caller who wants the gate
+    //     picks readonly;
+    //   - "none": no stability evidence of any kind, so CheckResults
+    //     recounts the source for real, reproducing the reference's
+    //     unconditional recount — otherwise a source mutated during the
+    //     copy would silently pass the final rowcount gate on the
+    //     stale analysis-phase number (and the per-process
+    //     Catalog.collect cache would keep feeding that stale count to
+    //     every later phase).
     val allMatch = analyzed.forall { case (src, dst) =>
       val destRows =
         if (jdbcDest) spark.read.jdbc(destDir, dst.name, jdbcProps).count()
         else Sinks.committedRowCount(spark, s"$destDir/${dst.name}.parquet")
       val srcRows =
-        if (src.rowCount > 0L) src.rowCount
+        if (safeCheckMode != "none" && src.rowCount > 0L) src.rowCount
         else Scans.table(spark, sfDir, src.name).count()
       srcRows == destRows
     }

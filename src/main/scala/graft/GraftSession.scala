@@ -42,6 +42,11 @@ object GraftSession {
     // testdata is read-only: persisted pipeline state goes to scratch
     // instead of its production default beside the corpus
     graft.ops.PersistedState.relocateToScratch(s)
+    // pin derby.system.home BEFORE any code path can boot the embedded
+    // engine: the home is consulted exactly once at first boot, and a
+    // raw jdbc:derby: URL reached ahead of DerbyEnv would otherwise
+    // drop derby.log into the process CWD for the rest of the JVM
+    graft.exec.DerbyEnv.home
     s
   }
 }

@@ -28,6 +28,21 @@ object DerbyEnv {
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", h)
     new java.io.File(h).mkdirs()
+    // Per-pid naming makes the home garbage the moment this process
+    // ends (no later run can reuse a dead pid's path), so reclaim it at
+    // exit — the same accumulation fix the warehouse/staging/persisted-
+    // state roots carry via Fs.deleteOnExit. Derby is shut down FIRST
+    // (the engine-wide `jdbc:derby:;shutdown=true`, which signals
+    // success by throwing XJ015) so its long-lived databases under the
+    // home (dbPath: the identity DB, bench copy destinations) release
+    // their locks/fds before the tree delete; both steps best-effort —
+    // cleanup must never turn a clean exit into a failure.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+      catch { case _: Throwable => () } // XJ015 = clean engine shutdown
+      try Fs.deleteTree(java.nio.file.Paths.get(h))
+      catch { case _: Exception => () }
+    }, "graft-derby-cleanup"))
     h
   }
 

@@ -315,7 +315,13 @@ object Pipeline {
         // every attempt requires the destination to still hold its
         // pre-load committed count; a partial attempt fails loudly
         // (copy-phase error, exit 3) instead of silently double-loading.
-        val preRows = committedRowsOrAbsent(spark, dest)
+        // The PRE-load probe retries under the same policy as the
+        // attempts: it runs before the first attempt's withRetry, so
+        // without its own wrapper a momentary destination blip at
+        // probe time would propagate unretried and fail the table.
+        val preRows = Retry.withRetry(
+          maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs)(
+          committedRowsOrAbsent(spark, dest))
         Retry.withRetry(
           maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
           val nowRows = committedRowsOrAbsent(spark, dest)
@@ -407,11 +413,16 @@ object Pipeline {
       // permanent 'partial append' failure) or, with both probes
       // failing, vacuously passed it and re-enabled the double-load.
       // Inside the retry a thrown probe classifies via isTransient like
-      // any other attempt error.
+      // any other attempt error; the PRE-load probe runs before the
+      // first attempt, so it carries its own withRetry (same policy) —
+      // a momentary connection failure before attempt 1 retries exactly
+      // like one during it.
       def probe(): Option[Long] =
         if (!Sinks.jdbcTableExists(url, dst.name, props)) None
         else Some(spark.read.jdbc(url, dst.name, props).count())
-      val preRows = probe()
+      val preRows = Retry.withRetry(
+        maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs)(
+        probe())
       Retry.withRetry(
         maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
         val nowRows = probe()

@@ -196,17 +196,49 @@ object Sinks {
 
   /** Connection-reusing overload: a caller that already holds the
     * connection (the streaming upsert probes and then DELETEs on one)
-    * must not pay a second connection per micro-batch for the probe. */
+    * must not pay a second connection per micro-batch for the probe.
+    *
+    * The probe is scoped to the connection's CURRENT schema (the schema
+    * the subsequent unqualified read/load resolves against): with a null
+    * schema pattern, a same-named table in ANY other schema — another
+    * user's, say — would make the probe answer true while the load's
+    * count resolves a DIFFERENT (or absent) table, turning the append
+    * guard into either a spurious 'table not found' failure or a probe
+    * of the wrong table. Drivers that don't expose a current schema
+    * (null / SQLFeatureNotSupported) fall back to the unscoped search.
+    * Matches are verified by EXACT name (and schema) equality on the
+    * result rows, so a driver reporting an empty or multi-char
+    * `getSearchStringEscape` — where LIKE wildcards can't be escaped at
+    * all — still can't produce a false positive via a live '_'/'%'.
+    */
   def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
     val meta = conn.getMetaData
+    val schema: String =
+      try conn.getSchema
+      catch {
+        case _: java.sql.SQLException => null
+        case _: AbstractMethodError   => null // pre-JDBC-4.1 driver
+      }
     val esc = meta.getSearchStringEscape
-    def escaped(n: String): String = n.flatMap { c =>
-      if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
-      else c.toString
-    }
+    // only a single-char escape is usable in a LIKE pattern; an empty or
+    // multi-char one would corrupt the pattern instead of escaping it
+    val escOk = esc != null && esc.length == 1
+    def escaped(n: String): String =
+      if (!escOk) n // wildcards stay live; the exact post-filter guards
+      else n.flatMap { c =>
+        if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
+        else c.toString
+      }
     def one(n: String): Boolean = {
-      val rs = meta.getTables(null, null, escaped(n), null)
-      try rs.next() finally rs.close()
+      val rs = meta.getTables(
+        null, if (schema == null) null else escaped(schema), escaped(n), null)
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME") == n &&
+            (schema == null || rs.getString("TABLE_SCHEM") == schema)
+        found
+      } finally rs.close()
     }
     one(table) || one(table.toUpperCase(java.util.Locale.ROOT))
   }

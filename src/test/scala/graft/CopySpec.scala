@@ -485,6 +485,36 @@ class CopySpec extends SparkSpecBase {
       safeCheck = "readonly") == 0)
   }
 
+  test("safe-check none still recounts at CheckResults (reference recount)") {
+    // With the footprint gate OFF, the run holds NO evidence that the
+    // analysis-phase source count is still current — so the final
+    // rowcount gate must recount the source for real, the reference's
+    // unconditional CheckResults recount (SmartBulkCopy.cs:216-245).
+    // Before the fix, the cached analysis count made a source that GREW
+    // rows during the copy reconcile silently clean under
+    // safe-check=none.
+    def stage(): String = {
+      val s = java.nio.file.Files.createTempDirectory("graft_grow_src").toString
+      Scans.table(spark, sfDir, "region").coalesce(1)
+        .write.parquet(s"$s/region.parquet")
+      s
+    }
+    // append one real row to the SOURCE mid-run: rowcount changes, so a
+    // recount catches it even though the footprint gate is off
+    def growSource(src: String): Unit =
+      Scans.table(spark, src, "region").limit(1)
+        .write.mode("append").parquet(s"$src/region.parquet")
+    val s1 = stage()
+    assert(Copy.run(spark, s1, destDir, Seq("region"), truncateTables = true,
+      safeCheck = "none", postCopyHook = _ => growSource(s1)) == 2)
+    // snapshot mode DECLARES the inputs externally immutable — trusting
+    // the analysis count is that mode's documented contract, so the
+    // same mutation passes (a caller who wants the gate picks readonly)
+    val s2 = stage()
+    assert(Copy.run(spark, s2, destDir, Seq("region"), truncateTables = true,
+      safeCheck = "snapshot", postCopyHook = _ => growSource(s2)) == 0)
+  }
+
   test("safe-check accepts the read-only alias and rejects unknown modes") {
     // the config surface normalizes "read-only"; a direct caller must
     // get the same gate, and a typo must refuse loudly instead of

@@ -211,6 +211,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(spark.read.jdbc(url, "graft_region_t", props).count() == df.count())
   }
 
+  test("jdbcTableExists scopes to the current schema and matches exactly") {
+    // The append guard's existence probe must answer for the table the
+    // subsequent unqualified load resolves — a same-named table in
+    // ANOTHER schema (another user's) must not flip the probe, and a
+    // LIKE wildcard in the name must never widen the match.
+    val dbRoot = graft.exec.DerbyEnv.scratchDbRoot("graft_probe_db")
+    val dbPath = s"$dbRoot/probedb"
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // a same-named table in a DIFFERENT schema: invisible to the probe
+      st.execute("CREATE SCHEMA OTHERUSER")
+      st.execute("CREATE TABLE OTHERUSER.PROBE_T (id INT)")
+      assert(!graft.exec.Sinks.jdbcTableExists(conn, "probe_t"),
+        "probe matched a table in a foreign schema")
+      // wildcard hygiene: STREAMXEVENTS must not satisfy "stream_events"
+      // even though '_' is a live LIKE wildcard in getTables patterns
+      st.execute("CREATE TABLE STREAMXEVENTS (id INT)")
+      assert(!graft.exec.Sinks.jdbcTableExists(conn, "stream_events"),
+        "unescaped LIKE wildcard widened the probe")
+      // the real table in the CURRENT schema answers true (both the
+      // exact spelling and the case-folded probe path)
+      st.execute("CREATE TABLE STREAM_EVENTS (id INT)")
+      assert(graft.exec.Sinks.jdbcTableExists(conn, "stream_events"))
+      st.close()
+    } finally {
+      conn.close()
+      graft.exec.DerbyEnv.shutdownAndDelete(dbPath, dbRoot)
+    }
+  }
+
   test("identity reseed: post-copy inserts continue the copied sequence") {
     import graft.exec.Scans
     // the declared query copies supplier into a Derby identity table,

@@ -79,6 +79,11 @@ object SparkSpecBase {
     // testdata is read-only: persisted pipeline state goes to scratch
     // instead of its production default beside the corpus
     graft.ops.PersistedState.relocateToScratch(s)
+    // pin derby.system.home before ANY spec can boot the embedded
+    // engine: a spec reaching a raw jdbc:derby: URL (PipelineSpec's
+    // truncate probe) ahead of DerbyEnv would otherwise drop derby.log
+    // into the repo root for the rest of the JVM
+    graft.exec.DerbyEnv.home
     s
   }
 }
