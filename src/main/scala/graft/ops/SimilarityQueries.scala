@@ -484,17 +484,97 @@ object SimilarityQueries {
     * Returns (split cell id, new cell id), or None for an under-τ
     * (or <2-member) layout — in which case NO write of any kind runs.
     *
-    * Concurrency contract: ONE maintainer per layout at a time. The
-    * census-read → allocate → overwrite sequence is not atomic, and a
+    * Concurrency contract: ONE maintainer per layout at a time,
+    * ENFORCED by a create-exclusive lock sidecar (`_graft_retrain_lock`
+    * under the layout root) held across the whole census-read →
+    * allocate → overwrite sequence — the sequence is not atomic, and a
     * plain parquet directory has no transaction log to detect a
-    * concurrent writer — two simultaneous passes could allocate the
-    * same fresh id and the later overwrite would win. Sequential
-    * repeated passes (the nightly-loop shape) are safe by the fresh-id
-    * allocation; concurrent maintainers need external coordination or
-    * a transactional table format. In-JVM callers are serialized by
-    * [[stagedOptLayout]]'s lock.
+    * concurrent writer, so two simultaneous passes could allocate the
+    * same fresh id and the later overwrite would win. A second
+    * maintainer now fails LOUDLY ([[IllegalStateException]]) instead
+    * of silently double-allocating — the same abort-rather-than-corrupt
+    * posture as the safety-check gate (reference
+    * `SmartBulkCopy.cs:111-133`). A lock older than the TTL
+    * ([[RetrainLockTtlMsKey]], default 1 h — generous against the
+    * O(hot cell) rewrite it guards) is presumed abandoned by a crashed
+    * maintainer (kill -9 skips the finally) and broken with a warning.
+    * The fence is exactly as atomic as the filesystem's
+    * create-exclusive; on stores without atomic create it degrades to
+    * best-effort — still strictly louder than no fence. In-JVM callers
+    * are additionally serialized by [[stagedOptLayout]]'s lock.
     */
   def retrainIfSkewed(s: SparkSession, path: String): Option[(Long, Long)] = {
+    val lock = acquireRetrainLock(s, path)
+    try {
+      retrainPostLockHook()
+      retrainLocked(s, path)
+    } finally {
+      val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () } // best-effort release
+    }
+  }
+
+  /** Maintenance-lock sidecar name: `_`-prefixed so every parquet scan
+    * (and the spec's data-file census) ignores it — coordination state,
+    * not data. */
+  private[graft] val RetrainLockName = "_graft_retrain_lock"
+
+  /** Stale-lock TTL (ms): a lock older than this is presumed abandoned
+    * (crashed maintainer) and broken with a warning. Default 1 hour. */
+  val RetrainLockTtlMsKey = "graft.ivf.retrain.lockTtlMs"
+  private def retrainLockTtlMs(s: SparkSession): Long =
+    s.conf.getOption(RetrainLockTtlMsKey).map(_.toLong).getOrElse(3600000L)
+
+  /** Test seam: runs immediately after the lock is acquired, so a spec
+    * can hold one maintainer mid-pass while a second attempts entry. */
+  @volatile private[graft] var retrainPostLockHook: () => Unit = () => ()
+
+  private def acquireRetrainLock(
+      s: SparkSession, path: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(path, RetrainLockName)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def tryCreate(): Boolean =
+      try {
+        // overwrite=false IS the fence: exactly one creator wins
+        val out = fs.create(p, false)
+        try out.write(
+          (s"pid=${java.lang.ProcessHandle.current().pid()} " +
+            s"epochMs=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch {
+        // lost the race (or the lock predates us): fall through to the
+        // TTL triage; anything NOT explained by an existing lock — a
+        // permissions failure, say — propagates as the real error it is
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      // owner released between our create-fail and the stat → just retry
+      val ttl = retrainLockTtlMs(s)
+      if (age > ttl) {
+        if (age != Long.MaxValue)
+          System.err.println(
+            s"[retrain] breaking stale maintenance lock $p (age ${age} ms > TTL $ttl ms)")
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+        if (!tryCreate())
+          throw new IllegalStateException(
+            s"concurrent maintenance detected on $path: lost the lock race " +
+              s"twice at $p — one maintainer per layout")
+      } else
+        throw new IllegalStateException(
+          s"concurrent maintenance detected on $path: lock $p is held " +
+            s"(age ${age} ms <= TTL $ttl ms); one maintainer per layout — " +
+            "remove the lock only if its owner is known dead")
+    }
+    p
+  }
+
+  private def retrainLocked(s: SparkSession, path: String): Option[(Long, Long)] = {
     val census = s.read.parquet(path)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"))

@@ -567,6 +567,97 @@ class QueriesSpec extends SparkSpecBase {
     } finally deleteTree(root)
   }
 
+  test("sim_cell_retrain: concurrent maintainers — one wins, one throws, layout intact") {
+    import graft.ops.SimilarityQueries
+    import graft.exec.Scans
+    // the fence's contract (reference SmartBulkCopy.cs:111-133's
+    // abort-rather-than-corrupt posture): maintainer A holds the lock
+    // mid-pass while maintainer B attempts entry — B must fail LOUDLY
+    // before reading the census, never silently double-allocate a
+    // fresh cell id
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_fence")
+    val layout = root.resolve("layout").toString
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    try {
+      SimilarityQueries.writeOptBase(spark, sfDir, layout)
+      SimilarityQueries.retrainPostLockHook = () => {
+        entered.countDown()
+        // bounded: a hung release must fail the test, not wedge sbt
+        release.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      @volatile var aResult: Option[(Long, Long)] = None
+      @volatile var aError: Throwable = null
+      val a = new Thread(() => {
+        try aResult = SimilarityQueries.retrainIfSkewed(spark, layout)
+        catch { case e: Throwable => aError = e }
+      }, "graft-spec-maintainer-a")
+      a.start()
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "maintainer A never acquired the lock")
+      // B attempts while A is mid-pass: refused at the fence. B must
+      // NOT run the post-lock hook (it never holds the lock), so no
+      // latch interplay — the throw is immediate.
+      val refusal = intercept[IllegalStateException] {
+        SimilarityQueries.retrainIfSkewed(spark, layout)
+      }
+      assert(refusal.getMessage.contains("concurrent maintenance"),
+        s"wrong refusal: ${refusal.getMessage}")
+      // ... and the refusal must not have deleted A's live lock
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(layout, SimilarityQueries.RetrainLockName)),
+        "refused maintainer deleted the live lock")
+      release.countDown()
+      a.join(120000)
+      assert(!a.isAlive, "maintainer A wedged")
+      assert(aError == null, s"maintainer A failed: $aError")
+      assert(aResult.nonEmpty,
+        "the bench corpus imbalance should exceed the default τ")
+      // layout intact: every vector exactly once, lock released
+      val emb = Scans.table(spark, sfDir, "embeddings")
+      val lay = spark.read.parquet(layout)
+      assert(lay.count() == emb.count())
+      assert(lay.groupBy(col("vec_id")).count()
+        .filter(col("count") > 1).isEmpty)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(layout, SimilarityQueries.RetrainLockName)),
+        "winner did not release the lock")
+    } finally {
+      SimilarityQueries.retrainPostLockHook = () => ()
+      deleteTree(root)
+    }
+  }
+
+  test("sim_cell_retrain: a fresh foreign lock refuses; a stale one breaks") {
+    import graft.ops.SimilarityQueries
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_stale")
+    val layout = root.resolve("layout").toString
+    try {
+      SimilarityQueries.writeOptBase(spark, sfDir, layout)
+      val lock = java.nio.file.Paths.get(layout, SimilarityQueries.RetrainLockName)
+      // a FRESH lock someone else holds (age << TTL): refuse loudly and
+      // leave both the lock and the layout untouched
+      java.nio.file.Files.write(lock, "pid=0 epochMs=0\n".getBytes("UTF-8"))
+      val before = fileTreeStrict(layout)
+      intercept[IllegalStateException] {
+        SimilarityQueries.retrainIfSkewed(spark, layout)
+      }
+      assert(fileTreeStrict(layout) == before,
+        "refused maintainer modified the layout or the foreign lock")
+      // the SAME lock aged past the TTL is a crashed maintainer's:
+      // break it with a warning and run the pass (which then releases)
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600000L))
+      val hot = SimilarityQueries.retrainIfSkewed(spark, layout)
+      assert(hot.nonEmpty,
+        "the bench corpus imbalance should exceed the default τ")
+      assert(!java.nio.file.Files.exists(lock),
+        "stale-break pass did not release the re-acquired lock")
+    } finally deleteTree(root)
+  }
+
   test("SNM hot-cell bound: pairs stay ≤ 4·H·n when ALL vectors share one cell") {
     // The 100 TB skew claim (≤ 2·c·H unordered pairs per cell, linear
     // in cell size) pinned by construction: a synthetic corpus whose
