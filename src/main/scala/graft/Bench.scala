@@ -42,12 +42,24 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] fp pre-stage: $e") }
     try graft.ops.PipelineQueries.ensureFragmented(spark, sfDir)
     catch { case e: Exception => System.err.println(s"[bench] compact pre-stage: $e") }
-    // best-of-2 per query: strips one-off JIT/GC/page-cache noise from
-    // the report (all queries are idempotent; writes use overwrite mode)
-    // best-of-3: single-run variance on a busy 32-thread box reaches 4×
-    // on individual queries (GC pauses), and 2 runs still leave multi-
-    // second noise in the sum-of-mins
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Measurement layout: INTERLEAVED whole-suite passes, not
+    // back-to-back per-key runs. With all of a key's samples taken in
+    // one contiguous wall-clock window, a contended window owns EVERY
+    // sample of that key and median≈min reads as "real" — the committed
+    // r10 record carried a 4.2× polluted graph_pagerank minimum this
+    // way, and no within-window statistic can catch uniformly-slow
+    // samples. Passes separate a key's samples by the whole suite's
+    // duration (~minutes), so one hot window can't own them all;
+    // per-key min across passes is the honest number, and the
+    // cross-pass spread (max pass-min / min pass-min) makes residual
+    // pollution VISIBLE in the artifact instead of needing a re-run to
+    // prove. SPARK_GRAFT_BENCH_RUNS = total runs per key across the
+    // base passes (default 4 = 2 passes × 2); within a pass a key's
+    // runs stay back-to-back so run 2 keeps run 1's caches — the
+    // materialized-sketch-table semantics the dedup family declares.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val runs = math.max(passes, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt)
+    val runsPerPass = math.max(1, (runs + passes - 1) / passes)
     // Materialize with the noop sink, not count(): under a count Catalyst
     // prunes columns and drops top-level sorts, so the measured work
     // under-states what the oracle path pays. The noop writer evaluates
@@ -80,36 +92,55 @@ object Bench {
     // local-iteration filter (comma-separated names); unset = all queries
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val keys: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+    // per-key: every successful sample, and the best sample of each pass
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val passMins = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       // Per-query isolation (r4 finding: cross-query state pollution):
       // cached state a previous query left behind — the LSH signature
       // table, any .cache() inside a query body — competes for executor
       // storage with THIS query's run, so its best-of-N drifts with
-      // bench ordering. Runs of the SAME query keep their caches (the
-      // materialized-sketch-table semantics the dedup family declares).
+      // bench ordering. WITHIN a pass, runs of the same query keep
+      // their caches (the materialized-sketch-table semantics the dedup
+      // family declares); across passes the cache rebuild is part of
+      // the first run's cost again, same as the pass-1 baseline.
       spark.catalog.clearCache()
       graft.ops.TextQueries.releaseCaches()
-      // stats over SUCCESSFUL runs only; -1 marks a query with no success
-      // (a fast failure must not masquerade as a fast result)
-      var times = (1 to runs).flatMap(_ => timed(noopRun(fn))).toVector
-      // Adaptive re-runs: median/min > 2 is the signature of a contended
-      // measurement window (four rounds of committed artifacts carried
-      // phantom outliers in both the driver's and the judge's records;
-      // the r9 trigger of 3 let two keys commit 2.2–2.5× polluted
-      // medians that sat just under it), not of the query — take up to
-      // 2 extra measurements, then report the median of the BEST 3 so
-      // one GC pause / noisy-neighbor burst can't masquerade as a
-      // regression. min stays the min of all runs.
-      var extraRuns = 0
-      while (times.nonEmpty && extraRuns < 2 &&
-          median(times) / math.max(times.min, 1e-9) > 2.0) {
-        times = times ++ timed(noopRun(fn))
-        extraRuns += 1
+      val ts = (1 to runsPerPass).flatMap(_ => timed(noopRun(fn))).toVector
+      if (ts.nonEmpty) {
+        samples(name) = samples(name) ++ ts
+        passMins(name) = passMins(name) :+ ts.min
       }
-      name -> (if (times.nonEmpty)
-        (times.min, median(times.sorted.take(3))) else (-1.0, -1.0))
+    }
+    (1 to passes).foreach(_ => keys.foreach { case (n, f) => measure(n, f) })
+    // Targeted re-pass: a key whose pass-mins disagree by >2× sat in at
+    // least one contended window — take ONE more pass for just those
+    // keys, AFTER the suite (i.e. in yet another wall-clock window), so
+    // the final min has a sample from a window the contention didn't
+    // own. The spread stays in the artifact either way: a trend-reader
+    // SEES residual pollution instead of re-measuring to prove it.
+    def spreadOf(name: String): Double = {
+      val pm = passMins(name)
+      if (pm.size < 2) 1.0 else pm.max / math.max(pm.min, 1e-9)
+    }
+    keys.filter { case (n, _) => passMins(n).size >= 2 && spreadOf(n) > 2.0 }
+      .foreach { case (n, f) => measure(n, f) }
+    // stats over SUCCESSFUL runs only; a key with no success in any pass
+    // is a failure, not a time (a fast failure must not masquerade as a
+    // fast result). median over the best 3 samples — the r9 basis — so
+    // one GC pause / noisy-neighbor burst can't masquerade as a
+    // regression; min is the min over all passes.
+    val results: Seq[(String, (Double, Double, Double))] = keys.map { case (name, _) =>
+      val ts = samples(name)
+      name -> (if (ts.nonEmpty)
+        (ts.min, median(ts.sorted.take(3)), spreadOf(name))
+      else (-1.0, -1.0, -1.0))
     }
     // The driver keeps only the last 2000 chars of output (r1's
     // full-precision 76-entry line overflowed that and failed to parse),
@@ -117,21 +148,26 @@ object Bench {
     // ALL queries; the full per-query map goes to a local file.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val headline = Bench.headlineKeys
+    val rmap = results.toMap
     // stdout line: min only (driver parse compatibility — format unchanged)
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v._1)}"))
+    val qs = headline.flatMap(k => rmap.get(k).map(v => s"\"$k\":${f3(v._1)}"))
       .mkString("{", ",", "}")
-    // committed full map: {min, median} per query, ordered by min desc.
+    // committed full map: {min, median, spread} per query, ordered by
+    // min desc. spread = worst pass-min / best pass-min: ~1.0 means
+    // every measurement window agreed; >>1 means some window was
+    // contended and the MEDIAN (not the min) may overstate the query.
     // Queries with NO successful run are segregated into a "failures"
     // list instead of -1 sentinels in the timing map — a consumer
     // aggregating or ranking the map must never silently ingest negative
     // values (r8 ADVICE), and a failure reads as a failure, not a time.
-    val (failed, succeeded) = results.toSeq.partition(_._2._1 < 0)
+    val (failed, succeeded) = results.partition(_._2._1 < 0)
     val full = {
       val qmap = succeeded.sortBy(-_._2._1)
-        .map { case (k, (mn, md)) => s"\"$k\":{\"min\":${f3(mn)},\"median\":${f3(md)}}" }
+        .map { case (k, (mn, md, sp)) =>
+          s"\"$k\":{\"min\":${f3(mn)},\"median\":${f3(md)},\"spread\":${f3(sp)}}" }
         .mkString("{", ",", "}")
       val fails = failed.map(f => s"\"${f._1}\"").mkString("[", ",", "]")
-      s"""{"queries":$qmap,"failures":$fails}"""
+      s"""{"queries":$qmap,"failures":$fails,"passes":$passes,"runs_per_pass":$runsPerPass}"""
     }
     // The full per-query map is a committed artifact (BENCH_full.json in
     // the repo root) so every query's round-over-round trend is auditable
@@ -170,8 +206,8 @@ object Bench {
       }
     // totals over SUCCESSFUL queries only: the -1 failure sentinel must
     // not subtract from the sum (per-query -1s still show in the maps)
-    val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"passes":$passes}""")
     spark.stop()
   }
 }
