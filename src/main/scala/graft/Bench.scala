@@ -120,27 +120,35 @@ object Bench {
     }
     (1 to passes).foreach(_ => keys.foreach { case (n, f) => measure(n, f) })
     // Targeted re-pass: a key whose pass-mins disagree by >2× sat in at
-    // least one contended window — take ONE more pass for just those
-    // keys, AFTER the suite (i.e. in yet another wall-clock window), so
-    // the final min has a sample from a window the contention didn't
-    // own. The spread stays in the artifact either way: a trend-reader
-    // SEES residual pollution instead of re-measuring to prove it.
+    // least one contended window, and a key with FEWER successful
+    // windows than passes (every run of a pass failed) has no
+    // cross-window evidence at all — both take ONE more pass, AFTER
+    // the suite (i.e. in yet another wall-clock window), so the final
+    // min has a sample from a window the contention didn't own. The
+    // spread stays in the artifact either way: a trend-reader SEES
+    // residual pollution instead of re-measuring to prove it.
     def spreadOf(name: String): Double = {
       val pm = passMins(name)
       if (pm.size < 2) 1.0 else pm.max / math.max(pm.min, 1e-9)
     }
-    keys.filter { case (n, _) => passMins(n).size >= 2 && spreadOf(n) > 2.0 }
-      .foreach { case (n, f) => measure(n, f) }
+    keys.filter { case (n, _) =>
+      passMins(n).nonEmpty &&
+        (passMins(n).size < passes || spreadOf(n) > 2.0)
+    }.foreach { case (n, f) => measure(n, f) }
     // stats over SUCCESSFUL runs only; a key with no success in any pass
     // is a failure, not a time (a fast failure must not masquerade as a
     // fast result). median over the best 3 samples — the r9 basis — so
     // one GC pause / noisy-neighbor burst can't masquerade as a
-    // regression; min is the min over all passes.
-    val results: Seq[(String, (Double, Double, Double))] = keys.map { case (name, _) =>
+    // regression; min is the min over all passes. windows = the number
+    // of distinct measurement windows that produced a sample: spread is
+    // only meaningful over >= 2 of them, so a single-window key must
+    // read as UNTRUSTED (spread 1.0 alone would read as "windows
+    // agreed"), and the artifact gate refuses records carrying one.
+    val results: Seq[(String, (Double, Double, Double, Int))] = keys.map { case (name, _) =>
       val ts = samples(name)
       name -> (if (ts.nonEmpty)
-        (ts.min, median(ts.sorted.take(3)), spreadOf(name))
-      else (-1.0, -1.0, -1.0))
+        (ts.min, median(ts.sorted.take(3)), spreadOf(name), passMins(name).size)
+      else (-1.0, -1.0, -1.0, 0))
     }
     // The driver keeps only the last 2000 chars of output (r1's
     // full-precision 76-entry line overflowed that and failed to parse),
@@ -152,10 +160,12 @@ object Bench {
     // stdout line: min only (driver parse compatibility — format unchanged)
     val qs = headline.flatMap(k => rmap.get(k).map(v => s"\"$k\":${f3(v._1)}"))
       .mkString("{", ",", "}")
-    // committed full map: {min, median, spread} per query, ordered by
-    // min desc. spread = worst pass-min / best pass-min: ~1.0 means
-    // every measurement window agreed; >>1 means some window was
-    // contended and the MEDIAN (not the min) may overstate the query.
+    // committed full map: {min, median, spread, windows} per query,
+    // ordered by min desc. spread = worst pass-min / best pass-min:
+    // ~1.0 means every measurement window agreed; >>1 means some window
+    // was contended and the MEDIAN (not the min) may overstate the
+    // query. windows = distinct measurement windows with a sample;
+    // spread is vacuous below 2 of them.
     // Queries with NO successful run are segregated into a "failures"
     // list instead of -1 sentinels in the timing map — a consumer
     // aggregating or ranking the map must never silently ingest negative
@@ -163,8 +173,8 @@ object Bench {
     val (failed, succeeded) = results.partition(_._2._1 < 0)
     val full = {
       val qmap = succeeded.sortBy(-_._2._1)
-        .map { case (k, (mn, md, sp)) =>
-          s"\"$k\":{\"min\":${f3(mn)},\"median\":${f3(md)},\"spread\":${f3(sp)}}" }
+        .map { case (k, (mn, md, sp, w)) =>
+          s"\"$k\":{\"min\":${f3(mn)},\"median\":${f3(md)},\"spread\":${f3(sp)},\"windows\":$w}" }
         .mkString("{", ",", "}")
       val fails = failed.map(f => s"\"${f._1}\"").mkString("[", ",", "]")
       s"""{"queries":$qmap,"failures":$fails,"passes":$passes,"runs_per_pass":$runsPerPass}"""
@@ -207,7 +217,11 @@ object Bench {
     // totals over SUCCESSFUL queries only: the -1 failure sentinel must
     // not subtract from the sum (per-query -1s still show in the maps)
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"passes":$passes}""")
+    // "runs" reports the ACTUAL base samples per key (passes ×
+    // runs-per-pass), not the raw env request — ceil-division can round
+    // the request up, and a trend-reader normalizing by runs must not
+    // work from a count the run didn't take
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":${passes * runsPerPass},"passes":$passes}""")
     spark.stop()
   }
 }

@@ -206,10 +206,17 @@ object Sinks {
     * guard into either a spurious 'table not found' failure or a probe
     * of the wrong table. Drivers that don't expose a current schema
     * (null / SQLFeatureNotSupported) fall back to the unscoped search.
-    * Matches are verified by EXACT name (and schema) equality on the
-    * result rows, so a driver reporting an empty or multi-char
-    * `getSearchStringEscape` — where LIKE wildcards can't be escaped at
-    * all — still can't produce a false positive via a live '_'/'%'.
+    * Matches are verified by exact CASE-INSENSITIVE name (and schema)
+    * equality on the result rows: case-insensitive because identifier
+    * case is catalog folding, not identity — a table stored as
+    * `Stream_Events` on a case-insensitive engine IS the table an
+    * unqualified `stream_events` load resolves, and an exact-case
+    * filter would turn the probe false for it (silently disabling the
+    * streaming upsert's idempotency DELETE). Wildcards stay tight
+    * either way: `STREAMXEVENTS` never equals `stream_events` under
+    * any case folding, so a driver reporting an empty or multi-char
+    * `getSearchStringEscape` — where LIKE wildcards can't be escaped
+    * at all — still can't produce a false positive via a live '_'/'%'.
     */
   def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
     val meta = conn.getMetaData
@@ -235,8 +242,8 @@ object Sinks {
       try {
         var found = false
         while (!found && rs.next())
-          found = rs.getString("TABLE_NAME") == n &&
-            (schema == null || rs.getString("TABLE_SCHEM") == schema)
+          found = n.equalsIgnoreCase(rs.getString("TABLE_NAME")) &&
+            (schema == null || schema.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
         found
       } finally rs.close()
     }

@@ -504,15 +504,11 @@ object SimilarityQueries {
     * are additionally serialized by [[stagedOptLayout]]'s lock.
     */
   def retrainIfSkewed(s: SparkSession, path: String): Option[(Long, Long)] = {
-    val lock = acquireRetrainLock(s, path)
+    val (lock, token) = acquireRetrainLock(s, path)
     try {
       retrainPostLockHook()
       retrainLocked(s, path)
-    } finally {
-      val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
-      try fs.delete(lock, false)
-      catch { case _: java.io.IOException => () } // best-effort release
-    }
+    } finally releaseRetrainLock(s, lock, token)
   }
 
   /** Maintenance-lock sidecar name: `_`-prefixed so every parquet scan
@@ -530,49 +526,112 @@ object SimilarityQueries {
     * can hold one maintainer mid-pass while a second attempts entry. */
   @volatile private[graft] var retrainPostLockHook: () => Unit = () => ()
 
+  /** Acquire the maintenance lock; returns (lock path, owner token).
+    * The token — first line of the lock file — identifies WHOSE lock it
+    * is, so release and TTL-breakers can act only on locks they can
+    * account for. */
   private def acquireRetrainLock(
-      s: SparkSession, path: String): org.apache.hadoop.fs.Path = {
+      s: SparkSession, path: String): (org.apache.hadoop.fs.Path, String) = {
     val p = new org.apache.hadoop.fs.Path(path, RetrainLockName)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def tryCreate(): Boolean =
-      try {
-        // overwrite=false IS the fence: exactly one creator wins
-        val out = fs.create(p, false)
-        try out.write(
-          (s"pid=${java.lang.ProcessHandle.current().pid()} " +
-            s"epochMs=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch {
-        // lost the race (or the lock predates us): fall through to the
-        // TTL triage; anything NOT explained by an existing lock — a
-        // permissions failure, say — propagates as the real error it is
-        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+    val token = s"pid=${java.lang.ProcessHandle.current().pid()} " +
+      s"nonce=${java.util.UUID.randomUUID()}"
+    def tryCreate(): Boolean = {
+      // overwrite=false IS the fence: exactly one creator wins
+      val created =
+        try Some(fs.create(p, false))
+        catch {
+          // lost the race (or the lock predates us): fall through to
+          // the TTL triage; anything NOT explained by an existing lock
+          // — a permissions failure, say — propagates as the real error
+          case e: java.io.IOException => if (fs.exists(p)) None else throw e
+        }
+      created match {
+        case None => false
+        case Some(out) =>
+          // a failed token write must not leave our own half-written
+          // lock standing: the triage would read it as a FOREIGN fresh
+          // lock and report phantom concurrency for a full TTL while
+          // the real IO error went unreported — delete and rethrow
+          try { out.write((token + "\n").getBytes("UTF-8")); out.close(); true }
+          catch {
+            case e: Throwable =>
+              try out.close() catch { case _: Exception => () }
+              try fs.delete(p, false) catch { case _: java.io.IOException => () }
+              throw e
+          }
       }
-    if (!tryCreate()) {
-      val age =
-        try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      // owner released between our create-fail and the stat → just retry
-      val ttl = retrainLockTtlMs(s)
-      if (age > ttl) {
-        if (age != Long.MaxValue)
-          System.err.println(
-            s"[retrain] breaking stale maintenance lock $p (age ${age} ms > TTL $ttl ms)")
-        try fs.delete(p, false)
-        catch { case _: java.io.IOException => () }
-        if (!tryCreate())
-          throw new IllegalStateException(
-            s"concurrent maintenance detected on $path: lost the lock race " +
-              s"twice at $p — one maintainer per layout")
-      } else
-        throw new IllegalStateException(
-          s"concurrent maintenance detected on $path: lock $p is held " +
-            s"(age ${age} ms <= TTL $ttl ms); one maintainer per layout — " +
-            "remove the lock only if its owner is known dead")
     }
-    p
+    if (!tryCreate()) {
+      val status =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      status match {
+        case None =>
+          // owner released between our create-fail and the stat → retry
+          if (!tryCreate())
+            throw new IllegalStateException(
+              s"concurrent maintenance detected on $path: lost the lock " +
+                s"race twice at $p — one maintainer per layout")
+        case Some(st) =>
+          val age = System.currentTimeMillis() - st.getModificationTime
+          val ttl = retrainLockTtlMs(s)
+          if (age <= ttl)
+            throw new IllegalStateException(
+              s"concurrent maintenance detected on $path: lock $p is held " +
+                s"(age ${age} ms <= TTL $ttl ms); one maintainer per layout — " +
+                "remove the lock only if its owner is known dead")
+          // Break the stale lock by ATOMIC RENAME to a uniquely-named
+          // tombstone, never delete-then-create: with N concurrent
+          // breakers exactly ONE rename succeeds (the source vanishes
+          // for the rest), whereas a blind delete could remove another
+          // breaker's FRESHLY created lock and admit two maintainers —
+          // the exact corruption the fence exists to prevent.
+          val tomb = new org.apache.hadoop.fs.Path(path,
+            s"$RetrainLockName.stale.$token".replaceAll("[^A-Za-z0-9_.=-]", "_"))
+          val renamed =
+            try fs.rename(p, tomb)
+            catch { case _: java.io.IOException => false }
+          if (!renamed)
+            throw new IllegalStateException(
+              s"concurrent maintenance detected on $path: another " +
+                s"maintainer broke the stale lock at $p first — " +
+                "one maintainer per layout")
+          System.err.println(
+            s"[retrain] broke stale maintenance lock $p (age ${age} ms > TTL $ttl ms)")
+          try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+          if (!tryCreate())
+            throw new IllegalStateException(
+              s"concurrent maintenance detected on $path: lost the lock " +
+                s"race after breaking the stale lock at $p")
+      }
+    }
+    (p, token)
   }
+
+  /** Release ONLY a lock we still own: if a TTL-breaker replaced our
+    * lock mid-pass (we ran past the TTL), deleting blindly would remove
+    * the breaker's LIVE lock and admit a third maintainer — the
+    * documented two-maintainer TTL overlap must not cascade. Reading
+    * then deleting is not atomic, but it confines the hazard to the
+    * already-documented overlap window instead of widening it. */
+  private def releaseRetrainLock(
+      s: SparkSession, lock: org.apache.hadoop.fs.Path, token: String): Unit =
+    try {
+      val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val in = fs.open(lock)
+      val buf = new Array[Byte](256)
+      val n = try in.read(buf) finally in.close()
+      val content = if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+      if (content.startsWith(token)) fs.delete(lock, false)
+      else System.err.println(
+        s"[retrain] lock $lock is no longer ours (TTL-broken by another " +
+          "maintainer mid-pass); leaving it in place")
+    } catch {
+      // best-effort: a vanished lock means nothing to release; any other
+      // IO failure must not turn a completed pass into an error
+      case _: java.io.IOException => ()
+    }
 
   private def retrainLocked(s: SparkSession, path: String): Option[(Long, Long)] = {
     val census = s.read.parquet(path)

@@ -15,9 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *    artifact silently inverted this under a contended refresh window
   *    (1.687 vs 1.542) and the inversion shipped; this spec makes that
   *    a red build instead of a judge finding.
-  * 2. Every entry carries the full schema ({min, median, spread}) with
-  *    sane values: min > 0, median >= min, spread >= 1 — a partial or
-  *    hand-edited refresh can't silently degrade the artifact.
+  * 2. Every entry carries the full schema ({min, median, spread,
+  *    windows}) with sane values: min > 0, median >= min, spread >= 1,
+  *    and at least TWO measurement windows per key — spread is vacuous
+  *    over one window, and a single-window key is exactly the
+  *    pollution-blind measurement the pass layout exists to kill. A
+  *    partial or hand-edited refresh can't silently degrade the record.
   *
   * Same parser discipline as ScalingSlopeSpec: real JSON (Jackson), and
   * a key that failed outright lands in "failures", which is a red gate,
@@ -49,23 +52,30 @@ class BenchArtifactSpec extends AnyFunSuite {
         "a contended run")
   }
 
-  test("committed sf0.1 record carries {min, median, spread} per key, sane") {
+  test("committed sf0.1 record carries {min, median, spread, windows} per key, sane") {
     val root = artifact("BENCH_full.json")
     val qs = root.path("queries")
     assert(qs.isObject, "BENCH_full.json: no queries object")
+    assert(root.path("passes").asInt(0) >= 2,
+      "committed record must be measured over >= 2 whole-suite passes")
     var n = 0
     qs.properties().forEach { e =>
       n += 1
       val (k, v) = (e.getKey, e.getValue)
-      val mn = v.path("min"); val md = v.path("median"); val sp = v.path("spread")
-      assert(mn.isNumber && md.isNumber && sp.isNumber,
-        s"$k: incomplete schema (need min, median, spread): $v")
+      val mn = v.path("min"); val md = v.path("median")
+      val sp = v.path("spread"); val w = v.path("windows")
+      assert(mn.isNumber && md.isNumber && sp.isNumber && w.isNumber,
+        s"$k: incomplete schema (need min, median, spread, windows): $v")
       assert(mn.asDouble() > 0, s"$k: non-positive min")
       // f3 rounding can land median a hair under min; allow one ULP of
       // the 3-decimal serialization, nothing more
       assert(md.asDouble() >= mn.asDouble() - 0.0015,
         s"$k: median ${md.asDouble()} < min ${mn.asDouble()}")
       assert(sp.asDouble() >= 1.0 - 1e-9, s"$k: spread < 1")
+      // one window = no cross-window evidence = the exact blindness the
+      // pass layout exists to kill; the re-pass gives every key a
+      // second chance at a second window before this can trip
+      assert(w.asInt() >= 2, s"$k: only ${w.asInt()} measurement window(s)")
     }
     assert(n >= 100, s"suspiciously few keys ($n) — artifact truncated?")
     // failed keys are a red gate here exactly as in ScalingSlopeSpec

@@ -658,6 +658,49 @@ class QueriesSpec extends SparkSpecBase {
     } finally deleteTree(root)
   }
 
+  test("sim_cell_retrain: release leaves a lock it no longer owns") {
+    import graft.ops.SimilarityQueries
+    // the documented TTL overlap must not CASCADE: if a breaker replaced
+    // our lock mid-pass (we outlived the TTL), our release must leave
+    // the breaker's live lock standing instead of admitting a third
+    // maintainer by deleting it blindly
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_steal")
+    val layout = root.resolve("layout").toString
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    try {
+      SimilarityQueries.writeOptBase(spark, sfDir, layout)
+      SimilarityQueries.retrainPostLockHook = () => {
+        entered.countDown()
+        release.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      @volatile var aError: Throwable = null
+      val a = new Thread(() => {
+        try SimilarityQueries.retrainIfSkewed(spark, layout)
+        catch { case e: Throwable => aError = e }
+      }, "graft-spec-outlived-maintainer")
+      a.start()
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // simulate a TTL-breaker stealing the lock while A is mid-pass
+      val lock = java.nio.file.Paths.get(layout, SimilarityQueries.RetrainLockName)
+      val foreign = "pid=999999 nonce=foreign-breaker\n"
+      java.nio.file.Files.delete(lock)
+      java.nio.file.Files.write(lock, foreign.getBytes("UTF-8"))
+      release.countDown()
+      a.join(120000)
+      assert(!a.isAlive && aError == null, s"maintainer wedged or failed: $aError")
+      // A completed its pass but must NOT have deleted the breaker's lock
+      assert(java.nio.file.Files.exists(lock),
+        "release deleted a lock owned by another maintainer")
+      assert(new String(java.nio.file.Files.readAllBytes(lock), "UTF-8") == foreign,
+        "release modified a lock owned by another maintainer")
+    } finally {
+      SimilarityQueries.retrainPostLockHook = () => ()
+      deleteTree(root)
+    }
+  }
+
   test("SNM hot-cell bound: pairs stay ≤ 4·H·n when ALL vectors share one cell") {
     // The 100 TB skew claim (≤ 2·c·H unordered pairs per cell, linear
     // in cell size) pinned by construction: a synthetic corpus whose
