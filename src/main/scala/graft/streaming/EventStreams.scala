@@ -24,8 +24,14 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // integer-CENTS sum, the batch twins' invariant (EventQueries
+      // events_window_agg): BIGINT cents are exact and summation-order-
+      // independent, where round(sum(double), 2) could flip a cent near
+      // a .005 boundary as micro-batch partial-aggregation order varies
+      // — the exact flake the batch comment forbids, and a streaming
+      // run reorders partials far more than a batch one
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -40,9 +46,14 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      // cents-exact sum — see windowedAgg
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
-      .select(col("window.start").cast("long").as("window_start_s"),
+        (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+      // unix_millis, not cast-to-long: stays legal whatever timestamp
+      // flavor the window carries (the batch twin's own rule — a
+      // TIMESTAMP_NTZ event-time column makes the cast an
+      // AnalysisException while the sibling aggs accept the same frame)
+      .select(expr("unix_millis(window.start) div 1000").as("window_start_s"),
         col("n_events"), col("sum_value"))
 
   /** Watermarked per-window fixed-width value histogram — the streaming
@@ -58,8 +69,9 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"),
         floor(col("value") / 25.0).cast("long").as("bucket"))
+      // cents-exact sum — see windowedAgg
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
       .select(col("window.start").as("window_start"), col("bucket"),
         col("n_events"), col("sum_value"))
 
@@ -115,6 +127,14 @@ object EventStreams {
   final case class SessionWin(user_id: Long, session_start_ms: Long,
     session_end_ms: Long, n_events: Long)
 
+  /** Keyed state: every session of the user not yet finalized by the
+    * watermark, sorted by start. Bounded: a session leaves the set the
+    * moment the watermark passes its close, so the set holds at most the
+    * sessions whose close lies inside the watermark delay — O(delay/gap)
+    * per active user, O(1) for the delay ≤ gap configurations the
+    * replays run. */
+  final case class SessionSetState(sessions: Seq[SessionState])
+
   /** Event-time-timeout sessionization — the TRUE streaming eviction for
     * [[sessionize]]: a session emits when the event-time WATERMARK passes
     * its close (last event + gap), exactly when Spark's native
@@ -122,16 +142,22 @@ object EventStreams {
     * batch happens to end. `flatMapGroupsWithState` with
     * `GroupStateTimeout.EventTimeTimeout`:
     *
-    *  - a data batch folds the key's (watermark-filtered) rows into the
-    *    open session, closing inline any session a later same-batch event
-    *    leaves behind (gap >= 30 min starts a new one — the native
-    *    `session_window` merge rule), then arms the timeout at
-    *    `last + gap`;
-    *  - when the watermark passes an armed timeout, Spark runs the group
-    *    with `state.hasTimedOut=true` and NO rows — the trailing session
-    *    emits there and its state is REMOVED. No inline end-of-batch
-    *    flush anywhere: on an unbounded stream state stays O(1) per
-    *    active user and quiet users are evicted by watermark alone.
+    *  - a data batch merges the key's (watermark-filtered) rows into the
+    *    kept session set under the native `session_window` rule (an
+    *    event < gap after a session's last — or < gap before its start —
+    *    joins it; two sessions a bridging event connects COALESCE into
+    *    one). Sessions are NOT emitted inline on same-batch gaps: a
+    *    session stays in state until the watermark passes its close,
+    *    because until then an admissible late event can still bridge it
+    *    to a later one — emitting early would publish two overlapping
+    *    sessions where the native operator merges them into one;
+    *  - a session whose close (last + gap) <= watermark is FINAL by
+    *    construction — the watermark filter drops any event that could
+    *    still reach it — so it emits and leaves the state, in the data
+    *    batch that observes this or in the no-data timeout batch Spark
+    *    schedules when the watermark passes the armed earliest close.
+    *    Quiet users are evicted by watermark alone; no end-of-input
+    *    flush anywhere.
     *
     * Output schema matches `events_session_window`'s oracle rows:
     * (user_id, session_start_ms, session_end_ms=last+gap, n_events).
@@ -139,45 +165,43 @@ object EventStreams {
   def sessionizeEventTime(events: Dataset[(Long, java.sql.Timestamp)],
       gapMs: Long = 30L * 60 * 1000): Dataset[SessionWin] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_._1).flatMapGroupsWithState[SessionState, SessionWin](
+    events.groupByKey(_._1).flatMapGroupsWithState[SessionSetState, SessionWin](
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      case (userId, rows, state: GroupState[SessionState]) =>
+      case (userId, rows, state: GroupState[SessionSetState]) =>
         def emit(st: SessionState) =
           SessionWin(userId, st.start, st.last + gapMs, st.events)
-        if (state.hasTimedOut) {
-          val out = state.getOption.map(emit)
-          state.remove()
-          out.iterator
-        } else {
-          val sorted = rows.map(_._2.getTime).toSeq.sorted
-          val (closed, open) = sorted.foldLeft(
-            (Vector.empty[SessionWin], state.getOption)) {
-            case ((done, None), ms) => (done, Some(SessionState(ms, ms, 1)))
-            case ((done, Some(st)), ms) =>
-              if (ms - st.last >= gapMs) // >= gap: new session (session_window rule)
-                (done :+ emit(st), Some(SessionState(ms, ms, 1)))
-              else
-                // min/max, not assignment: a LATE cross-batch event
-                // (admitted by the watermark, ms < st.last) extends the
-                // session's span exactly as native session_window's
-                // overlap merge would — plain `last = ms` would shrink
-                // the armed close (or invert the window outright).
-                // Single-open-session state assumes watermark delay ≤
-                // gap, so every admitted late event overlaps the open
-                // window.
-                (done, Some(SessionState(math.min(st.start, ms),
-                  math.max(st.last, ms), st.events + 1)))
+        val wm = state.getCurrentWatermarkMs()
+        val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+        val incoming = rows.map { r =>
+          val ms = r._2.getTime; SessionState(ms, ms, 1)
+        }.toSeq
+        // merge under the session_window rule: sorted by start, a
+        // member starting < gap after the current session's last joins
+        // it (>= gap starts a new one); a bridging event merges the
+        // sessions on BOTH of its sides because the fold keeps
+        // coalescing while the next start stays inside the gap
+        val merged = (prior ++ incoming).sortBy(s => (s.start, s.last))
+          .foldLeft(Vector.empty[SessionState]) {
+            case (acc :+ cur, s) if s.start - cur.last < gapMs =>
+              acc :+ SessionState(cur.start,
+                math.max(cur.last, s.last), cur.events + s.events)
+            case (acc, s) => acc :+ s
           }
-          open.foreach { st =>
-            state.update(st)
-            // the armed close; a timeout must sit past the current
-            // watermark — if the close already lapsed (late-arriving open
-            // session), arm at watermark+1 so it fires next batch
-            state.setTimeoutTimestamp(
-              math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
-          }
-          closed.iterator
+        // final = the watermark passed the close: any event that could
+        // still extend or bridge this session would carry ts < last+gap
+        // <= wm and the watermark filter already drops it
+        val (ripe, live) = merged.partition(_.last + gapMs <= wm)
+        if (live.isEmpty) { if (state.exists) state.remove() }
+        else {
+          state.update(SessionSetState(live))
+          // arm at the EARLIEST kept close; must sit past the current
+          // watermark (Spark refuses a timeout at/before it), and the
+          // max() clamp also covers a close that lapsed mid-batch —
+          // it fires in the next no-data batch
+          state.setTimeoutTimestamp(
+            math.max(live.map(_.last + gapMs).min, wm + 1))
         }
+        ripe.sortBy(_.start).map(emit).iterator
     }
   }
 
@@ -323,17 +347,30 @@ object EventStreams {
     * batches (restart after a crash between write and checkpoint
     * commit) first delete their own prior rows by `_batch_id`, so the
     * destination converges to exactly one copy of every micro-batch.
+    *
+    * `checkpointLocation` is REQUIRED for that restart contract: batch
+    * ids are only meaningful within one checkpoint lineage. A restart
+    * without a durable checkpoint starts a fresh lineage at batchId 0
+    * with no guarantee of the prior run's batch slicing — the upsert
+    * would then DELETE the prior incarnation's rows batch-id by
+    * batch-id and replace them with differently-sliced batches,
+    * transiently dropping data and stranding any old batch id the new
+    * lineage never reaches. Omit it only for single-incarnation
+    * (test/demo) queries, which is why it defaults to None instead of
+    * silently minting a temp checkpoint in callers' names.
     */
   def streamToJdbc(
       events: org.apache.spark.sql.DataFrame,
       url: String,
       table: String,
       props: java.util.Properties,
-      batchSizeRows: Int = 100000): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+      batchSizeRows: Int = 100000,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         upsertBatch(batch, batchId, url, table, props, batchSizeRows)
       }
-      .start()
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
 }

@@ -20,7 +20,7 @@ object StreamDemo {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val mem = MemoryStream[(Timestamp, String, Long, Double)]
-    val events = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
     val query = EventStreams.windowedAgg(events)
       .writeStream.format("memory").queryName("wagg")
       .outputMode("complete").start()

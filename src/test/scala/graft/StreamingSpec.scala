@@ -248,7 +248,7 @@ class StreamingSpec extends SparkSpecBase {
     val clicks = MemoryStream[(Long, Timestamp, Long)]
     val views = MemoryStream[(Long, Timestamp, Long)]
     def df(m: MemoryStream[(Long, Timestamp, Long)]) =
-      m.toDF.toDF("event_id", "ts", "user_id")
+      m.toDF().toDF("event_id", "ts", "user_id")
     val q = EventStreams.intervalJoin(df(clicks), df(views))
       .writeStream.format("memory").queryName("ssij")
       .outputMode("append").start()
@@ -281,7 +281,7 @@ class StreamingSpec extends SparkSpecBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
-    val sessions = mem.toDF.toDF("ts", "user_id")
+    val sessions = mem.toDF().toDF("ts", "user_id")
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -311,7 +311,7 @@ class StreamingSpec extends SparkSpecBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
-    val typed = mem.toDF.toDF("user_id", "ts")
+    val typed = mem.toDF().toDF("user_id", "ts")
       .withWatermark("ts", "10 minutes")
       .select(col("user_id").as("_1"), col("ts").as("_2"))
       .as[(Long, Timestamp)]
@@ -351,7 +351,7 @@ class StreamingSpec extends SparkSpecBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
-    val typed = mem.toDF.toDF("user_id", "ts")
+    val typed = mem.toDF().toDF("user_id", "ts")
       .withWatermark("ts", "20 minutes")
       .select(col("user_id").as("_1"), col("ts").as("_2"))
       .as[(Long, Timestamp)]
@@ -384,6 +384,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a late event bridging two held sessions coalesces them, not two overlapping emits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val typed = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "20 minutes")
+      .select(col("user_id").as("_1"), col("ts").as("_2"))
+      .as[(Long, Timestamp)]
+    val q = EventStreams.sessionizeEventTime(typed)
+      .writeStream.format("memory").queryName("ssbridge")
+      .outputMode("append").start()
+    try {
+      // batch 1: two same-batch events a full gap apart — TWO sessions
+      // (10:00, close 10:30) and (10:35, close 11:05). Neither may emit
+      // inline: the post-batch watermark is only 10:15, and an
+      // admissible late event can still bridge them — native
+      // session_window would then produce ONE merged session, so an
+      // early emit of the first would publish an overlapping duplicate.
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 10:35:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ssbridge").collect().isEmpty,
+        "a held session emitted before the watermark passed its close")
+      // batch 2: the late bridge at 10:20 (admitted: watermark 10:15) —
+      // within gap of BOTH sides, so the whole chain coalesces
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past the merged close to emit
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT session_start_ms, session_end_ms, n_events FROM ssbridge " +
+          "WHERE user_id = 1").collect()
+      val start = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      val end = Timestamp.valueOf("2024-01-01 10:35:00").getTime + 30L * 60 * 1000
+      assert(rows.length == 1,
+        s"bridged sessions must coalesce into ONE (native session_window " +
+          s"merge), got ${rows.length}: ${rows.mkString(";")}")
+      assert(rows.head.getLong(0) == start && rows.head.getLong(1) == end &&
+        rows.head.getLong(2) == 3L, s"wrong merged session: ${rows.head}")
+    } finally q.stop()
+  }
+
   test("declared events_stream_session_timeout equals the native session_window replay") {
     val timedOut = SparkEntry.queries("events_stream_session_timeout")(spark, sfDir)
       .collect().toSeq
@@ -397,7 +441,7 @@ class StreamingSpec extends SparkSpecBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
-    val events = mem.toDF.toDF("ts", "event_id", "value")
+    val events = mem.toDF().toDF("ts", "event_id", "value")
     val q = EventStreams.dedupStream(events)
       .writeStream.format("memory").queryName("sdedup")
       .outputMode("append").start()
@@ -432,7 +476,7 @@ class StreamingSpec extends SparkSpecBase {
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val mem = MemoryStream[(Long, Double)]
     val q = EventStreams.streamToJdbc(
-      mem.toDF.toDF("event_id", "value"), url, "stream_events", props)
+      mem.toDF().toDF("event_id", "value"), url, "stream_events", props)
     try {
       mem.addData((1L, 1.5), (2L, 2.5))
       q.processAllAvailable()
@@ -461,7 +505,7 @@ class StreamingSpec extends SparkSpecBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long, Double)]
-    val events = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
     val q = EventStreams.windowedAgg(events)
       .writeStream.format("memory").queryName("awagg")
       .outputMode("append").start()
