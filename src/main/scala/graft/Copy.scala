@@ -217,7 +217,10 @@ object Copy {
     //     every later phase).
     val allMatch = analyzed.forall { case (src, dst) =>
       val destRows =
-        if (jdbcDest) spark.read.jdbc(destDir, dst.name, jdbcProps).count()
+        // one-scalar COUNT(*) (Sinks.jdbcRowCount): spark.read.jdbc's
+        // V1 relation has no aggregate pushdown, so counting through it
+        // streams O(rows) over one connection per reconciled table
+        if (jdbcDest) Sinks.jdbcRowCount(destDir, dst.name, jdbcProps)
         else Sinks.committedRowCount(spark, s"$destDir/${dst.name}.parquet")
       val srcRows =
         if (safeCheckMode != "none" && src.rowCount > 0L) src.rowCount
@@ -241,8 +244,9 @@ object Copy {
             // destination without the generator (or any reseed failure)
             // is the reference's unverifiable-reseed branch → 2
             try {
-              Sinks.reseedIdentityJdbc(destDir, dst.name, idCol, ic + 1)
-              Sinks.identitySeedJdbc(destDir, dst.name, idCol).contains(ic + 1)
+              Sinks.reseedIdentityJdbc(destDir, dst.name, idCol, ic + 1, jdbcProps)
+              Sinks.identitySeedJdbc(destDir, dst.name, idCol, jdbcProps)
+                .contains(ic + 1)
             } catch { case _: java.sql.SQLException => false }
           } else {
             val dest = s"$destDir/${dst.name}.parquet"

@@ -59,15 +59,14 @@ object Pipeline {
         // the reference's): a corrupt first file FAILS the gate rather
         // than falling through to a later valid one, which would clear
         // a source the copy phase is about to choke on. Committed-ness
-        // is Sinks.hiddenBelow — the same predicate reconciliation uses.
-        val hidden = Sinks.hiddenBelow(fs, root)
+        // is Sinks.committedDataFile — the WHOLE predicate
+        // reconciliation uses, not a re-inlined copy of it.
+        val keep = Sinks.committedDataFile(Sinks.hiddenBelow(fs, root)) _
         val it = fs.listFiles(root, true)
         var verdict: Option[Boolean] = None
         while (verdict.isEmpty && it.hasNext) {
           val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !hidden(f.getPath))
-            verdict = Some(isParquet(f))
+          if (keep(f)) verdict = Some(isParquet(f))
         }
         verdict.getOrElse(false)
       }
@@ -203,8 +202,17 @@ object Pipeline {
       // row in some partition and silently copy it — whether a copy
       // reconciles would then depend on which code path engaged. Same
       // guard the physical fan-out below applies to its range.
-      val fanned = base.filter(pmod(key, lit(n.toLong)).isNotNull)
-        .repartition(n, pmod(key, lit(n.toLong)))
+      // EXACT ordinal→partition placement through the plain hash
+      // shuffle (see ordinalHashReps): one task per whole slice. A raw
+      // repartition(n, ordinal) collides (murmur3 mod n leaves ~1/3 of
+      // the n tasks empty while one carries 2-3 whole slices), and
+      // repartitionByRange fixes the balance only by re-executing the
+      // scan subtree for its boundary sampling — a SECOND full source
+      // read at 100 TB. The rep lookup costs one array literal probe
+      // per row, stays inside codegen, and shuffles once.
+      val ord = pmod(key, lit(n.toLong))
+      val fanned = base.filter(ord.isNotNull)
+        .repartition(n, element_at(lit(ordinalHashReps(n)), (ord + 1).cast("int")))
       Scans.orderedWithinPartitions(fanned, item.orderHint)
     } else if (completePhysicalSet && flatFileSource) {
       val item = items.head
@@ -224,8 +232,14 @@ object Pipeline {
       // predicate stays a pushable column-vs-literal compare
       val lo = lit(s"${Scans.DefaultEpochYear + 1}-01-01").cast(pdt)
       val hi = lit(s"${Scans.DefaultEpochYear + items.size + 1}-01-01").cast(pdt)
+      // exact ordinal→partition placement, same reasoning as the
+      // logical fan-out above; partitionNumber is 1-based, which IS
+      // element_at's indexing, so ordinal i lands on reps(i-1) and in
+      // partition i-1
       val fanned = base.filter(col(pcol) >= lo && col(pcol) < hi)
-        .repartition(items.size, partitionNumber(col(pcol)))
+        .repartition(items.size,
+          element_at(lit(ordinalHashReps(items.size)),
+            partitionNumber(col(pcol)).cast("int")))
       Scans.orderedWithinPartitions(fanned, item.orderHint)
     } else items.map(Scans.forWorkItem(spark, sfDir, _)).reduce(_ unionAll _)
   }
@@ -236,7 +250,38 @@ object Pipeline {
     * (`tests/sql/setup-reference-sample-test-table.sql:73-82`).
     */
   def partitionNumber(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    year(c) - lit(1994)
+    // the SHARED epoch constant — a third inline 1994 here would let the
+    // repartition ordinal (and CoreQueries' grouping, which calls this)
+    // silently desynchronize from the slice-range predicates and the
+    // generated SQL text when the epoch moves
+    year(c) - lit(Scans.DefaultEpochYear)
+
+  /** Representative longs `r(0) .. r(n-1)` with
+    * `pmod(murmur3(r(i)), n) == i` — found driver-side (expected n tries
+    * per ordinal: n² cheap long hashes total, instant up to the
+    * planner's 128-partition bound) so a plain hash `repartition(n, _)`
+    * places slice ordinal i EXACTLY in shuffle partition i: one task per
+    * whole slice. Why not the obvious alternatives: hashing the raw
+    * ordinal collides (birthday bound leaves ~1/3 of the n tasks empty
+    * while one carries 2-3 whole slices — measured: ordinals 0..7 into
+    * 8 tasks landed 187/0/0/389/366/558/0/0 rows), and
+    * `repartitionByRange` fixes balance only by re-executing the scan
+    * subtree for its RangePartitioner boundary sample — a SECOND full
+    * read of the source, which at 100 TB doubles the copy's source IO.
+    * The driver-side hash is the exact partitioner contract
+    * (`HashPartitioning.partitionIdExpression` = `pmod(murmur3(expr,
+    * seed=42), n)` with `Murmur3_x86_32.hashLong` for a LongType expr);
+    * the fan-out placement spec goes red if either side ever changes.
+    */
+  private[graft] def ordinalHashReps(n: Int): Array[Long] = {
+    def pid(v: Long): Int = {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      ((h % n) + n) % n
+    }
+    Array.tabulate(n) { i =>
+      Iterator.iterate(i.toLong)(_ + n).find(v => pid(v) == i).get
+    }
+  }
 
   /** Copy one table end-to-end: plan → scan slices → bulk insert →
     * reconcile. `destDir` is the destination "database".
@@ -417,9 +462,13 @@ object Pipeline {
       // first attempt, so it carries its own withRetry (same policy) —
       // a momentary connection failure before attempt 1 retries exactly
       // like one during it.
+      // one-scalar COUNT(*) probe (Sinks.jdbcRowCount), never
+      // spark.read.jdbc(...).count(): the V1 JDBC relation has no
+      // aggregate pushdown, so that "count" streams O(rows) through one
+      // connection — per probe, per attempt
       def probe(): Option[Long] =
         if (!Sinks.jdbcTableExists(url, dst.name, props)) None
-        else Some(spark.read.jdbc(url, dst.name, props).count())
+        else Some(Sinks.jdbcRowCount(url, dst.name, props))
       val preRows = Retry.withRetry(
         maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs)(
         probe())

@@ -69,13 +69,32 @@ object Retry {
     // file-error carve-out below dominate would fail-fast the precise
     // connection-severed family the whitelist exists to retry.
     if (chain.exists(isTransientSql)) true
-    // Then PERMANENT roots dominate: Hadoop/Parquet readers routinely
-    // wrap a FileNotFound/EOF root in a generic IOException, and
-    // classifying the wrapper first would retry maxAttempts full jobs
-    // for a source that never heals
-    else if (chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
-        c.isInstanceOf[java.io.EOFException])) false
+    // Then PERMANENT roots dominate — ALL of them, not just FNF/EOF:
+    // Hadoop/Parquet writers routinely wrap a disk-full / AccessDenied /
+    // NoSuchFile root in a generic IOException ("error committing
+    // file"), and letting the wrapper's default-transient verdict win
+    // via chain.exists below would retry maxAttempts full jobs against
+    // a disk that never empties or a path that never appears — exactly
+    // the burn these carve-outs exist to prevent.
+    else if (chain.exists(isPermanentRoot)) false
     else chain.exists(isTransientRoot)
+  }
+
+  /** Error classes that never heal by retrying, wherever they sit in
+    * the cause chain: missing/truncated files, unwritable or colliding
+    * local paths, and disk-full (a bare IOException with a stable
+    * message). The one definition both the fail-fast domination above
+    * and the per-root classification below consult. */
+  private def isPermanentRoot(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException            => true
+    case _: java.io.EOFException                     => true
+    case _: java.nio.file.AccessDeniedException      => true
+    case _: java.nio.file.NoSuchFileException        => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case e: java.io.IOException =>
+      Option(e.getMessage).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT).contains("no space left")
+    case _ => false
   }
 
   /** The SQL layer's own "retry may succeed" verdicts — authoritative
@@ -93,28 +112,22 @@ object Retry {
   private def isTransientRoot(e: Throwable): Boolean = e match {
     // JDBC's own classification: driver says "retry may succeed"
     case s: java.sql.SQLException => isTransientSql(s)
-    // permanent file errors: a missing or truncated source never heals
-    // by retrying — fail fast instead of burning maxAttempts full jobs
-    case _: java.io.FileNotFoundException => false
-    case _: java.io.EOFException          => false
-    // permanent LOCAL-FS members of the IOException family: an
-    // unwritable path or an existing target never heals either
-    case _: java.nio.file.AccessDeniedException      => false
-    case _: java.nio.file.NoSuchFileException        => false
-    case _: java.nio.file.FileAlreadyExistsException => false
-    case e: java.io.IOException =>
-      // disk-full surfaces as a bare IOException with a stable message —
-      // retrying 5 full jobs against a full disk is the burn the
-      // fail-fast carve-outs exist to prevent
-      val m = Option(e.getMessage).getOrElse("")
-        .toLowerCase(java.util.Locale.ROOT)
-      !m.contains("no space left")
+    // permanent roots (files, local paths, disk-full) never heal —
+    // the shared isPermanentRoot definition, which the chain-level
+    // domination in isTransient also applies to WRAPPED roots
+    case e if isPermanentRoot(e) => false
+    case _: java.io.IOException  => true // generic IO: retry may succeed
     case e: RuntimeException =>
       // last-resort message heuristic (case-insensitive — a capitalized
       // "Transient network error" must not slip past); typed and
-      // SQLState classification above always wins where available
+      // SQLState classification above always wins where available.
+      // "transient" must not be matched inside its own NEGATION — a
+      // message saying "non-transient"/"not transient" declares the
+      // retry useless in so many words
       val m = Option(e.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-      m.contains("transient") || m.contains("connection reset")
+      val negated = m.contains("non-transient") || m.contains("nontransient") ||
+        m.contains("not transient")
+      (m.contains("transient") && !negated) || m.contains("connection reset")
     case _ => false
   }
 

@@ -120,19 +120,29 @@ object Sinks {
       .split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
   }
 
+  /** The WHOLE committed-data-file predicate (regular file, `.parquet`
+    * suffix, no hidden segment) — one definition for reconciliation
+    * ([[committedFiles]]) and the safety gate (`Pipeline.safetyCheck`),
+    * same reasoning as [[hiddenBelow]]: a suffix-convention change
+    * applied to one site only would make the gate and reconciliation
+    * classify the same file differently. */
+  def committedDataFile(
+      isHidden: org.apache.hadoop.fs.Path => Boolean)(
+      f: org.apache.hadoop.fs.FileStatus): Boolean =
+    f.isFile && f.getPath.getName.endsWith(".parquet") && !isHidden(f.getPath)
+
   def committedFiles(
       spark: SparkSession,
       path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val isHidden = hiddenBelow(fs, root)
+    val keep = committedDataFile(hiddenBelow(fs, root)) _
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !isHidden(f.getPath))
-        files += f
+      if (keep(f)) files += f
     }
     files.toSeq
   }
@@ -262,8 +272,12 @@ object Sinks {
     * source left off (proved live by `jdbc_identity_reseed`).
     */
   def reseedIdentityJdbc(
-      url: String, table: String, idCol: String, restartWith: Long): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+      url: String, table: String, idCol: String, restartWith: Long,
+      // same credential channel as every other JDBC entry point here —
+      // a credentialed destination that copies fine must not fail its
+      // identity sync because this one call dropped the Properties
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val target = resolveIdentityTarget(conn, table, idCol).getOrElse(
         throw new java.sql.SQLException(
@@ -282,6 +296,59 @@ object Sinks {
     */
   private def quoteIdent(name: String): String =
     "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** One-scalar destination rowcount over a plain JDBC connection — the
+    * probe the append-retry guard and the reconciliation counter use.
+    * `spark.read.jdbc(...).count()` is the wrong tool here: the V1 JDBC
+    * relation has no aggregate pushdown, so a "count" streams one value
+    * per row through a single connection — O(rows) transfer per probe,
+    * run once pre-load plus once per retry attempt, minutes against a
+    * big destination. `SELECT COUNT(*)` returns one scalar and lets the
+    * database do what databases do. The identifier resolves through the
+    * stored catalog spelling where available (same case rules as the
+    * identity sync); a table the catalog probe can't resolve counts
+    * under its literal quoted spelling and fails loudly if absent.
+    */
+  def jdbcRowCount(
+      url: String, table: String, props: java.util.Properties): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val stored =
+        try storedTableName(conn, table) catch { case _: java.sql.SQLException => None }
+      val ident = quoteIdent(stored.getOrElse(table))
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $ident")
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** The STORED catalog spelling of a table name in the connection's
+    * current schema (case-insensitive lookup, exact match preferred) —
+    * so quoted statements hit the same table an unqualified Spark load
+    * resolves, whatever the catalog's fold. */
+  private def storedTableName(
+      conn: java.sql.Connection, table: String): Option[String] = {
+    val meta = conn.getMetaData
+    val schema: String =
+      try conn.getSchema
+      catch {
+        case _: java.sql.SQLException => null
+        case _: AbstractMethodError   => null
+      }
+    val rs = meta.getTables(null, schema, "%", null)
+    try {
+      var exact: Option[String] = None
+      val folded = scala.collection.mutable.Buffer.empty[String]
+      while (rs.next()) {
+        val n = rs.getString("TABLE_NAME")
+        if (n == table) exact = Some(n)
+        else if (n.equalsIgnoreCase(table)) folded += n
+      }
+      exact.orElse(if (folded.size == 1) folded.headOption else None)
+    } finally rs.close()
+  }
 
   /** Resolve the STORED spellings of (table, identity column) from the
     * destination catalog, case-insensitively on BOTH identifiers — a
@@ -321,8 +388,9 @@ object Sinks {
     * [[resolveIdentityTarget]]) so a destination whose identity column was
     * created unquoted (stored uppercase) still verifies.
     */
-  def identitySeedJdbc(url: String, table: String, idCol: String): Option[Long] = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  def identitySeedJdbc(url: String, table: String, idCol: String,
+      props: java.util.Properties = new java.util.Properties()): Option[Long] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       resolveIdentityTarget(conn, table, idCol).flatMap { case (t, c) =>
         val st = conn.prepareStatement(

@@ -185,6 +185,70 @@ class PipelineSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Retry.withRetry(0) { 42 } }
   }
 
+  test("retry: wrapped permanent roots fail fast; negated 'transient' is permanent") {
+    // disk-full WRAPPED in a generic IOException (the Hadoop/Parquet
+    // commit shape): the wrapper's default-transient verdict must not
+    // override the root — retrying 5 full jobs against a full disk is
+    // the burn the carve-outs exist to prevent
+    var a = 0
+    intercept[java.io.IOException] {
+      Retry.withRetry(5) { a += 1
+        throw new java.io.IOException("error committing file",
+          new java.io.IOException("No space left on device")) }
+    }
+    assert(a == 1, s"wrapped disk-full was retried $a times")
+    // AccessDenied wrapped the same way
+    var b = 0
+    intercept[java.io.IOException] {
+      Retry.withRetry(5) { b += 1
+        throw new java.io.IOException("task commit failed",
+          new java.nio.file.AccessDeniedException("/readonly/dest")) }
+    }
+    assert(b == 1)
+    // a message explicitly declaring the error NON-transient must not
+    // satisfy the contains("transient") heuristic
+    var c = 0
+    intercept[RuntimeException] {
+      Retry.withRetry(5) { c += 1
+        throw new RuntimeException("non-transient replication error: schema mismatch") }
+    }
+    assert(c == 1, s"explicitly non-transient error was retried $c times")
+    // ... while a genuinely transient message still retries
+    var d = 0
+    assert(Retry.withRetry(3) { d += 1
+      if (d < 2) throw new RuntimeException("transient replication hiccup")
+      d } == 2)
+  }
+
+  test("single-scan fan-out places each slice whole, with no empty tasks") {
+    // the fan-out's parallelism claim: n slices -> n tasks, one slice
+    // each. A HASH repartition on the ordinal collided ordinals
+    // (murmur3 mod n), leaving ~1/3 of partitions empty while one task
+    // carried 2-3 whole slices — range partitioning restores ~1:1.
+    val src = Catalog.collect(spark, sfDir, "orders")
+    val dst = Pipeline.cleanDest(src)
+    // Count(5): odd, like the planner's own auto-clamp — an even count
+    // degrades to a Whole single item and would test nothing
+    val items = graft.plan.Analyzer.analyze(src, dst,
+      PlanConfig(batchSize = 100, strategy = PartitionStrategy.Count(5))) match {
+      case AnalysisOutcome.Success(is) => is
+      case other => fail(s"analysis failed: $other")
+    }
+    assert(items.size == 5, s"expected 5 logical slices, got ${items.size}")
+    val df = Pipeline.copyFrame(spark, sfDir, items)
+    val perPartition = df
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .count().collect()
+    val nonEmpty = perPartition.length
+    assert(nonEmpty == 5,
+      s"expected 5 one-slice tasks, got $nonEmpty non-empty partitions: " +
+        perPartition.map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(","))
+    // and no partition dwarfs the others (each holds ~1/5 of the rows)
+    val counts = perPartition.map(_.getLong(1))
+    assert(counts.max < 2L * counts.min + 8,
+      s"fan-out skew: ${counts.sorted.mkString(",")}")
+  }
+
   test("jdbc overwrite+truncate keeps table identity (secondary index survives)") {
     import graft.exec.Scans
     val url = s"jdbc:derby:${destDir}/truncdb;create=true"
