@@ -180,10 +180,33 @@ case class BloomMightContain(left: Expression, right: Expression)
   // probe for a null literal, but it does BUILD the code string, which
   // forces these lazy vals — deserializing null here would NPE at
   // codegen time, before a single row is processed.
+  // Structural gate BEFORE any probe: a malformed blob must fail with
+  // an error that names the function, not surface as a
+  // BufferUnderflow/ArithmeticException from inside codegen — and a
+  // garbage blob must never probe true for every key (numHashes <= 0
+  // would make the contains loop vacuous). bloom_bits_agg's own output
+  // always passes (numBits >= 64 => >= 12 bytes, word-aligned, k in
+  // [1,16]); anything else was not built by it.
   @transient private lazy val bits: Array[Long] =
-    if (blob == null) null else BloomProbe.deserializeBits(blob)
+    if (blob == null) null
+    else {
+      if (blob.length < 12 || (blob.length - 4) % 8 != 0)
+        throw new IllegalArgumentException(
+          s"$prettyName: malformed bloom blob (${blob.length} bytes; " +
+            "expected a 4-byte header plus >= 1 aligned 8-byte bit word) — " +
+            "build it with bloom_bits_agg")
+      BloomProbe.deserializeBits(blob)
+    }
   @transient private lazy val k: Int =
-    if (blob == null) 0 else BloomProbe.deserializeHashes(blob)
+    if (blob == null) 0
+    else {
+      val h = BloomProbe.deserializeHashes(blob)
+      if (h < 1 || h > 16)
+        throw new IllegalArgumentException(
+          s"$prettyName: bloom blob declares numHashes $h outside [1,16] — " +
+            "not a bloom_bits_agg blob")
+      h
+    }
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     BloomProbe.contains(bits, r.asInstanceOf[Long], k)

@@ -1,92 +1,28 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Native fused dot product over two numeric-array columns — the target
   * of [[RewriteDotProduct]], which rewrites the built-in composition
   * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v)`
   * into this expression.
   *
-  * Numeric contract is IDENTICAL to that composition (so the optimizer
-  * rewrite is invisible to results and to the DuckDB oracles):
-  *  - elements widened to double, products accumulated LEFT TO RIGHT
-  *    starting from 0.0 (IEEE addition is order-sensitive; the order is
-  *    part of the contract);
-  *  - unequal lengths → NULL (zip_with pads the shorter side with null,
-  *    which nulls the whole fold);
-  *  - any null element → NULL.
+  * Numeric/NULL contract is IDENTICAL to that composition (so the
+  * optimizer rewrite is invisible to results and to the DuckDB oracles)
+  * and lives in the shared [[ArrayPairFold]] scaffold; this class
+  * supplies only the per-element `x * y`.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends ArrayPairFold {
 
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  override protected def combine(x: Double, y: Double): Double = x * y
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
-    }
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<float|double> inputs, " +
-        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
-  }
-
-  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case _         => a.getDouble(i)
-  }
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (b.numElements() != n) return null
-    val (ta, tb) = (elemType(left), elemType(right))
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += get(a, i, ta) * get(b, i, tb)
-      i += 1
-    }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      def getter(arr: String, t: DataType): String = t match {
-        case FloatType => s"(double) $arr.getFloat($i)"
-        case _         => s"$arr.getDouble($i)"
-      }
-      s"""
-         |final int $n = $a.numElements();
-         |if ($b.numElements() != $n) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (${getter(a, elemType(left))}) * (${getter(b, elemType(right))});
-         |  }
-         |  if (!${ev.isNull}) {
-         |    ${ev.value} = $acc;
-         |  }
-         |}
-       """.stripMargin
-    })
+  override protected def genCombine(
+      ctx: CodegenContext, acc: String, x: String, y: String): String =
+    s"$acc += $x * $y;"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

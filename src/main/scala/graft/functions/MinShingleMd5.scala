@@ -88,7 +88,8 @@ object ShingleMd5 {
   * ([[graft.ops.TextQueries.fingerprintFrame]]); equivalence against the
   * HOF composition is property-tested in ExtensionsSpec.
   */
-case class MinShingleMd5(child: Expression, shingleLen: Int, stride: Int)
+case class MinShingleMd5(child: Expression, shingleLen: Int, stride: Int,
+    useICU: Boolean = TextKernel.sessionUseICU)
     extends UnaryExpression {
 
   require(shingleLen >= 1, "shingle length must be >= 1")
@@ -103,12 +104,10 @@ case class MinShingleMd5(child: Expression, shingleLen: Int, stride: Int)
       s"$prettyName expects a string input, got ${other.catalogString}")
   }
 
-  // strict val: captured at construction (analysis time, on the driver),
-  // exactly like the built-in Lower — so the fused loop lowercases
-  // identically to the lower() this session would run, even if the
-  // expression is serialized before first evaluation
-  private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
-    .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+  // useICU is a case-class PARAMETER defaulted at construction (analysis
+  // time, on the driver — exactly like the built-in Lower), never a
+  // constructor-body val: see TextKernel.sessionUseICU for why it must
+  // ride expression equality and survive copy() unchanged
 
   override protected def nullSafeEval(input: Any): Any =
     ShingleMd5.compute(input.asInstanceOf[UTF8String], shingleLen, stride, useICU)

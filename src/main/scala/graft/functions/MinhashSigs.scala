@@ -92,7 +92,8 @@ object MinhashSigsKernel {
   * whole LSH dedup family. Row-local: computing signatures where the
   * text lives keeps the corpus shuffle-free up to the band-key join.
   */
-case class MinhashSigs(child: Expression) extends UnaryExpression {
+case class MinhashSigs(child: Expression,
+    useICU: Boolean = TextKernel.sessionUseICU) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
@@ -103,9 +104,8 @@ case class MinhashSigs(child: Expression) extends UnaryExpression {
       s"$prettyName expects a string input, got ${other.catalogString}")
   }
 
-  // strict val: captured at construction on the driver (see MinShingleMd5)
-  private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
-    .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+  // useICU: case-class parameter defaulted at construction — see
+  // TextKernel.sessionUseICU for the equality/copy() rationale
 
   override protected def nullSafeEval(input: Any): Any =
     MinhashSigsKernel.compute(input.asInstanceOf[UTF8String], useICU)

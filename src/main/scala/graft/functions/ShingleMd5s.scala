@@ -69,7 +69,8 @@ object ShingleMd5sKernel {
   * computed where the text lives, so the mining shuffle carries only
   * digest-width rows.
   */
-case class ShingleMd5s(child: Expression) extends UnaryExpression {
+case class ShingleMd5s(child: Expression,
+    useICU: Boolean = TextKernel.sessionUseICU) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_md5s"
@@ -80,9 +81,8 @@ case class ShingleMd5s(child: Expression) extends UnaryExpression {
       s"$prettyName expects a string input, got ${other.catalogString}")
   }
 
-  // strict val: captured at construction on the driver (see MinShingleMd5)
-  private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
-    .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+  // useICU: case-class parameter defaulted at construction — see
+  // TextKernel.sessionUseICU for the equality/copy() rationale
 
   override protected def nullSafeEval(input: Any): Any =
     ShingleMd5sKernel.compute(input.asInstanceOf[UTF8String], useICU)

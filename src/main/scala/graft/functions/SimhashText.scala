@@ -87,7 +87,8 @@ object SimhashTextKernel {
   * signature equivalence against the composed pipeline is spec-tested
   * over the corpus (ExtensionsSpec) and the DuckDB oracle is unchanged.
   */
-case class SimhashText(child: Expression) extends UnaryExpression {
+case class SimhashText(child: Expression,
+    useICU: Boolean = TextKernel.sessionUseICU) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -99,10 +100,8 @@ case class SimhashText(child: Expression) extends UnaryExpression {
       s"$prettyName expects a string input, got ${other.catalogString}")
   }
 
-  // strict val: captured at construction (analysis time, on the driver),
-  // exactly like the built-in Lower — see MinShingleMd5
-  private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
-    .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+  // useICU: case-class parameter defaulted at construction — see
+  // TextKernel.sessionUseICU for the equality/copy() rationale
 
   override protected def nullSafeEval(input: Any): Any =
     SimhashTextKernel.compute(input.asInstanceOf[UTF8String], useICU)

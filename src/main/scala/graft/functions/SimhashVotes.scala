@@ -32,7 +32,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * partition is cheap, while the default threshold degrades the partial
   * aggregation to sort-based almost immediately (measured 2× slower).
   * The vote sums are bit-for-bit identical to the column form (integer
-  * arithmetic only), so the DuckDB oracle's digit-wise form is unchanged.
+  * arithmetic only), so the DuckDB oracle's digit-wise form is unchanged
+  * — including the empty-group case: sum over zero rows is NULL, so a
+  * global aggregate over an empty input evals NULL here too (slot 64 of
+  * the buffer counts contributing rows to witness it).
   *
   * Null semantics match the column form exactly: in `sum(CASE WHEN
   * shiftright(h, s) & 1 = 1 THEN 1 ELSE -1 END)` a null hash half makes
@@ -52,7 +55,12 @@ case class SimhashVotes(
 
   override def prettyName: String = "simhash_votes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  // nullable like the column form it mirrors: 64 sum(CASE ...) columns
+  // over ZERO rows are 64 NULLs (sum's empty-group result), so a global
+  // aggregate over an empty input must yield NULL here too — an all-zero
+  // vote vector would assemble a spurious '0000000000000000' signature
+  // where the composed path assembles none
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == LongType && right.dataType == LongType)
@@ -61,7 +69,10 @@ case class SimhashVotes(
       s"$prettyName expects (bigint, bigint), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+  // slot 64 counts contributing rows — the witness that distinguishes a
+  // genuinely all-balanced vote vector from the zero-row case (which
+  // must eval to NULL, matching sum's empty-group semantics)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v1 = left.eval(input)
@@ -84,29 +95,32 @@ case class SimhashVotes(
       buf(b) += (bit << 1) - 1L // 1 -> +1, 0 -> -1
       b += 1
     }
+    buf(64) += 1L
     buf
   }
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var b = 0
-    while (b < 64) { buf(b) += other(b); b += 1 }
+    while (b < 65) { buf(b) += other(b); b += 1 }
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+  override def eval(buf: Array[Long]): Any =
+    if (buf(64) == 0L) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buf, 64))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(64 * 8)
+    val bb = ByteBuffer.allocate(65 * 8)
     var b = 0
-    while (b < 64) { bb.putLong(buf(b)); b += 1 }
+    while (b < 65) { bb.putLong(buf(b)); b += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](64)
+    val buf = new Array[Long](65)
     var b = 0
-    while (b < 64) { buf(b) = bb.getLong(); b += 1 }
+    while (b < 65) { buf(b) = bb.getLong(); b += 1 }
     buf
   }
 

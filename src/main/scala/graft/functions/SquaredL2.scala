@@ -1,10 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Native fused squared-L2 distance over two numeric-array columns — the
   * target of [[RewriteDotProduct]]'s squared-difference case, which
@@ -19,84 +16,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * 100 TB the distance math would dominate the scan — the fused loop
   * runs inside codegen like any arithmetic.
   *
-  * Numeric contract is IDENTICAL to the composition (the rewrite is
-  * invisible to results and to the DuckDB oracles):
-  *  - elements widened to double, squared differences accumulated LEFT
-  *    TO RIGHT from 0.0 (IEEE addition is order-sensitive; the order is
-  *    part of the contract);
-  *  - unequal lengths → NULL (zip_with pads with null, nulling the fold);
-  *  - any null element → NULL.
+  * Numeric/NULL contract is IDENTICAL to the composition (the rewrite
+  * is invisible to results and to the DuckDB oracles) and lives in the
+  * shared [[ArrayPairFold]] scaffold; this class supplies only the
+  * per-element `(x - y)²`.
   */
 case class SquaredL2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends ArrayPairFold {
 
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
   override def prettyName: String = "squared_l2"
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
-    }
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<float|double> inputs, " +
-        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override protected def combine(x: Double, y: Double): Double = {
+    val d = x - y
+    d * d
   }
 
-  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case _         => a.getDouble(i)
+  override protected def genCombine(
+      ctx: CodegenContext, acc: String, x: String, y: String): String = {
+    val d = ctx.freshName("d")
+    s"""final double $d = $x - $y;
+       |    $acc += $d * $d;""".stripMargin
   }
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (b.numElements() != n) return null
-    val (ta, tb) = (elemType(left), elemType(right))
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = get(a, i, ta) - get(b, i, tb)
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      def getter(arr: String, t: DataType): String = t match {
-        case FloatType => s"(double) $arr.getFloat($i)"
-        case _         => s"$arr.getDouble($i)"
-      }
-      s"""
-         |final int $n = $a.numElements();
-         |if ($b.numElements() != $n) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $d = (${getter(a, elemType(left))}) - (${getter(b, elemType(right))});
-         |    $acc += $d * $d;
-         |  }
-         |  if (!${ev.isNull}) {
-         |    ${ev.value} = $acc;
-         |  }
-         |}
-       """.stripMargin
-    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SquaredL2 =

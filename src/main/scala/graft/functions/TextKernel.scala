@@ -42,6 +42,17 @@ object TextKernel {
     if (useICU) org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
     else org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinary(text)
 
+  /** The session's ICU lowering toggle, read ONCE as a default for the
+    * text natives' `useICU` case-class PARAMETER (never a constructor-
+    * body val): as a parameter it participates in equals/semanticEquals
+    * — two expressions built under opposite toggles must never be
+    * substituted for each other by plan caching or exchange reuse — and
+    * `copy()`/`withNewChildInternal` carries the CAPTURED value instead
+    * of re-reading live conf mid-transform (an AQE re-optimization after
+    * a conf change would otherwise flip the lowering mid-query). */
+  def sessionUseICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
+    .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
   /** Byte-offset spans of each [a-z0-9] token run in `bytes`:
     * `starts(i) until ends(i)` for `i < n`. Arrays may be longer than
     * `n` (grow-by-doubling) — read only the first `n` entries.

@@ -306,6 +306,71 @@ class ExtensionsSpec extends SparkSpecBase {
       viaColumns.exceptAll(native).count() == 0)
   }
 
+  test("simhash_votes over zero rows is NULL, like the sum(CASE) columns") {
+    // a GLOBAL aggregate over an empty input: sum over zero rows is
+    // NULL, so the fused form must eval NULL too — an all-zero vote
+    // vector would assemble a spurious all-zeros signature where the
+    // composed path assembles none
+    val empty = spark.range(0)
+      .selectExpr("id AS h1", "id AS h2").filter("h1 < 0")
+    val fusedRow = empty
+      .agg(call_function("simhash_votes", col("h1"), col("h2")).as("sv"))
+      .collect()(0)
+    assert(fusedRow.isNullAt(0),
+      s"simhash_votes over zero rows returned ${fusedRow.get(0)}, not NULL")
+    val columnRow = empty
+      .agg(expr("sum(CASE WHEN (shiftright(h1, 0) & 1L) = 1 THEN 1 ELSE -1 END)"))
+      .collect()(0)
+    assert(columnRow.isNullAt(0)) // the contract being mirrored
+  }
+
+  test("bloom_might_contain refuses malformed blobs loudly") {
+    import spark.implicits._
+    val keys = Seq(1L, 2L).toDF("k")
+    // too short / misaligned: must fail naming the function, not
+    // surface as a BufferUnderflow or divide-by-zero from codegen
+    val short = intercept[Exception] {
+      keys.select(call_function("bloom_might_contain",
+        lit(Array[Byte](0, 0, 0, 1)), col("k"))).collect()
+    }
+    assert(short.getMessage != null &&
+      short.toString.contains("bloom_might_contain") ||
+      Option(short.getCause).exists(_.toString.contains("bloom_might_contain")),
+      s"wrong error for a short blob: $short")
+    // structurally aligned but numHashes out of range: must error, not
+    // probe true for every key (a <=0 hash count makes the contains
+    // loop vacuous)
+    val bogus = java.nio.ByteBuffer.allocate(12).putInt(-7).putLong(0L).array()
+    val neg = intercept[Exception] {
+      keys.select(call_function("bloom_might_contain", lit(bogus), col("k"))).collect()
+    }
+    assert(neg.toString.contains("bloom_might_contain") ||
+      Option(neg.getCause).exists(_.toString.contains("bloom_might_contain")),
+      s"wrong error for a bogus hash count: $neg")
+    // and a NULL blob still answers NULL (legal input, not an error)
+    val viaNull = keys.select(call_function("bloom_might_contain",
+      lit(null).cast("binary"), col("k"))).collect()
+    assert(viaNull.forall(_.isNullAt(0)))
+  }
+
+  test("text natives carry useICU in expression identity, stable across copy()") {
+    import graft.functions.MinShingleMd5
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val c = Literal("abc")
+    val on = MinShingleMd5(c, 8, 4, useICU = true)
+    val off = MinShingleMd5(c, 8, 4, useICU = false)
+    // two expressions built under opposite lowering toggles must never
+    // compare equal — plan caching / exchange reuse would otherwise
+    // substitute one for the other
+    assert(on != off && !on.semanticEquals(off),
+      "useICU is invisible to expression equality")
+    // tree transforms call copy()/withNewChildInternal: the CAPTURED
+    // toggle must ride along, never be re-read from live conf
+    val rebuilt = on.withNewChildren(Seq(Literal("xyz")))
+      .asInstanceOf[MinShingleMd5]
+    assert(rebuilt.useICU, "copy() dropped the captured useICU")
+  }
+
   test("fused simhash64 equals the composed explode+votes pipeline, shuffle-free") {
     assert(spark.catalog.functionExists("simhash64"))
     // signature equivalence over the whole corpus: one row-local call
