@@ -33,18 +33,23 @@ object Catalog {
     * heaps, a columnstore, and one system-versioned temporal pair.
     */
   val declared: Map[String, TableMeta] = Map(
-    "region"   -> TableMeta("main", "region", Storage.Heap),
-    // foreignKeyCount mirrors this table's parent rows in
-    // [[foreignKeyRows]] (fk_nation_region) — the two catalog
-    // representations must agree or a consumer crossing them (a
-    // declared-derived destMeta vs the sys frame) reads different facts
-    "nation"   -> TableMeta("main", "nation", Storage.Heap, foreignKeyCount = 1),
+    // foreignKeyCount is the reference collector's DISJUNCTIVE count —
+    // FKs where the table is parent OR referenced
+    // (`TableInfoCollector.cs:487-496`: `parent_object_id = t OR
+    // referenced_object_id = t`) — mirroring [[foreignKeyRows]] under
+    // that same counting (CopySpec pins the agreement). The disjunction
+    // matters for the analyzer's abort gate: the reference stops on a
+    // destination another table's FK points AT (region, part), not only
+    // on one that itself declares FKs.
+    "region"   -> TableMeta("main", "region", Storage.Heap, foreignKeyCount = 1),
+    "nation"   -> TableMeta("main", "nation", Storage.Heap, foreignKeyCount = 3),
     "customer" -> TableMeta("main", "customer", Storage.ClusteredRowstore,
-      sortKeys = Seq(SortKey("c_custkey")), foreignKeyCount = 1),
-    "supplier" -> TableMeta("main", "supplier", Storage.Heap, foreignKeyCount = 1),
-    "part"     -> TableMeta("main", "part", Storage.Heap, secondaryIndexCount = 1),
+      sortKeys = Seq(SortKey("c_custkey")), foreignKeyCount = 2),
+    "supplier" -> TableMeta("main", "supplier", Storage.Heap, foreignKeyCount = 2),
+    "part"     -> TableMeta("main", "part", Storage.Heap, secondaryIndexCount = 1,
+      foreignKeyCount = 1),
     "orders"   -> TableMeta("main", "orders", Storage.ClusteredRowstore,
-      sortKeys = Seq(SortKey("o_orderkey")), foreignKeyCount = 1,
+      sortKeys = Seq(SortKey("o_orderkey")), foreignKeyCount = 2,
       history = Some(HistoryInfo("orders_history", "valid_from", "valid_to", 90))),
     // lineitem: clustered rowstore (l_orderkey asc, l_linenumber desc) —
     // the mixed-direction key of tests/Issues.cs:36 — physically
@@ -110,15 +115,20 @@ object Catalog {
     if (!fs.exists(p)) return 0L
     val st = fs.getFileStatus(p)
     if (st.isFile) return st.getLen
-    // committed-ness is Sinks.hiddenBelow — the ONE definition the
-    // safety gate and reconciliation also read; an inline copy here
-    // could silently diverge the planner's size input from the gate
-    val hidden = graft.exec.Sinks.hiddenBelow(fs, p)
+    // committed-ness is Sinks.committedDataFile — the WHOLE predicate
+    // (hidden segments AND the .parquet-data-file test) the safety gate
+    // and reconciliation read, not just its hidden half: a stray
+    // non-parquet file (an orphaned .tmp from a foreign writer, say)
+    // must not inflate the size the planner's partition-count and
+    // small-table decisions read while the readonly immutability gate
+    // stays blind to it
+    val keep = graft.exec.Sinks.committedDataFile(
+      graft.exec.Sinks.hiddenBelow(fs, p)) _
     var total = 0L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && !hidden(f.getPath)) total += f.getLen
+      if (keep(f)) total += f.getLen
     }
     total
   }
@@ -209,20 +219,33 @@ object Catalog {
       "is_descending_key", "partition_ordinal")
   }
 
+  /** Non-portable KIND per excluded column — (is_computed,
+    * system_type_id); 189 is SQL Server's rowversion/timestamp. Keyed by
+    * name so the synthetic sys.columns rows below derive from
+    * `declared(n).excludedColumns` (the list the copy projection
+    * actually drops) instead of a second hand-written copy of it —
+    * renaming an exclusion in one representation used to fork the other
+    * silently. A column excluded without a kind here fails loudly at
+    * first catalog read. */
+  private val nonPortableKind: Map[String, (Int, Int)] = Map(
+    "l_revenue_computed" -> ((1, 0)),
+    "l_rowversion"       -> ((0, 189)))
+
   lazy val columnRows: Seq[(Int, Int, String, Int, Int)] =
     tableNames.zipWithIndex.flatMap { case (n, i) =>
       val real = schemaColumns(n).zipWithIndex.map { case (c, j) =>
         (i + 1, j + 1, c, 0, 0)
       }
-      // catalog-only non-portable columns on lineitem — the reference's
-      // exclusion fixture (computed + rowversion/timestamp columns that
-      // the copy projection must drop, TableInfoCollector.cs:395-408,
-      // tests/sql/setup-reference-sample-test-table.sql)
-      val synthetic =
-        if (n == "lineitem") Seq(
-          (i + 1, real.size + 1, "l_revenue_computed", 1, 0),
-          (i + 1, real.size + 2, "l_rowversion", 0, 189))
-        else Nil
+      // catalog-only non-portable columns — the reference's exclusion
+      // fixture (computed + rowversion/timestamp columns that the copy
+      // projection must drop, TableInfoCollector.cs:395-408), DERIVED
+      // from the same declared list the projection reads
+      val synthetic = declared(n).excludedColumns.zipWithIndex.map { case (c, k) =>
+        val (isComputed, typeId) = nonPortableKind.getOrElse(c,
+          throw new IllegalStateException(
+            s"excluded column $n.$c has no non-portable kind fixture"))
+        (i + 1, real.size + 1 + k, c, isComputed, typeId)
+      }
       real ++ synthetic
     }
 

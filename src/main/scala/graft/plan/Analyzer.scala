@@ -40,6 +40,11 @@ final case class PlanConfig(
     stopIfSecondaryIndex: Boolean = true,
     stopIfTemporalTable: Boolean = true) {
   require(tasks >= 1 && tasks <= 32, "tasks must be in [1,32]") // SmartBulkCopyConfig.cs:55
+  // same construction-time rejection Count(0)/SizeGb(0) get: a zero
+  // batch size reaches logicalPartitionCount's rowCount/(batchSize*10)
+  // as a raw ArithmeticException (no exit-code line), and a negative
+  // one flows silently into planning and the JDBC writer's batchsize
+  require(batchSize >= 1, s"batch-size must be >= 1, got $batchSize")
 }
 
 /** The planner — Spark-native re-expression of the reference's

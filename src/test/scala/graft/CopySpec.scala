@@ -560,13 +560,17 @@ class CopySpec extends SparkSpecBase {
 
   test("declared metas agree with the synthesized sys catalog rows") {
     // two representations of one fixture: TableMeta.foreignKeyCount must
-    // equal this table's parent rows in sysForeignKeys, and each temporal
-    // table must point at ITS OWN history table's object id — a consumer
+    // equal this table's sysForeignKeys rows under the REFERENCE
+    // collector's disjunctive counting (parent OR referenced,
+    // TableInfoCollector.cs:487-496 — the count meta_fk_count publishes
+    // and the analyzer's abort gate consumes), and each temporal table
+    // must point at ITS OWN history table's object id — a consumer
     // crossing the representations (destMeta vs sys frames) reads the
     // same facts either way
     Catalog.tableNames.zipWithIndex.foreach { case (n, i) =>
       val declaredFks = Catalog.declared(n).foreignKeyCount
-      val rowFks = Catalog.foreignKeyRows.count(_._2 == i + 1)
+      val rowFks = Catalog.foreignKeyRows.count(
+        r => r._2 == i + 1 || r._3 == i + 1)
       assert(declaredFks == rowFks,
         s"$n: declared foreignKeyCount $declaredFks != catalog rows $rowFks")
       Catalog.declared(n).history.foreach { h =>

@@ -40,7 +40,12 @@ class PipelineSpec extends SparkSpecBase {
 
   test("small table takes the bypass and still reconciles") {
     val src = Catalog.collect(spark, sfDir, "region")
-    val r = Pipeline.copyTable(spark, sfDir, destDir, src, src.copy(), PlanConfig())
+    // cleanDest, not src.copy(): region is REFERENCED by fk_nation_region,
+    // and the reference's disjunctive FK count (parent OR referenced,
+    // TableInfoCollector.cs:487-496) rightly aborts a destination another
+    // table's FK points at — the real copy path strips destination FKs
+    val r = Pipeline.copyTable(spark, sfDir, destDir, src,
+      Pipeline.cleanDest(src, src.storage), PlanConfig())
     assert(r.ok && r.workItems == 1 && r.sliceKind == "none")
   }
 
