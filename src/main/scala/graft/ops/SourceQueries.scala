@@ -19,15 +19,12 @@ object SourceQueries {
   // same-JVM scenario the staged-state caches defend against) must not
   // either — the staged bytes are corpus-DEPENDENT, so a shared path
   // can surface as FileNotFound mid-overwrite or an aggregate silently
-  // computed over a mix of both corpora's part files. Same path shape
-  // as PersistedState.scratchFallback (proc tag + corpusKey).
-  private def tmp(dir: String, name: String): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_sources_" +
-      s"${java.lang.ProcessHandle.current().pid()}"
-    // per-pid staging is garbage after this process — reclaim at exit
-    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(root))
-    s"$root/${PersistedState.corpusKey(dir)}/$name"
-  }
+  // computed over a mix of both corpora's part files. THE shared
+  // scratch-path contract (proc tag + corpusKey + exit reclamation) is
+  // PersistedState.scratchFallback — calling it, not re-implementing
+  // it, so a change to the contract cannot fork here.
+  private def tmp(dir: String, name: String): String =
+    s"${PersistedState.scratchFallback(dir, "sources")}/$name"
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -141,7 +138,12 @@ object SourceQueries {
     // ------------------------------------------------------------------
     QueryDef("source_csv_malformed",
       s"""WITH raw(line) AS (VALUES
-        |  ${CsvFixture.lines.map(l => s"('${l}')").mkString(",\n  ")}),
+        |  ${CsvFixture.lines
+             // SQL-escape the single quotes: the fixture is a DIRTY-CSV
+             // fixture meant to grow malformed rows, and an apostrophe
+             // line (o'hara) would otherwise break the oracle's parse
+             // far from the one-line fixture edit that caused it
+             .map(l => s"('${l.replace("'", "''")}')").mkString(",\n  ")}),
         |p AS (SELECT string_split(line, ',') AS f FROM raw),
         |j AS (SELECT
         |        len(f) = 3

@@ -25,15 +25,21 @@ object StreamDemo {
       .writeStream.format("memory").queryName("wagg")
       .outputMode("complete").start()
 
+    // explicit UTC instants, never Timestamp.valueOf: valueOf parses in
+    // the JVM DEFAULT zone (only spark.sql.session.timeZone is pinned),
+    // so on a half-hour-offset host the demo's events would land in
+    // different epoch-aligned windows and the printed state would
+    // change per machine
+    def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
     mem.addData(
-      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1L, 1.5),
-      (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2L, 2.5),
-      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 1L, 3.0))
+      (ts("2024-01-01T10:05:00Z"), "click", 1L, 1.5),
+      (ts("2024-01-01T10:45:00Z"), "click", 2L, 2.5),
+      (ts("2024-01-01T11:05:00Z"), "view", 1L, 3.0))
     query.processAllAvailable()
     println("--- after micro-batch 1 ---")
     spark.sql("SELECT * FROM wagg ORDER BY window_start, event_type").show(false)
 
-    mem.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "view", 3L, 1.0))
+    mem.addData((ts("2024-01-01T11:30:00Z"), "view", 3L, 1.0))
     query.processAllAvailable()
     println("--- after micro-batch 2 ---")
     spark.sql("SELECT * FROM wagg ORDER BY window_start, event_type").show(false)
