@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomBitsAgg, BloomMightContain, CosineSim, MinShingleMd5, MinhashSigs, RewriteDotProduct, ShingleMd5s, SimhashText, SimhashVotes}
+import graft.functions.{BloomBitsAgg, BloomMightContain, CosineSim, HashVectorize, MinShingleMd5, MinhashSigs, RewriteDotProduct, ShingleMd5s, SimhashText, SimhashVotes}
 
 /** Engine extension point — install with
   * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` (done
@@ -48,6 +48,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "shingle_md5s expects exactly 1 argument")
         ShingleMd5s(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hash_vectorize64"),
+      new ExpressionInfo(classOf[HashVectorize].getName, "hash_vectorize64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hash_vectorize64 expects exactly 1 argument")
+        HashVectorize(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),

@@ -230,22 +230,8 @@ object Sinks {
     */
   def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
     val meta = conn.getMetaData
-    val schema: String =
-      try conn.getSchema
-      catch {
-        case _: java.sql.SQLException => null
-        case _: AbstractMethodError   => null // pre-JDBC-4.1 driver
-      }
-    val esc = meta.getSearchStringEscape
-    // only a single-char escape is usable in a LIKE pattern; an empty or
-    // multi-char one would corrupt the pattern instead of escaping it
-    val escOk = esc != null && esc.length == 1
-    def escaped(n: String): String =
-      if (!escOk) n // wildcards stay live; the exact post-filter guards
-      else n.flatMap { c =>
-        if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
-        else c.toString
-      }
+    val schema = currentSchemaOrNull(conn)
+    val escaped = likeEscaper(meta)
     def one(n: String): Boolean = {
       val rs = meta.getTables(
         null, if (schema == null) null else escaped(schema), escaped(n), null)
@@ -258,6 +244,36 @@ object Sinks {
       } finally rs.close()
     }
     one(table) || one(table.toUpperCase(java.util.Locale.ROOT))
+  }
+
+  /** The connection's current schema, or null where the driver doesn't
+    * expose one (pre-JDBC-4.1, or SQLFeatureNotSupported) — null means
+    * "search unscoped; the exact post-filter guards". */
+  private def currentSchemaOrNull(conn: java.sql.Connection): String =
+    try conn.getSchema
+    catch {
+      case _: java.sql.SQLException => null
+      case _: AbstractMethodError   => null // pre-JDBC-4.1 driver
+    }
+
+  /** LIKE-pattern escaper for `DatabaseMetaData.getTables` arguments:
+    * '_' and '%' are wildcards in BOTH the schema and table pattern
+    * slots, so any identifier passed there raw LIKE-matches sibling
+    * names (`my_schema` matches `myXschema`). Only a single-char
+    * `getSearchStringEscape` is usable in a LIKE pattern; an empty or
+    * multi-char one would corrupt the pattern instead of escaping it —
+    * then wildcards stay live and the caller's exact post-filter on
+    * TABLE_NAME/TABLE_SCHEM is the guard. */
+  private def likeEscaper(
+      meta: java.sql.DatabaseMetaData): String => String = {
+    val esc = meta.getSearchStringEscape
+    val escOk = esc != null && esc.length == 1
+    (n: String) =>
+      if (!escOk) n
+      else n.flatMap { c =>
+        if (c.toString == esc || c == '_' || c == '%') s"$esc$c"
+        else c.toString
+      }
   }
 
   /** Live-database reseed — the literal `DBCC CHECKIDENT('t', RESEED, n)`
@@ -331,20 +347,26 @@ object Sinks {
   private def storedTableName(
       conn: java.sql.Connection, table: String): Option[String] = {
     val meta = conn.getMetaData
-    val schema: String =
-      try conn.getSchema
-      catch {
-        case _: java.sql.SQLException => null
-        case _: AbstractMethodError   => null
-      }
-    val rs = meta.getTables(null, schema, "%", null)
+    val schema = currentSchemaOrNull(conn)
+    // The schema is LIKE-ESCAPED like every other getTables pattern slot
+    // (a schema containing '_' would otherwise match sibling schemas and
+    // a same-named table there would break the unique-folded-name rule),
+    // and result rows are verified on TABLE_SCHEM besides — escaping
+    // alone can't guard when the driver's escape char is unusable.
+    val escaped = likeEscaper(meta)
+    val rs = meta.getTables(
+      null, if (schema == null) null else escaped(schema), "%", null)
     try {
       var exact: Option[String] = None
       val folded = scala.collection.mutable.Buffer.empty[String]
       while (rs.next()) {
-        val n = rs.getString("TABLE_NAME")
-        if (n == table) exact = Some(n)
-        else if (n.equalsIgnoreCase(table)) folded += n
+        val inSchema = schema == null ||
+          schema.equalsIgnoreCase(rs.getString("TABLE_SCHEM"))
+        if (inSchema) {
+          val n = rs.getString("TABLE_NAME")
+          if (n == table) exact = Some(n)
+          else if (n.equalsIgnoreCase(table)) folded += n
+        }
       }
       exact.orElse(if (folded.size == 1) folded.headOption else None)
     } finally rs.close()

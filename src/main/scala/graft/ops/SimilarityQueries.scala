@@ -534,6 +534,25 @@ object SimilarityQueries {
       s: SparkSession, path: String): (org.apache.hadoop.fs.Path, String) = {
     val p = new org.apache.hadoop.fs.Path(path, RetrainLockName)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Tombstone sweep: a stale-lock break renames to a uniquely-named
+    // `.stale.*` sidecar and deletes it best-effort — a failed delete
+    // would otherwise accumulate forever (hidden to scans, but litter in
+    // the layout's file tree). Each acquire retries the cleanup for
+    // tombstones older than the TTL; the age gate means we never race a
+    // breaker that JUST renamed and is about to delete its own tombstone.
+    try {
+      val ttl = retrainLockTtlMs(s)
+      val now = System.currentTimeMillis()
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, s"$RetrainLockName.stale.*"))
+        match {
+          case null => ()
+          case sts => sts.foreach { st =>
+            if (now - st.getModificationTime > ttl)
+              try fs.delete(st.getPath, false)
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort
     val token = s"pid=${java.lang.ProcessHandle.current().pid()} " +
       s"nonce=${java.util.UUID.randomUUID()}"
     def tryCreate(): Boolean = {
@@ -628,9 +647,14 @@ object SimilarityQueries {
         s"[retrain] lock $lock is no longer ours (TTL-broken by another " +
           "maintainer mid-pass); leaving it in place")
     } catch {
-      // best-effort: a vanished lock means nothing to release; any other
-      // IO failure must not turn a completed pass into an error
-      case _: java.io.IOException => ()
+      // best-effort: a vanished lock means nothing to release, and
+      // cleanup must never turn a clean exit into a failure. NonFatal,
+      // not just IOException — object-store FileSystem implementations
+      // surface wrapped RuntimeExceptions from open/read, and those
+      // propagating out of the caller's finally would fail a pass that
+      // already completed. Fatal errors (OOM, linkage) still propagate.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[retrain] lock release failed (ignored): $e")
     }
 
   private def retrainLocked(s: SparkSession, path: String): Option[(Long, Long)] = {

@@ -2151,11 +2151,18 @@ object TextQueries {
     // (no vocab table to build, ship, or version; collisions are the
     // declared trade). Published per doc: token count, nnz, L2 norm,
     // and the argmax dimension. The Spark side is fully ROW-LOCAL —
-    // hash + sort + run-length inside the row via HOFs (the entropy
-    // gate's counting kernel on the dim array), no explode, no
-    // token-grain shuffle; at 100 TB this rides the corpus scan like
+    // one fused `hash_vectorize64(text)` native call per document
+    // (tokenize → md5 → 64-bucket histogram → profile in one codegen'd
+    // pass, `functions/HashVectorize.scala` — the minhash_sigs/simhash64
+    // treatment applied to this family's kernel), falling back to the
+    // equivalent HOF tree (hash + sort + run-length, the entropy gate's
+    // counting kernel) on a session without the extension. No explode,
+    // no token-grain shuffle; at 100 TB this rides the corpus scan like
     // the other gates. The oracle states the same vector as grouped
-    // SQL. Integer counts make norm and argmax engine-exact.
+    // SQL. Integer counts make norm and argmax engine-exact; the
+    // native≡HOF equivalence is spec-pinned (QueriesSpec) and the
+    // native kernel's interpreted≡codegen parity in
+    // CodegenConsistencySpec.
     // ------------------------------------------------------------------
     QueryDef("text_hashing_vectorize",
       s"""WITH tok AS (
@@ -2177,41 +2184,62 @@ object TextQueries {
          |SELECT a.doc_id, a.n_tokens, a.nnz, a.l2_norm, t.top_dim, t.top_count
          |FROM agg a JOIN top t ON t.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
-      Scans.table(s, dir, "documents")
-        // same scan-pushable domain as the entropy gate: a doc hashes to
-        // ≥ 1 dimension iff its text has an alphanumeric character
-        .filter(lower(col("text")).rlike("[a-z0-9]")) // tokenizer-exact domain: toks nonempty iff LOWER(text)
-        // has [a-z0-9] (a raw-text ASCII class would drop docs whose
-        // only alphanumerics lowercase INTO the class, e.g. U+212A)
-        .select(col("doc_id"), expr(
-          s"""array_sort(transform($toksSpark,
-             |  t -> cast(conv(substring(md5(t), 1, 7), 16, 10) AS bigint) % 64))"""
-            .stripMargin).as("st"))
-        // run boundaries → per-dim counts + the dim at each run start
-        // (the entropy gate's sort + run-length kernel, reused on the
-        // hashed-dimension array)
-        .select(col("doc_id"), expr("size(st)").cast("long").as("n_tokens"),
-          col("st"),
-          expr("""filter(sequence(1, greatest(size(st), 1)),
-                 |  i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"""
-            .stripMargin).as("b"))
-        .select(col("doc_id"), col("n_tokens"),
-          expr("size(b)").cast("long").as("nnz"),
-          expr("""zip_with(b,
-                 |  concat(slice(b, 2, size(b) - 1),
-                 |         array(CAST(n_tokens + 1 AS INT))),
-                 |  (lo, hi) -> hi - lo)""".stripMargin).as("counts"),
-          expr("transform(b, i -> element_at(st, i))").as("dims"))
-        .select(col("doc_id"), col("n_tokens"), col("nnz"),
-          round(sqrt(expr(
-            "aggregate(counts, 0.0D, (acc, c) -> acc + CAST(c AS DOUBLE) * c)")),
-            4).as("l2_norm"),
-          expr("""array_max(zip_with(counts, dims,
-                 |  (c, d) -> struct(c AS c, -d AS negd, d AS dim)))"""
-            .stripMargin).as("top"))
-        .select(col("doc_id"), col("n_tokens"), col("nnz"), col("l2_norm"),
-          col("top.dim").as("top_dim"),
-          col("top.c").cast("long").as("top_count"))
+      hashVectorizeProfile(s,
+        Scans.table(s, dir, "documents")
+          // same scan-pushable domain as the entropy gate: a doc hashes
+          // to ≥ 1 dimension iff its text has an alphanumeric character
+          .filter(lower(col("text")).rlike("[a-z0-9]"))) // tokenizer-exact domain: toks nonempty iff
+        // LOWER(text) has [a-z0-9] (a raw-text ASCII class would drop
+        // docs whose only alphanumerics lowercase INTO the class,
+        // e.g. U+212A)
         .orderBy(col("doc_id"))
     })
+
+  /** The hashing-trick feature profile of `docs` (doc_id, text):
+    * {n_tokens, nnz, l2_norm, top_dim, top_count} per document —
+    * the fused native `hash_vectorize64` where the session has the
+    * extension, the value-identical HOF tree otherwise (the
+    * registered/unregistered split `minhashSigs` uses). `forceHof`
+    * is the equivalence spec's seam — it pins native ≡ HOF on the
+    * same session, not just on sessions that happen to differ.
+    * Input rows must be in the tokenizer's nonempty domain (the
+    * HOF run-length kernel indexes into the dim array). */
+  private[graft] def hashVectorizeProfile(
+      s: SparkSession, docs: DataFrame, forceHof: Boolean = false): DataFrame =
+    if (!forceHof && s.catalog.functionExists("hash_vectorize64"))
+      docs.select(col("doc_id"),
+          call_function("hash_vectorize64", col("text")).as("v"))
+        .select(col("doc_id"), col("v.n_tokens").as("n_tokens"),
+          col("v.nnz").as("nnz"), col("v.l2_norm").as("l2_norm"),
+          col("v.top_dim").as("top_dim"), col("v.top_count").as("top_count"))
+    else docs
+      .select(col("doc_id"), expr(
+        s"""array_sort(transform($toksSpark,
+           |  t -> cast(conv(substring(md5(t), 1, 7), 16, 10) AS bigint) % 64))"""
+          .stripMargin).as("st"))
+      // run boundaries → per-dim counts + the dim at each run start
+      // (the entropy gate's sort + run-length kernel, reused on the
+      // hashed-dimension array)
+      .select(col("doc_id"), expr("size(st)").cast("long").as("n_tokens"),
+        col("st"),
+        expr("""filter(sequence(1, greatest(size(st), 1)),
+               |  i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"""
+          .stripMargin).as("b"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("size(b)").cast("long").as("nnz"),
+        expr("""zip_with(b,
+               |  concat(slice(b, 2, size(b) - 1),
+               |         array(CAST(n_tokens + 1 AS INT))),
+               |  (lo, hi) -> hi - lo)""".stripMargin).as("counts"),
+        expr("transform(b, i -> element_at(st, i))").as("dims"))
+      .select(col("doc_id"), col("n_tokens"), col("nnz"),
+        round(sqrt(expr(
+          "aggregate(counts, 0.0D, (acc, c) -> acc + CAST(c AS DOUBLE) * c)")),
+          4).as("l2_norm"),
+        expr("""array_max(zip_with(counts, dims,
+               |  (c, d) -> struct(c AS c, -d AS negd, d AS dim)))"""
+          .stripMargin).as("top"))
+      .select(col("doc_id"), col("n_tokens"), col("nnz"), col("l2_norm"),
+        col("top.dim").as("top_dim"),
+        col("top.c").cast("long").as("top_count"))
 }

@@ -469,6 +469,49 @@ class ExtensionsSpec extends SparkSpecBase {
       hof(edges).exceptAll(fused(edges)).count() == 0)
   }
 
+  test("fused hash_vectorize64 equals the HOF composition on the corpus + edges") {
+    assert(spark.catalog.functionExists("hash_vectorize64"))
+    // the profile helper's forceHof seam drives BOTH paths through the
+    // exact production code on the same session
+    def native(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextQueries.hashVectorizeProfile(spark, df)
+    def hof(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextQueries.hashVectorizeProfile(spark, df, forceHof = true)
+    // both paths are only defined on the tokenizer's nonempty domain
+    // (the query's filter) — compare there
+    val corpus = Scans.table(spark, sfDir, "documents")
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
+    assert(native(corpus).exceptAll(hof(corpus)).count() == 0 &&
+      hof(corpus).exceptAll(native(corpus)).count() == 0)
+    // edges: 1 token, repeated token (count > 1 in one dim), many tokens
+    // (collisions across all 64 dims), digits-only, mixed-case +
+    // punctuation runs, unicode lowering into the token class
+    import spark.implicits._
+    val edges = Seq((0L, "one"), (1L, "same same same"),
+      (2L, (1 to 500).map(i => s"tok$i").mkString(" ")),
+      (3L, "123 456 789"), (4L, "The QUICK brown-fox:jumps,over 2 lazy DOGS"),
+      (5L, "K elvin K elvin")) // KELVIN SIGN lowers to 'k'
+      .toDF("doc_id", "text")
+    assert(native(edges).exceptAll(hof(edges)).count() == 0 &&
+      hof(edges).exceptAll(native(edges)).count() == 0)
+    // the native kernel EXTENDS the contract below the domain filter:
+    // a token-less document is the zero vector with no argmax
+    val zero = Seq((9L, "!!! ???"), (10L, "")).toDF("doc_id", "text")
+    native(zero).collect().foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getDouble(3) == 0.0 && r.isNullAt(4) && r.isNullAt(5),
+        s"token-less doc must be the zero vector: $r")
+    }
+    // and the query's plan is row-local around the fused call: no
+    // Generate (explode), no per-row HOF sort surviving
+    val p = SparkEntry.queries("text_hashing_vectorize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hash_vectorize64"),
+      "text_hashing_vectorize not using the fused expression")
+    assert(!p.contains("array_sort") && !p.contains("Generate"),
+      s"expected the fused row-local plan:\n${p.take(2000)}")
+  }
+
   test("simhash_votes matches the sum(CASE) null semantics on null halves") {
     import spark.implicits._
     // a null half must vote −1 on each of its 32 bits, exactly like the
