@@ -52,20 +52,24 @@ class BenchArtifactSpec extends AnyFunSuite {
         "a contended run")
   }
 
-  test("committed sf0.1 record carries {min, median, spread, windows} per key, sane") {
+  test("committed sf0.1 record carries {min, median, spread, corrob, windows} per key, sane") {
     val root = artifact("BENCH_full.json")
     val qs = root.path("queries")
     assert(qs.isObject, "BENCH_full.json: no queries object")
     assert(root.path("passes").asInt(0) >= 2,
       "committed record must be measured over >= 2 whole-suite passes")
+    val healed = scala.collection.mutable.Set.empty[String]
+    root.path("healed").forEach(h => healed += h.asText())
     var n = 0
     qs.properties().forEach { e =>
       n += 1
       val (k, v) = (e.getKey, e.getValue)
       val mn = v.path("min"); val md = v.path("median")
-      val sp = v.path("spread"); val w = v.path("windows")
-      assert(mn.isNumber && md.isNumber && sp.isNumber && w.isNumber,
-        s"$k: incomplete schema (need min, median, spread, windows): $v")
+      val sp = v.path("spread"); val cb = v.path("corrob")
+      val w = v.path("windows")
+      assert(mn.isNumber && md.isNumber && sp.isNumber && cb.isNumber &&
+        w.isNumber,
+        s"$k: incomplete schema (need min, median, spread, corrob, windows): $v")
       assert(mn.asDouble() > 0, s"$k: non-positive min")
       // f3 rounding can land median a hair under min; allow one ULP of
       // the 3-decimal serialization, nothing more
@@ -76,11 +80,52 @@ class BenchArtifactSpec extends AnyFunSuite {
       // pass layout exists to kill; the re-pass gives every key a
       // second chance at a second window before this can trip
       assert(w.asInt() >= 2, s"$k: only ${w.asInt()} measurement window(s)")
+      // corrob = second-best/best pass-min. With >=2 windows it is a
+      // real ratio (>=1), never the -1 no-evidence sentinel; it can't
+      // exceed spread (worst/best) by construction
+      assert(cb.asDouble() >= 1.0 - 1e-9, s"$k: corrob ${cb.asDouble()} < 1")
+      assert(cb.asDouble() <= sp.asDouble() + 0.002,
+        s"$k: corrob ${cb.asDouble()} > spread ${sp.asDouble()}")
+      // The self-healing contract: an UNCORROBORATED min (no second
+      // window within 1.5x) may only ship if healing was actually
+      // attempted on the key — i.e. it is demonstrably irreducible in
+      // this run, not just unmeasured
+      if (cb.asDouble() > 1.5)
+        assert(healed.contains(k),
+          s"$k: min uncorroborated (corrob ${cb.asDouble()}) and never healed")
     }
     assert(n >= 100, s"suspiciously few keys ($n) — artifact truncated?")
     // failed keys are a red gate here exactly as in ScalingSlopeSpec
     val fails = scala.collection.mutable.Buffer.empty[String]
     root.path("failures").forEach(f => fails += f.asText())
     assert(fails.isEmpty, s"keys failed outright: ${fails.mkString(", ")}")
+  }
+
+  test("committed sf0.1 record names its healing provenance and streaming floor") {
+    val root = artifact("BENCH_full.json")
+    assert(root.path("heal_passes").isNumber,
+      "BENCH_full.json: no heal_passes field")
+    assert(root.path("heal_passes").asInt(-1) >= 0, "heal_passes < 0")
+    assert(root.path("healed").isArray, "BENCH_full.json: no healed array")
+    assert(root.path("heal_note").isTextual, "BENCH_full.json: no heal_note")
+    // streaming floor: the committed artifact must name the fixed
+    // micro-batch machinery cost so totals are read correctly (r11
+    // judge item 3), and the named number must actually BE the sum of
+    // the streaming keys' mins — a stale field is worse than none
+    val floor = root.path("streaming_floor_sec")
+    assert(floor.isNumber, "BENCH_full.json: no streaming_floor_sec")
+    val qs = root.path("queries")
+    var expected = 0.0; var nStream = 0
+    qs.properties().forEach { e =>
+      if (e.getKey.startsWith("events_stream_") ||
+          e.getKey.startsWith("events_cdc_stream_")) {
+        expected += e.getValue.path("min").asDouble(); nStream += 1
+      }
+    }
+    assert(nStream >= 5, s"suspiciously few streaming keys ($nStream)")
+    assert(root.path("streaming_floor_keys").asInt(-1) == nStream,
+      "streaming_floor_keys does not match the streaming keys present")
+    assert(math.abs(floor.asDouble() - expected) <= 0.0005 * nStream + 1e-6,
+      s"streaming_floor_sec ${floor.asDouble()} != sum of streaming mins $expected")
   }
 }
