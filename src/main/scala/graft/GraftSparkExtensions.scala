@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomBitsAgg, BloomMightContain, CosineSim, HashVectorize, MinShingleMd5, MinhashSigs, RewriteDotProduct, ShingleMd5s, SimhashText, SimhashVotes}
+import graft.functions.{BloomBitsAgg, BloomMightContain, CosineSim, HashVectorize, MinShingleMd5, MinhashSigs, RewriteDotProduct, ShingleMd5s, SimhashText, SimhashVotes, TokenEntropy}
 
 /** Engine extension point — install with
   * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` (done
@@ -48,6 +48,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "shingle_md5s expects exactly 1 argument")
         ShingleMd5s(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(classOf[TokenEntropy].getName, "token_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "token_entropy expects exactly 1 argument")
+        TokenEntropy(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("hash_vectorize64"),

@@ -684,9 +684,11 @@ object TextQueries {
     // low-entropy documents are boilerplate/repetition (a handful of
     // tokens looping), high entropy is lexical diversity — a standard
     // pretraining quality signal next to the ratio heuristics. The
-    // Spark side is fully ROW-LOCAL (token counts via HOFs inside the
-    // row, no explode, no token-grain shuffle — at 100 TB this runs
-    // embarrassingly parallel over the scan like the other gates);
+    // Spark side is fully ROW-LOCAL (one fused `token_entropy` native
+    // call per doc — `functions/TokenEntropy.scala`; value-identical
+    // HOF fallback for unregistered sessions — no explode, no
+    // token-grain shuffle; at 100 TB this runs embarrassingly parallel
+    // over the scan like the other gates);
     // the oracle states the same entropy as grouped SQL. Both compute
     // h = log2(T) − Σ c·log2(c) / T and round at 4 decimals. The round
     // REDUCES, not eliminates, cross-engine divergence: summation order
@@ -709,43 +711,22 @@ object TextQueries {
          |SELECT doc_id, n_tokens, word_entropy,
          |       (n_tokens >= 5 AND word_entropy >= 2.0) AS passes
          |FROM ent ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // Token counts by SORT + RUN-LENGTH, not per-distinct rescans: an
-      // array_distinct×filter formulation is O(u·T) string compares per
-      // document and measured 6 s at sf0.1 — sorting once and diffing
-      // run boundaries is O(T log T) and ~10× cheaper, with the
-      // identical count multiset (summation order differs; the 4-decimal
-      // round owns that).
-      //
-      // The gate is a `passes` COLUMN, not a filter on the computed
-      // entropy: predicate pushdown substitutes aliases into a pushed
-      // filter with no cost guard, so `WHERE word_entropy >= 2` re-runs
-      // the whole tokenize+sort tree once per lambda element inside the
-      // inlined condition — measured 92 s vs 0.5 s at sf0.1. The only
-      // filter is on the RAW column (has an alphanumeric char ⇔ the
-      // tokenizer yields ≥ 1 token — exactly the oracle's domain), which
-      // pushes into the parquet scan for free.
-      Scans.table(s, dir, "documents")
-        .filter(lower(col("text")).rlike("[a-z0-9]")) // tokenizer-exact domain: toks nonempty iff LOWER(text)
-        // has [a-z0-9] (a raw-text ASCII class would drop docs whose
-        // only alphanumerics lowercase INTO the class, e.g. U+212A)
-        .select(col("doc_id"), expr(s"array_sort($toksSpark)").as("st"))
-        .select(col("doc_id"), expr("size(st)").cast("long").as("n_tokens"),
-          // run starts → boundary positions → run lengths by adjacent
-          // diff. greatest() keeps the sequence ascending on token-less
-          // docs (sequence(1,0) would DESCEND through index 0); the i=1
-          // disjunct short-circuits, so element_at never sees index 0.
-          expr("""filter(sequence(1, greatest(size(st), 1)),
-                 |  i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"""
-            .stripMargin).as("b"))
-        .select(col("doc_id"), col("n_tokens"),
-          expr("""round(log2(n_tokens) -
-                 |  aggregate(
-                 |    zip_with(b,
-                 |      concat(slice(b, 2, size(b) - 1),
-                 |             array(CAST(n_tokens + 1 AS INT))),
-                 |      (lo, hi) -> hi - lo),
-                 |    0.0D, (acc, c) -> acc + c * log2(c)) / n_tokens,
-                 |  4)""".stripMargin).as("word_entropy"))
+      // The profile (one fused token_entropy call per doc, HOF sort +
+      // run-length fallback — entropyProfile) feeds a `passes` COLUMN,
+      // not a filter on the computed entropy: predicate pushdown
+      // substitutes aliases into a pushed filter with no cost guard, so
+      // `WHERE word_entropy >= 2` re-runs the whole profile tree inside
+      // the inlined condition — measured 92 s vs 0.5 s at sf0.1 on the
+      // HOF form. The only filter is on the RAW column (has an
+      // alphanumeric char ⇔ the tokenizer yields ≥ 1 token — exactly
+      // the oracle's domain), which pushes into the parquet scan for
+      // free.
+      entropyProfile(s,
+        Scans.table(s, dir, "documents")
+          .filter(lower(col("text")).rlike("[a-z0-9]"))) // tokenizer-exact domain: toks nonempty iff
+        // LOWER(text) has [a-z0-9] (a raw-text ASCII class would drop
+        // docs whose only alphanumerics lowercase INTO the class,
+        // e.g. U+212A)
         .select(col("doc_id"), col("n_tokens"), col("word_entropy"),
           (col("n_tokens") >= 5 && col("word_entropy") >= 2.0).as("passes"))
         .orderBy(col("doc_id"))
@@ -2242,4 +2223,43 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"), col("nnz"), col("l2_norm"),
         col("top.dim").as("top_dim"),
         col("top.c").cast("long").as("top_count"))
+
+  /** The word-entropy profile of `docs` (doc_id, text): {n_tokens,
+    * word_entropy} per document — the fused native `token_entropy`
+    * where the session has the extension, the value-identical HOF tree
+    * otherwise (the registered/unregistered split `minhashSigs` uses).
+    * `forceHof` is the equivalence spec's seam — it pins native ≡ HOF
+    * on the same session. Input rows must be in the tokenizer's
+    * nonempty domain (the HOF run-length kernel indexes into the
+    * sorted-token array).
+    *
+    * HOF path notes (moved with the tree from the query body): token
+    * counts go by SORT + RUN-LENGTH, not per-distinct rescans — an
+    * array_distinct×filter formulation is O(u·T) string compares per
+    * document and measured 6 s at sf0.1. greatest() keeps the boundary
+    * sequence ascending on token-less docs (sequence(1,0) would
+    * DESCEND through index 0); the i=1 disjunct short-circuits, so
+    * element_at never sees index 0. */
+  private[graft] def entropyProfile(
+      s: SparkSession, docs: DataFrame, forceHof: Boolean = false): DataFrame =
+    if (!forceHof && s.catalog.functionExists("token_entropy"))
+      docs.select(col("doc_id"),
+          call_function("token_entropy", col("text")).as("e"))
+        .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+          col("e.word_entropy").as("word_entropy"))
+    else docs
+      .select(col("doc_id"), expr(s"array_sort($toksSpark)").as("st"))
+      .select(col("doc_id"), expr("size(st)").cast("long").as("n_tokens"),
+        expr("""filter(sequence(1, greatest(size(st), 1)),
+               |  i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"""
+          .stripMargin).as("b"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("""round(log2(n_tokens) -
+               |  aggregate(
+               |    zip_with(b,
+               |      concat(slice(b, 2, size(b) - 1),
+               |             array(CAST(n_tokens + 1 AS INT))),
+               |      (lo, hi) -> hi - lo),
+               |    0.0D, (acc, c) -> acc + c * log2(c)) / n_tokens,
+               |  4)""".stripMargin).as("word_entropy"))
 }

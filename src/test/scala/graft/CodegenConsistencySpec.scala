@@ -113,7 +113,8 @@ class CodegenConsistencySpec extends SparkSpecBase {
   test("text natives agree between interpreted and codegen paths") {
     for (e <- Seq("simhash64(text)", "minhash_sigs(text)",
         "shingle_md5s(text)", "min_shingle_md5(text)",
-        "min_shingle_md5(text, 6, 2)", "hash_vectorize64(text)"))
+        "min_shingle_md5(text, 6, 2)", "hash_vectorize64(text)",
+        "token_entropy(text)"))
       assertModesAgree(e) {
         textDf.select(col("id"), expr(e).as("v"))
       }

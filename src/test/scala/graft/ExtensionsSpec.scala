@@ -512,6 +512,50 @@ class ExtensionsSpec extends SparkSpecBase {
       s"expected the fused row-local plan:\n${p.take(2000)}")
   }
 
+  test("fused token_entropy equals the HOF composition on the corpus + edges") {
+    assert(spark.catalog.functionExists("token_entropy"))
+    def native(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextQueries.entropyProfile(spark, df)
+    def hof(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextQueries.entropyProfile(spark, df, forceHof = true)
+    // both paths are only defined on the tokenizer's nonempty domain
+    val corpus = Scans.table(spark, sfDir, "documents")
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
+    assert(native(corpus).exceptAll(hof(corpus)).count() == 0 &&
+      hof(corpus).exceptAll(native(corpus)).count() == 0)
+    // edges: 1 token (entropy 0), all-same tokens (entropy 0 over n>1),
+    // all-distinct tokens (entropy log2 n), a mixed multiset, digits,
+    // unicode lowering into the token class, and a long repetitive doc
+    import spark.implicits._
+    val edges = Seq((0L, "one"), (1L, "same same same same"),
+      (2L, "a b c d e f g h"), (3L, "a a b b b c 1 1 2"),
+      (4L, "123 456 123"), (5L, "K elvin K elvin"),
+      (6L, (1 to 400).map(i => s"w${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(native(edges).exceptAll(hof(edges)).count() == 0 &&
+      hof(edges).exceptAll(native(edges)).count() == 0)
+    // the native kernel EXTENDS the contract below the domain filter:
+    // a token-less document has 0 tokens and NULL (undefined) entropy
+    val zero = Seq((9L, "!!! ???"), (10L, "")).toDF("doc_id", "text")
+    native(zero).collect().foreach { r =>
+      assert(r.getLong(1) == 0L && r.isNullAt(2),
+        s"token-less doc must be (0, NULL): $r")
+    }
+    // spot-check the closed forms the fixture names
+    val byId = native(edges).collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(0L) == ((1L, 0.0)) && byId(1L) == ((4L, 0.0)),
+      s"degenerate entropies wrong: ${byId(0L)}, ${byId(1L)}")
+    assert(byId(2L) == ((8L, 3.0)), s"uniform-8 entropy wrong: ${byId(2L)}")
+    // and the query's plan is row-local around the fused call
+    val p = SparkEntry.queries("text_entropy_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("token_entropy"),
+      "text_entropy_filter not using the fused expression")
+    assert(!p.contains("array_sort") && !p.contains("Generate"),
+      s"expected the fused row-local plan:\n${p.take(2000)}")
+  }
+
   test("simhash_votes matches the sum(CASE) null semantics on null halves") {
     import spark.implicits._
     // a null half must vote −1 on each of its 32 bits, exactly like the
