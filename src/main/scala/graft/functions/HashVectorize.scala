@@ -67,13 +67,13 @@ object HashVectorizeKernel {
       counts((v % Dims).toInt) += 1
       t += 1
     }
-    var nTokens = 0L; var nnz = 0L; var sumSq = 0.0
+    var nnz = 0L; var sumSq = 0.0
     var topDim = -1; var topCount = 0L
     var d = 0
     while (d < Dims) {
       val c = counts(d)
       if (c > 0) {
-        nTokens += c; nnz += 1
+        nnz += 1
         sumSq += c.toDouble * c
         if (c > topCount) { topCount = c; topDim = d } // tie keeps smaller d
       }
@@ -82,7 +82,7 @@ object HashVectorizeKernel {
     val l2 = java.math.BigDecimal.valueOf(math.sqrt(sumSq))
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     val row = new GenericInternalRow(5)
-    row.setLong(0, nTokens)
+    row.setLong(0, nTok.toLong) // n_tokens IS the token count; the buckets partition it
     row.setLong(1, nnz)
     row.setDouble(2, l2)
     if (topDim < 0) { row.setNullAt(3); row.setNullAt(4) }

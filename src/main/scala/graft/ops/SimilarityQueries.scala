@@ -537,19 +537,21 @@ object SimilarityQueries {
     // Tombstone sweep: a stale-lock break renames to a uniquely-named
     // `.stale.*` sidecar and deletes it best-effort — a failed delete
     // would otherwise accumulate forever (hidden to scans, but litter in
-    // the layout's file tree). Each acquire retries the cleanup for
-    // tombstones older than the TTL; the age gate means we never race a
-    // breaker that JUST renamed and is about to delete its own tombstone.
+    // the layout's file tree). Each acquire retries the cleanup,
+    // UNCONDITIONALLY: a tombstone is garbage from the instant the
+    // rename creates it (the rename itself is the mutual-exclusion
+    // point; nothing ever reads a tombstone), so there is no age worth
+    // gating on — rename preserves mtime on HDFS/local, so an age gate
+    // would not even distinguish fresh tombstones from old ones. Racing
+    // the breaker's own delete is benign: both deletes target a file
+    // only ever deleted, and the loser's false/IOException is swallowed.
     try {
-      val ttl = retrainLockTtlMs(s)
-      val now = System.currentTimeMillis()
       fs.globStatus(new org.apache.hadoop.fs.Path(path, s"$RetrainLockName.stale.*"))
         match {
           case null => ()
           case sts => sts.foreach { st =>
-            if (now - st.getModificationTime > ttl)
-              try fs.delete(st.getPath, false)
-              catch { case scala.util.control.NonFatal(_) => () }
+            try fs.delete(st.getPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
           }
         }
     } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort

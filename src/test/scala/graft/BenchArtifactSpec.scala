@@ -125,7 +125,10 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(nStream >= 5, s"suspiciously few streaming keys ($nStream)")
     assert(root.path("streaming_floor_keys").asInt(-1) == nStream,
       "streaming_floor_keys does not match the streaming keys present")
-    assert(math.abs(floor.asDouble() - expected) <= 0.0005 * nStream + 1e-6,
+    // tolerance: the floor is f3(sum of RAW mins) while expected sums the
+    // f3-ROUNDED per-key mins — n per-key quanta PLUS the floor's own
+    // rounding quantum, so (n + 1) half-ulps of the 3-decimal form
+    assert(math.abs(floor.asDouble() - expected) <= 0.0005 * (nStream + 1) + 1e-6,
       s"streaming_floor_sec ${floor.asDouble()} != sum of streaming mins $expected")
   }
 }

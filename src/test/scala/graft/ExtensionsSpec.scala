@@ -529,7 +529,7 @@ class ExtensionsSpec extends SparkSpecBase {
     import spark.implicits._
     val edges = Seq((0L, "one"), (1L, "same same same same"),
       (2L, "a b c d e f g h"), (3L, "a a b b b c 1 1 2"),
-      (4L, "123 456 123"), (5L, "K elvin K elvin"),
+      (4L, "123 456 123"), (5L, "K elvin K elvin"),
       (6L, (1 to 400).map(i => s"w${i % 7}").mkString(" ")))
       .toDF("doc_id", "text")
     assert(native(edges).exceptAll(hof(edges)).count() == 0 &&
