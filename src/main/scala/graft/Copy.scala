@@ -173,10 +173,16 @@ object Copy {
               retryMaxAttempts = retryMaxAttempts,
               retryDelayIncrementMs = retryDelayIncrementMs)
           else
+            // reconcile = false: this orchestrated path runs its own
+            // CheckResults phase over ALL tables below — the reference's
+            // single reconciliation point — so copyTable's per-table
+            // count pair would re-list every destination's footers (and
+            // re-scan a stats-less source) for a result nobody reads
             Pipeline.copyTable(spark, sfDir, destDir, src, dst, conf,
               truncateDest = truncateTables,
               retryMaxAttempts = retryMaxAttempts,
-              retryDelayIncrementMs = retryDelayIncrementMs)
+              retryDelayIncrementMs = retryDelayIncrementMs,
+              reconcile = false)
           postCopyHook(src.name)
         }
       } catch { case e: Exception =>

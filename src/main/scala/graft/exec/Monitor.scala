@@ -15,7 +15,7 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, LongAdder}
   * copy: a sampler thread snapshots the counters every `reportEveryMs`
   * and emits interval rows/s + MB/s + active task count.
   */
-final class CopyMonitor extends SparkListener {
+final class CopyMonitor(groupId: Option[String] = None) extends SparkListener {
   val recordsWritten = new LongAdder
   val bytesWritten = new LongAdder
   val recordsRead = new LongAdder
@@ -26,9 +26,6 @@ final class CopyMonitor extends SparkListener {
   private val _samples =
     new java.util.concurrent.CopyOnWriteArrayList[CopyMonitor.Sample]
 
-  // wall-clock anchor for the cumulative throughput read
-  private val attachedNs = System.nanoTime()
-
   // task ids this listener actually saw START: a task launched BEFORE
   // the listener attached still delivers its onTaskEnd, and decrementing
   // for it would under-report the gauge for the whole overlap (a floor
@@ -37,17 +34,44 @@ final class CopyMonitor extends SparkListener {
   private val started =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
-  override def onTaskStart(taskStart: SparkListenerTaskStart): Unit = {
-    started.add(taskStart.taskInfo.taskId)
-    activeTasks.incrementAndGet()
-  }
+  // JOB-GROUP SCOPE: a SparkListener is context-global, so in a shared
+  // session (the engine's normal shape — SqlGen's view naming defends
+  // the same hazard) every concurrent job's tasks would land in these
+  // counters and inflate the monitored copy's MB/s and rows. With a
+  // groupId, onJobStart admits only stages of jobs tagged with that
+  // group (setJobGroup is thread-local, so the monitored body's jobs
+  // carry it; the listener bus is ordered, so a job's start precedes
+  // its task events). groupId None keeps the legacy context-wide scope
+  // for callers that attach the listener themselves.
+  private val monitoredStages =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  override def onJobStart(
+      jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+    if (groupId.isDefined &&
+        jobStart.properties != null &&
+        groupId.contains(
+          jobStart.properties.getProperty("spark.jobGroup.id"))) {
+      jobStart.stageIds.foreach(id => monitoredStages.add(id))
+    }
+
+  private def inScope(stageId: Int): Boolean =
+    groupId.isEmpty || monitoredStages.contains(stageId)
+
+  override def onTaskStart(taskStart: SparkListenerTaskStart): Unit =
+    if (inScope(taskStart.stageId)) {
+      started.add(taskStart.taskInfo.taskId)
+      activeTasks.incrementAndGet()
+    }
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
-    // decrement ONLY for tasks this listener counted in
+    // decrement ONLY for tasks this listener counted in (which also
+    // enforces the group scope — an out-of-scope task never started)
     if (taskEnd.taskInfo != null && started.remove(taskEnd.taskInfo.taskId))
       activeTasks.decrementAndGet()
     val m = taskEnd.taskMetrics
-    if (m != null && CopyMonitor.countsAttempt(taskEnd.reason)) {
+    if (m != null && inScope(taskEnd.stageId) &&
+        CopyMonitor.countsAttempt(taskEnd.reason)) {
       recordsWritten.add(m.outputMetrics.recordsWritten)
       bytesWritten.add(m.outputMetrics.bytesWritten)
       recordsRead.add(m.inputMetrics.recordsRead)
@@ -66,16 +90,6 @@ final class CopyMonitor extends SparkListener {
     _samples.asScala.toSeq
   }
 
-  /** Cumulative WALL-CLOCK MB/s since the listener attached — the same
-    * basis as the sampler's intervalMbPerSec and the reference's
-    * 'Log Bytes Flushed/sec' analog. Dividing by the summed per-task
-    * executor time (`taskTimeMs`, still exposed as its own counter)
-    * would under-report by roughly the parallelism factor — a 32-task
-    * copy would read 32× slower than the interval samples around it. */
-  def mbPerSec: Double = {
-    val secs = (System.nanoTime() - attachedNs) / 1e9
-    if (secs <= 0) 0.0 else bytesWritten.sum() / (1024.0 * 1024.0) / secs
-  }
 }
 
 object CopyMonitor {
@@ -114,7 +128,14 @@ object CopyMonitor {
       spark: SparkSession,
       reportEveryMs: Long = 0L,
       onReport: Sample => Unit = _ => ())(body: => T): (T, CopyMonitor) = {
-    val mon = new CopyMonitor
+    // a unique job group scopes the counters to THIS body's jobs (see
+    // the listener's monitoredStages); the previous group id is
+    // restored exactly, so a caller's own group tagging survives
+    val group = s"graft-monitor-${java.util.UUID.randomUUID()}"
+    val mon = new CopyMonitor(Some(group))
+    val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setLocalProperty("spark.jobGroup.id", group)
     spark.sparkContext.addSparkListener(mon)
     val stop = new AtomicBoolean(false)
     val sampler =
@@ -160,6 +181,7 @@ object CopyMonitor {
       stop.set(true)
       sampler.foreach { t => t.interrupt(); t.join(1000) }
       spark.sparkContext.removeSparkListener(mon)
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup) // null clears
     }
   }
 }

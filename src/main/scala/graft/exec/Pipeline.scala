@@ -34,43 +34,72 @@ object Pipeline {
     * source exists and is a well-formed parquet footprint" — checked via
     * the PAR1 magic bytes, without spinning up a scan (the reference's
     * probe is likewise a catalog query, not a table read).
+    *
+    * FALSE means the SOURCE failed the gate (absent, or first committed
+    * file not parquet — including a file that VANISHES mid-probe, which
+    * is itself the mutation the gate hunts). A probe that can't reach
+    * the filesystem at all must NOT map to false: the reference's
+    * catalog query throws on a severed connection rather than reporting
+    * "unsafe", and a transient throttle read as false would abort the
+    * whole run with the wrong exit class (TableNotFound) before copying
+    * anything. Transient IO gets the standard retry envelope; a
+    * still-failing environment propagates to the caller as the error it
+    * is.
     */
   def safetyCheck(spark: SparkSession, sfDir: String, table: String): Boolean = {
     // Hadoop FileSystem, not java.io.File: the probe must work against
     // HDFS/S3 paths exactly like the scans that follow it.
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
-    try {
-      val fs = root.getFileSystem(conf)
-      def isParquet(st: org.apache.hadoop.fs.FileStatus): Boolean =
-        st.getLen >= 8 && {
-          val in = fs.open(st.getPath)
-          try {
-            val magic = new Array[Byte](4)
-            in.readFully(0L, magic)
-            new String(magic, "US-ASCII") == "PAR1"
-          } finally in.close()
-        }
-      val st = fs.getFileStatus(root)
-      if (st.isFile) isParquet(st)
-      else {
-        // the FIRST committed data file under the root decides the
-        // verdict (one 4-byte read — the probe stays catalog-cheap like
-        // the reference's): a corrupt first file FAILS the gate rather
-        // than falling through to a later valid one, which would clear
-        // a source the copy phase is about to choke on. Committed-ness
-        // is Sinks.committedDataFile — the WHOLE predicate
-        // reconciliation uses, not a re-inlined copy of it.
-        val keep = Sinks.committedDataFile(Sinks.hiddenBelow(fs, root)) _
-        val it = fs.listFiles(root, true)
-        var verdict: Option[Boolean] = None
-        while (verdict.isEmpty && it.hasNext) {
-          val f = it.next()
-          if (keep(f)) verdict = Some(isParquet(f))
-        }
-        verdict.getOrElse(false)
+    // VERDICT exceptions — the source's own bytes are absent or wrong —
+    // convert to false INSIDE the retry body (retrying them is
+    // pointless; and only environment errors should reach the retry
+    // classifier): FNF = absent/vanished, ChecksumException = the
+    // filesystem's own integrity check caught the corruption before the
+    // magic compare could, EOF = file shorter than its metadata claims
+    // (truncated mid-probe — itself the mutation the gate hunts).
+    def verdictOrProbe(): Boolean =
+      try safetyProbe(root, conf)
+      catch {
+        case _: java.io.FileNotFoundException           => false
+        case _: org.apache.hadoop.fs.ChecksumException  => false
+        case _: java.io.EOFException                    => false
       }
-    } catch { case _: Exception => false }
+    Retry.withRetry(maxAttempts = 3, delayMs = 0L)(verdictOrProbe())
+  }
+
+  private def safetyProbe(
+      root: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val fs = root.getFileSystem(conf)
+    def isParquet(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getLen >= 8 && {
+        val in = fs.open(st.getPath)
+        try {
+          val magic = new Array[Byte](4)
+          in.readFully(0L, magic)
+          new String(magic, "US-ASCII") == "PAR1"
+        } finally in.close()
+      }
+    val st = fs.getFileStatus(root)
+    if (st.isFile) isParquet(st)
+    else {
+      // the FIRST committed data file under the root decides the
+      // verdict (one 4-byte read — the probe stays catalog-cheap like
+      // the reference's): a corrupt first file FAILS the gate rather
+      // than falling through to a later valid one, which would clear
+      // a source the copy phase is about to choke on. Committed-ness
+      // is Sinks.committedDataFile — the WHOLE predicate
+      // reconciliation uses, not a re-inlined copy of it.
+      val keep = Sinks.committedDataFile(Sinks.hiddenBelow(fs, root)) _
+      val it = fs.listFiles(root, true)
+      var verdict: Option[Boolean] = None
+      while (verdict.isEmpty && it.hasNext) {
+        val f = it.next()
+        if (keep(f)) verdict = Some(isParquet(f))
+      }
+      verdict.getOrElse(false)
+    }
   }
 
   /** Immutability footprint of one source table: committed data file →
@@ -329,7 +358,18 @@ object Pipeline {
         * `SmartBulkCopyConfig.cs:110-112`): attempts per table load and
         * the per-attempt delay increment. */
       retryMaxAttempts: Int = 5,
-      retryDelayIncrementMs: Long = 0L): CopyResult = {
+      retryDelayIncrementMs: Long = 0L,
+      /** false skips the per-table reconciliation count pair: the
+        * orchestrated path ([[graft.Copy.run]]) runs its own
+        * CheckResults phase over ALL tables afterwards (reference
+        * `SmartBulkCopy.cs:216-245`), and paying the counts here too
+        * doubled the reconciliation IO per table — a second full
+        * footer listing (files × RTT against an object store) and,
+        * for a stats-less source, a second full source scan. With
+        * reconcile=false the returned counts are -1 sentinels and
+        * `ok` is vacuously true — a caller that opts out must not
+        * read them. */
+      reconcile: Boolean = true): CopyResult = {
     require(safetyCheck(spark, sfDir, src.name), s"safety check failed for ${src.name}")
     val items = Analyzer.analyze(src, dst, conf) match {
       case AnalysisOutcome.Success(is) => is
@@ -385,11 +425,15 @@ object Pipeline {
     // source side reuses the count collected under the immutability
     // gate; destination side reads the COMMITTED parquet footers — the
     // task-commit metadata, fresh after every load, no data pages read.
-    val srcRows =
-      if (src.rowCount > 0L) src.rowCount
-      else Scans.table(spark, sfDir, src.name).count()
-    val dstRows = Sinks.committedRowCount(spark, dest)
-    val (s, d, ok) = (srcRows, dstRows, srcRows == dstRows)
+    val (s, d, ok) =
+      if (!reconcile) (-1L, -1L, true) // orchestrator reconciles later
+      else {
+        val srcRows =
+          if (src.rowCount > 0L) src.rowCount
+          else Scans.table(spark, sfDir, src.name).count()
+        val dstRows = Sinks.committedRowCount(spark, dest)
+        (srcRows, dstRows, srcRows == dstRows)
+      }
     val kind = items.head.slice match {
       case SliceSpec.Whole       => "none"
       case _: SliceSpec.Physical => "physical"
@@ -431,12 +475,23 @@ object Pipeline {
     // the item's hint — sorting here again would double the sort work if
     // the optimizer's redundant-sort elimination ever missed the pair
     val ordered = copyFrame(spark, sfDir, items)
+    // Columnstore batch floor (`SmartBulkCopy.cs:511-516`): the
+    // reference FORCES the insert batch to >= 102400 rows against a
+    // clustered-columnstore destination so bulk loads compress straight
+    // into columnstore segments instead of trickling through the
+    // deltastore — and the live-SQL path here is exactly the runtime
+    // shape that rule was written for (the parquet twin applies the
+    // same floor in Sinks.bulkInsert).
+    val batchSize =
+      if (dst.storage == Storage.ClusteredColumnstore)
+        math.max(conf.batchSize, 102400)
+      else conf.batchSize
     if (truncateDest)
       // overwrite+truncate is retry-idempotent: every attempt re-truncates
       // before inserting, so a partial failure leaves nothing behind
       Retry.withRetry(
         maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs) {
-        ordered.write.option("batchsize", conf.batchSize)
+        ordered.write.option("batchsize", batchSize)
           .mode(SaveMode.Overwrite).option("truncate", true)
           .jdbc(url, dst.name, props)
       }
@@ -462,13 +517,12 @@ object Pipeline {
       // first attempt, so it carries its own withRetry (same policy) —
       // a momentary connection failure before attempt 1 retries exactly
       // like one during it.
-      // one-scalar COUNT(*) probe (Sinks.jdbcRowCount), never
-      // spark.read.jdbc(...).count(): the V1 JDBC relation has no
-      // aggregate pushdown, so that "count" streams O(rows) through one
-      // connection — per probe, per attempt
+      // one-scalar COUNT(*) probe on ONE connection
+      // (Sinks.jdbcRowCountIfExists), never spark.read.jdbc(...).count():
+      // the V1 JDBC relation has no aggregate pushdown, so that "count"
+      // streams O(rows) through one connection — per probe, per attempt
       def probe(): Option[Long] =
-        if (!Sinks.jdbcTableExists(url, dst.name, props)) None
-        else Some(Sinks.jdbcRowCount(url, dst.name, props))
+        Sinks.jdbcRowCountIfExists(url, dst.name, props)
       val preRows = Retry.withRetry(
         maxAttempts = retryMaxAttempts, delayMs = retryDelayIncrementMs)(
         probe())
@@ -479,7 +533,7 @@ object Pipeline {
           throw new IllegalStateException(
             s"${dst.name}: partial append detected (rows $preRows -> $nowRows); " +
               "append-mode JDBC load is not safely retryable")
-        ordered.write.option("batchsize", conf.batchSize)
+        ordered.write.option("batchsize", batchSize)
           .mode(SaveMode.Append).jdbc(url, dst.name, props)
       }
     }

@@ -94,20 +94,16 @@ object Scans {
   def logicalSlice(df: DataFrame, key: Column, count: Int, index: Int): DataFrame =
     df.filter(pmod(key, lit(count.toLong)) === lit(index.toLong))
 
-  /** Physical-partition scan: `WHERE $partition.pf(col) = n`
-    * (`CopyInfo.cs:47-56`). Our synthetic partition function over testdata
-    * is `year(l_shipdate)`-style truncation; on a directory-partitioned
-    * source the same filter prunes at the file listing.
-    */
-  def physicalPartition(df: DataFrame, partitionExpr: Column, value: Column): DataFrame =
-    df.filter(partitionExpr === value)
-
-  /** Range form of the physical-partition predicate: the RANGE partition
-    * function `pf(col) = n` expressed as raw-column bounds
+  /** Physical-partition scan — `WHERE $partition.pf(col) = n`
+    * (`CopyInfo.cs:47-56`) in its RANGE form: the partition function
+    * `pf(col) = n` expressed as raw-column bounds
     * (`col >= lo AND col < hi`). Unlike `year(col) = y`, these predicates
     * PUSH DOWN to the parquet scan (row-group min/max pruning; partition
     * pruning on a date-partitioned layout) — check `.explain`:
     * `PushedFilters: [GreaterThanOrEqual(l_shipdate,…), LessThan(…)]`.
+    * (An expression-equality form `pf(col) === n` existed and was
+    * removed: it cannot push down, and every caller had already moved
+    * here.)
     */
   /** Year mapped to partition ordinal 0 by the synthetic RANGE partition
     * function over the testdata (shared with [[SqlGen.whereClause]] so

@@ -48,15 +48,11 @@ object Sinks {
       .parquet(path)
   }
 
-  /** Rowcount reconciliation — reference `SmartBulkCopy.cs:296-339`:
-    * per table, compare source vs destination rowcounts; any mismatch is a
-    * hard failure (exit code 2).
-    */
-  def rowcountCheck(src: DataFrame, dst: DataFrame): (Long, Long, Boolean) = {
-    val s = src.count()
-    val d = dst.count()
-    (s, d, s == d)
-  }
+  // (A dual-full-scan rowcountCheck(src, dst) helper existed here and
+  // was removed: the committed-footer reconciliation below is the live
+  // path — reference `SmartBulkCopy.cs:296-339` recounts via the
+  // metadata view, not a table scan — and an unused near-twin invites
+  // callers to pick the expensive one.)
 
   /** Committed destination row count from the parquet FOOTERS — the
     * analog of the reference's reconciliation source
@@ -243,7 +239,13 @@ object Sinks {
         found
       } finally rs.close()
     }
-    one(table) || one(table.toUpperCase(java.util.Locale.ROOT))
+    // probe the literal spelling plus BOTH catalog folds: engines fold
+    // unquoted DDL to upper (Derby, Oracle, DB2) or to lower
+    // (PostgreSQL), and getTables patterns are case-sensitive on both —
+    // a miss here silently disables the append-retry guard downstream
+    Seq(table,
+      table.toUpperCase(java.util.Locale.ROOT),
+      table.toLowerCase(java.util.Locale.ROOT)).distinct.exists(one)
   }
 
   /** The connection's current schema, or null where the driver doesn't
@@ -328,16 +330,36 @@ object Sinks {
   def jdbcRowCount(
       url: String, table: String, props: java.util.Properties): Long = {
     val conn = java.sql.DriverManager.getConnection(url, props)
+    try rowCountOn(conn, table) finally conn.close()
+  }
+
+  /** Existence-guarded rowcount on ONE connection — the append-retry
+    * guard's probe (`Pipeline.copyTableJdbc`). None = table absent (a
+    * legitimate first load). Folding exists + count into a single
+    * connection matters because the guard probes once pre-load PLUS
+    * once per retry attempt: the split form paid two connections per
+    * probe (the exact cost the connection-reusing jdbcTableExists
+    * overload was created to avoid).
+    */
+  def jdbcRowCountIfExists(
+      url: String, table: String,
+      props: java.util.Properties): Option[Long] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val stored =
-        try storedTableName(conn, table) catch { case _: java.sql.SQLException => None }
-      val ident = quoteIdent(stored.getOrElse(table))
-      val st = conn.createStatement()
-      try {
-        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $ident")
-        try { rs.next(); rs.getLong(1) } finally rs.close()
-      } finally st.close()
+      if (!jdbcTableExists(conn, table)) None
+      else Some(rowCountOn(conn, table))
     } finally conn.close()
+  }
+
+  private def rowCountOn(conn: java.sql.Connection, table: String): Long = {
+    val stored =
+      try storedTableName(conn, table) catch { case _: java.sql.SQLException => None }
+    val ident = quoteIdent(stored.getOrElse(table))
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $ident")
+      try { rs.next(); rs.getLong(1) } finally rs.close()
+    } finally st.close()
   }
 
   /** The STORED catalog spelling of a table name in the connection's

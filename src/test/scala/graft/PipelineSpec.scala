@@ -368,6 +368,77 @@ class PipelineSpec extends SparkSpecBase {
     assert(quiet.samples.isEmpty)
   }
 
+  test("monitored counters exclude a concurrent foreign job's tasks") {
+    // a SparkListener is context-global: without job-group scoping a
+    // concurrent job in the shared session would inflate the monitored
+    // copy's rows and MB/s. The foreign job runs on ANOTHER thread (no
+    // thread-local group tag) and is joined inside the body, so its
+    // task-end events are on the bus before monitored() drains it —
+    // un-scoped counters WOULD have ingested them.
+    import graft.exec.CopyMonitor
+    val d = s"$destDir/scoped.parquet"
+    val foreign = new Thread(() =>
+      spark.range(0, 5000, 1, 4).write.mode("overwrite")
+        .parquet(s"$destDir/foreign.parquet"))
+    val (_, mon) = CopyMonitor.monitored(spark) {
+      foreign.start()
+      spark.range(0, 77, 1, 2).write.mode("overwrite").parquet(d)
+      foreign.join(60000)
+    }
+    assert(!foreign.isAlive, "foreign job did not finish inside the body")
+    assert(mon.recordsWritten.sum() == 77,
+      s"foreign job's records leaked into the monitor: ${mon.recordsWritten.sum()}")
+    // and the group tag is restored, so a caller's own tagging survives
+    assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") == null)
+  }
+
+  test("jdbcTableExists finds a lowercase-folding catalog's spelling") {
+    // engines fold unquoted DDL to LOWER (PostgreSQL); Derby can't fold
+    // that way, but quoted lowercase DDL STORES lowercase — the exact
+    // catalog state a lowercase-folding engine produces — and the probe
+    // must find it from any configured spelling, or the append-retry
+    // guard silently disarms on such destinations
+    val dbRoot = graft.exec.DerbyEnv.scratchDbRoot("graft_lcprobe_db")
+    val dbPath = s"$dbRoot/lcprobedb"
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "orders_lc" (id INT)""")
+      st.close()
+      assert(graft.exec.Sinks.jdbcTableExists(conn, "Orders_LC"),
+        "lowercase-stored spelling not found from a mixed-case probe")
+      assert(graft.exec.Sinks.jdbcTableExists(conn, "orders_lc"))
+      assert(!graft.exec.Sinks.jdbcTableExists(conn, "orders_lx"))
+    } finally {
+      conn.close()
+      graft.exec.DerbyEnv.shutdownAndDelete(dbPath, dbRoot)
+    }
+  }
+
+  test("safetyCheck: absent source is false; unreachable filesystem propagates") {
+    // FALSE is a verdict about the SOURCE; an environment that can't
+    // answer must fail loudly (the old catch-all mapped a momentary
+    // probe failure to "table not found" and aborted the run wrong)
+    assert(!Pipeline.safetyCheck(spark, sfDir, "definitely_absent"))
+    intercept[Exception] {
+      Pipeline.safetyCheck(spark, "bogus-scheme://nowhere/x", "t")
+    }
+  }
+
+  test("copyTable reconcile=false skips the count pair and returns sentinels") {
+    val d = destDir
+    val src = Catalog.collect(spark, sfDir, "region")
+    val dst = src.copy(foreignKeyCount = 0, secondaryIndexCount = 0, history = None)
+    val r = Pipeline.copyTable(spark, sfDir, d, src, dst,
+      PlanConfig(), reconcile = false)
+    assert(r.srcRows == -1L && r.dstRows == -1L && r.ok,
+      s"reconcile=false must return the documented sentinels: $r")
+    // the load itself still happened
+    assert(spark.read.parquet(s"$d/region.parquet").count() ==
+      Scans.table(spark, sfDir, "region").count())
+  }
+
   test("monitor counts only successful task attempts") {
     // a failed/killed attempt's partial outputMetrics must not
     // double-book rows its retry writes again; local maxFailures=1
