@@ -92,7 +92,15 @@ object CopyConfig {
       Option(node.get(key)).filterNot(_.isNull)
 
     def conn(side: String): String =
-      at(root, side).flatMap(at(_, "connection-string")).map(_.asText())
+      at(root, side).flatMap(at(_, "connection-string")).map { n =>
+        // a container node stringifies to "" — the run would proceed
+        // with an empty source/destination dir and fail far away as
+        // TableNotFound instead of the load-time exit 1 every other
+        // malformed option gets
+        if (!n.isTextual) throw new IllegalArgumentException(
+          s"$side.connection-string must be a string")
+        n.asText()
+      }
         .orElse(env(s"$side-connection-string"))
         .getOrElse(throw new IllegalArgumentException(
           s"no $side connection string in config or environment"))
@@ -141,7 +149,15 @@ object CopyConfig {
     def opt(key: String): Option[JsonNode] = opts.flatMap(at(_, key))
 
     // tri-modal logical-partitions (SmartBulkCopyConfig.cs:152-170):
-    // empty/"auto" → Auto; "<n>gb" → Size; integer → Count; else throw
+    // empty/"auto" → Auto; "<n>gb" → Size; integer → Count; else throw.
+    // A container node must REJECT here, not silently parse: its
+    // asText() is "", which the nonEmpty filter maps to Auto — a user's
+    // {"count": 16} object would silently replace their intended fixed
+    // count with Auto.
+    opt("logical-partitions").foreach { n =>
+      if (n.isContainerNode) throw new IllegalArgumentException(
+        "logical-partitions must be a string or number (auto, <n>, <n>gb)")
+    }
     val strategy = opt("logical-partitions").map(_.asText().toLowerCase.trim)
       .filter(_.nonEmpty) match {
       case None | Some("auto") => PartitionStrategy.Auto
@@ -191,7 +207,15 @@ object CopyConfig {
           s"$key must be true or false; got: $other")
       }
 
-    // stop-if flags default ON; only an explicit false removes one
+    // stop-if flags default ON; only an explicit false removes one.
+    // A scalar where the OBJECT belongs must throw (the
+    // retry-connection rule): a user's "stop-if": false would silently
+    // leave both gates ON — the copy then aborts on a destination
+    // index the user explicitly tried to allow, with no hint why.
+    opt("stop-if").foreach { n =>
+      if (!n.isObject) throw new IllegalArgumentException(
+        "stop-if must be an object with secondary-index/temporal-table flags")
+    }
     val stopIf = opt("stop-if")
     def stopFlag(key: String): Boolean =
       stopIf.flatMap(at(_, key))

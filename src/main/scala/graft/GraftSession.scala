@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def build(cpus: String, master: Option[String] = None): SparkSession = {
+    // per-PROCESS warehouse: bucketed_join_colocated truncates and
+    // rewrites saved tables in here, so two driver JVMs (a Bench run
+    // beside a Verify loop) sharing one warehouse would race
+    // truncate-vs-scan — the same two-JVM hazard PersistedState's
+    // procTag exists for, fixed the same way
+    val scratchWarehouse =
+      System.getProperty("java.io.tmpdir") + "/graft_warehouse_" +
+        java.lang.ProcessHandle.current().pid()
     val s = SparkSession.builder()
       .master(master.getOrElse(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,22 +31,29 @@ object GraftSession {
       // fallback (64k groups x ~600B buffers ~ 40MB/partition, and the
       // fallback remains the graceful path beyond that)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
-      // per-PROCESS warehouse: bucketed_join_colocated truncates and
-      // rewrites saved tables in here, so two driver JVMs (a Bench run
-      // beside a Verify loop) sharing one warehouse would race
-      // truncate-vs-scan — the same two-JVM hazard PersistedState's
-      // procTag exists for, fixed the same way
-      .config("spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse_" +
-          java.lang.ProcessHandle.current().pid())
+      .config("spark.sql.warehouse.dir", scratchWarehouse)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // the per-pid warehouse is garbage once this process ends (no later
+    // The per-pid warehouse is garbage once this process ends (no later
     // run can reuse a dead pid's path) — reclaim it at exit instead of
-    // accumulating one copy per bench/verify process until tmp fills
-    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
+    // accumulating one copy per bench/verify process until tmp fills.
+    // GUARDED on the live session actually USING our scratch path:
+    // warehouse.dir is a STATIC conf, so a getOrCreate that returned a
+    // pre-existing session silently kept ITS warehouse — possibly real
+    // user data — and registering the path the session reports would
+    // recursively delete that at JVM exit. A mismatch also means every
+    // other conf above silently didn't apply, so say so loudly.
+    val live = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (java.nio.file.Paths.get(live).normalize() ==
+        java.nio.file.Paths.get(scratchWarehouse).normalize())
+      graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(live))
+    else
+      System.err.println(
+        s"[graft] getOrCreate returned a PRE-EXISTING session (warehouse " +
+          s"$live, not the per-process scratch): static confs — warehouse, " +
+          "extensions, timezone — did NOT apply; its warehouse will not " +
+          "be touched at exit")
     // testdata is read-only: persisted pipeline state goes to scratch
     // instead of its production default beside the corpus
     graft.ops.PersistedState.relocateToScratch(s)

@@ -226,11 +226,30 @@ object Sinks {
     */
   def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
     val meta = conn.getMetaData
-    val schema = currentSchemaOrNull(conn)
+    // A SCHEMA-QUALIFIED name ("APP.stream_events") names its own
+    // schema: the probe must scope there, not to the connection's
+    // current schema — the dot is NOT part of any TABLE_NAME, so
+    // passing the full string as the name pattern matches nothing and
+    // the probe answers false for a table the load resolves fine
+    // (silently skipping the streaming upsert's idempotency DELETE on
+    // every replayed batch). Simple two-part split: the engine's names
+    // never carry quoted dots.
+    val dot = table.indexOf('.')
+    val (schema, name) =
+      if (dot > 0 && dot < table.length - 1)
+        (table.substring(0, dot), table.substring(dot + 1))
+      else (currentSchemaOrNull(conn), table)
     val escaped = likeEscaper(meta)
+    // Schema scoping happens in the CASE-INSENSITIVE post-filter on
+    // TABLE_SCHEM, with a null (unscoped) schema PATTERN: getTables
+    // patterns are case-sensitive, so a pattern spelled in any one fold
+    // misses a catalog that stored the schema in another ("app" never
+    // pattern-matches APP even though they name the same schema) —
+    // whereas equalsIgnoreCase covers every fold at once. The result
+    // set stays tiny either way: it is bounded by same-NAMED tables
+    // across schemas, and the name pattern is LIKE-escaped tight.
     def one(n: String): Boolean = {
-      val rs = meta.getTables(
-        null, if (schema == null) null else escaped(schema), escaped(n), null)
+      val rs = meta.getTables(null, null, escaped(n), null)
       try {
         var found = false
         while (!found && rs.next())
@@ -239,13 +258,14 @@ object Sinks {
         found
       } finally rs.close()
     }
-    // probe the literal spelling plus BOTH catalog folds: engines fold
-    // unquoted DDL to upper (Derby, Oracle, DB2) or to lower
-    // (PostgreSQL), and getTables patterns are case-sensitive on both —
-    // a miss here silently disables the append-retry guard downstream
-    Seq(table,
-      table.toUpperCase(java.util.Locale.ROOT),
-      table.toLowerCase(java.util.Locale.ROOT)).distinct.exists(one)
+    // probe the literal spelling plus BOTH catalog folds of the NAME:
+    // engines fold unquoted DDL to upper (Derby, Oracle, DB2) or to
+    // lower (PostgreSQL), and getTables name patterns are
+    // case-sensitive on both — a miss here silently disables the
+    // append-retry guard downstream
+    Seq(name,
+      name.toUpperCase(java.util.Locale.ROOT),
+      name.toLowerCase(java.util.Locale.ROOT)).distinct.exists(one)
   }
 
   /** The connection's current schema, or null where the driver doesn't

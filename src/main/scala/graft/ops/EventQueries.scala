@@ -365,7 +365,7 @@ object EventQueries {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+          graft.streaming.EventStreams.centsExactSum.as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("n_users"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
@@ -581,7 +581,7 @@ object EventQueries {
           unix_millis(col("ts")).as("ms"), col("value"))
         .select(col("event_id"), col("user_id"), col("ms"),
           count(lit(1)).over(w).as("n_trailing_hour"),
-          (sum(expr("cast(round(value * 100) as bigint)")).over(w) / lit(100.0)).as("sum_trailing_hour"))
+          (sum(graft.streaming.EventStreams.centsLong).over(w) / lit(100.0)).as("sum_trailing_hour"))
         .orderBy(col("user_id"), col("ms"), col("event_id"))
     },
 
@@ -605,7 +605,7 @@ object EventQueries {
           max(unix_millis(col("ts"))).as("last_ms"),
           countDistinct(to_date(col("ts"))).as("active_days"),
           count(lit(1)).as("n_events"),
-          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("total_value"))
+          graft.streaming.EventStreams.centsExactSum.as("total_value"))
         .orderBy(col("user_id"))
     },
 
@@ -707,7 +707,7 @@ object EventQueries {
       Scans.table(s, dir, "events")
         .groupBy(bucket.as("bucket"), (bucket * 25).as("bucket_lo"))
         .agg(count(lit(1)).as("n_events"),
-          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+          graft.streaming.EventStreams.centsExactSum.as("sum_value"))
         .orderBy(col("bucket"))
     },
 
@@ -732,7 +732,7 @@ object EventQueries {
       Scans.table(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+          graft.streaming.EventStreams.centsExactSum.as("sum_value"))
         // epoch seconds via unix_millis (exact: window starts are whole
         // 15-min boundaries) — unlike cast-to-long this stays legal
         // whatever timestamp flavor the window carries
@@ -1169,7 +1169,7 @@ object EventQueries {
             .groupBy(col("c_mktsegment"))
             .agg(count(lit(1)).as("n_events"),
               sum(col("event_id")).cast("long").as("id_sum"),
-              (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+              graft.streaming.EventStreams.centsExactSum.as("sum_value"))
             .select(col("c_mktsegment").as("segment"), col("n_events"),
               col("id_sum"), col("sum_value"))
             .orderBy(col("segment"))
@@ -1403,7 +1403,7 @@ object EventQueries {
       val perUser = Scans.table(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(to_date(max(col("ts"))).as("u_d"), count(lit(1)).as("freq"),
-          (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("mon"))
+          graft.streaming.EventStreams.centsExactSum.as("mon"))
         .localCheckpoint(true)
       val maxD = perUser.agg(max(col("u_d")).as("max_d"))
       val users = perUser

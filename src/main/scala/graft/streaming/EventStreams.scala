@@ -15,6 +15,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** The `value` column as exact integer CENTS — the ONE definition of
+    * the batch/streaming parity invariant (oracle form:
+    * `CAST(round(value * 100) AS BIGINT)`): BIGINT cents are exact and
+    * summation-order-independent, where `round(sum(double), 2)` could
+    * flip a cent near a .005 boundary as partial-aggregation order
+    * varies — and a streaming run reorders partials far more than a
+    * batch one. Ten call sites across this file and
+    * [[graft.ops.EventQueries]] share it so a rounding fix can never
+    * fork the spec-tested twins. */
+  def centsLong: org.apache.spark.sql.Column =
+    expr("cast(round(value * 100) as bigint)")
+
+  /** `sum(value)` in cents-exact form, back in currency units — the
+    * aggregate the windowed/sessionized sums publish. Windowed callers
+    * compose the pieces themselves (`sum(centsLong).over(w) / 100.0`). */
+  def centsExactSum: org.apache.spark.sql.Column =
+    sum(centsLong) / lit(100.0)
+
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark — the
     * streaming form of `events_window_agg`. Works on any DataFrame with
     * (ts: Timestamp, event_type: String, user_id: Long, value: Double),
@@ -31,7 +49,7 @@ object EventStreams {
       // — the exact flake the batch comment forbids, and a streaming
       // run reorders partials far more than a batch one
       .agg(count(lit(1)).as("n_events"),
-        (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+        centsExactSum.as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -48,7 +66,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       // cents-exact sum — see windowedAgg
       .agg(count(lit(1)).as("n_events"),
-        (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+        centsExactSum.as("sum_value"))
       // unix_millis, not cast-to-long: stays legal whatever timestamp
       // flavor the window carries (the batch twin's own rule — a
       // TIMESTAMP_NTZ event-time column makes the cast an
@@ -71,7 +89,7 @@ object EventStreams {
         floor(col("value") / 25.0).cast("long").as("bucket"))
       // cents-exact sum — see windowedAgg
       .agg(count(lit(1)).as("n_events"),
-        (sum(expr("cast(round(value * 100) as bigint)")) / lit(100.0)).as("sum_value"))
+        centsExactSum.as("sum_value"))
       .select(col("window.start").as("window_start"), col("bucket"),
         col("n_events"), col("sum_value"))
 

@@ -558,6 +558,32 @@ class CopySpec extends SparkSpecBase {
     }
   }
 
+  test("wrongly-typed option shapes reject at load, never silently default") {
+    // each of these used to parse SILENTLY to the wrong behavior: a
+    // container connection-string stringifies to "" (run fails far away
+    // as TableNotFound), an object logical-partitions maps to Auto
+    // (dropping the user's fixed count), and a scalar stop-if leaves
+    // both gates ON that the user explicitly tried to disable
+    intercept[IllegalArgumentException] {
+      CopyConfig.parse(
+        """{"source": {"connection-string": ["/data/sf1"]},
+          |"destination": {"connection-string": "d"}}""".stripMargin, _ => None)
+    }
+    intercept[IllegalArgumentException] {
+      CopyConfig.parse(
+        """{"source": {"connection-string": "s"},
+          |"destination": {"connection-string": "d"},
+          |"options": {"logical-partitions": {"count": 16}}}""".stripMargin,
+        _ => None)
+    }
+    intercept[IllegalArgumentException] {
+      CopyConfig.parse(
+        """{"source": {"connection-string": "s"},
+          |"destination": {"connection-string": "d"},
+          |"options": {"stop-if": false}}""".stripMargin, _ => None)
+    }
+  }
+
   test("declared metas agree with the synthesized sys catalog rows") {
     // two representations of one fixture: TableMeta.foreignKeyCount must
     // equal this table's sysForeignKeys rows under the REFERENCE

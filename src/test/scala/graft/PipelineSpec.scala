@@ -305,6 +305,16 @@ class PipelineSpec extends SparkSpecBase {
       // exact spelling and the case-folded probe path)
       st.execute("CREATE TABLE STREAM_EVENTS (id INT)")
       assert(graft.exec.Sinks.jdbcTableExists(conn, "stream_events"))
+      // a SCHEMA-QUALIFIED name probes ITS schema, not the current one:
+      // the streaming upsert passes the configured name through, and a
+      // false here would silently skip the idempotency DELETE on every
+      // replayed batch (the dot used to be fed into the TABLE_NAME
+      // pattern, matching nothing)
+      assert(graft.exec.Sinks.jdbcTableExists(conn, "otheruser.probe_t"),
+        "qualified probe missed a table the load resolves")
+      assert(graft.exec.Sinks.jdbcTableExists(conn, "OTHERUSER.PROBE_T"))
+      assert(!graft.exec.Sinks.jdbcTableExists(conn, "otheruser.absent_t"))
+      assert(!graft.exec.Sinks.jdbcTableExists(conn, "no_such_schema.probe_t"))
       st.close()
     } finally {
       conn.close()
