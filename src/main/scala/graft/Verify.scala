@@ -31,9 +31,14 @@ object Verify {
       // PASS, the exact failure mode the belt-and-braces check exists
       // to catch
       graft.exec.Fs.deleteTree(java.nio.file.Paths.get(outDir, name))
+      // NonFatal only: an OOM/LinkageError recorded as an error row
+      // would keep running the remaining queries in a heap-exhausted or
+      // link-broken JVM — cascading hangs and garbage results instead
+      // of a prompt death; an interrupt (Ctrl-C) must stop the pass,
+      // not be eaten as one more row
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
       }
@@ -56,8 +61,18 @@ object Verify {
     // errors.json is written unconditionally (empty object = clean run) so
     // its absence can never be confused with success, and is truncated per
     // message — one pathological stack must not balloon the manifest.
+    // Truncation lands on a CODEPOINT boundary: take(2000) on a String
+    // counts UTF-16 units and can split a surrogate pair, and the lone
+    // high surrogate (>= 0x20, so the escaper passes it raw) would make
+    // writeString's UTF-8 encoder throw AFTER every query already ran —
+    // losing the whole manifest to the truncation that exists to protect it.
+    def truncAtCodepoint(s: String, n: Int): String =
+      if (s.length <= n) s
+      else if (Character.isHighSurrogate(s.charAt(n - 1))) s.take(n - 1)
+      else s.take(n)
     val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(truncAtCodepoint(v, 2000))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     // Belt-and-braces: the dumped result dirs must be exactly the declared
     // key set — catches failure modes that never threw, e.g. a query whose

@@ -31,15 +31,29 @@ object DerbyEnv {
     // Per-pid naming makes the home garbage the moment this process
     // ends (no later run can reuse a dead pid's path), so reclaim it at
     // exit — the same accumulation fix the warehouse/staging/persisted-
-    // state roots carry via Fs.deleteOnExit. Derby is shut down FIRST
-    // (the engine-wide `jdbc:derby:;shutdown=true`, which signals
-    // success by throwing XJ015) so its long-lived databases under the
-    // home (dbPath: the identity DB, bench copy destinations) release
-    // their locks/fds before the tree delete; both steps best-effort —
-    // cleanup must never turn a clean exit into a failure.
+    // state roots carry via Fs.deleteOnExit. The databases under the
+    // home are shut down FIRST (so their locks/fds release before the
+    // tree delete) — PER DATABASE, never the engine-wide
+    // `jdbc:derby:;shutdown=true`: shutdown hooks run concurrently and
+    // unordered, and an engine-wide shutdown would kill databases that
+    // do not belong to graft (a host application embedding these
+    // classes with its own Derby DB would lose its final commit to our
+    // cleanup). Scanning for service.properties also means a run that
+    // never touched Derby doesn't BOOT the engine at exit just to shut
+    // it down. All steps best-effort — cleanup must never turn a clean
+    // exit into a failure.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
-      catch { case _: Throwable => () } // XJ015 = clean engine shutdown
+      try {
+        val dirs = Option(new java.io.File(h).listFiles()).getOrElse(Array())
+          .filter(d => d.isDirectory &&
+            new java.io.File(d, "service.properties").isFile)
+        dirs.foreach { d =>
+          // Derby signals a clean single-DB shutdown by throwing 08006
+          try java.sql.DriverManager.getConnection(
+            s"jdbc:derby:${d.getAbsolutePath};shutdown=true")
+          catch { case _: Throwable => () }
+        }
+      } catch { case _: Throwable => () }
       try Fs.deleteTree(java.nio.file.Paths.get(h))
       catch { case _: Exception => () }
     }, "graft-derby-cleanup"))
@@ -54,7 +68,15 @@ object DerbyEnv {
     */
   def scratchDbRoot(prefix: String): java.nio.file.Path = {
     home // ensure the engine boots with a home even for scratch DBs
-    java.nio.file.Files.createTempDirectory(prefix)
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    // belt for interrupted runs: the happy path deletes via
+    // shutdownAndDelete's finally, but a Ctrl-C between create and
+    // finally would otherwise leak one uniquely-named Derby scratch DB
+    // per interrupted run — the exact tmp-accumulation class every
+    // other scratch root already guards via deleteOnExit (deleting an
+    // already-deleted root is a no-op)
+    Fs.deleteOnExit(root)
+    root
   }
 
   /** Cleanly shut down ONE database (Derby signals success via

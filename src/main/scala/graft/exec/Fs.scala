@@ -8,17 +8,41 @@ package graft.exec
   */
 object Fs {
 
-  /** Recursive delete, children before parents; no-op on a missing
-    * root. The walk's paths are collected and the stream closed BEFORE
-    * any delete runs — `Files.walk` holds an open directory fd per
-    * level, and deleting under a live stream is platform-dependent.
+  /** Recursive delete, children before parents, BEST-EFFORT PER PATH;
+    * no-op on a missing root. The walk's paths are collected and the
+    * stream closed BEFORE any delete runs — `Files.walk` holds an open
+    * directory fd per level, and deleting under a live stream is
+    * platform-dependent.
+    *
+    * Per-path tolerance matters because this is always a CLEANUP path:
+    * one undeletable entry (a root-owned stale dir from a prior run as
+    * another user; a state-store maintenance thread recreating a
+    * snapshot between walk and delete, making the parent non-empty)
+    * used to abort the remaining deletes AND propagate — failing a
+    * verify pass before any query ran, or flaking a streaming replay
+    * whose work had already succeeded. Now every path is attempted,
+    * and residue is reported to stderr instead of thrown: a cleanup
+    * must never turn completed work into a failure.
     */
   def deleteTree(root: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(root)
       val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      var failed = 0
+      var firstErr: Throwable = null
+      paths.foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case scala.util.control.NonFatal(e) =>
+          failed += 1; if (firstErr == null) firstErr = e
+        }
+      }
+      // a parent that failed only because a child delete failed is not
+      // a second error worth counting twice, but residue is residue —
+      // say ONCE what was left and why
+      if (failed > 0)
+        System.err.println(
+          s"[fs] deleteTree left $failed path(s) under $root (first: $firstErr)")
     }
   }
 

@@ -224,13 +224,14 @@ object Pipeline {
       val key =
         if (keys.nonEmpty) abs(Scans.sliceKeyPortable(keys))
         else Scans.sliceKeyHash(base)
-      // Drop NULL-key rows BEFORE the fan-out so this path stays
-      // semantically identical to the union-of-slices it replaces:
-      // logicalSlice's pmod(key,n)=i predicate is NULL (row dropped)
-      // for a NULL slice key, while a hash repartition would land the
-      // row in some partition and silently copy it — whether a copy
-      // reconciles would then depend on which code path engaged. Same
-      // guard the physical fan-out below applies to its range.
+      // No NULL pre-filter needed: the slice key is NULL-safe by
+      // construction (sliceKeyPortable coalesces each cast to 0;
+      // xxhash64 never returns NULL), so `ord` is total and NULL-keyed
+      // rows land in slice 0 on THIS path exactly as logicalSlice's
+      // pmod predicate places them on the union path — both paths copy
+      // every row (exhaustiveness is the reference's slice contract,
+      // and a pre-filter here used to co-sign the union path's silent
+      // NULL-row drop instead of fixing it).
       // EXACT ordinal→partition placement through the plain hash
       // shuffle (see ordinalHashReps): one task per whole slice. A raw
       // repartition(n, ordinal) collides (murmur3 mod n leaves ~1/3 of
@@ -240,7 +241,7 @@ object Pipeline {
       // read at 100 TB. The rep lookup costs one array literal probe
       // per row, stays inside codegen, and shuffles once.
       val ord = pmod(key, lit(n.toLong))
-      val fanned = base.filter(ord.isNotNull)
+      val fanned = base
         .repartition(n, element_at(lit(ordinalHashReps(n)), (ord + 1).cast("int")))
       Scans.orderedWithinPartitions(fanned, item.orderHint)
     } else if (completePhysicalSet && flatFileSource) {

@@ -86,7 +86,16 @@ object Scans {
     * `graft.PlannerSpec`).
     */
   def sliceKeyPortable(keyCols: Seq[String]): Column =
-    keyCols.map(c => col(c).cast("long")).reduce((a, b) => a * lit(31L) + b)
+    // NULL-SAFE cast: a NULL key column would make the whole fold NULL,
+    // pmod(NULL, n) = NULL, and the row would match NO slice filter —
+    // silently missing from every slice of a "successful" copy (the
+    // reference's %%PhysLoc%% can never be NULL, so exhaustiveness is
+    // its contract's given; here it must be made). NULL folds as 0 —
+    // deterministic, and identical in the SQL-text twin
+    // (SqlGen.whereClause) so the two paths can never disagree on a
+    // row's slice. Non-null keys are untouched: coalesce(x, 0) = x.
+    keyCols.map(c => coalesce(col(c).cast("long"), lit(0L)))
+      .reduce((a, b) => a * lit(31L) + b)
 
   def sliceKeyHash(df: DataFrame): Column =
     abs(xxhash64(df.columns.map(col).toSeq: _*))

@@ -54,7 +54,11 @@ object SqlGen {
     case SliceSpec.Logical(keys, count, index) =>
       val key =
         if (keys.nonEmpty)
-          keys.map(c => s"CAST(${quote(c)} AS BIGINT)")
+          // COALESCE mirrors Scans.sliceKeyPortable's NULL-safe cast:
+          // a NULL key would match NO slice's WHERE, silently dropping
+          // the row from the whole copy — the twins must agree on the
+          // fold bit for bit
+          keys.map(c => s"COALESCE(CAST(${quote(c)} AS BIGINT), 0)")
             .reduce((a, b) => s"($a * 31 + $b)")
         else s"xxhash64(${allColumns.map(quote).mkString(", ")})"
       s"WHERE pmod(abs($key), $count) = $index"

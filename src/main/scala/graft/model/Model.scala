@@ -115,8 +115,10 @@ object SliceSpec {
     // (SqlGen.whereClause enumerates the filtered list).
     def describe =
       if (keyCols.nonEmpty) {
+        // COALESCE mirrors the executors' NULL-safe cast (a NULL key
+        // folds as 0 so the row still lands in exactly one slice)
         val fold = keyCols
-          .map(c => s"CAST(`${c.replace("`", "``")}` AS BIGINT)")
+          .map(c => s"COALESCE(CAST(`${c.replace("`", "``")}` AS BIGINT), 0)")
           .reduce((a, b) => s"($a * 31 + $b)")
         s"pmod(abs($fold), $count) = $index"
       } else s"pmod(abs(xxhash64(<selected columns>)), $count) = $index"

@@ -31,12 +31,13 @@ class CopySpec extends SparkSpecBase {
     assert(exec.Sinks.identityCurrent(allNull, "id") == 0L)
   }
 
-  test("copyFrame's single-scan fan-out drops NULL slice keys like the union") {
-    // path-equivalence contract: logicalSlice's pmod(key,n)=i predicate
-    // is NULL (row dropped) for a NULL slice key, so the complete-set
-    // fan-out must pre-filter them — otherwise whether a NULL-keyed row
-    // is copied (and whether reconciliation passes) would depend on
-    // which code path engaged
+  test("copyFrame's single-scan fan-out keeps NULL slice keys like the union") {
+    // path-equivalence contract UNDER THE NULL-SAFE FOLD: a NULL slice
+    // key coalesces to 0, so BOTH realizations place the row in slice 0
+    // and every row is copied exactly once — exhaustiveness is the
+    // reference's slice contract (%%PhysLoc%% can never be NULL), and
+    // the old behavior (both paths silently DROPPING NULL-keyed rows
+    // from a "successful" copy) was consistent data loss, not safety
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_nullslice")
     try {
@@ -51,10 +52,13 @@ class CopySpec extends SparkSpecBase {
       val fanned = exec.Pipeline.copyFrame(spark, root.toString, items)
       val union = items.map(Scans.forWorkItem(spark, root.toString, _))
         .reduce(_ unionAll _)
-      assert(union.count() == 4, "slice union must drop the NULL-key rows")
-      assert(fanned.count() == 4, "fan-out must drop the same NULL-key rows")
+      assert(union.count() == 6, "slice union must keep the NULL-key rows")
+      assert(fanned.count() == 6, "fan-out must keep the same NULL-key rows")
       assert(fanned.select("k", "v").except(union.select("k", "v")).isEmpty &&
         union.select("k", "v").except(fanned.select("k", "v")).isEmpty)
+      // and the NULL-keyed rows sit in slice 0 specifically (key folds 0)
+      assert(Scans.forWorkItem(spark, root.toString, items.head)
+        .filter(org.apache.spark.sql.functions.col("k").isNull).count() == 2)
     } finally deleteTree(root)
   }
 

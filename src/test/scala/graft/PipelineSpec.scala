@@ -436,6 +436,36 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("NULL-keyed rows land in exactly one slice, in both twins") {
+    // A NULL key column used to make the whole fold NULL: pmod(NULL, n)
+    // matches NO slice filter, so the row silently vanished from every
+    // slice of a "successful" copy — the reference's %%PhysLoc%% can
+    // never be NULL, so exhaustiveness must be MADE here, not assumed.
+    // Proved end-to-end through the real expressions, on both twins
+    // (Scans.sliceKeyPortable and SqlGen's generated WHERE text).
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, null), (null, 30L), (null, null), (5L, 50L))
+      .toDF("k1", "k2")
+    val n = 3
+    val key = abs(Scans.sliceKeyPortable(Seq("k1", "k2")))
+    val union = (0 until n)
+      .map(i => Scans.logicalSlice(df, key, n, i))
+      .reduce(_ unionAll _)
+    assert(union.count() == df.count(),
+      "a NULL-keyed row vanished from (or duplicated into) the slice union")
+    // SQL-text twin: the generated WHERE over the same frame agrees
+    df.createOrReplaceTempView("nullkey_t")
+    val sqlUnion = (0 until n).map { i =>
+      val where = graft.exec.SqlGen.whereClause(
+        SliceSpec.Logical(Seq("k1", "k2"), n, i), Seq("k1", "k2"))
+      spark.sql(s"SELECT * FROM nullkey_t $where")
+    }.reduce(_ unionAll _)
+    assert(sqlUnion.count() == df.count(),
+      "the generated-SQL twin dropped or duplicated a NULL-keyed row")
+    spark.catalog.dropTempView("nullkey_t")
+  }
+
   test("copyTable reconcile=false skips the count pair and returns sentinels") {
     val d = destDir
     val src = Catalog.collect(spark, sfDir, "region")

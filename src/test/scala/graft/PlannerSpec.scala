@@ -169,4 +169,5 @@ class PlannerSpec extends AnyFunSuite {
       assert(assigned.forall(i => i >= 0 && i < n)) // every row in exactly one slice
     }
   }
+
 }
