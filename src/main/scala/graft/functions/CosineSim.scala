@@ -1,11 +1,14 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native cosine similarity over two `Array[Float]` embedding columns.
+/** Native cosine similarity over two numeric-array embedding columns
+  * (`array<float|double>`, elements widened to double like the composed
+  * fallback).
   *
   * The composable form (`aggregate(zip_with(a, b, …))`, see
   * [[graft.ops.SimilarityQueries.cosine]]) materializes a zipped array
@@ -20,10 +23,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Registered as SQL function `cosine_sim` by [[graft.GraftSparkExtensions]].
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  // inferred Seq[ArrayType] — AbstractDataType itself is private[sql]
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // array<float|double> per side, like the ArrayPairFold scaffold: the
+  // composed fallback (zip_with lambda) widens any numeric element to
+  // double, so a float-only gate here would make behavior flip with
+  // extension REGISTRATION — a query over a double-array column (e.g.
+  // a VectorMean centroid) succeeding on an extension-less session and
+  // AnalysisException-ing on a registered one.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  // element flavor resolved ONCE (post-analysis), not per element per row
+  @transient private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def dataType: DataType = DoubleType
 
@@ -43,8 +66,8 @@ case class CosineSim(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -68,8 +91,8 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $x = (double) $a.getFloat($i);
-         |    final double $y = (double) $b.getFloat($i);
+         |    final double $x = ${if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"};
+         |    final double $y = ${if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {

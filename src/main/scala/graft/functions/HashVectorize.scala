@@ -56,15 +56,9 @@ object HashVectorizeKernel {
       md.reset()
       md.update(bytes, starts(t), ends(t) - starts(t))
       val dig = md.digest()
-      // first 7 hex digits = 7 nibbles big-endian; % 64 = low 6 bits,
-      // which live entirely in byte 3's high nibble (2 bits) and byte
-      // 2's low nibble — fold the 28 bits anyway for clarity, it's
-      // three shifts per token
-      var v = 0L
-      var b = 0
-      while (b < 3) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((dig(3) >> 4) & 0xfL)
-      counts((v % Dims).toInt) += 1
+      // first 7 hex digits = 7 nibbles big-endian (shared fold); % 64
+      // keeps the low 6 bits of the 28-bit value
+      counts((TextKernel.foldNibbles(dig, 7) % Dims).toInt) += 1
       t += 1
     }
     var nnz = 0L; var sumSq = 0.0

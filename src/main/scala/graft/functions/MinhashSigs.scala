@@ -64,12 +64,8 @@ object MinhashSigsKernel {
         t += 1
       }
       val dig = md.digest()
-      // first 15 hex digits = 15 nibbles big-endian: bytes 0..6 whole,
-      // byte 7 high nibble
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((dig(7) >> 4) & 0xfL)
+      // first 15 hex digits = 15 nibbles big-endian (shared fold)
+      val v = TextKernel.foldNibbles(dig, 15)
       val h = v % P // v >= 0 (60 bits), so % == pmod
       var f = 0
       while (f < Families) {

@@ -38,6 +38,10 @@ object SimhashTextKernel {
   def compute(text: UTF8String, useICU: Boolean): UTF8String = {
     val bytes = TextKernel.lowered(text, useICU).getBytes
     val spans = TextKernel.tokenSpans(bytes)
+    // no-token fast path BEFORE the vote/digest machinery (the
+    // TokenEntropyKernel shape): the NULL contract is visible up top
+    // and a corpus slice of token-less rows pays no dead allocations
+    if (spans.n == 0) return null
     val votes = new Array[Int](64)
     val md = TextKernel.md5()
     var t = 0
@@ -56,7 +60,6 @@ object SimhashTextKernel {
       }
       t += 1
     }
-    if (spans.n == 0) return null
     val out = new Array[Byte](16)
     var d = 0
     while (d < 16) {

@@ -82,6 +82,23 @@ object TextKernel {
     new TokenSpans(starts, ends, nTok)
   }
 
+  /** The first `n` hex digits of a digest folded big-endian into a
+    * non-negative long — the numeric form of
+    * `cast(conv(substring(md5(x), 1, n), 16, 10) AS BIGINT)` (n <= 15,
+    * so the value fits 60 bits and `%` equals `pmod`). Whole bytes
+    * first, then the high nibble of the next byte for odd n. One
+    * definition for the MinHash (15-nibble) and hashing-vectorizer
+    * (7-nibble) kernels — the shift arithmetic is off-by-one-prone
+    * enough that two hand-rolled copies WILL drift.
+    */
+  def foldNibbles(dig: Array[Byte], n: Int): Long = {
+    var v = 0L
+    var b = 0
+    while (b < n / 2) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+    if ((n & 1) == 1) v = (v << 4) | ((dig(n / 2) >> 4) & 0xfL)
+    v
+  }
+
   /** 32-char lowercase hex of a 16-byte digest — `md5()`'s text form. */
   def hex32(dig: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](32)

@@ -50,8 +50,15 @@ object VectorMean extends Aggregator[Array[Float], (Array[Double], Long), Array[
     (out, a._2 + b._2)
   }
 
+  // NULL, not an empty array, for a group with NO non-null vectors: the
+  // posexplode centroid formulation this aggregate is the mergeable twin
+  // of produces no centroid for such a group at all, and an empty array
+  // here would be indistinguishable from the legitimate mean of
+  // zero-length vectors (count > 0, empty sums) — a reader could not
+  // tell "no data" from "0-dim data". Callers filter nulls like any
+  // other aggregate-over-nothing.
   override def finish(r: (Array[Double], Long)): Array[Double] =
-    if (r._2 == 0) Array.emptyDoubleArray else r._1.map(_ / r._2)
+    if (r._2 == 0) null else r._1.map(_ / r._2)
 
   override def bufferEncoder: Encoder[(Array[Double], Long)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()

@@ -679,6 +679,35 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(rows.length == 3 && rows.forall(_.isNullAt(0)))
   }
 
+  test("cosine_sim accepts double arrays like the composed fallback") {
+    // registration symmetry: the zip_with/aggregate composition widens
+    // any numeric element to double, so the native must too — otherwise
+    // the same query succeeds on an extension-less session and
+    // AnalysisExceptions on a registered one
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1f, 2f, 3f)))
+      .toDF("d", "f")
+    val r = df.select(
+      expr("cosine_sim(d, cast(f as array<double>))").as("dd"),
+      expr("cosine_sim(d, f)").as("df"),
+      expr("cosine_sim(f, f)").as("ff")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("VectorMean finishes an all-null group as NULL, not an empty vector") {
+    // the posexplode centroid twin produces no row for such a group;
+    // an empty array would be indistinguishable from the legitimate
+    // mean of zero-length vectors (count > 0)
+    import graft.functions.VectorMean
+    assert(VectorMean.finish(VectorMean.zero) == null)
+    val zeroDim = VectorMean.reduce(VectorMean.zero, Array.empty[Float])
+    assert(VectorMean.finish(zeroDim) != null &&
+      VectorMean.finish(zeroDim).isEmpty,
+      "a real 0-dim mean stays an empty array, distinct from NULL")
+  }
+
   test("VectorMean rejects ragged dimensions loudly instead of truncating") {
     // partition/merge order is nondeterministic, so silently truncating
     // a mismatched vector would make the output dimension (and the
