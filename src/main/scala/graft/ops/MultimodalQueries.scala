@@ -141,7 +141,13 @@ object MultimodalQueries {
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, if (fmt == "jpeg") "jpg" else fmt, out)
+      // ImageIO.write returns FALSE (no exception) when no writer
+      // exists for the format (a trimmed runtime missing the BMP/GIF
+      // plugin): unchecked, the empty payload fails far away in the
+      // DECODER with a message blaming the wrong side
+      val wrote = javax.imageio.ImageIO.write(
+        img, if (fmt == "jpeg") "jpg" else fmt, out)
+      require(wrote, s"no ImageIO writer for format '$fmt' on this JVM")
       out.toByteArray
     }
 
@@ -175,16 +181,17 @@ object MultimodalQueries {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
     require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
+    // one bulk raster fetch, not a per-pixel getRGB(x, y) virtual call
+    // + ColorModel conversion per pixel: identical ARGB values (the
+    // bulk form runs the same default-ColorModel conversion), ~an
+    // order of magnitude fewer calls on the decode hot path
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+      i += 1
     }
     MediaFeatures(r.doc_id, r.media_type, w.toLong * h * 3, w.toLong, h.toLong,
       round6(sumR / (w * h * 255.0)),
@@ -369,14 +376,18 @@ object MultimodalQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = mediaTable(s, dir).as[MediaRecord]
-      media.mapPartitions(_.map { r =>
+      media.mapPartitions { it =>
+        // ONE digest instance per partition (digest() resets it), not a
+        // JCA provider lookup + allocation per record
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
         val n = (r.blob.length + 3) / 4 // STUB: crop-style 4:1 downsample
         val out = java.util.Arrays.copyOfRange(r.blob, 0, n)
-        val md5hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(out).map("%02x".format(_)).mkString
+        val md5hex = md.digest(out).map("%02x".format(_)).mkString
         (r.doc_id, r.width.toLong, r.height.toLong,
           (r.width / 2).toLong, (r.height / 2).toLong, n.toLong, md5hex)
-      }).toDF("doc_id", "width", "height", "new_width", "new_height",
+        }
+      }.toDF("doc_id", "width", "height", "new_width", "new_height",
         "n_bytes", "resized_md5")
         .orderBy(col("doc_id"))
     },

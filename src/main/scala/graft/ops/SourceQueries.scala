@@ -23,8 +23,19 @@ object SourceQueries {
   // scratch-path contract (proc tag + corpusKey + exit reclamation) is
   // PersistedState.scratchFallback — calling it, not re-implementing
   // it, so a change to the contract cannot fork here.
+  //
+  // Per-INVOCATION uniqueness besides: the roundtrip bodies write
+  // eagerly and return a LAZY read-back, so two threads of one driver
+  // running the same key against the same corpus would otherwise race
+  // overwrite-vs-scan on a fixed path (FileNotFound mid-query, or an
+  // aggregate over a mix of old and new part files) — the same hazard
+  // source_csv_malformed's atomic-rename publish defends, solved here
+  // by never sharing a destination at all. The suffix dirs are small,
+  // bounded by invocations per process, and reclaimed with the scratch
+  // root at exit.
   private def tmp(dir: String, name: String): String =
-    s"${PersistedState.scratchFallback(dir, "sources")}/$name"
+    s"${PersistedState.scratchFallback(dir, "sources")}/${name}_" +
+      java.util.UUID.randomUUID().toString.take(8)
 
   val entries: Seq[QueryDef] = Seq(
 

@@ -151,7 +151,10 @@ class PlanQualitySpec extends SparkSpecBase {
 
   test("jdbc read is partition-parallel and pushes filters to the database") {
     val copy = plan("jdbc_bulk_copy")
-    assert(copy.contains("numPartitions=4"),
+    // 5 = four MOD slices + the IS NULL slice that keeps the predicate
+    // array exhaustive over a nullable key (a NULL-keyed row matches no
+    // MOD predicate and would silently vanish from the read-back)
+    assert(copy.contains("numPartitions=5"),
       s"JDBC read not slice-parallel: ${copy.linesIterator.find(_.contains("JDBCRelation")).getOrElse(copy.take(800))}")
     val push = plan("jdbc_pushdown_scan")
     val scanLine = push.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
