@@ -15,7 +15,9 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, LongAdder}
   * copy: a sampler thread snapshots the counters every `reportEveryMs`
   * and emits interval rows/s + MB/s + active task count.
   */
-final class CopyMonitor(groupId: Option[String] = None) extends SparkListener {
+final class CopyMonitor(
+    groupId: Option[String] = None,
+    includeUntagged: Boolean = false) extends SparkListener {
   val recordsWritten = new LongAdder
   val bytesWritten = new LongAdder
   val recordsRead = new LongAdder
@@ -42,17 +44,25 @@ final class CopyMonitor(groupId: Option[String] = None) extends SparkListener {
   // group (setJobGroup is thread-local, so the monitored body's jobs
   // carry it; the listener bus is ordered, so a job's start precedes
   // its task events). groupId None keeps the legacy context-wide scope
-  // for callers that attach the listener themselves.
+  // for callers that attach the listener themselves. The group tag is
+  // THREAD-LOCAL, so jobs a monitored body launches from its OWN
+  // threads (futures, streaming micro-batch threads) inherit no tag and
+  // fall outside the group scope: `includeUntagged` additionally admits
+  // jobs carrying NO group tag at all — recovering those threads' work
+  // at the cost of also counting a concurrent stranger's untagged jobs
+  // (the context-global over-count, narrowed to untagged jobs only).
+  // Jobs tagged with a DIFFERENT group are never counted either way.
   private val monitoredStages =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   override def onJobStart(
       jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-    if (groupId.isDefined &&
-        jobStart.properties != null &&
-        groupId.contains(
-          jobStart.properties.getProperty("spark.jobGroup.id"))) {
-      jobStart.stageIds.foreach(id => monitoredStages.add(id))
+    if (groupId.isDefined) {
+      val tag =
+        if (jobStart.properties == null) null
+        else jobStart.properties.getProperty("spark.jobGroup.id")
+      if (groupId.contains(tag) || (includeUntagged && tag == null))
+        jobStart.stageIds.foreach(id => monitoredStages.add(id))
     }
 
   private def inScope(stageId: Int): Boolean =
@@ -123,16 +133,27 @@ object CopyMonitor {
     * passed to `onReport`) — the live progress report of the reference's
     * monitor loop. The sampler reads lock-free counters, so it never
     * perturbs the copy; it is interrupted and joined before returning.
+    *
+    * SCOPE CONTRACT: the job group that scopes the counters is a
+    * THREAD-LOCAL property on the CALLING thread, so only jobs the body
+    * launches from that same thread are counted. A body that launches
+    * jobs from its own threads (futures, streaming micro-batch threads)
+    * must pass `includeUntagged = true`: those jobs inherit no group
+    * tag, and the monitor then admits untagged jobs too — counting the
+    * body's cross-thread work, at the documented cost of also counting
+    * any concurrent stranger's UNTAGGED jobs in a shared session
+    * (group-tagged strangers stay excluded either way).
     */
   def monitored[T](
       spark: SparkSession,
       reportEveryMs: Long = 0L,
-      onReport: Sample => Unit = _ => ())(body: => T): (T, CopyMonitor) = {
+      onReport: Sample => Unit = _ => (),
+      includeUntagged: Boolean = false)(body: => T): (T, CopyMonitor) = {
     // a unique job group scopes the counters to THIS body's jobs (see
     // the listener's monitoredStages); the previous group id is
     // restored exactly, so a caller's own group tagging survives
     val group = s"graft-monitor-${java.util.UUID.randomUUID()}"
-    val mon = new CopyMonitor(Some(group))
+    val mon = new CopyMonitor(Some(group), includeUntagged)
     val sc = spark.sparkContext
     val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
     sc.setLocalProperty("spark.jobGroup.id", group)

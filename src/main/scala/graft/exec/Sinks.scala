@@ -372,14 +372,79 @@ object Sinks {
   }
 
   private def rowCountOn(conn: java.sql.Connection, table: String): Long = {
-    val stored =
-      try storedTableName(conn, table) catch { case _: java.sql.SQLException => None }
-    val ident = quoteIdent(stored.getOrElse(table))
     val st = conn.createStatement()
     try {
-      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $ident")
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${countIdentifier(conn, table)}")
       try { rs.next(); rs.getLong(1) } finally rs.close()
     } finally st.close()
+  }
+
+  /** The SQL identifier the COUNT statement names — the count path's
+    * twin of jdbcTableExists' two-part split. A SCHEMA-QUALIFIED name
+    * ("APP.stream_events") must quote each part SEPARATELY: wrapping the
+    * whole dotted string as one identifier produces
+    * `SELECT COUNT(*) FROM "APP.stream_events"` — a single (absent)
+    * table whose name contains a dot — so the append-retry probe would
+    * report exists=true (the existence overload splits correctly) and
+    * then fail the count, aborting a load whose first-load path worked
+    * fine before the qualified-name support landed. Each part resolves
+    * to its STORED catalog spelling where the catalog can supply one
+    * (same fold rules as the unqualified path); an unresolvable name
+    * counts under its literal quoted parts and fails loudly if absent.
+    */
+  private def countIdentifier(conn: java.sql.Connection, table: String): String = {
+    val dot = table.indexOf('.')
+    if (dot > 0 && dot < table.length - 1) {
+      val (schemaPart, namePart) = (table.substring(0, dot), table.substring(dot + 1))
+      val stored =
+        try storedQualifiedName(conn, schemaPart, namePart)
+        catch { case _: java.sql.SQLException => None }
+      val (s, n) = stored.getOrElse((schemaPart, namePart))
+      quoteIdent(s) + "." + quoteIdent(n)
+    } else {
+      val stored =
+        try storedTableName(conn, table) catch { case _: java.sql.SQLException => None }
+      quoteIdent(stored.getOrElse(table))
+    }
+  }
+
+  /** The STORED catalog spellings of a schema-qualified (schema, table)
+    * pair, case-insensitively on BOTH parts — the qualified twin of
+    * [[storedTableName]]. The schema PATTERN slot is left null and the
+    * scope enforced by a case-insensitive post-filter on TABLE_SCHEM
+    * (patterns are case-sensitive, so any one spelling of the schema
+    * would miss a catalog that folded it differently — the same
+    * reasoning as jdbcTableExists); the name pattern is probed across
+    * the literal spelling plus both catalog folds, LIKE-escaped, which
+    * bounds the result set to same-named tables across schemas. An
+    * exact-case match on both parts wins; otherwise a UNIQUE
+    * case-insensitive match; ambiguity resolves to None — the caller
+    * falls back to the literal spelling rather than guess.
+    */
+  private def storedQualifiedName(
+      conn: java.sql.Connection, schema: String,
+      name: String): Option[(String, String)] = {
+    val meta = conn.getMetaData
+    val escaped = likeEscaper(meta)
+    var exact: Option[(String, String)] = None
+    val folded = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    val patterns = Seq(name,
+      name.toUpperCase(java.util.Locale.ROOT),
+      name.toLowerCase(java.util.Locale.ROOT)).distinct
+    patterns.foreach { pat =>
+      if (exact.isEmpty) {
+        val rs = meta.getTables(null, null, escaped(pat), null)
+        try while (exact.isEmpty && rs.next()) {
+          val s = rs.getString("TABLE_SCHEM")
+          val n = rs.getString("TABLE_NAME")
+          if (s != null && s.equalsIgnoreCase(schema) && n.equalsIgnoreCase(name)) {
+            if (s == schema && n == name) exact = Some((s, n))
+            else folded += ((s, n))
+          }
+        } finally rs.close()
+      }
+    }
+    exact.orElse(if (folded.size == 1) folded.headOption else None)
   }
 
   /** The STORED catalog spelling of a table name in the connection's

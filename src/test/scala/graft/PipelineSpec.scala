@@ -315,6 +315,24 @@ class PipelineSpec extends SparkSpecBase {
       assert(graft.exec.Sinks.jdbcTableExists(conn, "OTHERUSER.PROBE_T"))
       assert(!graft.exec.Sinks.jdbcTableExists(conn, "otheruser.absent_t"))
       assert(!graft.exec.Sinks.jdbcTableExists(conn, "no_such_schema.probe_t"))
+      // the COUNT path must make the SAME split (r12 ADVICE): quoting the
+      // dotted string as ONE identifier produced
+      // SELECT COUNT(*) FROM "OTHERUSER.PROBE_T" — exists answered true,
+      // then the count threw, and the append-retry guard ABORTED a load
+      // whose first-load path would have simply run
+      st.execute("INSERT INTO OTHERUSER.PROBE_T VALUES (1), (2), (3)")
+      val props = new java.util.Properties()
+      assert(graft.exec.Sinks.jdbcRowCountIfExists(url, "otheruser.probe_t", props)
+        .contains(3L), "qualified count disagreed with the existence probe")
+      assert(graft.exec.Sinks.jdbcRowCountIfExists(url, "OTHERUSER.PROBE_T", props)
+        .contains(3L))
+      assert(graft.exec.Sinks.jdbcRowCount(url, "OtherUser.Probe_T", props) == 3L,
+        "case-folded qualified spelling must resolve to the stored one")
+      assert(graft.exec.Sinks.jdbcRowCountIfExists(url, "otheruser.absent_t", props)
+        .isEmpty)
+      // and the unqualified path still counts in the CURRENT schema
+      assert(graft.exec.Sinks.jdbcRowCountIfExists(url, "stream_events", props)
+        .contains(0L))
       st.close()
     } finally {
       conn.close()
@@ -400,6 +418,44 @@ class PipelineSpec extends SparkSpecBase {
       s"foreign job's records leaked into the monitor: ${mon.recordsWritten.sum()}")
     // and the group tag is restored, so a caller's own tagging survives
     assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") == null)
+  }
+
+  test("includeUntagged recovers a monitored body's own cross-thread jobs") {
+    // The group tag is THREAD-LOCAL: a job the body launches from its
+    // OWN worker thread (a future, a streaming micro-batch thread)
+    // carries no tag and falls outside the default group scope — the
+    // documented same-thread contract (r12 ADVICE). includeUntagged
+    // opts such bodies back in by admitting untagged jobs too.
+    import graft.exec.CopyMonitor
+    val worker = new Thread(() =>
+      spark.range(0, 33, 1, 2).write.mode("overwrite")
+        .parquet(s"$destDir/untagged_worker.parquet"))
+    val (_, mon) = CopyMonitor.monitored(spark, includeUntagged = true) {
+      worker.start()
+      spark.range(0, 77, 1, 2).write.mode("overwrite")
+        .parquet(s"$destDir/untagged_main.parquet")
+      worker.join(60000)
+    }
+    assert(!worker.isAlive, "worker job did not finish inside the body")
+    assert(mon.recordsWritten.sum() == 110,
+      s"cross-thread rows not recovered under includeUntagged: " +
+        s"${mon.recordsWritten.sum()}")
+    // group-tagged strangers stay excluded even under includeUntagged
+    val stranger = new Thread(() => {
+      spark.sparkContext.setJobGroup("stranger-group", "foreign tagged work")
+      try spark.range(0, 5000, 1, 2).write.mode("overwrite")
+        .parquet(s"$destDir/untagged_stranger.parquet")
+      finally spark.sparkContext.clearJobGroup()
+    })
+    val (_, mon2) = CopyMonitor.monitored(spark, includeUntagged = true) {
+      stranger.start()
+      spark.range(0, 11, 1, 2).write.mode("overwrite")
+        .parquet(s"$destDir/untagged_main2.parquet")
+      stranger.join(60000)
+    }
+    assert(!stranger.isAlive)
+    assert(mon2.recordsWritten.sum() == 11,
+      s"a group-tagged stranger leaked in: ${mon2.recordsWritten.sum()}")
   }
 
   test("jdbcTableExists finds a lowercase-folding catalog's spelling") {
@@ -643,6 +699,51 @@ class PipelineSpec extends SparkSpecBase {
     // and the three key-less slices partition the table
     val total = items.map(SqlGen.run(spark, sfDir, _).count()).sum
     assert(total == Scans.table(spark, sfDir, "region").count())
+  }
+
+  test("logical slices stay exhaustive over a NULL-bearing corpus on BOTH realizations") {
+    // The r12 NULL-drop class (MOD(NULL,N) matches no slice — a row
+    // silently missing from every slice of a "successful" copy), swept
+    // across the remaining slice surfaces and pinned on a corpus that
+    // actually CARRIES NULLs: a NULL key row, a NULL non-key row, and an
+    // all-NULL row. Union-of-slices == table must hold for the KEYED
+    // fold (coalesce-to-0) and the KEY-LESS xxhash64 fold, on the
+    // DataFrame path (Scans.forWorkItem) and its SQL-text twin
+    // (SqlGen.whereClause) — and the twins must agree slice by slice,
+    // or the generated-SQL audit trail describes a different copy than
+    // the one that ran.
+    import graft.exec.{Scans, SqlGen}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nullslices")
+    try {
+      Seq[(Option[Long], Option[String])](
+        (Some(1L), Some("a")), (Some(2L), None), (None, Some("x")),
+        (None, None), (Some(4L), Some("d")), (Some(6L), Some("f")))
+        .toDF("k", "v")
+        .write.parquet(root.resolve("widgets.parquet").toString)
+      val tm = TableMeta("dbo", "widgets", Storage.Heap)
+      val n = 3
+      for (keys <- Seq(Seq("k"), Nil)) {
+        val items = (0 until n).map(i =>
+          WorkItem(tm, SliceSpec.Logical(keys, n, i), orderHint = Nil))
+        val api = items.map(Scans.forWorkItem(spark, root.toString, _))
+        val sql = items.map(SqlGen.run(spark, root.toString, _))
+        assert(api.map(_.count()).sum == 6,
+          s"DataFrame slice union lost rows on NULLs (keys=$keys)")
+        assert(sql.map(_.count()).sum == 6,
+          s"SQL-text slice union lost rows on NULLs (keys=$keys)")
+        api.zip(sql).zipWithIndex.foreach { case ((a, q), i) =>
+          assert(a.exceptAll(q).count() == 0 && q.exceptAll(a).count() == 0,
+            s"twins disagree on slice $i of keys=$keys")
+        }
+      }
+      // the NULL-keyed rows land in slice 0 under the keyed fold
+      // (coalesce-to-0), same placement the fan-out path pins in CopySpec
+      val slice0 = Scans.forWorkItem(spark, root.toString,
+        WorkItem(tm, SliceSpec.Logical(Seq("k"), n, 0), orderHint = Nil))
+      assert(slice0.filter(col("k").isNull).count() == 2,
+        "NULL-keyed rows not in slice 0")
+    } finally deleteTree(root)
   }
 
   test("generated SQL text agrees with the DataFrame plan for the same work item") {
