@@ -444,7 +444,19 @@ object SimilarityQueries {
     * the default — an overridden τ is for spec-driving only. */
   val RetrainTauKey = "graft.ivf.retrain.tau"
   def retrainTau(s: SparkSession): Double =
-    s.conf.getOption(RetrainTauKey).map(_.toDouble).getOrElse(1.1)
+    s.conf.getOption(RetrainTauKey).map(confNumber(RetrainTauKey, _)(_.toDouble))
+      .getOrElse(1.1)
+
+  /** Parse a numeric session-conf value FAIL-FAST with the conf key
+    * named — a bare `.toDouble`/`.toLong` throws a NumberFormatException
+    * that names neither the key nor the value, leaving the operator
+    * (the retrain pass, run under a lock) to die with an unattributable
+    * error (same class as the bench env-knob parse, r12 ADVICE). */
+  private def confNumber[T](key: String, raw: String)(parse: String => T): T =
+    try parse(raw.trim)
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"$key must be numeric, got '$raw'")
+    }
 
   /** Count of physical hot-cell rewrites this JVM — the no-op lock's
     * witness that an under-τ layout triggers zero rewrite work. */
@@ -520,7 +532,9 @@ object SimilarityQueries {
     * (crashed maintainer) and broken with a warning. Default 1 hour. */
   val RetrainLockTtlMsKey = "graft.ivf.retrain.lockTtlMs"
   private def retrainLockTtlMs(s: SparkSession): Long =
-    s.conf.getOption(RetrainLockTtlMsKey).map(_.toLong).getOrElse(3600000L)
+    s.conf.getOption(RetrainLockTtlMsKey)
+      .map(confNumber(RetrainLockTtlMsKey, _)(_.toLong))
+      .getOrElse(3600000L)
 
   /** Test seam: runs immediately after the lock is acquired, so a spec
     * can hold one maintainer mid-pass while a second attempts entry. */

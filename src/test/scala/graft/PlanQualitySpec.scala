@@ -784,4 +784,23 @@ class PlanQualitySpec extends SparkSpecBase {
       deleteTree(root)
     }
   }
+
+  test("malformed retrain confs fail fast naming the key, not a bare NFE") {
+    // same class as the bench env-knob parse: a '1.1x' typo must die
+    // with the conf key in the message, not an unattributable
+    // NumberFormatException from inside a locked maintenance pass
+    import graft.ops.SimilarityQueries
+    spark.conf.set(SimilarityQueries.RetrainTauKey, "1.1x")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SimilarityQueries.retrainTau(spark)
+      }
+      assert(e.getMessage.contains(SimilarityQueries.RetrainTauKey) &&
+        e.getMessage.contains("1.1x"), e.getMessage)
+    } finally spark.conf.unset(SimilarityQueries.RetrainTauKey)
+    // a parseable value (with stray whitespace) still parses
+    spark.conf.set(SimilarityQueries.RetrainTauKey, " 2.5 ")
+    try assert(SimilarityQueries.retrainTau(spark) == 2.5)
+    finally spark.conf.unset(SimilarityQueries.RetrainTauKey)
+  }
 }
