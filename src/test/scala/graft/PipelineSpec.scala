@@ -333,6 +333,21 @@ class PipelineSpec extends SparkSpecBase {
       // and the unqualified path still counts in the CURRENT schema
       assert(graft.exec.Sinks.jdbcRowCountIfExists(url, "stream_events", props)
         .contains(0L))
+      // AMBIGUOUS case-folds never guess: with BOTH "probe_t2" (quoted
+      // DDL, stored lowercase) and PROBE_T2 (unquoted, stored upper) in
+      // the schema, a mixed-case probe has two candidates — the resolver
+      // must fall back to the literal spelling (failing loudly if that
+      // exact spelling is absent) rather than count a coin-flip table
+      st.execute("""CREATE TABLE OTHERUSER."probe_t2" (id INT)""")
+      st.execute("CREATE TABLE OTHERUSER.PROBE_T2 (id INT)")
+      st.execute("""INSERT INTO OTHERUSER."probe_t2" VALUES (1)""")
+      // exact spellings resolve their own table through the ambiguity
+      assert(graft.exec.Sinks.jdbcRowCount(url, "OTHERUSER.probe_t2", props) == 1L)
+      assert(graft.exec.Sinks.jdbcRowCount(url, "OTHERUSER.PROBE_T2", props) == 0L)
+      // a third spelling matches neither exactly: literal fallback, loud failure
+      intercept[java.sql.SQLException] {
+        graft.exec.Sinks.jdbcRowCount(url, "OTHERUSER.Probe_T2", props)
+      }
       st.close()
     } finally {
       conn.close()
