@@ -1,6 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The window-trust statistics over one key's per-pass
+    * (best-sample, window-start-seconds) records — extracted from the
+    * measurement loop so the semantics the committed artifact's gates
+    * rest on (BenchArtifactSpec: corrob >= 1, corrob <= spread) are
+    * unit-testable without running a bench.
+    */
+  private[graft] object WindowStats {
+    /** worst pass-min / best pass-min over ALL windows — HISTORY,
+      * including windows later healing proves polluted. 1.0 below two
+      * windows (vacuous). */
+    def spread(wins: Seq[(Double, Double)]): Double = {
+      val pm = wins.map(_._1)
+      if (pm.size < 2) 1.0 else pm.max / math.max(pm.min, 1e-9)
+    }
+
+    /** best SEPARATED pass-min / best pass-min, where a window counts as
+      * separated only when its start sits >= sepSec of wall-clock from
+      * the best window's start. -1 when no separated second window
+      * exists yet (under two windows, or all others too close) — the
+      * no-independent-evidence sentinel the heal loop keys on. */
+    def corrob(wins: Seq[(Double, Double)], sepSec: Double): Double =
+      if (wins.size < 2) -1.0
+      else {
+        val bi = wins.indices.minBy(wins(_)._1)
+        val (bestMin, bestT) = wins(bi)
+        val separated = wins.indices
+          .filter(i => i != bi && math.abs(wins(i)._2 - bestT) >= sepSec)
+        if (separated.isEmpty) -1.0
+        else separated.map(wins(_)._1).min / math.max(bestMin, 1e-9)
+      }
+  }
+
   /** Headline subset reported on the stdout JSON line (spec-checked
     * against SparkEntry.queries so a renamed key can't silently drop
     * out of the report). */
@@ -163,22 +196,9 @@ object Bench {
     // so two agreeing windows are genuinely independent even for keys at
     // the tail of the base suite, whose first heal window used to open
     // seconds after their pass-2 window closed.
-    def spreadOf(name: String): Double = {
-      val pm = passWins(name).map(_._1)
-      if (pm.size < 2) 1.0 else pm.max / math.max(pm.min, 1e-9)
-    }
-    def corrobOf(name: String): Double = {
-      val wins = passWins(name)
-      if (wins.size < 2) -1.0 // no cross-window evidence at all
-      else {
-        val bi = wins.indices.minBy(wins(_)._1)
-        val (bestMin, bestT) = wins(bi)
-        val separated = wins.indices
-          .filter(i => i != bi && math.abs(wins(i)._2 - bestT) >= healSepSec)
-        if (separated.isEmpty) -1.0 // no INDEPENDENT second window yet
-        else separated.map(wins(_)._1).min / math.max(bestMin, 1e-9)
-      }
-    }
+    def spreadOf(name: String): Double = WindowStats.spread(passWins(name))
+    def corrobOf(name: String): Double =
+      WindowStats.corrob(passWins(name), healSepSec.toDouble)
     def needsHeal(name: String): Boolean =
       passWins(name).nonEmpty && {
         val c = corrobOf(name)

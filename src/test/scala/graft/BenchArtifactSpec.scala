@@ -131,4 +131,34 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(math.abs(floor.asDouble() - expected) <= 0.0005 * (nStream + 1) + 1e-6,
       s"streaming_floor_sec ${floor.asDouble()} != sum of streaming mins $expected")
   }
+
+  test("window stats: corrob demands wall-clock separation, spread does not") {
+    // the semantics the artifact gates rest on, pinned at the unit
+    // level: (min, windowStartSec) records
+    import Bench.WindowStats._
+    val sep = 10.0
+    // one window: no evidence at all
+    assert(corrob(Seq((1.0, 0.0)), sep) == -1.0)
+    assert(spread(Seq((1.0, 0.0))) == 1.0)
+    // two windows 3 s apart: spread is a real ratio, corrob still -1 —
+    // back-to-back agreement is not independence
+    val close = Seq((1.0, 100.0), (1.2, 103.0))
+    assert(corrob(close, sep) == -1.0)
+    assert(math.abs(spread(close) - 1.2) < 1e-9)
+    // the same two windows 10 s apart corroborate
+    assert(math.abs(corrob(Seq((1.0, 100.0), (1.2, 110.0)), sep) - 1.2) < 1e-9)
+    // a third far window corroborates even when the second is too close,
+    // and corrob uses the best SEPARATED window (1.3), not the best
+    // overall second (1.2)
+    val mixed = Seq((1.0, 100.0), (1.2, 104.0), (1.3, 200.0))
+    assert(math.abs(corrob(mixed, sep) - 1.3) < 1e-9)
+    // separation is measured from the BEST window wherever it sits
+    val bestLast = Seq((2.0, 0.0), (1.0, 200.0), (1.5, 195.0))
+    assert(math.abs(corrob(bestLast, 10.0) - 2.0) < 1e-9)
+    // corrob never exceeds spread (the artifact gate's invariant)
+    for (ws <- Seq(close, mixed, bestLast)) {
+      val c = corrob(ws, sep)
+      assert(c == -1.0 || c <= spread(ws) + 1e-12)
+    }
+  }
 }
