@@ -356,14 +356,20 @@ object JoinQueries {
          |SELECT t.table_name,
          |       (SELECT p.index_name FROM probe p
          |        WHERE p.object_id = t.object_id
-         |        ORDER BY p.sort_key LIMIT 1) AS columnstore_index
+         |        ORDER BY p.sort_key, p.index_name LIMIT 1) AS columnstore_index
          |FROM sys_tables t ORDER BY t.table_name""".stripMargin) { (s, dir) =>
       val t = Catalog.sysTables(s)
       val cs = Catalog.sysIndexes(s).filter(col("index_type") === 5)
         .select(col("object_id"), lit(1).as("sort_key"), col("index_name"))
       val sentinel = t.select(col("object_id"), lit(2).as("sort_key"),
         lit("none").as("index_name"))
-      val w = Window.partitionBy(col("object_id")).orderBy(col("sort_key"))
+      // index_name tiebreaker: sort_key alone TIES if a table ever
+      // carries two type-5 rows (one fixture edit away), and a tied
+      // row_number elects a partition-order-dependent winner — the
+      // probe's answer would then flap with parallelism. The oracle's
+      // LIMIT 1 carries the same tiebreaker for the same reason.
+      val w = Window.partitionBy(col("object_id"))
+        .orderBy(col("sort_key"), col("index_name"))
       val best = cs.unionAll(sentinel)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1) // TOP(1) per table
