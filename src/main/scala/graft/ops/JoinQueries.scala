@@ -35,6 +35,40 @@ object JoinQueries {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("last_click_ms"))
 
+  /** TOP(1)-per-table election for the columnstore probe — extracted so
+    * the tie case (two type-5 index rows on one table, currently
+    * unreachable on the declared catalog but one fixture edit away) is
+    * pinnable in a spec. The tiebreak key is `index_name` under Spark's
+    * default string ordering, which is BINARY (UTF8String byte compare)
+    * — the same default collation DuckDB applies to the oracle's
+    * ORDER BY, so the two sides elect the same winner byte-for-byte;
+    * DeterminismSpec additionally proves the election is
+    * partition-count-stable, and the fixture spec pins the elected
+    * winner under a case-differing tie (binary order: uppercase before
+    * lowercase) so any engine/collation change trips a test.
+    */
+  private[graft] def columnstoreElect(tables: DataFrame,
+      indexes: DataFrame): DataFrame = {
+    val cs = indexes.filter(col("index_type") === 5)
+      .select(col("object_id"), lit(1).as("sort_key"), col("index_name"))
+    val sentinel = tables.select(col("object_id"), lit(2).as("sort_key"),
+      lit("none").as("index_name"))
+    // index_name tiebreaker: sort_key alone TIES if a table ever
+    // carries two type-5 rows, and a tied row_number elects a
+    // partition-order-dependent winner — the probe's answer would then
+    // flap with parallelism. The oracle's LIMIT 1 carries the same
+    // tiebreaker for the same reason.
+    val w = Window.partitionBy(col("object_id"))
+      .orderBy(col("sort_key"), col("index_name"))
+    val best = cs.unionAll(sentinel)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // TOP(1) per table
+      .select(col("object_id"), col("index_name").as("columnstore_index"))
+    tables.join(best, Seq("object_id"))
+      .select(col("table_name"), col("columnstore_index"))
+      .orderBy(col("table_name"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -358,24 +392,6 @@ object JoinQueries {
          |        WHERE p.object_id = t.object_id
          |        ORDER BY p.sort_key, p.index_name LIMIT 1) AS columnstore_index
          |FROM sys_tables t ORDER BY t.table_name""".stripMargin) { (s, dir) =>
-      val t = Catalog.sysTables(s)
-      val cs = Catalog.sysIndexes(s).filter(col("index_type") === 5)
-        .select(col("object_id"), lit(1).as("sort_key"), col("index_name"))
-      val sentinel = t.select(col("object_id"), lit(2).as("sort_key"),
-        lit("none").as("index_name"))
-      // index_name tiebreaker: sort_key alone TIES if a table ever
-      // carries two type-5 rows (one fixture edit away), and a tied
-      // row_number elects a partition-order-dependent winner — the
-      // probe's answer would then flap with parallelism. The oracle's
-      // LIMIT 1 carries the same tiebreaker for the same reason.
-      val w = Window.partitionBy(col("object_id"))
-        .orderBy(col("sort_key"), col("index_name"))
-      val best = cs.unionAll(sentinel)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1) // TOP(1) per table
-        .select(col("object_id"), col("index_name").as("columnstore_index"))
-      t.join(best, Seq("object_id"))
-        .select(col("table_name"), col("columnstore_index"))
-        .orderBy(col("table_name"))
+      columnstoreElect(Catalog.sysTables(s), Catalog.sysIndexes(s))
     })
 }

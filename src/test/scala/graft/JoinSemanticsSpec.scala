@@ -35,4 +35,26 @@ class JoinSemanticsSpec extends SparkSpecBase {
     assert(got(30L).isEmpty)
     assert(got(40L).contains(200L)) // most recent prior click
   }
+
+  test("columnstore probe: a two-type-5-row tie elects the binary-order-smaller name") {
+    // r13 ADVICE: the index_name tiebreaker assumes the Spark window
+    // sort and the DuckDB oracle's ORDER BY agree on string order in
+    // the (currently unreachable) two-type-5-rows tie. Both engines
+    // default to BINARY (UTF-8 byte) collation, where uppercase sorts
+    // before lowercase ('I' 0x49 < 'i' 0x69) — this fixture pins the
+    // Spark side's elected winner on a case-differing tie, so any
+    // future engine/collation change (e.g. a session collation that
+    // case-folds) trips a spec instead of silently diverging from the
+    // oracle.
+    import spark.implicits._
+    val tables = Seq((1L, "t1"), (2L, "t2")).toDF("object_id", "table_name")
+    val indexes = Seq(
+      (1L, 5, "ix_cs_a"), (1L, 5, "IX_CS_A"), // the tie, differing only by case
+      (2L, 1, "pk_t2"))                        // no type-5 row → sentinel
+      .toDF("object_id", "index_type", "index_name")
+    val got = graft.ops.JoinQueries.columnstoreElect(tables, indexes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("t1" -> "IX_CS_A", "t2" -> "none"),
+      s"binary collation elects the uppercase spelling; got $got")
+  }
 }
