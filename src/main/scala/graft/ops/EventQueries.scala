@@ -212,7 +212,12 @@ object EventQueries {
         .outputMode("append")
         .start()
       try q.processAllAvailable() finally q.stop()
-      recover(s.read.parquet(scratch.resolve("sink").toString))
+      // recovery read carries the stream's OWN output schema: an empty
+      // replay (empty corpus, all rows filtered) commits zero files,
+      // and footer inference over a file-less sink throws — the
+      // _spark_metadata-guarded read works identically either way
+      recover(s.read.schema(streamed.schema)
+          .parquet(scratch.resolve("sink").toString))
         .localCheckpoint(true)
     } finally deleteTree(scratch)
   }
@@ -230,10 +235,20 @@ object EventQueries {
   private def sentinelFrame(s: SparkSession, dir: String, hours: Int,
       extra: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val bumped = raw.schema("ts").dataType match {
+    val tsType = raw.schema("ts").dataType
+    // coalesce: max(ts) is NULL over an empty corpus, and a null-ts
+    // sentinel is worse than useless — it can NPE inside a stateful
+    // operator's event-time getter. The epoch default keeps the
+    // sentinel a valid (if vacuous) watermark driver; on any non-empty
+    // corpus the coalesce is a no-op.
+    val base = coalesce(max(col("ts")), tsType match {
+      case org.apache.spark.sql.types.LongType => lit(0L)
+      case _ => lit("1970-01-01 00:00:00").cast(tsType)
+    })
+    val bumped = tsType match {
       case org.apache.spark.sql.types.LongType =>
-        max(col("ts")) + lit(hours.toLong * 3600L * 1000L * 1000L * 1000L)
-      case _ => max(col("ts")) + expr(s"INTERVAL $hours HOURS")
+        base + lit(hours.toLong * 3600L * 1000L * 1000L * 1000L)
+      case _ => base + expr(s"INTERVAL $hours HOURS")
     }
     extra.foldLeft(raw.agg(bumped.as("ts"))) {
       case (d, (n, c)) => d.withColumn(n, c)
@@ -890,7 +905,13 @@ object EventQueries {
         // rows as a new file — the at-least-once source shape
         java.nio.file.Files.createSymbolicLink(srcDir.resolve("b.parquet"), target)
         runStream()
-        recoverCdcSnapshot(s.read.parquet(scratch.resolve("sink").toString))
+        // known-schema recovery, same reason as fileSinkReplay: an empty
+        // replay commits zero sink files and footer inference throws —
+        // the sink's rows are LatestOut by construction
+        recoverCdcSnapshot(s.read
+            .schema(org.apache.spark.sql.Encoders
+              .product[EventStreams.LatestOut].schema)
+            .parquet(scratch.resolve("sink").toString))
           // materialize before the finally deletes the sink files it reads
           .localCheckpoint(true)
       } finally deleteTree(scratch)

@@ -142,13 +142,18 @@ object PipelineQueries {
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val dest = tmp("bulk_insert_partitioned")
-      Scans.table(s, dir, "lineitem")
+      val staged = Scans.table(s, dir, "lineitem")
         .withColumn("ship_year", year(col("l_shipdate")))
+      staged
         // co-locate each partition's rows before partitionBy: one file
         // per partition dir instead of (tasks x partitions) small files
         .repartition(col("ship_year"))
         .write.mode("overwrite").partitionBy("ship_year").parquet(dest)
-      s.read.parquet(dest)
+      // read back by the KNOWN schema, not footer inference: a
+      // partitioned write of an empty slice creates no directories and
+      // no data files, and inference on a file-less root throws — an
+      // empty source must copy to an empty (still-queryable) layout
+      s.read.schema(staged.schema).parquet(dest)
         .groupBy(col("ship_year").cast("long").as("ship_year"))
         .agg(count(lit(1)).as("n_rows"))
         .orderBy(col("ship_year"))
@@ -240,8 +245,12 @@ object PipelineQueries {
       val src = Scans.table(s, dir, "orders")
       // seed the destination with the "already loaded" prefix (watermark
       // = 80% of the key range — arbitrary but deterministic; integer
-      // arithmetic so both engines compute the identical cut)
-      val w = src.agg(expr("max(o_orderkey) * 4 div 5")).as[Long].head()
+      // arithmetic so both engines compute the identical cut). coalesce:
+      // max() is NULL on an empty source — same degrade-to-0 contract as
+      // Sinks.identityCurrent, so an empty source copies to an empty
+      // destination instead of a null-assert abort
+      val w = src.agg(coalesce(expr("max(o_orderkey) * 4 div 5"), lit(0L)))
+        .as[Long].head()
       Sinks.bulkInsert(src.filter(col("o_orderkey") <= w), dest, overwrite = true)
       // destination row counts from parquet FOOTERS (the copy path's
       // reconciliation primitive), never a full data scan per count —
@@ -376,8 +385,13 @@ object PipelineQueries {
           col("l_shipdate"), col("l_extendedprice"))
         .withColumn("x_day",
           datediff(to_date(col("l_shipdate")), lit(epoch)).cast("long"))
-      val st = base.agg(min("x_day"), max("x_day"),
-        min("l_suppkey"), max("l_suppkey")).head()
+      // coalesce: min/max are NULL on an empty source — zero bounds give
+      // a degenerate-but-valid curve (span clamped to 1 below) so an
+      // empty slice lays out as an empty table instead of a null-row abort
+      val st = base.agg(
+        coalesce(min("x_day"), lit(0L)), coalesce(max("x_day"), lit(0L)),
+        coalesce(min("l_suppkey"), lit(0L)),
+        coalesce(max("l_suppkey"), lit(0L))).head()
       val (dLo, dHi) = (st.getLong(0), st.getLong(1))
       val (kLo, kHi) = (st.getLong(2), st.getLong(3))
       val (dSpan, kSpan) = (math.max(1L, dHi - dLo), math.max(1L, kHi - kLo))
@@ -393,11 +407,12 @@ object PipelineQueries {
       }
       val z = shiftleft(spread(xn), 1).bitwiseOR(spread(yn))
       val out = tmp(s"zorder_${PersistedState.corpusKey(dir)}")
-      base.withColumn("z", z)
+      val staged = base.withColumn("z", z)
         .withColumn("z_bucket", shiftright(col("z"), 28).cast("int"))
+        .drop("x_day")
+      staged
         .repartition(col("z_bucket"))
         .sortWithinPartitions(col("z")) // row-group locality inside a bucket
-        .drop("x_day")
         .write.mode("overwrite").partitionBy("z_bucket").parquet(out)
       // query box → qualifying buckets, under the writer's own stats
       def nrm(v: Long, lo: Long, span: Long): Long =
@@ -417,7 +432,9 @@ object PipelineQueries {
         bxHi >= qxLo && bxLo <= qxHi && byHi >= qyLo && byLo <= qyHi
       }
       val sdt = base.schema("l_shipdate").dataType
-      s.read.parquet(out)
+      // known-schema read-back: a z-order write of an empty slice has no
+      // bucket directories, and footer inference on a file-less root throws
+      s.read.schema(staged.schema).parquet(out)
         .filter(col("z_bucket").isin(buckets: _*))
         .filter(col("l_shipdate") >= lit("1995-01-01").cast(sdt) &&
           col("l_shipdate") < lit("1996-01-01").cast(sdt) &&

@@ -137,6 +137,22 @@ object SimilarityQueries {
     * path, where a new day's vectors are assigned under the EXISTING
     * (frozen) codebook so they land in the established cell layout.
     */
+  /** Read a persisted cell layout by its KNOWN schema — the assignment
+    * plan's own output schema, derived without running a job — instead
+    * of parquet footer inference. A layout staged from an empty corpus
+    * writes ZERO data files (a dynamic-partition write of no rows
+    * creates no cell directories), and footer inference on a file-less
+    * root throws UNABLE_TO_INFER_SCHEMA; at 100 TB an empty slice (a
+    * new tenant, a filtered-to-nothing corpus) must read back as an
+    * empty table, not a crash. The explicit schema also names `cell`
+    * as the partition column's declared type, so read-back types can't
+    * drift with partition-value inference.
+    */
+  private def readCellLayout(s: SparkSession, dir: String,
+      path: String): DataFrame =
+    s.read.schema(ivfAssign(s, Scans.table(s, dir, "embeddings")).schema)
+      .parquet(path)
+
   private def ivfAssignWith(s: SparkSession, batch: DataFrame,
       codebookSrc: DataFrame): DataFrame = {
     val codebook = ivfCentroids(codebookSrc)
@@ -515,11 +531,12 @@ object SimilarityQueries {
     * best-effort — still strictly louder than no fence. In-JVM callers
     * are additionally serialized by [[stagedOptLayout]]'s lock.
     */
-  def retrainIfSkewed(s: SparkSession, path: String): Option[(Long, Long)] = {
+  def retrainIfSkewed(s: SparkSession, dir: String,
+      path: String): Option[(Long, Long)] = {
     val (lock, token) = acquireRetrainLock(s, path)
     try {
       retrainPostLockHook()
-      retrainLocked(s, path)
+      retrainLocked(s, dir, path)
     } finally releaseRetrainLock(s, lock, token)
   }
 
@@ -673,8 +690,9 @@ object SimilarityQueries {
         System.err.println(s"[retrain] lock release failed (ignored): $e")
     }
 
-  private def retrainLocked(s: SparkSession, path: String): Option[(Long, Long)] = {
-    val census = s.read.parquet(path)
+  private def retrainLocked(s: SparkSession, dir: String,
+      path: String): Option[(Long, Long)] = {
+    val census = readCellLayout(s, dir, path)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"))
       .collect() // bounded: one row per cell (16–17)
@@ -693,7 +711,7 @@ object SimilarityQueries {
     val fresh = census.map(_._1).max + 1L
     if (imbalance <= retrainTau(s) || mx < 2) None
     else {
-      val members = s.read.parquet(path)
+      val members = readCellLayout(s, dir, path)
         .filter(col("cell") === hot) // partition-pruned: one cell dir read
         .select(col("vec_id"), col("embedding"), col("cell_cs"))
       // the seeds ARE a 2-entry codebook (cid = seed vec_id), scored by
@@ -732,7 +750,7 @@ object SimilarityQueries {
           ivfOptLayoutPath(s, dir), dir, s"ivf_opt_layout_tau${tauTag(s)}") { p =>
           writeOptBase(s, dir, p)
         }
-        (actual, retrainIfSkewed(s, actual))
+        (actual, retrainIfSkewed(s, dir, actual))
       })
     }
 
@@ -889,7 +907,7 @@ object SimilarityQueries {
             when(col("cell") === nw, lit(h)).otherwise(col("cell")))
         case None => (lit("kept"), col("cell"))
       }
-      s.read.parquet(layout)
+      readCellLayout(s, dir, layout)
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).cast("long").as("n_vectors"))
         .select(col("cell"), col("n_vectors"),
@@ -1816,7 +1834,7 @@ object SimilarityQueries {
               .write.mode("overwrite").partitionBy("cell").parquet(p)
           })
       }
-      ivfSearch(s, emb, s.read.parquet(layout))
+      ivfSearch(s, emb, readCellLayout(s, dir, layout))
     },
 
     // ------------------------------------------------------------------
@@ -1833,7 +1851,7 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     QueryDef("sim_ivf_incremental", ivfTopkSql) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
-      ivfSearch(s, emb, s.read.parquet(stagedIncLayout(s, dir)))
+      ivfSearch(s, emb, readCellLayout(s, dir, stagedIncLayout(s, dir)))
     },
 
     // ------------------------------------------------------------------
@@ -2406,6 +2424,14 @@ object SimilarityQueries {
     * float.
     */
   def kmeansAssign(emb: DataFrame, codebook: Seq[(Long, Seq[Double])]): DataFrame = {
+    // An empty codebook (seeding from an empty corpus) has no nearest
+    // centroid to elect: return the assignment SHAPE with zero rows.
+    // Without the guard the zero-arg array() literal types its elements
+    // VOID and the getField lambda fails ANALYSIS — training over an
+    // empty slice must degrade to an empty report, not an abort.
+    if (codebook.isEmpty)
+      return emb.filter(lit(false)).select(col("vec_id"), col("embedding"),
+        lit(null).cast("long").as("cell"), lit(null).cast("double").as("cs"))
     val cbLit = array(codebook.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
     }: _*)

@@ -183,7 +183,13 @@ object EventStreams {
   def sessionizeEventTime(events: Dataset[(Long, java.sql.Timestamp)],
       gapMs: Long = 30L * 60 * 1000): Dataset[SessionWin] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_._1).flatMapGroupsWithState[SessionSetState, SessionWin](
+    events
+      // a NULL event time is un-sessionizable: it belongs to no window,
+      // advances no watermark, and would NPE at the `.getTime` below —
+      // drop it here (the windowed-aggregation operators drop null
+      // event times the same way), never inside the stateful function
+      .filter(_._2 != null)
+      .groupByKey(_._1).flatMapGroupsWithState[SessionSetState, SessionWin](
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       case (userId, rows, state: GroupState[SessionSetState]) =>
         def emit(st: SessionState) =
@@ -384,6 +390,19 @@ object EventStreams {
       props: java.util.Properties,
       batchSizeRows: Int = 100000,
       checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Materialize the destination BEFORE the stream starts: a replay
+    // that delivers zero micro-batches (empty source, everything
+    // filtered) never fires foreachBatch, and a lazily-created table
+    // would leave downstream readers of the destination failing on a
+    // missing relation — an ingest sink's contract is a queryable
+    // (possibly empty) table either way. An append of an empty frame
+    // with the landed schema (incl. the `_batch_id` lineage column
+    // upsertBatch stamps) creates the table iff absent and inserts
+    // nothing — idempotent across restarts.
+    val s = events.sparkSession
+    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        events.schema.add("_batch_id", org.apache.spark.sql.types.LongType))
+      .write.mode("append").jdbc(url, table, props)
     val w = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -773,7 +773,7 @@ class PlanQualitySpec extends SparkSpecBase {
       SimilarityQueries.writeOptBase(spark, sfDir, layout)
       val before = fileTreeStrict(layout)
       val rewritesBefore = SimilarityQueries.retrainRewrites.get()
-      val hot = SimilarityQueries.retrainIfSkewed(spark, layout)
+      val hot = SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
       assert(hot.isEmpty, "under-τ census must not select a split cell")
       assert(SimilarityQueries.retrainRewrites.get() == rewritesBefore,
         "under-τ retrain performed a rewrite")

@@ -525,7 +525,7 @@ class QueriesSpec extends SparkSpecBase {
     try {
       SimilarityQueries.writeOptBase(spark, sfDir, layout)
       val before = snapshot()
-      val hot = SimilarityQueries.retrainIfSkewed(spark, layout)
+      val hot = SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
       assert(hot.nonEmpty,
         "the bench corpus imbalance should exceed the default τ")
       val (h, nw) = hot.get
@@ -557,7 +557,7 @@ class QueriesSpec extends SparkSpecBase {
       // a SECOND pass must never overwrite the first split's new cell:
       // whatever it does, every vector is still in the layout exactly
       // once (the repeated-maintenance data-loss case)
-      SimilarityQueries.retrainIfSkewed(spark, layout)
+      SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
       val lay2 = spark.read.parquet(layout)
       assert(lay2.count() == emb.count(),
         "second maintenance pass changed the layout's vector count")
@@ -590,7 +590,7 @@ class QueriesSpec extends SparkSpecBase {
       @volatile var aResult: Option[(Long, Long)] = None
       @volatile var aError: Throwable = null
       val a = new Thread(() => {
-        try aResult = SimilarityQueries.retrainIfSkewed(spark, layout)
+        try aResult = SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
         catch { case e: Throwable => aError = e }
       }, "graft-spec-maintainer-a")
       a.start()
@@ -600,7 +600,7 @@ class QueriesSpec extends SparkSpecBase {
       // NOT run the post-lock hook (it never holds the lock), so no
       // latch interplay — the throw is immediate.
       val refusal = intercept[IllegalStateException] {
-        SimilarityQueries.retrainIfSkewed(spark, layout)
+        SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
       }
       assert(refusal.getMessage.contains("concurrent maintenance"),
         s"wrong refusal: ${refusal.getMessage}")
@@ -641,7 +641,7 @@ class QueriesSpec extends SparkSpecBase {
       java.nio.file.Files.write(lock, "pid=0 epochMs=0\n".getBytes("UTF-8"))
       val before = fileTreeStrict(layout)
       intercept[IllegalStateException] {
-        SimilarityQueries.retrainIfSkewed(spark, layout)
+        SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
       }
       assert(fileTreeStrict(layout) == before,
         "refused maintainer modified the layout or the foreign lock")
@@ -650,7 +650,7 @@ class QueriesSpec extends SparkSpecBase {
       java.nio.file.Files.setLastModifiedTime(lock,
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 2L * 3600000L))
-      val hot = SimilarityQueries.retrainIfSkewed(spark, layout)
+      val hot = SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
       assert(hot.nonEmpty,
         "the bench corpus imbalance should exceed the default τ")
       assert(!java.nio.file.Files.exists(lock),
@@ -677,7 +677,7 @@ class QueriesSpec extends SparkSpecBase {
       }
       @volatile var aError: Throwable = null
       val a = new Thread(() => {
-        try SimilarityQueries.retrainIfSkewed(spark, layout)
+        try SimilarityQueries.retrainIfSkewed(spark, sfDir, layout)
         catch { case e: Throwable => aError = e }
       }, "graft-spec-outlived-maintainer")
       a.start()
