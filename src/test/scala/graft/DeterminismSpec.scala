@@ -47,26 +47,43 @@ class DeterminismSpec extends SparkSpecBase {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  test("every declared query hashes identically at shuffle.partitions 1 vs default") {
+  test("every declared query hashes identically across partitioning regimes") {
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions")
-    def hashUnder(parts: String,
+    val defaultSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val defaultOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    def hashUnder(parts: String, splitBytes: String, openCost: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
-      // fresh computation both times: cached state built under one
-      // width must not stand in for the other width's run
+      spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+      spark.conf.set("spark.sql.files.openCostInBytes", openCost)
+      // fresh computation each time: cached state built under one
+      // regime must not stand in for another regime's run
       spark.catalog.clearCache()
       graft.ops.TextQueries.releaseCaches()
       canonicalHash(fn(spark, sfDir))
     }
     val bad = try {
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val wide = hashUnder(defaultParts, fn)
-        val narrow = hashUnder("1", fn)
-        if (wide != narrow) Some(name) else None
+        val base = hashUnder(defaultParts, defaultSplit, defaultOpen, fn)
+        // axis 1: shuffle width — a tied row_number/LIMIT winner
+        // resolved by post-shuffle arrival order flips between widths
+        val narrow = hashUnder("1", defaultSplit, defaultOpen, fn)
+        // axis 2: input-split packing — tiny maxPartitionBytes (and
+        // zero open cost) gives every small file its own input
+        // partition instead of packing several per task in listing
+        // order, so a "first row seen" dependence flips here even when
+        // the shuffle width doesn't reach it
+        val split = hashUnder(defaultParts, "65536", "0", fn)
+        (if (narrow != base) Some(s"$name[shuffle-width]") else None) ++
+          (if (split != base) Some(s"$name[input-split]") else None)
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", defaultSplit)
+      spark.conf.set("spark.sql.files.openCostInBytes", defaultOpen)
+    }
     assert(bad.isEmpty,
-      s"partition-count-DEPENDENT results (a tie-broken winner or " +
+      s"partitioning-regime-DEPENDENT results (a tie-broken winner or " +
         s"width-derived value leaks into the answer): ${bad.mkString(", ")}")
   }
 }
