@@ -642,7 +642,8 @@ object EventQueries {
         |z AS (
         |  SELECT hour_start, n_events,
         |         (n_events - sx * 1.0 / cnt) /
-        |           sqrt((cnt * sxx - sx * sx) * 1.0 / (cnt * (cnt - 1))) AS zr
+        |           nullif(sqrt((cnt * sxx - sx * sx) * 1.0
+        |                       / nullif(cnt * (cnt - 1), 0)), 0) AS zr
         |  FROM hourly CROSS JOIN stats)
         |SELECT hour_start, n_events,
         |       (CASE WHEN zr < 0 THEN -floor(-zr * 1000 + 0.5)
@@ -668,9 +669,15 @@ object EventQueries {
       val stats = hourly.agg(
         count(lit(1)).as("cnt"), sum(col("n_events")).as("sx"),
         sum(col("n_events") * col("n_events")).as("sxx"))
+      // NULLIF guards, mirrored in the oracle: a one-hour series has no
+      // sample variance (cnt-1 = 0) and a CONSTANT series has sigma = 0
+      // — the latter is reachable at any scale — and under ANSI both
+      // divisions throw DIVIDE_BY_ZERO; the z-score of a degenerate
+      // series is NULL on both engines, never an abort
+      val sigma = sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")) *
+        lit(1.0) / nullif(col("cnt") * (col("cnt") - lit(1)), lit(0)))
       val zr = (col("n_events") - col("sx") * lit(1.0) / col("cnt")) /
-        sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")) * lit(1.0) /
-          (col("cnt") * (col("cnt") - lit(1))))
+        nullif(sigma, lit(0.0))
       hourly.crossJoin(broadcast(stats))
         .withColumn("zr", zr)
         .select(col("hour_start"), col("n_events"),

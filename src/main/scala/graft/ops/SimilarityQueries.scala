@@ -165,6 +165,12 @@ object SimilarityQueries {
         // centroid affinity rides along: the sorted-neighborhood bound
         // (dedup_semantic / sim_knn_graph) orders cellmates by it
         col("best.cs").as("cell_cs"))
+      // an EMPTY codebook (a corpus too small to carry the centroid
+      // vec_ids) elects no best centroid — those rows are unassignable
+      // and must not enter the layout as a NULL cell (the oracle's
+      // rn=1-over-empty assign is empty the same way); on any corpus
+      // that seeds its codebook this filter matches nothing
+      .filter(col("cell").isNotNull)
   }
 
   /** Sorted-neighborhood candidate blocks (the SNM bound on within-cell
@@ -1464,8 +1470,9 @@ object SimilarityQueries {
         |SELECT mem.cell, mem.n_members,
         |       coalesce(i.internal_edges, 0) AS internal_edges,
         |       coalesce(dc.degree_sum, 0) AS degree_sum,
-        |       round(coalesce(i.internal_edges, 0) * 1.0 / m.mm
-        |             - power(coalesce(dc.degree_sum, 0) * 1.0 / (2 * m.mm), 2),
+        |       round(coalesce(i.internal_edges, 0) * 1.0 / nullif(m.mm, 0)
+        |             - power(coalesce(dc.degree_sum, 0) * 1.0
+        |                     / nullif(2 * m.mm, 0), 2),
         |             6) AS contribution
         |FROM members mem
         |CROSS JOIN m
@@ -1505,9 +1512,14 @@ object SimilarityQueries {
         .select(col("cell"), col("n_members"),
           coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
           coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
-          round(coalesce(col("internal_edges"), lit(0L)) * lit(1.0) / col("mm")
+          // nullif, mirrored in the oracle: modularity is undefined on a
+          // zero-edge graph (mm = 0) — NULL contribution on both
+          // engines, never an ANSI DIVIDE_BY_ZERO abort
+          round(coalesce(col("internal_edges"), lit(0L)) * lit(1.0)
+            / nullif(col("mm"), lit(0L))
             - pow(coalesce(col("degree_sum"), lit(0L)) * lit(1.0)
-              / (lit(2) * col("mm")), 2), 6).as("contribution"))
+              / nullif(lit(2) * col("mm"), lit(0L)), 2), 6)
+            .as("contribution"))
         .orderBy(col("cell"))
     },
 
