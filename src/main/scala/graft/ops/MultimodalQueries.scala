@@ -227,6 +227,12 @@ object MultimodalQueries {
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     Scans.table(s, dir, "documents")
+      // ingest guard: a media row without a key or payload is
+      // quarantine material, not decodable media — and a NULL doc_id
+      // would fail the typed MediaRecord encoder's non-nullable long
+      // mid-job instead of at admission. No-op on any corpus whose
+      // documents carry keys and text (the declared ones all do).
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(
         col("doc_id"),
         lit("image").as("media_type"),
@@ -473,7 +479,7 @@ object MultimodalQueries {
         |         length(text) AS cap_len,
         |         ((8 + doc_id % 8) * (8 + doc_id % 6) >= 100
         |          AND length(text) BETWEEN 150 AND 450) AS admitted
-        |  FROM documents)
+        |  FROM documents WHERE doc_id IS NOT NULL)
         |SELECT doc_id % 10 AS bucket, count(*) AS n_pairs,
         |       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_admitted,
@@ -484,8 +490,12 @@ object MultimodalQueries {
         |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       import s.implicits._
       // only doc_id feeds the fixture encode — scanning the id column
-      // alone keeps the blob/text bytes out of the typed pipeline
+      // alone keeps the blob/text bytes out of the typed pipeline.
+      // Null-id guard (mirrored in the oracle's WHERE): a pair needs a
+      // document key, and a NULL would fail the non-nullable Long
+      // encoder mid-job instead of at admission.
       val images = Scans.table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           decodeImage(MediaRecord(id, "png", RasterFixtures.encode("png", id), 0, 0, 3))

@@ -60,4 +60,49 @@ class EmptyInputSpec extends SparkSpecBase {
       s"queries crash on a one-row corpus (${failures.size}):\n  " +
         failures.mkString("\n  "))
   }
+
+  test("every declared query executes against an all-null one-row corpus") {
+    // one row per table, every column NULL: the garbage-row class — a
+    // null key, a null payload, a null string bound for a live JDBC
+    // destination. ONE declared expected-abort: jdbc_identity_reseed
+    // copies into a live IDENTITY column, and a NULL identity key MUST
+    // abort the copy (the reference's KeepIdentity behavior — SQL
+    // Server rejects the batch the same way); the abort must be the
+    // database's own clean rejection (a java.sql.SQLException root),
+    // never a driver type-conversion obscurity or an NPE.
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_null")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$sfDir/$t.parquet")
+      src.limit(1)
+        .select(src.schema.fields.map(f =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+            .as(f.name)): _*)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    sys.addShutdownHook(graft.exec.Fs.deleteTree(dir))
+    val expectedAbort = "jdbc_identity_reseed"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if name == expectedAbort =>
+        val thrown = intercept[Throwable] { fn(spark, dir.toString).collect() }
+        // somewhere in the cause chain must sit the database's own
+        // rejection (Derby nests its internal StandardException BELOW
+        // the SQLException, so "deepest cause" is too deep a probe)
+        val chain = Iterator.iterate(thrown)(_.getCause)
+          .takeWhile(_ != null).toSeq
+        assert(chain.exists(_.isInstanceOf[java.sql.SQLException]),
+          s"$expectedAbort must abort with the database's own rejection; " +
+            s"chain was ${chain.map(_.getClass.getSimpleName).mkString(" <- ")}")
+        None
+      case (name, fn) =>
+        try { fn(spark, dir.toString).collect(); None }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString.take(160)
+          Some(s"$name: ${e.getClass.getSimpleName}: $msg")
+        }
+    }
+    assert(failures.isEmpty,
+      s"queries crash on an all-null corpus (${failures.size}):\n  " +
+        failures.mkString("\n  "))
+  }
 }
