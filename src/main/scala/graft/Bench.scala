@@ -78,13 +78,29 @@ object Bench {
     *     committed record holds the ordering on trusted entries, BOTH
     *     committed entries are retained together — per-key best-of
     *     could otherwise splice two windows into an inversion neither
-    *     record measured.
-    * Returns (entries, retained, retainedAfterFailure, failures). */
+    *     record measured. Sustained contention CAN corroborate an
+    *     inversion (both windows equally hot), so candidate trust alone
+    *     cannot distinguish a real regression here — the STREAK bound
+    *     below is what does.
+    *
+    * Retention is bounded, never a permanent mask: every retained key
+    * carries a consecutive-retention STREAK (prior streak + 1, reset
+    * the moment the key ships fresh), persisted in the artifact and
+    * gated by BenchArtifactSpec at <= `maxRetentionStreak`. One noisy
+    * run cannot redden the tree; a key still retained after that many
+    * consecutive runs is a REAL persistent disagreement (a genuine
+    * regression the merge would otherwise hide forever — the failure
+    * mode of an unbounded refuse-to-regress) and goes loudly red.
+    * Returns (entries, retained, retainedAfterFailure, failures,
+    * streaks). */
+  private[graft] val maxRetentionStreak = 3
+
   private[graft] def mergeWithCommitted(
       candidate: Seq[(String, Option[Rec])],
       committed: Map[String, Rec],
-      enforcePair: Boolean = true)
-      : (Seq[(String, Rec)], Seq[String], Seq[String], Seq[String]) = {
+      enforcePair: Boolean = true,
+      priorStreaks: Map[String, Int] = Map.empty)
+      : (Seq[(String, Rec)], Seq[String], Seq[String], Seq[String], Map[String, Int]) = {
     val retained = scala.collection.mutable.LinkedHashSet.empty[String]
     val retainedFail = scala.collection.mutable.LinkedHashSet.empty[String]
     val failures = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -116,7 +132,9 @@ object Bench {
           else k -> r
         }
       } else base
-    (entries, retained.toSeq, retainedFail.toSeq, failures.toSeq)
+    val streaks = (retained ++ retainedFail).iterator
+      .map(k => k -> (priorStreaks.getOrElse(k, 0) + 1)).toMap
+    (entries, retained.toSeq, retainedFail.toSeq, failures.toSeq, streaks)
   }
 
   /** Parse a previously committed artifact's per-key map; empty on any
@@ -143,6 +161,40 @@ object Bench {
         b.result()
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The prior committed record's retention streaks and host block (raw
+    * JSON) — provenance the merge threads forward: streaks so retention
+    * stays BOUNDED across runs, the host so entries retained from a
+    * record measured on a different machine keep their true provenance
+    * instead of silently adopting this run's fingerprint (the same
+    * host-mixing the host block exists to prevent). Empty/None on any
+    * miss or parse failure. */
+  private[graft] def readCommittedMeta(
+      path: String): (Map[String, Int], Option[String]) =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)))
+      val b = Map.newBuilder[String, Int]
+      val st = root.path("retention_streaks")
+      if (st.isObject) st.properties().forEach { e =>
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asInt()
+      }
+      val host = root.path("host")
+      (b.result(), if (host.isObject) Some(host.toString) else None)
+    } catch { case scala.util.control.NonFatal(_) => (Map.empty, None) }
+
+  /** Minimal JSON string escape for free-text fields (cpu model): a
+    * backslash or control character landing verbatim would corrupt the
+    * committed artifact — BenchArtifactSpec then errors on parse AND
+    * the next run's readCommitted silently disables the merge. */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
 
   /** Headline subset reported on the stdout JSON line (spec-checked
     * against SparkEntry.queries so a renamed key can't silently drop
@@ -418,7 +470,7 @@ object Bench {
       val loadEnd = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val procs = Runtime.getRuntime.availableProcessors()
-      s"""{"name_hash":"$hash","cpu_model":"${cpuModel.replace("\"", "'")}",""" +
+      s"""{"name_hash":"$hash","cpu_model":"${jsonEscape(cpuModel)}",""" +
         s""""cpus":$procs,"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)}}"""
     }
     // committed full map: {min, median, spread, corrob, windows} per
@@ -445,7 +497,8 @@ object Bench {
     // data. Named in the artifact so a total-reader subtracts it before
     // comparing totals across surface changes.
     def renderFull(entries: Seq[(String, Rec)], fails: Seq[String],
-        retained: Seq[String], retainedFail: Seq[String]): String = {
+        retained: Seq[String], retainedFail: Seq[String],
+        streaks: Map[String, Int], priorHost: Option[String]): String = {
       val qmap = entries.sortBy(-_._2.min)
         .map { case (k, r) =>
           s"\"$k\":{\"min\":${f3(r.min)},\"median\":${f3(r.median)},\"spread\":${f3(r.spread)},\"corrob\":${f3(r.corrob)},\"windows\":${r.windows}}" }
@@ -457,15 +510,24 @@ object Bench {
         "start, and the heal loop tops up inter-pass gaps to that floor -- " +
         "corrob<=1.5 certifies the min via two genuinely separated windows"
       val retentionNote = "retained_* keys carry the PRIOR committed " +
-        "record's entry because this run's was untrusted-and-slower, " +
-        "failed, or inverted the headline pair -- passes/heal fields " +
-        "describe THIS run only"
+        "record's entry (provenance: retained_entries_host) because this " +
+        "run's was untrusted-and-slower, failed, or inverted the headline " +
+        "pair -- passes/heal/host fields describe THIS run only; " +
+        "retention_streaks counts CONSECUTIVE runs a key has been " +
+        s"retained (gated <= $maxRetentionStreak so retention can never " +
+        "permanently mask a persistent disagreement)"
+      val streaksJson = streaks.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"\"$k\":$n" }.mkString("{", ",", "}")
+      val retainedHostJson =
+        if (retained.isEmpty && retainedFail.isEmpty) "null"
+        else priorHost.getOrElse("null")
       val streaming = entries.filter { case (k, _) =>
         k.startsWith("events_stream_") || k.startsWith("events_cdc_stream_") }
       s"""{"queries":$qmap,"failures":${arr(fails)},"passes":$passes,"runs_per_pass":$runsPerPass,""" +
         s""""heal_passes":$healPasses,"healed":${arr(healedKeys)},"heal_note":"$healNote","heal_sep_sec":$healSepSec,""" +
         s""""pair_heal_passes":$pairHealPasses,""" +
         s""""retained_from_committed":${arr(retained)},"retained_after_failure":${arr(retainedFail)},"retention_note":"$retentionNote",""" +
+        s""""retention_streaks":$streaksJson,"retained_entries_host":$retainedHostJson,""" +
         s""""host":$hostJson,""" +
         s""""streaming_floor_sec":${f3(streaming.map(_._2.min).sum)},"streaming_floor_keys":${streaming.size},""" +
         s""""streaming_floor_note":"fixed micro-batch replay machinery (checkpoint+state init per query); amortizes at scale -- subtract before comparing totals"}"""
@@ -497,12 +559,16 @@ object Bench {
     // SPARK_GRAFT_BENCH_FRESH (any value) disables the merge, e.g. after
     // a code change that legitimately re-times a key both ways; a
     // BENCH_ONLY subset never merges (its landing spot is scratch).
+    val mergeDisabled =
+      sys.env.contains("SPARK_GRAFT_BENCH_FRESH") || only.nonEmpty
     val priorCommitted =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_FRESH") || only.nonEmpty)
-        Map.empty[String, Rec]
-      else readCommitted(committedPath)
-    val (mEntries, mRetained, mRetainedFail, mFailures) =
-      mergeWithCommitted(candidate, priorCommitted, enforcePair = pairApplies)
+      if (mergeDisabled) Map.empty[String, Rec] else readCommitted(committedPath)
+    val (priorStreaks, priorHost) =
+      if (mergeDisabled) (Map.empty[String, Int], None)
+      else readCommittedMeta(committedPath)
+    val (mEntries, mRetained, mRetainedFail, mFailures, mStreaks) =
+      mergeWithCommitted(candidate, priorCommitted, enforcePair = pairApplies,
+        priorStreaks = priorStreaks)
     if (mRetained.nonEmpty || mRetainedFail.nonEmpty)
       System.err.println("[bench] retained prior committed entries for: " +
         (mRetained ++ mRetainedFail).mkString(", "))
@@ -519,9 +585,10 @@ object Bench {
         System.err.println(s"[bench] artifact write failed for $p: $e")
       }
     writeTo("target/bench_full.json",
-      renderFull(rawEntries, rawFailures, Nil, Nil))
+      renderFull(rawEntries, rawFailures, Nil, Nil, Map.empty, None))
     writeTo(committedPath,
-      renderFull(mEntries, mFailures, mRetained, mRetainedFail))
+      renderFull(mEntries, mFailures, mRetained, mRetainedFail,
+        mStreaks, priorHost))
     // totals over SUCCESSFUL queries only — and over THIS run's raw
     // numbers, like the rest of the stdout line
     val total = rawEntries.map(_._2.min).sum

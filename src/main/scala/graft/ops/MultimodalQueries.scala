@@ -262,7 +262,7 @@ object MultimodalQueries {
        |       $W * $H * 3 AS n_bytes, $W AS width, $H AS height,
        |       ${mean(0)} AS feat_0, ${mean(1)} AS feat_1,
        |       ${mean(2)} AS feat_2, $meanAll AS feat_3
-       |FROM documents""".stripMargin
+       |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin
   }
 
   /** DuckDB oracle branch for JPEG: dimensions and raster size are exact
@@ -277,7 +277,7 @@ object MultimodalQueries {
     s"""SELECT doc_id, 'jpeg' AS media_type,
        |       $W * $H * 3 AS n_bytes, $W AS width, $H AS height,
        |       1.0 AS feat_0, 1.0 AS feat_1, 1.0 AS feat_2, 1.0 AS feat_3
-       |FROM documents""".stripMargin
+       |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -304,7 +304,7 @@ object MultimodalQueries {
         |       round(ascii(substr(text, 2, 1)) / 255.0, 6) AS feat_1,
         |       round(ascii(substr(text, 3, 1)) / 255.0, 6) AS feat_2,
         |       round(ascii(substr(text, 4, 1)) / 255.0, 6) AS feat_3
-        |FROM documents
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |UNION ALL
         |${losslessOracleBranch("png")}
         |UNION ALL
@@ -379,7 +379,7 @@ object MultimodalQueries {
         |       (64 + doc_id % 48) // 2 AS new_height,
         |       (length(text) + 3) // 4 AS n_bytes,
         |       md5(substr(text, 1, (length(text) + 3) // 4)) AS resized_md5
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = mediaTable(s, dir).as[MediaRecord]
       media.mapPartitions { it =>
@@ -409,7 +409,7 @@ object MultimodalQueries {
         |       min(length(text)) AS min_bytes,
         |       max(length(text)) AS max_bytes,
         |       CAST(sum(length(text)) AS BIGINT) AS total_bytes
-        |FROM documents""".stripMargin) { (s, dir) =>
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin) { (s, dir) =>
       // media_type is the constant 'image' tag, so this is a GLOBAL
       // aggregate tagged with the literal — like the oracle's no-GROUP-BY
       // SELECT it yields exactly one row even over an empty corpus
@@ -438,7 +438,7 @@ object MultimodalQueries {
     QueryDef("multimodal_content_dedup",
       """WITH h AS (
         |  SELECT md5(text) AS ch, min(doc_id) AS keeper, count(*) AS copies
-        |  FROM documents GROUP BY md5(text))
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL GROUP BY md5(text))
         |SELECT count(*) AS n_groups,
         |       CAST(sum(copies) AS BIGINT) AS n_blobs,
         |       CAST(count(CASE WHEN copies > 1 THEN 1 END) AS BIGINT)

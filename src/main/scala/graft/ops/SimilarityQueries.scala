@@ -148,10 +148,20 @@ object SimilarityQueries {
     * as the partition column's declared type, so read-back types can't
     * drift with partition-value inference.
     */
+  private val cellLayoutSchemas =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   private def readCellLayout(s: SparkSession, dir: String,
-      path: String): DataFrame =
-    s.read.schema(ivfAssign(s, Scans.table(s, dir, "embeddings")).schema)
-      .parquet(path)
+      path: String): DataFrame = {
+    // schema memoized per corpus dir: deriving it is analysis-only (no
+    // job) but still lists + footer-reads the embeddings table and
+    // analyzes the whole assignment plan — per-JVM once is enough, and
+    // repeated layout reads (the retrain census reads twice per pass)
+    // stop paying the embeddings listing each time
+    val schema = cellLayoutSchemas.getOrElseUpdate(dir,
+      ivfAssign(s, Scans.table(s, dir, "embeddings")).schema)
+    s.read.schema(schema).parquet(path)
+  }
 
   private def ivfAssignWith(s: SparkSession, batch: DataFrame,
       codebookSrc: DataFrame): DataFrame = {

@@ -150,6 +150,22 @@ class BenchArtifactSpec extends AnyFunSuite {
         s"$p: no retained_from_committed provenance array")
       assert(root.path("retained_after_failure").isArray,
         s"$p: no retained_after_failure provenance array")
+      // retention is BOUNDED: a key retained for more than
+      // maxRetentionStreak consecutive runs is a persistent
+      // disagreement between fresh measurement and the committed
+      // record — i.e. a real regression (or a permanently failing key)
+      // that the refuse-to-regress merge would otherwise mask forever.
+      // Investigate the key, then refresh with SPARK_GRAFT_BENCH_FRESH
+      // once the cause is understood.
+      val streaks = root.path("retention_streaks")
+      assert(streaks.isObject, s"$p: no retention_streaks object")
+      streaks.properties().forEach { e =>
+        assert(e.getValue.asInt(0) <= Bench.maxRetentionStreak,
+          s"$p: ${e.getKey} retained ${e.getValue.asInt()} consecutive " +
+            s"runs (> ${Bench.maxRetentionStreak}) — fresh measurements " +
+            "persistently disagree with the committed entry; this is a " +
+            "real regression or a permanently failing key, not noise")
+      }
     }
   }
 
@@ -171,11 +187,13 @@ class BenchArtifactSpec extends AnyFunSuite {
     val cand1: Seq[(String, Option[Rec])] = Seq(
       hp -> Some(rec(1.279)), ho -> Some(rec(1.241)),
       "scan_project" -> Some(rec(0.480)))
-    val (e1, r1, rf1, f1) = mergeWithCommitted(cand1, committed)
+    val (e1, r1, rf1, f1, s1) = mergeWithCommitted(cand1, committed)
     val m1 = e1.toMap
     assert(m1(hp).min < m1(ho).min, "merge must restore the headline ordering")
     assert(m1(hp).min == 1.010 && m1(ho).min == 1.108)
     assert(r1.toSet == Set(hp, ho) && rf1.isEmpty && f1.isEmpty)
+    // first retention of each pair key: streak 1
+    assert(s1 == Map(hp -> 1, ho -> 1))
     // the faster corroborated scan_project candidate ships — retention
     // is surgical, not a wholesale rollback
     assert(m1("scan_project").min == 0.480)
@@ -184,23 +202,29 @@ class BenchArtifactSpec extends AnyFunSuite {
     //    slower than a trusted committed entry: committed entry retained
     val cand2: Seq[(String, Option[Rec])] =
       Seq("dedup_minhash_lsh" -> Some(rec(0.900, corrob = 1.693)))
-    val (e2, r2, _, _) =
-      mergeWithCommitted(cand2, Map("dedup_minhash_lsh" -> rec(0.600)))
+    val (e2, r2, _, _, s2) =
+      mergeWithCommitted(cand2, Map("dedup_minhash_lsh" -> rec(0.600)),
+        priorStreaks = Map("dedup_minhash_lsh" -> 2))
     assert(e2.toMap.apply("dedup_minhash_lsh").min == 0.600 &&
       r2 == Seq("dedup_minhash_lsh"))
+    // a prior streak accumulates: third consecutive retention
+    assert(s2 == Map("dedup_minhash_lsh" -> 3))
 
     // 3. candidate untrusted but FASTER: candidate ships (pollution only
     //    inflates — a lower min is never explained by contention)
     val cand3: Seq[(String, Option[Rec])] =
       Seq("k" -> Some(rec(0.400, corrob = 1.9)))
-    val (e3, r3, _, _) = mergeWithCommitted(cand3, Map("k" -> rec(0.600)))
+    val (e3, r3, _, _, s3) = mergeWithCommitted(cand3, Map("k" -> rec(0.600)),
+      priorStreaks = Map("k" -> 2))
     assert(e3.toMap.apply("k").min == 0.400 && r3.isEmpty)
+    // shipping fresh RESETS the streak (absent from the new map)
+    assert(s3.isEmpty)
 
     // 4. candidate TRUSTED but slower — a corroborated regression is
     //    real and must ship, or a legitimate slowdown hides forever
     val cand4: Seq[(String, Option[Rec])] =
       Seq("k" -> Some(rec(0.900, corrob = 1.05)))
-    val (e4, r4, _, _) = mergeWithCommitted(cand4, Map("k" -> rec(0.600)))
+    val (e4, r4, _, _, _) = mergeWithCommitted(cand4, Map("k" -> rec(0.600)))
     assert(e4.toMap.apply("k").min == 0.900 && r4.isEmpty)
 
     // 5. candidate failed outright: trusted committed entry retained
@@ -208,46 +232,65 @@ class BenchArtifactSpec extends AnyFunSuite {
     //    stays a (red) failure — the bench never invents a number
     val cand5: Seq[(String, Option[Rec])] =
       Seq("a" -> None, "b" -> None)
-    val (e5, r5, rf5, f5) = mergeWithCommitted(cand5, Map("a" -> rec(0.300)))
+    val (e5, r5, rf5, f5, s5) = mergeWithCommitted(cand5, Map("a" -> rec(0.300)))
     assert(e5.toMap.get("a").exists(_.min == 0.300))
     assert(r5.isEmpty && rf5 == Seq("a") && f5 == Seq("b"))
+    // retained-after-failure keys carry streaks too (F2: a persistent
+    // bench-scale failure must not hide behind retention forever)
+    assert(s5 == Map("a" -> 1))
 
     // 6. committed record itself inverted (or untrusted): no pair
     //    retention — a bad prior record can't launder itself forward
     val badCommitted = Map(hp -> rec(1.300), ho -> rec(1.200))
-    val (e6, r6, _, _) = mergeWithCommitted(cand1, badCommitted)
+    val (e6, r6, _, _, _) = mergeWithCommitted(cand1, badCommitted)
     assert(r6.isEmpty && e6.toMap.apply(hp).min == 1.279)
 
     // 7. no committed record at all: candidate ships verbatim
-    val (e7, r7, rf7, f7) = mergeWithCommitted(cand1, Map.empty)
+    val (e7, r7, rf7, f7, _) = mergeWithCommitted(cand1, Map.empty)
     assert(e7.toMap == cand1.toMap.map { case (k, v) => k -> v.get } &&
       r7.isEmpty && rf7.isEmpty && f7.isEmpty)
 
     // 8. pair enforcement OFF (every corpus except sf0.1, where the
     //    inversion is real — partitioned's fixed overhead dominates
     //    tiny data): the same r13-shape candidate ships uncorrected
-    val (e8, r8, _, _) =
+    val (e8, r8, _, _, _) =
       mergeWithCommitted(cand1, committed, enforcePair = false)
     assert(r8.isEmpty && e8.toMap.apply(hp).min == 1.279)
   }
 
   test("merge: readCommitted round-trips the committed schema, empty on garbage") {
-    import Bench.{Rec, readCommitted}
+    import Bench.{Rec, readCommitted, readCommittedMeta}
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_merge")
     try {
       val p = dir.resolve("prior.json")
       java.nio.file.Files.write(p,
         ("""{"queries":{"a":{"min":1.010,"median":1.050,"spread":1.200,""" +
-          """"corrob":1.100,"windows":3},"bad":{"min":0.5}},"passes":2}""")
+          """"corrob":1.100,"windows":3},"bad":{"min":0.5}},"passes":2,""" +
+          """"retention_streaks":{"a":2},"host":{"name_hash":"beef"}}""")
           .getBytes("UTF-8"))
       val m = readCommitted(p.toString)
       assert(m == Map("a" -> Rec(1.010, 1.050, 1.200, 1.100, 3)),
         s"parsed: $m — incomplete entries must be dropped, not defaulted")
+      val (streaks, host) = readCommittedMeta(p.toString)
+      assert(streaks == Map("a" -> 2) &&
+        host.exists(_.contains("\"beef\"")))
       assert(readCommitted(dir.resolve("absent.json").toString).isEmpty)
+      assert(readCommittedMeta(dir.resolve("absent.json").toString) ==
+        (Map.empty, None))
       val g = dir.resolve("garbage.json")
       java.nio.file.Files.write(g, "not json".getBytes("UTF-8"))
       assert(readCommitted(g.toString).isEmpty)
     } finally graft.exec.Fs.deleteTree(dir)
+  }
+
+  test("merge: jsonEscape keeps free-text host fields parseable") {
+    // a backslash / control char in /proc/cpuinfo's model name must not
+    // corrupt the artifact (parse failure would ALSO silently disable
+    // the next run's merge via readCommitted's empty-on-garbage)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nasty = "AMD \"Turion\"\\x2 \t model"
+    val node = mapper.readTree(s"""{"m":"${Bench.jsonEscape(nasty)}"}""")
+    assert(node.path("m").asText() == nasty)
   }
 
   test("window stats: corrob demands wall-clock separation, spread does not") {

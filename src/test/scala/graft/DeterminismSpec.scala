@@ -18,6 +18,17 @@ package graft
   * wholly different rows, not 1e-12 drift — so float cells render at 6
   * significant digits before hashing, mirroring the rounding discipline
   * the cross-engine DuckDB oracle compare already survives at sf0.01.
+  *
+  * Declared limitation: PERSISTED pipeline state (the IVF layouts, the
+  * fingerprint index, the fragmented compaction input) is staged once
+  * per JVM by design (PersistedState memoizes by path — a real
+  * pipeline builds its layout once, not per query), so those build
+  * paths execute under whichever regime runs them first and later
+  * regimes read the same files back. A partition-order tie inside a
+  * layout WRITE would therefore not flap this gate; what covers that
+  * class is the layouts' own content contracts (QueriesSpec pins
+  * append-only-touches-changed-cells file trees, and every layout
+  * CONSUMER here still hashes identically across regimes).
   */
 class DeterminismSpec extends SparkSpecBase {
 
