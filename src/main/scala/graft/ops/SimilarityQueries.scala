@@ -149,17 +149,24 @@ object SimilarityQueries {
     * drift with partition-value inference.
     */
   private val cellLayoutSchemas =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
 
   private def readCellLayout(s: SparkSession, dir: String,
       path: String): DataFrame = {
-    // schema memoized per corpus dir: deriving it is analysis-only (no
-    // job) but still lists + footer-reads the embeddings table and
-    // analyzes the whole assignment plan — per-JVM once is enough, and
-    // repeated layout reads (the retrain census reads twice per pass)
-    // stop paying the embeddings listing each time
-    val schema = cellLayoutSchemas.getOrElseUpdate(dir,
-      ivfAssign(s, Scans.table(s, dir, "embeddings")).schema)
+    // memoized per (corpus dir, embeddings footer schema), not per dir
+    // alone: the assignment-plan ANALYSIS is what the memo saves (the
+    // retrain census reads the layout twice per pass), but a dir-only
+    // key for the JVM's lifetime would survive the corpus being
+    // RECREATED with a different embeddings schema, and an
+    // explicit-schema read under the stale layout schema silently
+    // returns NULLs for renamed/missing columns instead of failing
+    // loudly. The footer fingerprint in the key is exactly the input
+    // the memoized derivation depends on, and reading it stays
+    // analysis-only (no job).
+    val emb = Scans.table(s, dir, "embeddings")
+    val schema = cellLayoutSchemas.getOrElseUpdate(
+      (dir, emb.schema.catalogString),
+      ivfAssign(s, emb).schema)
     s.read.schema(schema).parquet(path)
   }
 

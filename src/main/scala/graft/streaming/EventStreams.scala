@@ -398,11 +398,18 @@ object EventStreams {
     // (possibly empty) table either way. An append of an empty frame
     // with the landed schema (incl. the `_batch_id` lineage column
     // upsertBatch stamps) creates the table iff absent and inserts
-    // nothing — idempotent across restarts.
+    // nothing. GUARDED by the same existence probe upsertBatch uses:
+    // an unconditional append paid an extra JDBC round-trip on every
+    // call, and against a pre-existing destination created WITHOUT the
+    // `_batch_id` column it failed at stream construction (Spark's
+    // insert-statement build rejects the unmatched column) — a legacy
+    // destination must keep its first-batch failure mode, not gain a
+    // construction-time one.
     val s = events.sparkSession
-    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        events.schema.add("_batch_id", org.apache.spark.sql.types.LongType))
-      .write.mode("append").jdbc(url, table, props)
+    if (!graft.exec.Sinks.jdbcTableExists(url, table, props))
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          events.schema.add("_batch_id", org.apache.spark.sql.types.LongType))
+        .write.mode("append").jdbc(url, table, props)
     val w = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

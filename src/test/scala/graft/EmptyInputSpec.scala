@@ -21,6 +21,22 @@ class EmptyInputSpec extends SparkSpecBase {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Degenerate corpora built this suite, deleted in [[afterAll]] — not
+    * via per-call shutdown hooks, which accumulated one hook per corpus
+    * and left the corpora (plus any Derby state the JDBC queries wrote
+    * under them) on disk for the whole JVM (r14 ADVICE). Cleanup is
+    * best-effort per directory: a straggling handle (the embedded Derby
+    * engine keeps its database open JVM-wide) must not fail the suite
+    * over scratch space. */
+  private val scratchCorpora =
+    scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+
+  override def afterAll(): Unit =
+    try scratchCorpora.foreach { d =>
+      try graft.exec.Fs.deleteTree(d)
+      catch { case scala.util.control.NonFatal(_) => () }
+    } finally super.afterAll()
+
   /** Mirror of the sf0.001 corpus truncated to `rows` rows per table:
     * same schemas (read from the real footers), same `<table>.parquet`
     * layout. */
@@ -30,7 +46,7 @@ class EmptyInputSpec extends SparkSpecBase {
       spark.read.parquet(s"$sfDir/$t.parquet").limit(rows)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    sys.addShutdownHook(graft.exec.Fs.deleteTree(dir))
+    scratchCorpora += dir
     dir.toString
   }
 
@@ -79,7 +95,7 @@ class EmptyInputSpec extends SparkSpecBase {
             .as(f.name)): _*)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    sys.addShutdownHook(graft.exec.Fs.deleteTree(dir))
+    scratchCorpora += dir
     val expectedAbort = "jdbc_identity_reseed"
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if name == expectedAbort =>
