@@ -36,6 +36,16 @@ object PipelineQueries {
     */
   private val fragmentedDirs = scala.collection.mutable.Set[String]()
 
+  /** The fragmentation write itself, driveable at an explicit
+    * destination — DeterminismSpec re-stages it under each partitioning
+    * regime and hash-compares the logical content, so a width-derived
+    * value leaking into the STAGED rows (not just the read-back) would
+    * trip a gate instead of hiding behind the once-per-JVM memo. */
+  private[graft] def stageFragmented(s: SparkSession, dir: String,
+      dest: String): Unit =
+    Scans.table(s, dir, "orders")
+      .repartition(64).write.mode("overwrite").parquet(dest)
+
   /** Stage the fragmented copy of `orders` once per (JVM, dir) — the
     * small-file state pipeline_compact exists to repair. Setup, not the
     * measured op; Bench pre-stages it before the timed region. Returns
@@ -44,8 +54,7 @@ object PipelineQueries {
     val fragmented = tmp(s"compact_src_${PersistedState.corpusKey(dir)}")
     PipelineQueries.synchronized {
       if (!fragmentedDirs.contains(dir)) {
-        Scans.table(s, dir, "orders")
-          .repartition(64).write.mode("overwrite").parquet(fragmented)
+        stageFragmented(s, dir, fragmented)
         fragmentedDirs += dir
       }
     }

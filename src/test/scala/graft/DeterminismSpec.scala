@@ -19,16 +19,16 @@ package graft
   * significant digits before hashing, mirroring the rounding discipline
   * the cross-engine DuckDB oracle compare already survives at sf0.01.
   *
-  * Declared limitation: PERSISTED pipeline state (the IVF layouts, the
-  * fingerprint index, the fragmented compaction input) is staged once
-  * per JVM by design (PersistedState memoizes by path — a real
-  * pipeline builds its layout once, not per query), so those build
-  * paths execute under whichever regime runs them first and later
-  * regimes read the same files back. A partition-order tie inside a
-  * layout WRITE would therefore not flap this gate; what covers that
-  * class is the layouts' own content contracts (QueriesSpec pins
-  * append-only-touches-changed-cells file trees, and every layout
-  * CONSUMER here still hashes identically across regimes).
+  * PERSISTED pipeline state (the IVF layouts, the fingerprint index,
+  * the fragmented compaction input) is staged once per JVM by design
+  * (PersistedState memoizes by path — a real pipeline builds its
+  * layout once, not per query), so the whole-surface sweep exercises
+  * those build paths under whichever regime runs them first. The
+  * write-path test below closes that gap: it forces a FULL re-stage
+  * of every persisted family into a distinct scratch root under each
+  * regime (the memos key on the root-bearing path, so a fresh root is
+  * a fresh staging through the real production write) and
+  * hash-compares the staged layouts' logical content.
   */
 class DeterminismSpec extends SparkSpecBase {
 
@@ -96,5 +96,79 @@ class DeterminismSpec extends SparkSpecBase {
     assert(bad.isEmpty,
       s"partitioning-regime-DEPENDENT results (a tie-broken winner or " +
         s"width-derived value leaks into the answer): ${bad.mkString(", ")}")
+  }
+
+  test("persisted layout WRITE paths stage identical logical content across regimes") {
+    // The write-path half of the determinism contract: a tie inside a
+    // layout BUILD (a row_number over tied affinities, a first-seen
+    // winner in the retrain's 2-means seeding) would persist a
+    // regime-dependent layout that every later consumer faithfully
+    // reproduces — invisible to the consumer sweep above, which reads
+    // one staging however it was built. Each regime stages every
+    // persisted family into its own scratch root (the staging memos key
+    // on the root-bearing path, so this runs the REAL production write,
+    // not a test re-implementation), then the staged rows are
+    // hash-compared with the same float-tolerant canonical form.
+    import graft.ops.{PersistedState, PipelineQueries, SimilarityQueries, TextQueries}
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val defaultSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val defaultOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    val priorFpRoot = spark.conf.getOption(PersistedState.FpIndexDirKey)
+    val priorIvfRoot = spark.conf.getOption(PersistedState.IvfLayoutDirKey)
+    val regimes = Seq(
+      ("default", defaultParts, defaultSplit, defaultOpen),
+      ("shuffle-width-1", "1", defaultSplit, defaultOpen),
+      ("input-split", defaultParts, "65536", "0"))
+    val roots = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+    // regime -> family -> content hash
+    val staged: Seq[(String, Map[String, String])] =
+      try regimes.map { case (regime, parts, split, open) =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_regime_${regime.replace('-', '_')}")
+        roots += root
+        spark.conf.set(PersistedState.FpIndexDirKey, root.toString)
+        spark.conf.set(PersistedState.IvfLayoutDirKey, root.toString)
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        spark.conf.set("spark.sql.files.openCostInBytes", open)
+        spark.catalog.clearCache()
+        graft.ops.TextQueries.releaseCaches()
+        // drive the stagings through the declared queries that own them
+        for (q <- Seq("sim_ivf_write_layout", "sim_ivf_incremental",
+            "sim_cell_retrain", "dedup_incremental"))
+          SparkEntry.queries(q)(spark, sfDir).collect()
+        PipelineQueries.stageFragmented(spark, sfDir, s"$root/compact_src")
+        val families = Map(
+          "ivf_layout" -> SimilarityQueries.ivfLayoutPath(spark, sfDir),
+          "ivf_inc_layout" -> SimilarityQueries.ivfIncLayoutPath(spark, sfDir),
+          "ivf_opt_layout" -> SimilarityQueries.ivfOptLayoutPath(spark, sfDir),
+          "fp_index" -> TextQueries.fpIndexPath(spark, sfDir),
+          "compact_src" -> s"$root/compact_src")
+        // hash under ONE uniform read regime so only the STAGED bytes
+        // differ between regimes, never the read-back row grouping
+        spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", defaultSplit)
+        spark.conf.set("spark.sql.files.openCostInBytes", defaultOpen)
+        regime -> families.map { case (fam, path) =>
+          fam -> canonicalHash(spark.read.parquet(path)) }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", defaultSplit)
+        spark.conf.set("spark.sql.files.openCostInBytes", defaultOpen)
+        priorFpRoot.fold(spark.conf.unset(PersistedState.FpIndexDirKey))(
+          spark.conf.set(PersistedState.FpIndexDirKey, _))
+        priorIvfRoot.fold(spark.conf.unset(PersistedState.IvfLayoutDirKey))(
+          spark.conf.set(PersistedState.IvfLayoutDirKey, _))
+        roots.foreach(r =>
+          try graft.exec.Fs.deleteTree(r)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+    val (baseRegime, baseHashes) = staged.head
+    val bad = staged.tail.flatMap { case (regime, hashes) =>
+      baseHashes.keys.toSeq.sorted.filter(f => hashes(f) != baseHashes(f))
+        .map(f => s"$f[$baseRegime vs $regime]")
+    }
+    assert(bad.isEmpty,
+      s"regime-dependent PERSISTED layout content: ${bad.mkString(", ")}")
   }
 }

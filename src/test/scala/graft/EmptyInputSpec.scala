@@ -2,15 +2,18 @@ package graft
 
 /** Degenerate-corpus robustness sweeps: every declared query must
   * EXECUTE (plan + run + collect) against corpora with the production
-  * schemas and (a) ZERO rows, (b) ONE row per table. At 100 TB neither
-  * is a corner case — a tenant filter, a date partition, or a predicate
-  * pushdown routinely reduces an input to nothing or nearly nothing —
-  * and a query that throws there (a bare `.head` on a collected
-  * aggregate, a NULL watermark fed into a non-nullable field, an ANSI
-  * DIVIDE_BY_ZERO on a single-sample variance or a zero-edge graph, a
-  * file-less layout read-back) is a production outage, not a test
-  * artifact. Results are NOT oracle-checked here (DuckDB's gate covers
-  * the populated corpus); the contract is narrower: no query may crash.
+  * schemas and (a) ZERO rows, (b) ONE row per table, (c) one all-NULL
+  * row, (d) ALL ROWS ONE KEY. At 100 TB none is a corner case — a
+  * tenant filter, a date partition, or a predicate pushdown routinely
+  * reduces an input to nothing or nearly nothing, a garbage row ships
+  * nulls everywhere, and real key distributions concentrate (one hot
+  * user, one duplicated document, one crowded ANN cell) — and a query
+  * that throws there (a bare `.head` on a collected aggregate, a NULL
+  * watermark fed into a non-nullable field, an ANSI DIVIDE_BY_ZERO on
+  * a single-sample variance or a zero-edge graph, a file-less layout
+  * read-back) is a production outage, not a test artifact. Results are
+  * NOT oracle-checked here (DuckDB's gate covers the populated corpus);
+  * the contract is narrower: no query may crash.
   *
   * First runs found 13 empty-corpus crashes and 3 one-row crashes
   * across the 195-key surface; each fix is documented at its site and
@@ -74,6 +77,58 @@ class EmptyInputSpec extends SparkSpecBase {
     val failures = sweep(truncatedCorpus(1))
     assert(failures.isEmpty,
       s"queries crash on a one-row corpus (${failures.size}):\n  " +
+        failures.mkString("\n  "))
+  }
+
+  test("every declared query executes against a single-hot-key corpus") {
+    // The fourth production shape after empty/one-row/all-null: ALL ROWS
+    // ONE KEY — one user owning every event, one document duplicated
+    // across the whole corpus, one hot IVF cell holding every vector,
+    // one order carrying every lineitem, one nation holding every
+    // customer (the salted join's skew axis). The paths that CLAIM
+    // hot-key safety (the salted join, the SNM cell bounds, the
+    // cell-retrain pass) must execute here, not just on the uniform
+    // corpus; the quantitative no-quadratic-blowup half of the claim is
+    // pinned separately by construction (QueriesSpec's SNM hot-cell
+    // bound: candidate pairs ≤ 4·H·n through the real pipeline).
+    // 300 rows per table keeps even the verification-heavy dedup paths
+    // (pairwise Levenshtein over one all-duplicate LSH bucket) bounded
+    // while preserving the every-row-collides shape.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val hotCols: Map[String, Seq[String]] = Map(
+      "events" -> Seq("user_id"),
+      "documents" -> Seq("text", "lang", "n_chars"),
+      "embeddings" -> Seq("embedding", "label"),
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_custkey"),
+      "customer" -> Seq("c_nationkey"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_hot")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$sfDir/$t.parquet").limit(300)
+      val out = hotCols.get(t) match {
+        case Some(cols) =>
+          // collapse the key columns to the first row's values via a
+          // 1-row broadcast cross join — type-exact, no driver literals
+          val firstVals = broadcast(
+            src.limit(1).select(cols.map(c => col(c).as(s"__hot_$c")): _*))
+          src.drop(cols: _*).crossJoin(firstVals)
+            .select(src.columns.toSeq.map(c =>
+              if (cols.contains(c)) col(s"__hot_$c").as(c) else col(c)): _*)
+        case None => src
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    scratchCorpora += dir
+    // premise guard: the corpus really is one-key — an accidental
+    // passthrough would make the whole sweep pass vacuously uniform
+    for ((t, cols) <- hotCols; c <- cols) {
+      val distinct = spark.read.parquet(s"$dir/$t.parquet")
+        .select(col(c)).distinct().count()
+      assert(distinct == 1L, s"$t.$c: $distinct distinct values, want 1")
+    }
+    val failures = sweep(dir.toString)
+    assert(failures.isEmpty,
+      s"queries crash on a single-hot-key corpus (${failures.size}):\n  " +
         failures.mkString("\n  "))
   }
 
