@@ -191,8 +191,9 @@ object Bench {
   private[graft] final case class CommittedMeta(
       streaks: Map[String, Int] = Map.empty,
       hostJson: Option[String] = None,
-      hostNameHash: Option[String] = None,
-      loadStart: Option[Double] = None,
+      baselineJson: Option[String] = None,
+      baselineHash: Option[String] = None,
+      baselineLoad: Option[Double] = None,
       retainedHostByKey: Map[String, String] = Map.empty)
 
   private[graft] def readCommittedMeta(path: String): CommittedMeta =
@@ -206,19 +207,39 @@ object Bench {
         if (e.getValue.isNumber) b += e.getKey -> e.getValue.asInt()
       }
       val host = root.path("host")
+      // the contended-run comparison baseline: the host block of the run
+      // whose entries the record actually carries. A record whose
+      // entries were retained wholesale by a CONTENDED run names the
+      // quiet environment in trend_baseline_host — comparing against the
+      // hot carrier's own load (the `host` block, which honestly
+      // describes the run that WROTE the file) would let a second
+      // consecutive hot run sail past the load-jump test and overwrite
+      // the retained quiet entries after all.
+      val baseline = {
+        val t = root.path("trend_baseline_host")
+        if (t.isObject) t else host
+      }
       val byKey = Map.newBuilder[String, String]
       root.path("retained_entry_hosts").forEach { g =>
         val h = g.path("host")
-        if (h.isObject) g.path("keys").forEach { k =>
+        // null hosts thread too: a key first retained from a
+        // pre-host-block record has UNKNOWN provenance, and unknown must
+        // stay unknown — re-attributing it to the intermediate carrier
+        // on the next hop is exactly the mixing this map exists to stop
+        if (h.isObject || h.isNull) g.path("keys").forEach { k =>
           if (k.isTextual) byKey += k.asText() -> h.toString
         }
       }
       CommittedMeta(
         streaks = b.result(),
         hostJson = if (host.isObject) Some(host.toString) else None,
-        hostNameHash = Option(host.path("name_hash"))
+        baselineJson =
+          if (root.path("trend_baseline_host").isObject)
+            Some(root.path("trend_baseline_host").toString)
+          else None,
+        baselineHash = Option(baseline.path("name_hash"))
           .filter(_.isTextual).map(_.asText()),
-        loadStart = Option(host.path("load_avg_start"))
+        baselineLoad = Option(baseline.path("load_avg_start"))
           .filter(_.isNumber).map(_.asDouble()),
         retainedHostByKey = byKey.result())
     } catch { case scala.util.control.NonFatal(_) => CommittedMeta() }
@@ -245,14 +266,29 @@ object Bench {
     * wholesale (streak-bounded exactly like per-key retention, so
     * consecutive hot runs still go red at the streak gate rather than
     * masking a real slowdown forever), and the fresh contended numbers
-    * remain visible in the unmerged target/bench_full.json. */
+    * remain visible in the unmerged target/bench_full.json.
+    *
+    * The committed load compared against is the record's
+    * `trend_baseline_host` when present, else its `host` block: a
+    * record whose entries were retained wholesale by a contended run
+    * carries the HOT carrier's own load in `host` (which honestly
+    * describes the run that wrote the file), and comparing against
+    * that would blind the detector to every consecutive hot run after
+    * the first — the streak bound could never engage. The baseline
+    * threads forward through consecutive contended retentions, and a
+    * run that ships fresh clears it (its own host IS the baseline). */
   private[graft] def contendedRun(
       candHash: String, candLoad: Double,
       commHash: Option[String], commLoad: Option[Double],
       candidate: Map[String, Rec], committed: Map[String, Rec]): Boolean = {
     val sameHost = commHash.contains(candHash)
-    val loadJump = commLoad.exists(cl =>
-      candLoad >= cl + 1.0 || (candLoad >= 2 * cl && candLoad >= 1.0))
+    // getSystemLoadAverage returns -1.0 where the platform can't say; a
+    // negative load on EITHER side disqualifies the comparison (treating
+    // a stored -1 as real would degenerate the +1.0 branch to
+    // candLoad >= 0 and misclassify a genuine global code regression
+    // as contention), same as a missing host block does
+    val loadJump = candLoad >= 0 && commLoad.exists(cl => cl >= 0 &&
+      (candLoad >= cl + 1.0 || (candLoad >= 2 * cl && candLoad >= 1.0)))
     val shared = candidate.keySet intersect committed.keySet
     val slower = shared.count(k => candidate(k).min > committed(k).min)
     sameHost && loadJump && shared.nonEmpty &&
@@ -575,7 +611,8 @@ object Bench {
     // comparing totals across surface changes.
     def renderFull(entries: Seq[(String, Rec)], fails: Seq[String],
         retained: Seq[String], retainedFail: Seq[String],
-        streaks: Map[String, Int], retainedHosts: Map[String, String]): String = {
+        streaks: Map[String, Int], retainedHosts: Map[String, String],
+        baselineHost: Option[String]): String = {
       val qmap = entries.sortBy(-_._2.min)
         .map { case (k, r) =>
           s"\"$k\":{\"min\":${f3(r.min)},\"median\":${f3(r.median)},\"spread\":${f3(r.spread)},\"corrob\":${f3(r.corrob)},\"windows\":${r.windows}}" }
@@ -596,7 +633,10 @@ object Bench {
         "intermediate record that merely carried it forward); " +
         "retention_streaks counts CONSECUTIVE runs a key has been " +
         s"retained (gated <= $maxRetentionStreak so retention can never " +
-        "permanently mask a persistent disagreement)"
+        "permanently mask a persistent disagreement); trend_baseline_host " +
+        "names the quiet environment whose entries a contended retention " +
+        "carried forward (the next run's load-jump baseline), null when " +
+        "this run's own host measured the entries"
       val streaksJson = streaks.toSeq.sortBy(_._1)
         .map { case (k, n) => s"\"$k\":$n" }.mkString("{", ",", "}")
       // per-key measurement provenance, grouped by host block so the
@@ -613,7 +653,7 @@ object Bench {
         s""""pair_heal_passes":$pairHealPasses,""" +
         s""""retained_from_committed":${arr(retained)},"retained_after_failure":${arr(retainedFail)},"retention_note":"$retentionNote",""" +
         s""""retention_streaks":$streaksJson,"retained_entry_hosts":$retainedHostsJson,""" +
-        s""""host":$hostJson,""" +
+        s""""host":$hostJson,"trend_baseline_host":${baselineHost.getOrElse("null")},""" +
         s""""streaming_floor_sec":${f3(streaming.map(_._2.min).sum)},"streaming_floor_keys":${streaming.size},""" +
         s""""streaming_floor_note":"fixed micro-batch replay machinery (checkpoint+state init per query); amortizes at scale -- subtract before comparing totals"}"""
     }
@@ -651,13 +691,15 @@ object Bench {
     val priorMeta =
       if (mergeDisabled) CommittedMeta() else readCommittedMeta(committedPath)
     // contended-run detection (r14 judge item 1) reads the host block
-    // the artifact writes: same host, a real load jump over the
-    // committed record, slower on a supermajority of shared keys
+    // the artifact writes (the trend baseline, when the record's entries
+    // were themselves retained from a quieter run): same host, a real
+    // load jump over the committed record, slower on a supermajority of
+    // shared keys
     val contended = !mergeDisabled && contendedRun(hostNameHash, loadStart,
-      priorMeta.hostNameHash, priorMeta.loadStart, rmap, priorCommitted)
+      priorMeta.baselineHash, priorMeta.baselineLoad, rmap, priorCommitted)
     if (contended)
       System.err.println(f"[bench] CONTENDED same-host run (load_avg_start " +
-        f"$loadStart%.2f vs committed ${priorMeta.loadStart.getOrElse(-1.0)}%.2f); " +
+        f"$loadStart%.2f vs committed ${priorMeta.baselineLoad.getOrElse(-1.0)}%.2f); " +
         "retaining the committed record wholesale — fresh numbers stay in " +
         "target/bench_full.json")
     val (mEntries, mRetained, mRetainedFail, mFailures, mStreaks) =
@@ -675,6 +717,15 @@ object Bench {
         k -> priorMeta.retainedHostByKey.getOrElse(k,
           priorMeta.hostJson.getOrElse("null"))
       }.toMap
+    // the next run's contended-comparison baseline: a contended
+    // retention carries the PRIOR record's baseline forward (the quiet
+    // environment whose entries the record now holds — itself threaded
+    // if the prior record was already a contended carrier); a run that
+    // ships its own numbers clears it, because its own host block IS
+    // the environment that measured the entries
+    val trendBaselineHost: Option[String] =
+      if (contended) priorMeta.baselineJson.orElse(priorMeta.hostJson)
+      else None
     def writeTo(p: String, body: String): Unit =
       try {
         val w = new java.io.PrintWriter(p)
@@ -688,10 +739,11 @@ object Bench {
         System.err.println(s"[bench] artifact write failed for $p: $e")
       }
     writeTo("target/bench_full.json",
-      renderFull(rawEntries, rawFailures, Nil, Nil, Map.empty, Map.empty))
+      renderFull(rawEntries, rawFailures, Nil, Nil, Map.empty, Map.empty,
+        None))
     writeTo(committedPath,
       renderFull(mEntries, mFailures, mRetained, mRetainedFail,
-        mStreaks, retainedHostByKey))
+        mStreaks, retainedHostByKey, trendBaselineHost))
     // totals over SUCCESSFUL queries only — and over THIS run's raw
     // numbers, like the rest of the stdout line
     val total = rawEntries.map(_._2.min).sum

@@ -160,9 +160,11 @@ object SimilarityQueries {
     // RECREATED with a different embeddings schema, and an
     // explicit-schema read under the stale layout schema silently
     // returns NULLs for renamed/missing columns instead of failing
-    // loudly. The footer fingerprint in the key is exactly the input
-    // the memoized derivation depends on, and reading it stays
-    // analysis-only (no job).
+    // loudly. The footer fingerprint in the key re-reads per call, but
+    // cheaply: it is analysis-only (no job), Spark's session-shared
+    // FileStatusCache amortizes the directory re-listing, and the
+    // residue is a single footer schema read — the price of making a
+    // recreated corpus fail loudly instead of silently.
     val emb = Scans.table(s, dir, "embeddings")
     val schema = cellLayoutSchemas.getOrElseUpdate(
       (dir, emb.schema.catalogString),

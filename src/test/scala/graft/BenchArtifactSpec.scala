@@ -222,6 +222,14 @@ class BenchArtifactSpec extends AnyFunSuite {
     // a pre-host-block committed record (no load recorded): no verdict
     assert(!contendedRun("686c", 2.35, Some("686c"), None,
       candMap, committed))
+    // getSystemLoadAverage's -1.0 "unavailable" sentinel disqualifies
+    // on EITHER side — a stored -1 must not degenerate the +1.0-absolute
+    // branch to candLoad >= 0 and mask a genuine global code regression
+    // as contention
+    assert(!contendedRun("686c", 2.35, Some("686c"), Some(-1.0),
+      candMap, committed))
+    assert(!contendedRun("686c", -1.0, Some("686c"), Some(0.20),
+      candMap, committed))
 
     // the merge under a contended verdict: EVERY trusted committed entry
     // retained — including 'd', which the hot run measured faster — so
@@ -352,14 +360,35 @@ class BenchArtifactSpec extends AnyFunSuite {
       val meta = readCommittedMeta(p.toString)
       assert(meta.streaks == Map("a" -> 2) &&
         meta.hostJson.exists(_.contains("\"beef\"")) &&
-        meta.hostNameHash.contains("beef") &&
-        meta.loadStart.contains(0.21))
+        meta.baselineHash.contains("beef") &&
+        meta.baselineLoad.contains(0.21))
       // per-key retained-host provenance round-trips: an entry retained
       // through MULTIPLE consecutive records must keep the host that
       // actually measured it, not the intermediate carrier (r14 ADVICE:
       // the single host field was one-hop provenance only)
       assert(meta.retainedHostByKey ==
         Map("a" -> """{"name_hash":"cafe","cpus":8}"""))
+      // a record written by a CONTENDED retention carries the hot
+      // carrier's own load in `host` but the retained entries' quiet
+      // environment in `trend_baseline_host` — the comparison baseline
+      // must come from the latter, or a second consecutive hot run
+      // would sail past the load-jump test (the detector would blind
+      // itself after one firing)
+      val pb = dir.resolve("contended_carrier.json")
+      java.nio.file.Files.write(pb,
+        ("""{"queries":{},"retention_streaks":{},""" +
+          """"trend_baseline_host":{"name_hash":"beef","load_avg_start":0.3},""" +
+          """"retained_entry_hosts":[{"host":null,"keys":["k0"]}],""" +
+          """"host":{"name_hash":"beef","load_avg_start":2.35}}""")
+          .getBytes("UTF-8"))
+      val mb = readCommittedMeta(pb.toString)
+      assert(mb.baselineLoad.contains(0.3) && mb.baselineHash.contains("beef"))
+      assert(mb.baselineJson.exists(_.contains("0.3")))
+      // null provenance threads as null: a key first retained from a
+      // pre-host-block record has UNKNOWN measuring host, and unknown
+      // must stay unknown on later hops, never be re-attributed to the
+      // carrier
+      assert(mb.retainedHostByKey == Map("k0" -> "null"))
       assert(readCommitted(dir.resolve("absent.json").toString).isEmpty)
       assert(readCommittedMeta(dir.resolve("absent.json").toString) ==
         Bench.CommittedMeta())
