@@ -364,11 +364,44 @@ object SimilarityQueries {
       |  FROM cand) r
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
-  // preferred layout path → the path actually written this JVM (write
-  // once, reuse across invocations — the layout IS the point: it
-  // persists; differs from preferred only when the beside-the-corpus
-  // default was unwritable and the scratch fallback engaged).
-  private val ivfLayoutStaged = scala.collection.mutable.Map.empty[String, String]
+  // preferred layout path → (embeddings schema fingerprint, the path
+  // actually written this JVM). Write once, reuse across invocations —
+  // the layout IS the point: it persists; the stored path differs from
+  // preferred only when the beside-the-corpus default was unwritable
+  // and the scratch fallback engaged. The schema fingerprint rides the
+  // ENTRY (not the key) so a corpus recreated under a different
+  // embeddings schema EVICTS the staging instead of serving layout
+  // files written for the old schema — an explicit-schema read of
+  // those under the new schema either fails on a type change or,
+  // worse, silently NULLs renamed/missing columns. Storing the
+  // fingerprint in the value (compare-and-replace, [[stagedForSchema]])
+  // rather than the key also covers the recreate-A→B→A cycle: a
+  // key-side fingerprint would HIT the stale A entry after the B
+  // staging overwrote the files on disk.
+  private val ivfLayoutStaged =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  /** Embeddings footer-schema fingerprint for the staged-layout memos —
+    * the same signal [[readCellLayout]]'s schema memo keys on, so the
+    * staging and the read-back evict together. Analysis-only (no job);
+    * the session-shared FileStatusCache amortizes the re-listing.
+    */
+  private def embSchemaFp(s: SparkSession, dir: String): String =
+    Scans.table(s, dir, "embeddings").schema.catalogString
+
+  /** Staged-layout memo lookup with schema eviction: serve the cached
+    * staging only while the corpus's embeddings schema still matches
+    * the one it was staged under; otherwise re-run the staging (the
+    * real production write, overwriting the layout in place) and
+    * replace the entry. Callers hold `SimilarityQueries.synchronized`.
+    */
+  private def stagedForSchema[V](
+      memo: scala.collection.mutable.Map[String, (String, V)],
+      path: String, fp: String)(stage: => V): V =
+    memo.get(path) match {
+      case Some((f, v)) if f == fp => v
+      case _ => val v = stage; memo.update(path, (fp, v)); v
+    }
 
   /** Where the persisted IVF cell layout for a corpus lives. Like the
     * fingerprint index, a serving layout is pipeline state that belongs
@@ -384,7 +417,10 @@ object SimilarityQueries {
     }
 
   // --- incremental-ingest IVF layout (sim_ivf_incremental) ----------
-  private val ivfIncStaged = scala.collection.mutable.Map.empty[String, String]
+  // same (schema fingerprint, actual path) entry shape and eviction
+  // rule as ivfLayoutStaged
+  private val ivfIncStaged =
+    scala.collection.mutable.Map.empty[String, (String, String)]
 
   def ivfIncLayoutPath(s: SparkSession, dir: String): String =
     s.conf.getOption(PersistedState.IvfLayoutDirKey) match {
@@ -412,7 +448,8 @@ object SimilarityQueries {
     */
   def stagedIncLayout(s: SparkSession, dir: String): String =
     SimilarityQueries.synchronized {
-      ivfIncStaged.getOrElseUpdate(ivfIncLayoutPath(s, dir), {
+      stagedForSchema(ivfIncStaged, ivfIncLayoutPath(s, dir),
+          embSchemaFp(s, dir)) {
         val actual = PersistedState.writeWithFallback(s,
           PersistedState.IvfLayoutDirKey,
           ivfIncLayoutPath(s, dir), dir, "ivf_inc_layout") { p =>
@@ -420,7 +457,7 @@ object SimilarityQueries {
         }
         appendIncBatch(s, dir, actual)
         actual
-      })
+      }
     }
 
   /** The two ingest steps, individually driveable (QueriesSpec snapshots
@@ -445,8 +482,11 @@ object SimilarityQueries {
   // members only and rewrite ONLY its partition directories — the
   // nightly maintenance loop a persisted 100 TB IVF layout needs
   // (everything else's files stay byte-identical; spec-asserted).
+  // same (schema fingerprint, entry) shape and eviction rule as
+  // ivfLayoutStaged; the entry carries the retrain outcome too
   private val ivfOptStaged =
-    scala.collection.mutable.Map.empty[String, (String, Option[(Long, Long)])]
+    scala.collection.mutable.Map
+      .empty[String, (String, (String, Option[(Long, Long)]))]
 
   /** Child sessions for the connected-components loop, cached per
     * (caller, corpus, caller-shuffle-conf). The loop sizes
@@ -767,7 +807,8 @@ object SimilarityQueries {
   /** Stage base + retrain once per (corpus, τ) per JVM. */
   def stagedOptLayout(s: SparkSession, dir: String): (String, Option[(Long, Long)]) =
     SimilarityQueries.synchronized {
-      ivfOptStaged.getOrElseUpdate(ivfOptLayoutPath(s, dir), {
+      stagedForSchema(ivfOptStaged, ivfOptLayoutPath(s, dir),
+          embSchemaFp(s, dir)) {
         // τ rides the fallback subdir too, so even scratch-fallback
         // stagings at distinct thresholds can never alias
         val actual = PersistedState.writeWithFallback(s,
@@ -776,7 +817,7 @@ object SimilarityQueries {
           writeOptBase(s, dir, p)
         }
         (actual, retrainIfSkewed(s, dir, actual))
-      })
+      }
     }
 
   /** Top-10 by (cos_sim desc, vec_id) with a rank column. The top slice
@@ -1858,7 +1899,8 @@ object SimilarityQueries {
     QueryDef("sim_ivf_write_layout", ivfTopkSql) { (s, dir) =>
       val emb = Scans.table(s, dir, "embeddings")
       val layout = SimilarityQueries.synchronized {
-        ivfLayoutStaged.getOrElseUpdate(ivfLayoutPath(s, dir),
+        stagedForSchema(ivfLayoutStaged, ivfLayoutPath(s, dir),
+            emb.schema.catalogString)(
           PersistedState.writeWithFallback(s, PersistedState.IvfLayoutDirKey,
             ivfLayoutPath(s, dir), dir, "ivf_layout") { p =>
             ivfAssign(s, emb)

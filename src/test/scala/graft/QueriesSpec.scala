@@ -422,6 +422,61 @@ class QueriesSpec extends SparkSpecBase {
     } finally deleteTree(root)
   }
 
+  test("staged IVF layouts evict and re-stage when the embeddings schema changes") {
+    import graft.ops.SimilarityQueries
+    // r15 ADVICE: the read-back schema memo is keyed by (dir, embeddings
+    // footer schema), but the STAGING memos were keyed by path alone — a
+    // corpus RECREATED in the same JVM kept serving layout files written
+    // for the old schema, and an explicit-schema read of those under the
+    // new schema silently NULLs renamed/missing columns (or throws on a
+    // type change). The staging memos now carry the schema fingerprint
+    // and evict on mismatch, so a recreated corpus re-stages through the
+    // real production write; an unchanged corpus keeps the
+    // write-once-per-JVM contract.
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_evict")
+    val corpus = root.resolve("corpus").toString
+    def writeEmb(elem: String): Unit =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") < 120)
+        .withColumn("embedding",
+          expr(s"transform(embedding, x -> cast(x as $elem))"))
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    def elemType(path: String) =
+      spark.read.parquet(path).schema("embedding").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    try {
+      writeEmb("float")
+      val r1 = SparkEntry.queries("sim_ivf_write_layout")(spark, corpus).collect()
+      assert(r1.nonEmpty)
+      SparkEntry.queries("sim_ivf_incremental")(spark, corpus).collect()
+      val layout = SimilarityQueries.ivfLayoutPath(spark, corpus)
+      val inc = SimilarityQueries.ivfIncLayoutPath(spark, corpus)
+      assert(elemType(layout) == org.apache.spark.sql.types.FloatType)
+      val files1 = dataFileSizes(layout).keySet
+      val incFiles1 = dataFileSizes(inc).keySet
+      // same schema, second invocation: memo HIT — the staged files are
+      // reused verbatim (a parquet re-write would mint new part names)
+      SparkEntry.queries("sim_ivf_write_layout")(spark, corpus).collect()
+      assert(dataFileSizes(layout).keySet == files1,
+        "re-staged without a schema change — write-once contract broken")
+      // the corpus is RECREATED under a different embeddings schema
+      // (float -> double element type)
+      writeEmb("double")
+      val r2 = SparkEntry.queries("sim_ivf_write_layout")(spark, corpus).collect()
+      assert(r2.nonEmpty &&
+        r2.forall(r => !r.isNullAt(r.fieldIndex("cos_sim"))),
+        "post-recreate probe must serve real values, never stale-schema reads")
+      assert(elemType(layout) == org.apache.spark.sql.types.DoubleType,
+        "layout still carries the OLD schema's files — staging memo not evicted")
+      assert(dataFileSizes(layout).keySet != files1,
+        "layout files unchanged after a schema change")
+      SparkEntry.queries("sim_ivf_incremental")(spark, corpus).collect()
+      assert(elemType(inc) == org.apache.spark.sql.types.DoubleType,
+        "incremental layout not re-staged after a schema change")
+      assert(dataFileSizes(inc).keySet != incFiles1)
+    } finally deleteTree(root)
+  }
+
   test("graph_pagerank: teleport floor, sub-unit mass, inflow differentiates") {
     import graft.exec.Scans
     val rows = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
