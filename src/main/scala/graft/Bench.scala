@@ -194,6 +194,7 @@ object Bench {
       baselineJson: Option[String] = None,
       baselineHash: Option[String] = None,
       baselineLoad: Option[Double] = None,
+      baselineProbe: Option[Double] = None,
       retainedHostByKey: Map[String, String] = Map.empty)
 
   private[graft] def readCommittedMeta(path: String): CommittedMeta =
@@ -257,8 +258,57 @@ object Bench {
             .filter(_ >= 0)
           if (ls.isEmpty) None else Some(ls.min)
         },
+        // probe baseline, same quietest-sample discipline as the load:
+        // the FASTEST of the record's start/end probes is its truest
+        // uncontended speed (a record that started on a draining host
+        // probes slow at start and clean at end); non-positive or
+        // missing samples are excluded, and a record with none (any
+        // pre-probe record) yields None — the probe branch of the
+        // detector then stays disarmed while the load branch keeps
+        // working
+        baselineProbe = {
+          val ps = Seq("probe_ms_start", "probe_ms_end")
+            .flatMap(f => Option(baseline.path(f))
+              .filter(_.isNumber).map(_.asDouble()))
+            .filter(_ > 0)
+          if (ps.isEmpty) None else Some(ps.min)
+        },
         retainedHostByKey = byKey.result())
     } catch { case scala.util.control.NonFatal(_) => CommittedMeta() }
+
+  /** Sink for the calibration kernel's result so the JIT cannot
+    * dead-code-eliminate the loop being timed. */
+  @volatile private[graft] var probeBlackhole: Long = 0L
+
+  /** Single-threaded CPU calibration probe (milliseconds for a fixed
+    * deterministic xorshift kernel). The 1-min load average counts only
+    * THIS vm's runnable threads, so co-tenant / hypervisor-steal
+    * contention is invisible to the load-jump rule — the r16 refresh
+    * measured a fully corroborated +19% diffuse slowdown (slower on 87%
+    * of keys, the exact host-noise signature) at load_avg_start 1.4,
+    * BELOW the committed baseline, and nothing fired. The probe
+    * measures what load average cannot: how fast this host actually
+    * executes single-threaded work right now. Best-of-5 after 3
+    * warm-up rounds — the start-of-run probe executes in a cold JVM
+    * and the end-of-run one in a hot JVM, so only compiled-code rounds
+    * are timed to keep the two comparable; min over back-to-back
+    * rounds filters a stray GC/scheduling blip but keeps SUSTAINED
+    * steal fully visible (every round pays it). ~0.2 s total.
+    */
+  private[graft] def calibrationProbeMs(): Double = {
+    def round(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < (1 << 23)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      probeBlackhole = x
+      (System.nanoTime() - t0) / 1e6
+    }
+    (1 to 3).foreach(_ => round())
+    (1 to 5).map(_ => round()).min
+  }
 
   /** Is this candidate run a CONTENDED SAME-HOST rerun of the committed
     * record (r14 judge item 1)? The refuse-to-regress merge's only
@@ -271,9 +321,13 @@ object Bench {
     *   - same host as the committed record (name hashes equal — load
     *     averages are not comparable across machines, and a cross-host
     *     delta is adjudicated by the host block, not masked here);
-    *   - its start load exceeds the committed record's by a real margin:
-    *     +1.0 absolute, or 2× with a 1.0-absolute floor (a 0.1→0.3
-    *     "doubling" between two quiet runs is noise, not contention);
+    *   - the environment is measurably hotter, by EITHER signal: its
+    *     start load exceeds the committed record's by a real margin
+    *     (+1.0 absolute, or 2× with a 1.0-absolute floor — a 0.1→0.3
+    *     "doubling" between two quiet runs is noise, not contention),
+    *     OR the single-thread calibration probe runs >= 1.25× slower
+    *     than the record's (co-tenant / hypervisor-steal contention
+    *     slows the host without raising THIS vm's load average);
     *   - it is slower on a supermajority (>= 70%) of the keys both
     *     records carry — a hot host inflates diffusely across the whole
     *     suite (the documented host-noise signature), while a genuine
@@ -296,7 +350,8 @@ object Bench {
   private[graft] def contendedRun(
       candHash: String, candLoad: Double,
       commHash: Option[String], commLoad: Option[Double],
-      candidate: Map[String, Rec], committed: Map[String, Rec]): Boolean = {
+      candidate: Map[String, Rec], committed: Map[String, Rec],
+      candProbe: Double = -1.0, commProbe: Option[Double] = None): Boolean = {
     val sameHost = commHash.contains(candHash)
     // getSystemLoadAverage returns -1.0 where the platform can't say; a
     // negative load on EITHER side disqualifies the comparison (treating
@@ -305,9 +360,20 @@ object Bench {
     // as contention), same as a missing host block does
     val loadJump = candLoad >= 0 && commLoad.exists(cl => cl >= 0 &&
       (candLoad >= cl + 1.0 || (candLoad >= 2 * cl && candLoad >= 1.0)))
+    // calibration-probe jump: the load average only counts THIS vm's
+    // runnable threads, so co-tenant / hypervisor-steal contention
+    // slows every key while the load reads quiet (the r16 shape: +19%
+    // diffuse at load 1.4 vs a 1.8 baseline). A >= 1.25x slowdown of
+    // the fixed single-thread kernel is far outside its quiet jitter
+    // (min-of-5 warm rounds lands within a few percent run-to-run) and
+    // says the host itself is slower right now, whatever the load
+    // claims. Missing/invalid probes on either side disqualify this
+    // branch only — pre-probe committed records keep the load rule.
+    val probeJump = candProbe > 0 &&
+      commProbe.exists(cp => cp > 0 && candProbe >= 1.25 * cp)
     val shared = candidate.keySet intersect committed.keySet
     val slower = shared.count(k => candidate(k).min > committed(k).min)
-    sameHost && loadJump && shared.nonEmpty &&
+    sameHost && (loadJump || probeJump) && shared.nonEmpty &&
       slower.toDouble / shared.size >= 0.7
   }
 
@@ -319,7 +385,8 @@ object Bench {
   private[graft] final case class RunInfo(
       passes: Int, runsPerPass: Int, healPasses: Int,
       healed: Seq[String], healSepSec: Int, pairHealPasses: Int,
-      hostJson: String, hostHash: String, loadStart: Double)
+      hostJson: String, hostHash: String, loadStart: Double,
+      probeMs: Double = -1.0)
 
   private[graft] def f3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -413,7 +480,8 @@ object Bench {
     // shared keys
     val contended = !mergeDisabled && contendedRun(info.hostHash,
       info.loadStart, priorMeta.baselineHash, priorMeta.baselineLoad,
-      rawEntries.toMap, priorCommitted)
+      rawEntries.toMap, priorCommitted,
+      candProbe = info.probeMs, commProbe = priorMeta.baselineProbe)
     val (mEntries, mRetained, mRetainedFail, mFailures, mStreaks) =
       mergeWithCommitted(candidate, priorCommitted, enforcePair = enforcePair,
         priorStreaks = priorMeta.streaks, contended = contended)
@@ -496,6 +564,10 @@ object Bench {
     // contended baseline high and mislabeled quiet runs as hot.
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // single-thread calibration probe of the AMBIENT host speed, taken
+    // with the load snapshot before any parallel work — the detector's
+    // steal-contention signal (see calibrationProbeMs)
+    val probeStart = calibrationProbeMs()
     val spark = GraftSession.build(cpus)
     // Scoped, bench-only silence for WindowExec's no-partition warning:
     // every global window in the engine runs AFTER an orderBy().limit(N<=20)
@@ -746,9 +818,15 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => "unknown" }
       val loadEnd = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
+      // end-of-run probe: the suite's 32 worker threads are idle by
+      // now, so this samples post-run ambient speed — paired with the
+      // start probe it gives the baseline reader a quietest-sample
+      // choice, exactly like the load pair
+      val probeEnd = calibrationProbeMs()
       val procs = Runtime.getRuntime.availableProcessors()
       s"""{"name_hash":"$hostNameHash","cpu_model":"${jsonEscape(cpuModel)}",""" +
-        s""""cpus":$procs,"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)}}"""
+        s""""cpus":$procs,"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
+        s""""probe_ms_start":${f3(probeStart)},"probe_ms_end":${f3(probeEnd)}}"""
     }
     // committed full map: {min, median, spread, corrob, windows} per
     // query, ordered by min desc. spread = worst pass-min / best
@@ -774,7 +852,8 @@ object Bench {
     // data. Named in the artifact so a total-reader subtracts it before
     // comparing totals across surface changes.
     val info = RunInfo(passes, runsPerPass, healPasses, healedKeys.toSeq,
-      healSepSec, pairHealPasses, hostJson, hostNameHash, loadStart)
+      healSepSec, pairHealPasses, hostJson, hostNameHash, loadStart,
+      probeMs = probeStart)
     // The full per-query map is a committed artifact (BENCH_full.json in
     // the repo root) so every query's round-over-round trend is auditable
     // — the stdout line only survives truncated to its last 2000 chars.

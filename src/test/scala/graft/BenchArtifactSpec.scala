@@ -146,6 +146,11 @@ class BenchArtifactSpec extends AnyFunSuite {
       assert(host.path("cpus").isNumber, s"$p: no host.cpus")
       assert(host.path("load_avg_start").isNumber &&
         host.path("load_avg_end").isNumber, s"$p: no host load averages")
+      // the steal-contention signal: both calibration probes present
+      // and real, so the NEXT run's detector has a probe baseline
+      for (f <- Seq("probe_ms_start", "probe_ms_end"))
+        assert(host.path(f).isNumber && host.path(f).asDouble() > 0,
+          s"$p: no usable $f in host block")
       assert(root.path("retained_from_committed").isArray,
         s"$p: no retained_from_committed provenance array")
       assert(root.path("retained_after_failure").isArray,
@@ -350,6 +355,74 @@ class BenchArtifactSpec extends AnyFunSuite {
     val (e8, r8, _, _, _) =
       mergeWithCommitted(cand1, committed, enforcePair = false)
     assert(r8.isEmpty && e8.toMap.apply(hp).min == 1.279)
+  }
+
+  test("merge: a steal-contended run (quiet load, slow probe) reads as contended") {
+    // The r16 shape the load rule structurally cannot see: a fresh run
+    // measured a fully corroborated +19% diffuse slowdown (slower on
+    // 87% of keys — the host-noise signature) at load_avg_start 1.4,
+    // BELOW the committed baseline, because co-tenant/hypervisor-steal
+    // contention never raises THIS vm's load average. The single-thread
+    // calibration probe sees the host's actual speed and arms a second
+    // OR-branch of the detector.
+    import Bench.{Rec, contendedRun, readCommittedMeta}
+    def rec(min: Double) = Rec(min, min * 1.05, 1.2, 1.1, 3)
+    val committed = Map("a" -> rec(1.0), "b" -> rec(0.5),
+      "c" -> rec(2.0), "d" -> rec(0.3))
+    val cand = Map("a" -> rec(1.2), "b" -> rec(0.6),
+      "c" -> rec(2.4), "d" -> rec(0.28))
+    // no load jump (1.4 < 1.8 + 1.0), probe 1.26x slower: contended
+    assert(contendedRun("686c", 1.4, Some("686c"), Some(1.8), cand, committed,
+      candProbe = 24.0, commProbe = Some(19.0)),
+      "a steal-slowed host must read as contended despite a quiet load")
+    // same probes but FASTER nearly everywhere: a real improvement
+    val fast = Map("a" -> rec(0.8), "b" -> rec(0.4),
+      "c" -> rec(1.6), "d" -> rec(0.28))
+    assert(!contendedRun("686c", 1.4, Some("686c"), Some(1.8), fast, committed,
+      candProbe = 24.0, commProbe = Some(19.0)))
+    // probe within quiet jitter (1.1x): not contention
+    assert(!contendedRun("686c", 1.4, Some("686c"), Some(1.8), cand, committed,
+      candProbe = 20.9, commProbe = Some(19.0)))
+    // a pre-probe committed record disarms ONLY the probe branch...
+    assert(!contendedRun("686c", 1.4, Some("686c"), Some(1.8), cand, committed,
+      candProbe = 24.0, commProbe = None))
+    // ...and the load branch still fires without any probes at all
+    assert(contendedRun("686c", 3.0, Some("686c"), Some(0.2), cand, committed))
+    // an invalid candidate probe disqualifies the probe branch too
+    assert(!contendedRun("686c", 1.4, Some("686c"), Some(1.8), cand, committed,
+      candProbe = -1.0, commProbe = Some(19.0)))
+    // different host: probes are not comparable across machines
+    assert(!contendedRun("686c", 1.4, Some("beef"), Some(1.8), cand, committed,
+      candProbe = 24.0, commProbe = Some(19.0)))
+    // baseline parse: the FASTEST of the record's start/end probes (a
+    // record that STARTED on a draining host probes slow at start and
+    // clean at end — same quietest-sample rule as the load); a
+    // pre-probe record yields None
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_probe")
+    try {
+      val p = dir.resolve("prior.json")
+      java.nio.file.Files.write(p,
+        ("""{"queries":{},"host":{"name_hash":"aaaa","load_avg_start":0.2,""" +
+          """"load_avg_end":0.3,"probe_ms_start":25.1,"probe_ms_end":19.0}}""")
+          .getBytes("UTF-8"))
+      assert(readCommittedMeta(p.toString).baselineProbe.contains(19.0))
+      val p2 = dir.resolve("prior2.json")
+      java.nio.file.Files.write(p2,
+        """{"queries":{},"host":{"name_hash":"aaaa","load_avg_start":0.2}}"""
+          .getBytes("UTF-8"))
+      assert(readCommittedMeta(p2.toString).baselineProbe.isEmpty)
+    } finally graft.exec.Fs.deleteTree(dir)
+  }
+
+  test("calibration probe is positive and stable back-to-back") {
+    val a = Bench.calibrationProbeMs()
+    val b = Bench.calibrationProbeMs()
+    assert(a > 0 && b > 0, s"probe must time real work: $a, $b")
+    // two warm probes in the same (quiet or uniformly-loaded) JVM must
+    // sit well inside the 1.25x contention threshold, or the detector's
+    // signal would be its own noise
+    assert(math.max(a, b) / math.min(a, b) < 1.25,
+      s"probe unstable back-to-back: $a ms vs $b ms")
   }
 
   test("merge: contended baseline is the record's QUIETEST load sample (min of start/end)") {
