@@ -72,7 +72,8 @@ object Bench {
     *     contention failure must not erase a valid trend point;
     *   - the whole run is a CONTENDED same-host rerun (`contended` —
     *     decided by [[contendedRun]] from the host blocks: same
-    *     machine, a real load jump, slower on a supermajority of
+    *     machine, a real load jump OR a calibration-probe slowdown,
+    *     slower on a supermajority of
     *     shared keys): every trusted committed entry is retained
     *     wholesale — corroboration alone cannot catch this case,
     *     because sustained contention corroborates slow numbers just
@@ -451,7 +452,8 @@ object Bench {
   private[graft] final case class MergeOutcome(
       committedBody: String, rawBody: String, contended: Boolean,
       retained: Seq[String], retainedFail: Seq[String],
-      priorBaselineLoad: Option[Double])
+      priorBaselineLoad: Option[Double],
+      priorBaselineProbe: Option[Double])
 
   /** One bench run's full committed-artifact cycle — read the prior
     * record at `committedPath`, detect a contended same-host rerun
@@ -521,7 +523,8 @@ object Bench {
         Map.empty, Map.empty, None, Nil),
       contended = contended, retained = mRetained,
       retainedFail = mRetainedFail,
-      priorBaselineLoad = priorMeta.baselineLoad)
+      priorBaselineLoad = priorMeta.baselineLoad,
+      priorBaselineProbe = priorMeta.baselineProbe)
   }
 
   /** Minimal JSON string escape for free-text fields (cpu model): a
@@ -889,8 +892,13 @@ object Bench {
     val outcome = mergeCycle(committedPath, candidate, info,
       enforcePair = pairApplies, mergeDisabled = mergeDisabled)
     if (outcome.contended)
+      // name BOTH signals: a steal-contended verdict fires on the probe
+      // with the load reading quiet, and a load-only message would send
+      // the reader chasing the wrong number
       System.err.println(f"[bench] CONTENDED same-host run (load_avg_start " +
-        f"$loadStart%.2f vs committed ${outcome.priorBaselineLoad.getOrElse(-1.0)}%.2f); " +
+        f"$loadStart%.2f vs committed ${outcome.priorBaselineLoad.getOrElse(-1.0)}%.2f; " +
+        f"probe_ms $probeStart%.1f vs committed " +
+        f"${outcome.priorBaselineProbe.getOrElse(-1.0)}%.1f); " +
         "retaining the committed record wholesale — fresh numbers stay in " +
         "target/bench_full.json")
     if (!outcome.contended &&
