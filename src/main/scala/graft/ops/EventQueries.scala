@@ -725,7 +725,17 @@ object EventQueries {
         |       count(*) AS n_events,
         |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket""".stripMargin) { (s, dir) =>
-      val bucket = floor(col("value") / 25.0).cast("long")
+      // Range-guarded bucket: a NaN/Infinity/overflowing value (garbage
+      // fact row) must land in a NULL bucket, not abort the job —
+      // Spark's floor(double) RETURNS long, so the overflow happens
+      // inside floor itself and try_cast around it can't help; the
+      // guard rejects NaN (between is false) and any quotient outside
+      // long range before floor runs (CaseWhen branches evaluate
+      // lazily). Identity on every sane value, same contract as
+      // centsLong.
+      val q = col("value") / 25.0
+      val bucket = when(q.between(-9.2e18, 9.2e18), floor(q))
+        .otherwise(lit(null).cast("long"))
       Scans.table(s, dir, "events")
         .groupBy(bucket.as("bucket"), (bucket * 25).as("bucket_lo"))
         .agg(count(lit(1)).as("n_events"),
@@ -1897,8 +1907,12 @@ object EventQueries {
         // (Spark rounds the shortest-decimal rendering, DuckDB the
         // binary value) — the quotient (2*cents*100 + n) div (2n)
         // rounds half-up in pure integer math on both engines
+        // try_cast: a user whose purchase values were NaN/Infinity
+        // propagates NaN into total_value, and ANSI cast would abort
+        // the eval — the NULL mean for that garbage-valued variant is
+        // the honest answer; identity on finite money (centsLong doc)
         .withColumn("mean_value",
-          expr("(2 * cast(round(total_value * 100) as bigint) * 100" +
+          expr("(2 * try_cast(round(total_value * 100) as bigint) * 100" +
             " + n_users) div (2 * n_users)") / lit(10000.0))
         .select(col("variant"), col("n_users"), col("total_value"),
           col("mean_value"))

@@ -2586,8 +2586,13 @@ object SimilarityQueries {
         // schedule) decides the rounding side. Summing exact 1e-6-grid
         // integers makes the value order-independent; both engines then
         // round the identical double identically.
+        // try_cast: a NaN embedding vector (garbage corpus row) makes
+        // its cs NaN, and an ANSI cast would abort the whole training
+        // round — the NULL summand drops that row from the inertia sum
+        // (its cell membership still counts); identity on every real
+        // 6-dp-rounded cosine in [-1, 1]
         round((count(lit(1)) * lit(1000000L) -
-          sum(round(col("cs") * lit(1000000.0), 0).cast("long")))
+          sum(expr("try_cast(round(cs * 1000000) as bigint)")))
           .cast("double") / lit(1000000.0), 4).as("inertia"))
     fin.groupBy(col("cell"))
       .agg(max(col("n_members")).as("n_members"),

@@ -23,9 +23,18 @@ object EventStreams {
     * varies — and a streaming run reorders partials far more than a
     * batch one. Ten call sites across this file and
     * [[graft.ops.EventQueries]] share it so a rounding fix can never
-    * fork the spec-tested twins. */
+    * fork the spec-tested twins.
+    *
+    * try_cast, not cast: value is a raw fact-table double, and at
+    * 100 TB some rows WILL carry NaN/±Infinity (bad sensors, upstream
+    * 0.0/0.0) — under ANSI mode a plain cast then aborts the whole job
+    * with CAST_OVERFLOW (found by the NaN-corpus sweep). try_cast is
+    * identity on every finite 2-dp money value (the oracle's CAST form
+    * on the populated corpus) and turns a garbage row into a NULL the
+    * sums skip — the row drops out of the aggregate instead of killing
+    * the pipeline. */
   def centsLong: org.apache.spark.sql.Column =
-    expr("cast(round(value * 100) as bigint)")
+    expr("try_cast(round(value * 100) as bigint)")
 
   /** `sum(value)` in cents-exact form, back in currency units — the
     * aggregate the windowed/sessionized sums publish. Windowed callers

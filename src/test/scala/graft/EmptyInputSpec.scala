@@ -132,6 +132,92 @@ class EmptyInputSpec extends SparkSpecBase {
         failures.mkString("\n  "))
   }
 
+  test("every declared query executes against a unicode-stress corpus") {
+    // Fifth production shape: NON-ASCII TEXT. 100 TB of web-scale
+    // documents carry every script, emoji/ZWJ sequence, combining
+    // mark, zero-width character and fullwidth form there is; a text
+    // kernel (BPE counting, n-gram shingles, language id, PII scrub,
+    // fingerprinting, chunking) that assumes single-byte or BMP-only
+    // input crashes or mis-indexes exactly there — surrogate PAIRS are
+    // the classic trap (a codePoint-blind substring splits one). The
+    // documents table's text cycles a stress set (n_chars kept
+    // consistent, since quality/entropy kernels read both); every
+    // other table keeps production data.
+    import org.apache.spark.sql.functions.{col, element_at, length, typedLit}
+    val uni = Seq(
+      "汉字漢字 🚀🔥 مرحبا بالعالم עברית кириллица",
+      "Ωμέγα ΔΣΦ ñ é ü ß 日本語のテキスト 한국어 텍스트",
+      "​zero​width​ é combining å ring",
+      "👨‍👩‍👧‍👦 ZWJ family 🏳️‍🌈 flag 🤯 head",
+      "Ａｆｕｌｌｗｉｄｔｈ　ｔｅｘｔ　１２３４５ ♜♞♝♛♚",
+      "देवनागरी தமிழ் ไทย አማርኛ ᚠᚢᚦᚨᚱᚲ ᓀᐦᐃᔭᐍᐏᐣ",
+      "mixed ASCII and ☃ unicode with tabs\tand\nnewlines inside",
+      "🙂")
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_uni")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$sfDir/$t.parquet").limit(300)
+      val out =
+        if (t == "documents")
+          src.withColumn("text",
+              element_at(typedLit(uni), (col("doc_id") % uni.size + 1).cast("int")))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else src
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    scratchCorpora += dir
+    val failures = sweep(dir.toString)
+    assert(failures.isEmpty,
+      s"queries crash on a unicode-stress corpus (${failures.size}):\n  " +
+        failures.mkString("\n  "))
+  }
+
+  test("every declared query executes against a NaN/Infinity numeric corpus") {
+    // Sixth shape: GARBAGE NUMERICS. A 100 TB fact table WILL carry
+    // NaN and ±Infinity doubles (bad sensors, upstream 0.0/0.0,
+    // float overflow) — and ANSI mode turns several otherwise-quiet
+    // paths into runtime errors the moment a NaN reaches a cast or an
+    // array index. events.value and lineitem's measure columns cycle
+    // {NaN, +Inf, -Inf, ±1e308, 0}; corpus embedding vectors (never
+    // the probe vector 0 or the codebook rows 1..16, which keep the
+    // normal paths live) get one all-NaN and one Infinity-bearing
+    // vector. The contract stays "no query may crash" — NaN in, NaN
+    // (or filtered) out, never an exception.
+    import org.apache.spark.sql.functions.{col, element_at, lit, transform, typedLit, when}
+    val poison =
+      Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        1e308, -1e308, 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_nan")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$sfDir/$t.parquet").limit(300)
+      val out = t match {
+        case "events" =>
+          src.withColumn("value",
+            element_at(typedLit(poison), (col("event_id") % poison.size + 1).cast("int")))
+        case "lineitem" =>
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            .zipWithIndex.foldLeft(src) { case (df, (c, i)) =>
+              df.withColumn(c, element_at(typedLit(poison),
+                ((col("l_orderkey") + i) % poison.size + 1).cast("int")))
+            }
+        case "embeddings" =>
+          src.withColumn("embedding",
+            when(col("vec_id") === 50,
+              transform(col("embedding"), _ => lit(Double.NaN.toFloat)))
+            .when(col("vec_id") === 51,
+              transform(col("embedding"),
+                _ => lit(Double.PositiveInfinity.toFloat)))
+            .otherwise(col("embedding")))
+        case _ => src
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    scratchCorpora += dir
+    val failures = sweep(dir.toString)
+    assert(failures.isEmpty,
+      s"queries crash on a NaN/Infinity corpus (${failures.size}):\n  " +
+        failures.mkString("\n  "))
+  }
+
   test("every declared query executes against an all-null one-row corpus") {
     // one row per table, every column NULL: the garbage-row class — a
     // null key, a null payload, a null string bound for a live JDBC
