@@ -594,6 +594,62 @@ class BenchArtifactSpec extends AnyFunSuite {
     } finally graft.exec.Fs.deleteTree(dir)
   }
 
+  test("integration: the probe baseline threads so consecutive steal-hot runs stay caught") {
+    // The probe-branch twin of the load-branch integration above: a
+    // steal-contended rerun reads QUIET load (no jump) but a slow
+    // calibration probe. The first hot run must retain via the probe
+    // branch, and — the part only the real cycle can prove — the
+    // SECOND hot run must still be caught, because the carrier
+    // record's own host block holds the HOT probe (20 vs 20 — no
+    // jump); only the threaded trend_baseline_host carries run 1's
+    // quiet 15 ms probe forward.
+    import Bench.{Rec, RunInfo, mergeCycle}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_probe_cycle")
+    try {
+      val path = dir.resolve("BENCH_full.json").toString
+      def write(body: String): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          body.getBytes("UTF-8"))
+      def rec(min: Double) = Rec(min, min * 1.05, 1.2, 1.1, 3)
+      def info(load: Double, probe: Double) = RunInfo(2, 2, 0, Nil, 10, 0,
+        s"""{"name_hash":"aaaa","cpus":8,"load_avg_start":$load,""" +
+          s""""load_avg_end":$load,"probe_ms_start":$probe,"probe_ms_end":$probe}""",
+        "aaaa", load, probeMs = probe)
+      val quiet: Seq[(String, Option[Rec])] =
+        Seq("a" -> Some(rec(1.0)), "b" -> Some(rec(0.5)), "c" -> Some(rec(2.0)))
+      val o1 = mergeCycle(path, quiet, info(0.25, 15.0),
+        enforcePair = false, mergeDisabled = false)
+      assert(!o1.contended)
+      write(o1.committedBody)
+      // steal-hot rerun: load 0.3 (vs 0.25 — no load jump), probe 20.0
+      // (1.33x the committed 15.0), slower on every key
+      val hot: Seq[(String, Option[Rec])] =
+        Seq("a" -> Some(rec(1.2)), "b" -> Some(rec(0.6)), "c" -> Some(rec(2.4)))
+      val o2 = mergeCycle(path, hot, info(0.3, 20.0),
+        enforcePair = false, mergeDisabled = false)
+      assert(o2.contended,
+        "a steal-hot rerun must retain via the probe branch alone")
+      write(o2.committedBody)
+      val r2 = mapper.readTree(o2.committedBody)
+      assert(r2.path("queries").path("a").path("min").asDouble() == 1.0)
+      // the carrier's own host block holds the hot probe; the threaded
+      // baseline holds the quiet one
+      assert(r2.path("host").path("probe_ms_start").asDouble() == 20.0)
+      assert(r2.path("trend_baseline_host").path("probe_ms_start").asDouble() == 15.0)
+      // second consecutive steal-hot run: 20 vs the carrier's own 20
+      // would never jump — only the threaded 15 keeps the detector live
+      val o3 = mergeCycle(path, hot, info(0.3, 20.0),
+        enforcePair = false, mergeDisabled = false)
+      assert(o3.contended,
+        "a second steal-hot run must still be caught via the threaded probe baseline")
+      val r3 = mapper.readTree(o3.committedBody)
+      assert(r3.path("queries").path("a").path("min").asDouble() == 1.0)
+      assert(r3.path("trend_baseline_host").path("probe_ms_start").asDouble() == 15.0)
+      assert(r3.path("retention_streaks").path("a").asInt() == 2)
+    } finally graft.exec.Fs.deleteTree(dir)
+  }
+
   test("merge: readCommitted round-trips the committed schema, empty on garbage") {
     import Bench.{Rec, readCommitted, readCommittedMeta}
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_merge")
