@@ -22,6 +22,17 @@ import graft.exec.Scans
   */
 object EventQueries {
 
+  /** Hard cap on the events_gap_fill dense-hour spine, in hours
+    * (~11.4 years — far above any sane telemetry window, far below the
+    * ~70M-hour spine one corrupted year-9999 event would otherwise
+    * generate). The clamp is identity below the cap and is mirrored
+    * verbatim into the oracle SQL, so the sane-corpus hashes are
+    * untouched while a poisoned max(ts) can no longer turn the bounded
+    * zero-fill into an unbounded generate. Gated by the
+    * timestamp-extremes sweep in EmptyInputSpec.
+    */
+  private[graft] val gapFillSpineCapHours = 100000
+
   /** Shared by `events_cdc_merge` (the batch operator) and
     * `events_cdc_stream_equiv` (the streaming materializer's replay):
     * one oracle, two execution paths — the equivalence IS the contract.
@@ -318,12 +329,28 @@ object EventQueries {
     // broadcast-joins against the real hourly rollup — at 100 TB the
     // fact table still aggregates ONCE on (type, hour) and only the
     // small dense spine is materialized beyond it.
+    //
+    // SPAN CLAMP (the timestamp-extremes axis): the spine length is
+    // min..max of EVENT TIME, so ONE corrupted year-9999 (or epoch-0)
+    // row would expand the sequence to ~70M hours per side — not a
+    // crash but an unbounded generate, the runtime-explosion class a
+    // 100 TB corpus makes certain. The spine is therefore capped at
+    // gapFillSpineCapHours from h0 (identity below the cap — the sane
+    // corpus spans days; mirrored into the oracle SQL so hashes stay
+    // pinned); hours past the clamp are reported as absent rather
+    // than zero-filled, the declared bounded-output contract. The
+    // timestamp-extremes sweep (EmptyInputSpec) gates the whole
+    // surface under a time/cardinality budget against exactly this
+    // corpus.
     // ------------------------------------------------------------------
     QueryDef("events_gap_fill",
-      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+      s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |                  count(*) AS n FROM events GROUP BY 1, 2),
         |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
-        |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+        |                  least(date_trunc('hour', max(ts)),
+        |                        date_trunc('hour', min(ts))
+        |                          + INTERVAL $gapFillSpineCapHours HOUR) AS h1
+        |           FROM events),
         |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
         |          FROM bounds),
         |et AS (SELECT DISTINCT event_type FROM events)
@@ -341,7 +368,9 @@ object EventQueries {
         .localCheckpoint(true)
       val spine = hourly
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        .select(explode(sequence(col("h0"), col("h1"),
+        .select(col("h0"), least(col("h1"),
+          col("h0") + expr(s"INTERVAL $gapFillSpineCapHours HOUR")).as("h1c"))
+        .select(explode(sequence(col("h0"), col("h1c"),
           expr("INTERVAL 1 HOUR"))).as("h"))
       val types = hourly.select(col("event_type")).distinct()
       // the broadcast belongs on the RIGHT side of the left-outer join
@@ -729,12 +758,19 @@ object EventQueries {
       // fact row) must land in a NULL bucket, not abort the job —
       // Spark's floor(double) RETURNS long, so the overflow happens
       // inside floor itself and try_cast around it can't help; the
-      // guard rejects NaN (between is false) and any quotient outside
-      // long range before floor runs (CaseWhen branches evaluate
-      // lazily). Identity on every sane value, same contract as
-      // centsLong.
+      // guard rejects NaN (between is false) and any out-of-range
+      // quotient before floor runs (CaseWhen branches evaluate
+      // lazily). The bound is ±3.68e17 — safely inside
+      // Long.MaxValue/25 — so BOTH long casts downstream of the guard
+      // are covered: floor's own double→long AND the bucket_lo
+      // multiply (r16 ADVICE: a finite value with |value| in
+      // (9.22e18, 2.3e20] passed the old ±9.2e18 quotient guard, then
+      // bucket*25 ANSI-aborted with ARITHMETIC_OVERFLOW — the exact
+      // crash class this guard claims to eliminate; the garbage-
+      // numerics corpus pins ±1e19 in that hole). Identity on every
+      // sane value, same contract as centsLong.
       val q = col("value") / 25.0
-      val bucket = when(q.between(-9.2e18, 9.2e18), floor(q))
+      val bucket = when(q.between(-3.68e17, 3.68e17), floor(q))
         .otherwise(lit(null).cast("long"))
       Scans.table(s, dir, "events")
         .groupBy(bucket.as("bucket"), (bucket * 25).as("bucket_lo"))
@@ -1910,10 +1946,19 @@ object EventQueries {
         // try_cast: a user whose purchase values were NaN/Infinity
         // propagates NaN into total_value, and ANSI cast would abort
         // the eval — the NULL mean for that garbage-valued variant is
-        // the honest answer; identity on finite money (centsLong doc)
+        // the honest answer; identity on finite money (centsLong doc).
+        // Magnitude guard on top (r16 ADVICE): cents survives try_cast
+        // up to ~9.2e18, but the 2*cents*100 integer multiplies then
+        // ANSI-overflow for |total_value| above ~4.6e16 — a garbage-
+        // but-finite variant sum (one 1e19 sensor value) still aborted
+        // the eval. |total_value| < 4.6e14 keeps 2*cents*100 at most
+        // 9.2e18 < Long.MaxValue with room for the +n_users rounding
+        // term; NaN/±Inf fail the compare and fall to the same NULL.
         .withColumn("mean_value",
-          expr("(2 * try_cast(round(total_value * 100) as bigint) * 100" +
-            " + n_users) div (2 * n_users)") / lit(10000.0))
+          when(abs(col("total_value")) < 4.6e14,
+            expr("(2 * try_cast(round(total_value * 100) as bigint) * 100" +
+              " + n_users) div (2 * n_users)") / lit(10000.0))
+            .otherwise(lit(null).cast("double")))
         .select(col("variant"), col("n_users"), col("total_value"),
           col("mean_value"))
         .orderBy(col("variant"))

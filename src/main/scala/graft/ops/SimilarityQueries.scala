@@ -383,11 +383,31 @@ object SimilarityQueries {
 
   /** Embeddings footer-schema fingerprint for the staged-layout memos —
     * the same signal [[readCellLayout]]'s schema memo keys on, so the
-    * staging and the read-back evict together. Analysis-only (no job);
-    * the session-shared FileStatusCache amortizes the re-listing.
+    * staging and the read-back evict together.
+    *
+    * Memoized per (path, mtime, length) (r16 ADVICE): the staged-layout
+    * lookup runs under the object monitor on every timed invocation of
+    * the three IVF queries, and re-resolving the table there (listing +
+    * footer schema read, even FileStatusCache-amortized) turned an O(1)
+    * memo hit into analysis work under a global lock. A stat is all a
+    * hit pays now. Eviction semantics are preserved: a recreated corpus
+    * rewrites `embeddings.parquet` (new mtime and, under a schema
+    * change, new length — a directory-shaped corpus bumps its root
+    * mtime on any child add/remove/rename), so the stat key misses and
+    * the footer is re-read. The known residual is a rename-in-place
+    * that preserves mtime AND byte length exactly (see the mtime note
+    * at the incremental-layout age gate) — that cannot change the
+    * schema without changing the footer bytes, hence the length.
     */
-  private def embSchemaFp(s: SparkSession, dir: String): String =
-    Scans.table(s, dir, "embeddings").schema.catalogString
+  private val embSchemaFpMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), String]
+
+  private def embSchemaFp(s: SparkSession, dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    embSchemaFpMemo.getOrElseUpdate(
+      (f.getPath, f.lastModified(), f.length()),
+      Scans.table(s, dir, "embeddings").schema.catalogString)
+  }
 
   /** Staged-layout memo lookup with schema eviction: serve the cached
     * staging only while the corpus's embeddings schema still matches

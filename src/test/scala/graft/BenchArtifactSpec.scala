@@ -414,15 +414,42 @@ class BenchArtifactSpec extends AnyFunSuite {
     } finally graft.exec.Fs.deleteTree(dir)
   }
 
-  test("calibration probe is positive and stable back-to-back") {
-    val a = Bench.calibrationProbeMs()
-    val b = Bench.calibrationProbeMs()
-    assert(a > 0 && b > 0, s"probe must time real work: $a, $b")
-    // two warm probes in the same (quiet or uniformly-loaded) JVM must
-    // sit well inside the 1.25x contention threshold, or the detector's
-    // signal would be its own noise
-    assert(math.max(a, b) / math.min(a, b) < 1.25,
-      s"probe unstable back-to-back: $a ms vs $b ms")
+  test("calibration probe is positive and stable across consecutive samples") {
+    // r16 ADVICE: asserting ONE live back-to-back pair inside the 1.25x
+    // contention threshold is flaky on exactly the host condition the
+    // probe exists to detect (steal/load contention, concurrent suite
+    // threads) — the gate then goes red spuriously. The evidence is now
+    // load-aware and multi-sample:
+    //   - 5 consecutive probes, spread = max/min over all of them (a
+    //     STRICTER statistic than one pair, so a quiet pass here is
+    //     stronger evidence for the 1.25x threshold's headroom);
+    //   - the tight quiet-floor assertion (< 1.15x, the measured
+    //     headroom PLANS.md records — itself inside the detector's
+    //     1.25x) applies only when the host is quiet at both ends
+    //     (1-min load < 1.5 on this 32-way box; committed quiet
+    //     records sit at ~0.35, the contended r16 run at 2.56);
+    //   - on a loaded host only a sanity ceiling (< 3x) holds — a
+    //     contended environment legitimately spreads the probe, and
+    //     this spec must not fail the tree for being run on the very
+    //     condition the production detector handles by RETAINING.
+    def load(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val l0 = load()
+    val ps = (1 to 5).map(_ => Bench.calibrationProbeMs())
+    val l1 = load()
+    assert(ps.forall(_ > 0), s"probe must time real work: $ps")
+    val spread = ps.max / ps.min
+    val quiet = l0 >= 0 && l1 >= 0 && math.max(l0, l1) < 1.5
+    info(f"probe samples ${ps.map(p => f"$p%.1f").mkString(", ")} ms; " +
+      f"spread $spread%.3fx; load $l0%.2f -> $l1%.2f; quiet=$quiet")
+    if (quiet)
+      assert(spread < 1.15,
+        f"quiet-host probe spread $spread%.3fx breaches the 1.15x floor " +
+          f"the 1.25x contention threshold's headroom rests on: $ps")
+    else
+      assert(spread < 3.0,
+        f"probe spread $spread%.3fx exceeds even the loaded-host sanity " +
+          f"ceiling: $ps (load $l0%.2f -> $l1%.2f)")
   }
 
   test("merge: contended baseline is the record's QUIETEST load sample (min of start/end)") {

@@ -177,7 +177,13 @@ class EmptyInputSpec extends SparkSpecBase {
     // float overflow) — and ANSI mode turns several otherwise-quiet
     // paths into runtime errors the moment a NaN reaches a cast or an
     // array index. events.value and lineitem's measure columns cycle
-    // {NaN, +Inf, -Inf, ±1e308, 0}; corpus embedding vectors (never
+    // {NaN, +Inf, -Inf, ±1e308, ±1e19, 0} — ±1e19 pins the
+    // HUGE-BUT-FINITE hole the r16 ADVICE named: it survives a
+    // double→long range guard sized to Long.MaxValue (±9.22e18 passes
+    // |value|≤2.3e20 through a /25 quotient guard) and then overflows
+    // the downstream integer multiply (the histogram's bucket*25, the
+    // A/B mean's 2*cents*100) unless those guards are sized to the
+    // multiply, not the cast; corpus embedding vectors (never
     // the probe vector 0 or the codebook rows 1..16, which keep the
     // normal paths live) get one all-NaN and one Infinity-bearing
     // vector. The contract stays "no query may crash" — NaN in, NaN
@@ -185,7 +191,7 @@ class EmptyInputSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.{col, element_at, lit, transform, typedLit, when}
     val poison =
       Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
-        1e308, -1e308, 0.0)
+        1e308, -1e308, 1e19, -1e19, 0.0)
     val dir = java.nio.file.Files.createTempDirectory("graft_degen_nan")
     tables.foreach { t =>
       val src = spark.read.parquet(s"$sfDir/$t.parquet").limit(300)
@@ -215,6 +221,97 @@ class EmptyInputSpec extends SparkSpecBase {
     val failures = sweep(dir.toString)
     assert(failures.isEmpty,
       s"queries crash on a NaN/Infinity corpus (${failures.size}):\n  " +
+        failures.mkString("\n  "))
+  }
+
+  test("every declared query executes bounded against a timestamp-extremes corpus") {
+    // Seventh shape: TIMESTAMP EXTREMES. A 100 TB event log WILL carry
+    // corrupted event times — a year-9999 sentinel that leaked out of a
+    // null-substitute, an uninitialized epoch-0, a pre-Gregorian
+    // garbage parse — and the failure class is NOT (only) a crash: a
+    // dense spine generated from min..max of event time
+    // (events_gap_fill's sequence) expands to ~70M rows per corrupt
+    // row, turning a bounded rollup into an unbounded generate. One
+    // bad row must not cost hours of cluster time. So this sweep gates
+    // a BUDGET, not just crash-freedom: every query must finish,
+    // publish a bounded result (<= 2M rows — the clamped gap_fill
+    // spine sits at ~400K, everything else orders of magnitude lower),
+    // and no single key may exceed a wall-clock ceiling. events.ts
+    // cycles a few rows through year-9999 / epoch-0 / year-1 while the
+    // rest keep real times (the one-bad-row-in-sane-data shape);
+    // lineitem and orders date columns get the same treatment.
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp, when}
+    val extremes = Seq("9999-12-31 23:00:00", "1970-01-01 00:00:00",
+      "0001-01-01 00:00:00")
+    def poisoned(ts: org.apache.spark.sql.Column,
+        id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      extremes.zipWithIndex.foldLeft(ts) { case (c, (x, i)) =>
+        when(id % 50 === i, to_timestamp(lit(x))).otherwise(c)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_ts")
+    tables.foreach { t =>
+      val raw = spark.read.parquet(s"$sfDir/$t.parquet").limit(300)
+      // normalize event time FIRST (the raw footer may carry ns-long or
+      // NTZ encodings — year 9999 does not FIT in nanosecond longs, so
+      // the poison must land on the µs-grain TimestampType the engine
+      // actually computes on; the written corpus then carries native
+      // timestamps, one of the encodings Scans.normalizeTs declares)
+      val out = t match {
+        case "events" =>
+          graft.exec.Scans.normalizeTs(raw)
+            .withColumn("ts", poisoned(col("ts"), col("event_id")))
+        case "lineitem" =>
+          graft.exec.Scans.normalizeTs(raw, "l_shipdate")
+            .withColumn("l_shipdate",
+              poisoned(col("l_shipdate"), col("l_orderkey")))
+        case "orders" =>
+          graft.exec.Scans.normalizeTs(raw, "o_orderdate")
+            .withColumn("o_orderdate",
+              poisoned(col("o_orderdate"), col("o_orderkey")))
+        case _ => raw
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    scratchCorpora += dir
+    // premise guard: the corrupt rows really landed (both directions)
+    val yrs = spark.read.parquet(s"$dir/events.parquet")
+      .select(org.apache.spark.sql.functions.year(col("ts")).as("y"))
+      .agg(org.apache.spark.sql.functions.min(col("y")).as("lo"),
+        org.apache.spark.sql.functions.max(col("y")).as("hi"))
+      .head()
+    assert(yrs.getInt(0) == 1 && yrs.getInt(1) == 9999,
+      s"extreme event times missing: year span ${yrs.getInt(0)}..${yrs.getInt(1)}")
+    val rowCap = 2000000L
+    val secCap = 120.0
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val t0 = System.nanoTime()
+          // count() first: the cardinality gate must fire BEFORE a
+          // collect() would haul an exploded result into the driver
+          // (the budget exists precisely for the unbounded-generate
+          // class — OOMing the suite is not a diagnosis); under the
+          // cap, collect() then evaluates every output column like the
+          // other sweeps (count alone lets Catalyst prune a final
+          // projection whose expression is the crash)
+          val df = fn(spark, dir.toString)
+          val n = df.count()
+          if (n <= rowCap) df.collect()
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (n > rowCap)
+            Some(f"$name: CARDINALITY $n rows > $rowCap budget " +
+              "(unbounded generate from a corrupt timestamp?)")
+          else if (secs > secCap)
+            Some(f"$name: TIME $secs%.1f s > $secCap%.0f s budget")
+          else None
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString.take(160)
+          Some(s"$name: ${e.getClass.getSimpleName}: $msg")
+        }
+    }
+    assert(failures.isEmpty,
+      s"queries break the timestamp-extremes budget (${failures.size}):\n  " +
         failures.mkString("\n  "))
   }
 
