@@ -1418,13 +1418,27 @@ object EventQueries {
         .groupBy(col("prev_type"), col("event_type"))
         .agg(count(lit(1)).as("n_transitions"))
       // p is an integer half-up quotient at 6 dp — round() of a ratio
-      // double is the non-portable step (see events_funnel)
+      // double is the non-portable step (see events_funnel).
+      // DECIMAL-WIDENED numerator: the share quotients whose numerator
+      // is a CORPUS-ROW/TOKEN-scale count (transitions ≈ events here;
+      // also pareto's power events, the per-day/per-cell event counts,
+      // zipf's cumulative token frequency) overflow `2*n*1000000` as
+      // LONG once n exceeds ~4.6e12 — a magnitude a fine-grained
+      // 100 TB log genuinely reaches, the same multiply-not-the-cast
+      // class as the value-histogram bucket. cast(n as decimal(38,0))
+      // makes the numerator exact to ~1e38 (n is a long, so ≤ 1.9e25
+      // reachable) while the published value is a SHARE (quotient
+      // ≤ 1e6 + 1), so the BIGINT result never overflows; identical
+      // long for every sane value (spec-pinned at the 9.2e18 ceiling).
+      // USER/DOC-scale quotients (funnel, langid, domain_mix) stay on
+      // the plain long path — their counts sit 2+ orders below the
+      // threshold at 100 TB.
       counts
         .withColumn("tot",
           sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
         .withColumn("p",
-          expr("(2 * n_transitions * 1000000 + tot) div (2 * tot)")
-            / lit(1000000.0))
+          expr("(2 * cast(n_transitions as decimal(38,0)) * 1000000 + tot)" +
+            " div (2 * tot)") / lit(1000000.0))
         .select(col("prev_type"), col("event_type").as("next_type"),
           col("n_transitions"), col("p"))
         .orderBy(col("prev_type"), col("next_type"))
@@ -1548,8 +1562,9 @@ object EventQueries {
         .withColumn("tot",
           sum(col("n_conversions")).over(Window.partitionBy()))
         .select(col("touch_type"), col("n_conversions"),
-          (expr("(2 * n_conversions * 1000000 + tot) div (2 * tot)")
-            / lit(1000000.0)).as("share"))
+          // decimal-widened corpus-scale numerator (events_markov doc)
+          (expr("(2 * cast(n_conversions as decimal(38,0)) * 1000000 + tot)" +
+            " div (2 * tot)") / lit(1000000.0)).as("share"))
         .orderBy(col("touch_type"))
     },
 
@@ -1739,8 +1754,9 @@ object EventQueries {
           coalesce(sum(when(col("n") >= col("t"), col("n"))), lit(0L))
             .cast("long").as("n_power_events"))
         .withColumn("power_share",
-          expr("(2 * n_power_events * 1000000 + n_events) div (2 * n_events)")
-            / lit(1000000.0))
+          // decimal-widened corpus-scale numerator (events_markov doc)
+          expr("(2 * cast(n_power_events as decimal(38,0)) * 1000000" +
+            " + n_events) div (2 * n_events)") / lit(1000000.0))
     },
 
     // ------------------------------------------------------------------
@@ -1786,8 +1802,9 @@ object EventQueries {
           sum(col("n")).cast("long").as("tot"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("new_user_events"), col("returning_events"),
-          (expr("(2 * new_user_events * 1000000 + tot) div (2 * tot)")
-            / lit(1000000.0)).as("new_share"))
+          // decimal-widened corpus-scale numerator (events_markov doc)
+          (expr("(2 * cast(new_user_events as decimal(38,0)) * 1000000 + tot)" +
+            " div (2 * tot)") / lit(1000000.0)).as("new_share"))
         .orderBy(col("day"))
     },
 
@@ -1816,8 +1833,9 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"))
         .withColumn("tot", sum(col("n_events")).over(Window.partitionBy()))
         .select(col("dow"), col("hod"), col("n_events"),
-          (expr("(2 * n_events * 1000000 + tot) div (2 * tot)")
-            / lit(1000000.0)).as("share"))
+          // decimal-widened corpus-scale numerator (events_markov doc)
+          (expr("(2 * cast(n_events as decimal(38,0)) * 1000000 + tot)" +
+            " div (2 * tot)") / lit(1000000.0)).as("share"))
         .orderBy(col("dow"), col("hod"))
     },
 

@@ -2114,12 +2114,18 @@ object TextQueries {
         .crossJoin(broadcast(tot))
         // integer half-up quotient (cumulative freq and total are exact
         // LONGs; total >= 1 whenever a top row exists) — the
-        // round()-of-ratio class the jaccard keys shed
+        // round()-of-ratio class the jaccard keys shed. The numerator
+        // is TOKEN-scale (top Zipfian terms cover several percent of
+        // the corpus each, so cum_freq reaches ~1e13 on 100 TB of
+        // text — past the ~4.6e12 ceiling where 2*n*1000000 overflows
+        // LONG): decimal-widened like the corpus-scale event shares
+        // (rationale at events_markov_transitions); the published
+        // share quotient stays ≤ 1e6, value-identical on sane counts.
         .withColumn("cum_freq",
           sum(col("freq")).over(Window.orderBy(col("rank"))))
         .withColumn("cum_share",
-          expr("(2 * cum_freq * 1000000 + total) div (2 * total)")
-            / lit(1000000.0))
+          expr("(2 * cast(cum_freq as decimal(38,0)) * 1000000 + total)" +
+            " div (2 * total)") / lit(1000000.0))
         .select(col("rank"), col("term"), col("freq"), col("cum_share"))
         .orderBy(col("rank"))
     },

@@ -24,6 +24,40 @@ class QueriesSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"headline keys with no query: $missing")
   }
 
+  test("decimal-widened share quotients survive corpus-scale counts") {
+    // The corpus-row/token-scale share quotients (markov, pareto,
+    // attribution, new-vs-returning, seasonality, zipf) compute
+    // (2*n*1000000 + d) div (2*d) with n cast to DECIMAL(38,0): the
+    // plain LONG numerator ANSI-overflows once n exceeds ~4.6e12 — a
+    // top Zipfian term's cumulative frequency on 100 TB of text, or a
+    // multi-trillion-row event rollup. Pin all three contract points:
+    // the long path really does abort at that scale (the hazard is
+    // real, not hypothetical), the decimal path survives it with the
+    // exact half-up value, and the two paths agree on sane counts.
+    def dec(n: Long, d: Long): Long =
+      spark.sql(s"SELECT (2 * cast(${n}L as decimal(38,0)) * 1000000" +
+        s" + ${d}L) div (2 * ${d}L) AS q").head().getLong(0)
+    // realistic 100 TB text scale: 5e12 of 2.5e13 tokens = 20% share
+    assert(dec(5000000000000L, 25000000000000L) == 200000L)
+    // absolute ceiling: n = d near Long.MaxValue/2 → share exactly 1
+    assert(dec(4600000000000000000L, 4600000000000000000L) == 1000000L)
+    // identity with the long path across the sane range
+    for ((n, d) <- Seq((0L, 7L), (1L, 3L), (12345L, 777L),
+        (999999999L, 1000000000L), (4000000000000L, 4000000000001L))) {
+      val long = spark.sql(s"SELECT (2 * ${n}L * 1000000 + ${d}L)" +
+        s" div (2 * ${d}L) AS q").head().getLong(0)
+      assert(dec(n, d) == long, s"decimal/long divergence at ($n, $d)")
+    }
+    // and the hazard itself: the unwidened long numerator aborts under
+    // ANSI at the same scale the decimal path just served
+    val e = intercept[Exception] {
+      spark.sql("SELECT (2 * 5000000000000L * 1000000 + 25000000000000L)" +
+        " div (2 * 25000000000000L)").head()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("ARITHMETIC_OVERFLOW"),
+      s"expected the long path to overflow, got: ${e.getMessage}")
+  }
+
   // sim_lsh_topk may legitimately return few rows at tiny scale (bucket
   // sparsity); everything else must produce data at sf0.001.
   private val mayBeSparse = Set("sim_lsh_topk")
