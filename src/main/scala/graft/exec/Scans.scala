@@ -62,6 +62,52 @@ object Scans {
     else n
   }
 
+  /** Spread an under-split scan across the session's cores before
+    * CPU-heavy per-row work (fused text kernels, signature hashing,
+    * image decode). A single-file, single-row-group parquet table — the
+    * local corpus shape — is UNSPLITTABLE below one task (Spark assigns
+    * row groups by split midpoint), so every expression in the scan
+    * stage runs on one core while the rest idle; the guide's unsplittable-
+    * input remedy is a round-robin repartition immediately after the
+    * read (§2.5). Scale-adaptive, not a local constant: when the scan
+    * already carries at least the session's parallelism (any real multi-
+    * file corpus), this is the identity — no exchange is added at scale,
+    * and the local exchange only moves the pruned columns the caller
+    * selected. Apply AFTER projecting to the columns the kernel needs,
+    * so the exchange ships a proxy-sized row, never an unpruned payload.
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    spreadBytes(spark, df, -1L)
+
+  /** [[spread]] with the source's on-disk byte size known to the caller
+    * (pass -1 when unknown): the scan's split count is estimated as
+    * ceil(bytes / maxPartitionBytes) — the planner's own split rule —
+    * so the at-scale identity check costs a stat, not a physical-plan
+    * build per invocation. Unknown size falls back to spreading (the
+    * local corpora are all single-file; a mis-fired repartition of an
+    * already-wide scan costs one balanced exchange, never correctness).
+    */
+  def spreadBytes(spark: SparkSession, df: DataFrame, bytes: Long): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .flatMap(v => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+      .getOrElse(128L * 1024 * 1024)
+    val estSplits = if (bytes < 0) 1L else (bytes + maxSplit - 1) / maxSplit
+    if (estSplits >= cores) df else df.repartition(cores)
+  }
+
+  /** On-disk size of one testdata table (file or directory), for
+    * [[spreadBytes]]'s split estimate. */
+  def tableBytes(sfDir: String, name: String): Long = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    if (f.isFile) f.length()
+    else if (f.isDirectory)
+      Option(f.listFiles()).map(_.iterator.filter(_.isFile).map(_.length()).sum)
+        .getOrElse(-1L)
+    else -1L
+  }
+
   /** Explicit-column-list projection, excluding computed / column-set /
     * rowversion columns — reference `CopyInfo.cs:24-27` (select-list
     * generation) + `TableInfoCollector.cs:391-414` (exclusion policy).

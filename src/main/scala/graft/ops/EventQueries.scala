@@ -731,7 +731,12 @@ object EventQueries {
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val k = get_json_object(col("props"), "$.k").cast("long")
-      Scans.table(s, dir, "events")
+      // spread before the per-row JSON parse — the query's dominant
+      // cost, serialized by the local single-row-group scan otherwise
+      // (identity on an already-split corpus; see Scans.spread)
+      Scans.spreadBytes(s, Scans.table(s, dir, "events")
+          .select(col("event_type"), col("props")),
+          Scans.tableBytes(dir, "events"))
         .select(col("event_type"), k.as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),

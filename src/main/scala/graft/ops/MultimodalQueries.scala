@@ -316,25 +316,33 @@ object MultimodalQueries {
         |ORDER BY doc_id, media_type""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = mediaTable(s, dir).as[MediaRecord]
-      // ONE scan, one executor pass per partition: each record yields its
-      // stub 'video' features AND one real-decode sibling per still-image
-      // format — payloads are encoded and immediately decoded through
-      // ImageIO on the executor (fixture synthesis stands in for reading
-      // media files; the decodes are the genuine article). Metadata dims
-      // on the image records are deliberately 0 — each decoder must
-      // recover them from the pixels.
-      media.mapPartitions(_.flatMap { r =>
-          Iterator(
-            decodeStub(MediaRecord(r.doc_id, "video", r.blob,
-              r.width, r.height, r.channels)),
-            decodeImage(MediaRecord(r.doc_id, "png",
-              RasterFixtures.encode("png", r.doc_id), 0, 0, 3)),
-            decodeImage(MediaRecord(r.doc_id, "bmp",
-              RasterFixtures.encode("bmp", r.doc_id), 0, 0, 3)),
-            decodeImage(MediaRecord(r.doc_id, "gif",
-              RasterFixtures.encode("gif", r.doc_id), 0, 0, 3)),
-            decodeJpegBounded(r.doc_id))
-        })
+      // Two branches, split by what each actually consumes. The stub
+      // 'video' branch needs the payload bytes, so it rides the scan
+      // partition-local (blobs never shuffle). The four real-decode
+      // branches need ONLY the id — payloads are synthesized from it on
+      // the executor — so their ids are spread round-robin across the
+      // session's cores before the CPU-heavy ImageIO work: the corpus
+      // arrives as one unsplittable row group locally (single-file scan
+      // = one task), which serialized every decode on one core while 31
+      // idled. Repartitioning the 8-byte id column is the
+      // shuffle-the-proxy-not-the-payload form; at scale the max() keeps
+      // an already-split scan's width instead of shrinking it.
+      val stub = media.map(r => decodeStub(MediaRecord(r.doc_id, "video",
+        r.blob, r.width, r.height, r.channels)))
+      val ids = mediaTable(s, dir).select(col("doc_id"))
+      val nPart = math.max(s.sparkContext.defaultParallelism,
+        ids.rdd.getNumPartitions)
+      val imgs = ids.repartition(nPart).as[Long].mapPartitions(_.flatMap { id =>
+        Iterator(
+          decodeImage(MediaRecord(id, "png",
+            RasterFixtures.encode("png", id), 0, 0, 3)),
+          decodeImage(MediaRecord(id, "bmp",
+            RasterFixtures.encode("bmp", id), 0, 0, 3)),
+          decodeImage(MediaRecord(id, "gif",
+            RasterFixtures.encode("gif", id), 0, 0, 3)),
+          decodeJpegBounded(id))
+      })
+      stub.unionAll(imgs)
         .toDF()
         .orderBy(col("doc_id"), col("media_type"))
     },
@@ -494,9 +502,11 @@ object MultimodalQueries {
       // Null-id guard (mirrored in the oracle's WHERE): a pair needs a
       // document key, and a NULL would fail the non-nullable Long
       // encoder mid-job instead of at admission.
-      val images = Scans.table(s, dir, "documents")
-        .filter(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
+      val images = Scans.spreadBytes(s, Scans.table(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id")), Scans.tableBytes(dir, "documents")).as[Long]
+        // spread the 8-byte ids before the real encode+decode pass —
+        // the same unsplittable-scan fix as multimodal_decode
         .mapPartitions(_.map { id =>
           decodeImage(MediaRecord(id, "png", RasterFixtures.encode("png", id), 0, 0, 3))
         })

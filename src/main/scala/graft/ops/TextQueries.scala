@@ -185,6 +185,17 @@ object TextQueries {
   private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
   private val toksDuck  = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
 
+  /** The documents scan spread to session width (Scans.spread) — used
+    * by every key whose first stage runs a per-document kernel
+    * (tokenize / shingle-digest / regex) heavy enough that the local
+    * single-row-group scan's one task would serialize it on one core.
+    * Identity on an already-split corpus; Catalyst prunes the exchange
+    * to the columns the kernel actually reads.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Scans.spreadBytes(s, Scans.table(s, dir, "documents"),
+      Scans.tableBytes(dir, "documents"))
+
   /** text_bm25_topk's fixed query: one rare term (`dup` appears only in
     * the synthetic corpus's duplicated documents) + two common ones, so
     * the (N−df+½)/(df+½) rarity weight separates documents instead of
@@ -878,7 +889,12 @@ object TextQueries {
              |  THEN transform(sequence(1, size($toksSpark) - 7),
              |         i -> md5(array_join(slice($toksSpark, i, 8), ' ')))
              |  ELSE cast(array() AS array<string>) END""".stripMargin)
-      def docsHs = Scans.table(s, dir, "documents")
+      // spread BEFORE the digest kernel: both passes run the fused
+      // tokenize→shingle→md5 kernel over every document, and the local
+      // single-row-group scan would serialize that on one core
+      // (Scans.spread is the identity on an already-split corpus)
+      def docsHs = Scans.spreadBytes(s, Scans.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), Scans.tableBytes(dir, "documents"))
         .select(col("doc_id"), col("text"), hsCol.as("hs"))
       val perDoc = docsHs
         .select(col("doc_id"), explode(col("hs")).as("h"))
@@ -944,7 +960,7 @@ object TextQueries {
          |         / 1000000.0 AS jaccard
          |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin) { (s, dir) =>
-      val toks = Scans.table(s, dir, "documents")
+      val toks = docsSpread(s, dir)
         .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
       // integer half-up quotient at 6 dp: both counts are exact ints,
       // so the published grid value is engine-identical — round() of the
@@ -1130,7 +1146,7 @@ object TextQueries {
          |  JOIN tsets tb ON tb.doc_id = c.doc_b) v
          |WHERE greatest(contain_a, contain_b) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val tsets = Scans.table(s, dir, "documents")
+      val tsets = docsSpread(s, dir)
         .select(col("doc_id"), expr(s"array_distinct($toksSpark)").as("ts"))
       lshCandidates(s, dir)
         .join(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), Seq("doc_a"))
@@ -1229,6 +1245,12 @@ object TextQueries {
       val docs = Scans.table(s, dir, "documents")
         .select(col("doc_id"), substring(lower(col("text")), 1, 80).as("p"))
       docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        // spread the DP work: the O(80·80) edit-distance kernel runs
+        // twice per pair in the projection below, and the tiny id-keyed
+        // join otherwise coalesces to one post-shuffle partition
+        // (serializing the only expensive expression in the query); the
+        // exchange ships 160-char prefix pairs — proxy-sized rows
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.p"), col("b.p")).cast("long").as("prefix_dist"),
           round(lit(1.0) - levenshtein(col("a.p"), col("b.p")) * lit(1.0) /
@@ -1333,7 +1355,7 @@ object TextQueries {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val perDoc = Scans.table(s, dir, "documents")
+      val perDoc = docsSpread(s, dir)
         .select(col("doc_id") +:
           expr(s"size($toksSpark)").cast("double").as("dl") +:
           bm25Terms.zipWithIndex.map { case (t, i) =>
@@ -1851,7 +1873,9 @@ object TextQueries {
          |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM clean)
          |         AS sum_clean_ids""".stripMargin) { (s, dir) =>
       val docs = Scans.table(s, dir, "documents")
-      val sh = docs.select(col("doc_id"), expr(toksSpark).as("tk"))
+      // the 5-gram shingle kernel below is the query's dominant per-row
+      // cost — spread it; the count-only reads of `docs` stay unspread
+      val sh = docsSpread(s, dir).select(col("doc_id"), expr(toksSpark).as("tk"))
         .select(col("doc_id"), explode(expr(
           // try_element_at, not element_at: a short doc (<5 tokens)
           // contributes one partial shingle from whatever tokens exist

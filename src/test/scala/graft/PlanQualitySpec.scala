@@ -803,4 +803,38 @@ class PlanQualitySpec extends SparkSpecBase {
     try assert(SimilarityQueries.retrainTau(spark) == 2.5)
     finally spark.conf.unset(SimilarityQueries.RetrainTauKey)
   }
+
+  test("spread engages only on under-split scans (identity at scale)") {
+    // the r17 unsplittable-scan fix: a local single-row-group table
+    // spreads to session width before a CPU-heavy kernel, but a corpus
+    // whose byte size already yields >= cores splits must pass through
+    // UNTOUCHED — the helper is a local-parallelism remedy, never an
+    // extra exchange at scale
+    import graft.exec.Scans
+    import org.apache.spark.sql.functions.col
+    val docs = Scans.table(spark, sfDir, "documents").select(col("doc_id"))
+    val spreadPlan = Scans.spreadBytes(spark, docs,
+        Scans.tableBytes(sfDir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains("RoundRobinPartitioning"),
+      s"under-split scan not spread:\n${spreadPlan.take(500)}")
+    val identPlan = Scans.spreadBytes(spark, docs, 1024L * 1024 * 1024 * 1024)
+      .queryExecution.executedPlan.toString
+    assert(!identPlan.contains("RoundRobinPartitioning"),
+      s"already-split scan got a gratuitous exchange:\n${identPlan.take(500)}")
+  }
+
+  test("multimodal_decode fans the decode branch out on ids, never payloads") {
+    // the decode redesign's §8 contract: the ImageIO branch repartitions
+    // the 8-byte doc_id column only — the round-robin exchange must have
+    // a single-column input (a regression that routed the blob or text
+    // through it would shuffle payload bytes to buy CPU spread)
+    val qe = SparkEntry.queries("multimodal_decode")(spark, sfDir)
+      .queryExecution
+    val formatted = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val rr = """Exchange\nInput \[1\]: \[doc_id#\d+L\]\nArguments: RoundRobinPartitioning""".r
+    assert(rr.findFirstIn(formatted).isDefined,
+      s"decode fan-out exchange is not id-only:\n${formatted.take(3000)}")
+  }
 }
