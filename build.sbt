@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through VERBATIM instead of
+// re-logging each line with an "[info] " / "[error] " prefix: the bench
+// contract is ONE parseable JSON line on stdout, and the default
+// LoggedOutput decoration made `sbt "runMain graft.Bench"` emit
+// `[info] {"metric":...}` — a line no strict JSON consumer accepts
+// (the driver's per-query PERF table has been empty since r13 for
+// exactly this reason). Output-plumbing only: timing, methodology and
+// the printed line itself are unchanged.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -926,7 +926,18 @@ object Bench {
     // runs-per-pass), not the raw env request — ceil-division can round
     // the request up, and a trend-reader normalizing by runs must not
     // work from a count the run didn't take
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${candidate.size},"sf":"$sfDir","runs":${passes * runsPerPass},"passes":$passes}""")
+    val stdoutLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","materialize":"noop","queries":$qs,"n_queries":${candidate.size},"sf":"$sfDir","runs":${passes * runsPerPass},"passes":$passes}"""
+    // The driver's bench parser needs this line UNDECORATED (an sbt
+    // "[info] " prefix made every round's per-query PERF table come up
+    // empty since r13). Three delivery paths, same bytes: stdout (raw —
+    // build.sbt routes the forked JVM's output through verbatim), a
+    // stable file any consumer can read without parsing logs at all,
+    // and stderr as belt-and-braces for a harness that captures only
+    // one of the two streams.
+    writeTo("target/bench_line.json", stdoutLine)
+    println(stdoutLine)
+    System.err.println(stdoutLine)
     spark.stop()
   }
 }

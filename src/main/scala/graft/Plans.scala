@@ -18,6 +18,11 @@ object Plans {
     // could differ from the shipped ones
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR") // plans only — keep output clean
+    // Optional at-scale simulation: shrink the split size so the local
+    // corpus estimates to >= cores scan splits — the shape spreadBytes'
+    // identity guarantee claims at 100 TB (e.g. SPARK_GRAFT_PLANS_MAXSPLIT=1024).
+    sys.env.get("SPARK_GRAFT_PLANS_MAXSPLIT")
+      .foreach(v => spark.conf.set("spark.sql.files.maxPartitionBytes", v))
     val keys =
       if (args.nonEmpty) args.toSeq
       else Seq("scan_project", "scan_physical_partition", "join_broadcast_dim",

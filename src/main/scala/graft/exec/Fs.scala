@@ -46,6 +46,39 @@ object Fs {
     }
   }
 
+  /** Base directory for THROWAWAY run-scoped scratch (streaming replay
+    * sinks + checkpoints, CDC staging): `SPARK_GRAFT_SCRATCH` when set,
+    * else a RAM-backed tmpfs (`/dev/shm`) when one is writable, else
+    * `java.io.tmpdir`. The replay scratch is deleted inside the same
+    * invocation that created it, so cross-process durability was never
+    * part of its contract — but every micro-batch pays the checkpoint
+    * WAL's create-write-rename cycle and the state store's delta-file
+    * churn against this filesystem, a fixed per-batch I/O cost that a
+    * disk-backed /tmp charges to every replay. A deployment whose
+    * checkpoints must survive the machine sets SPARK_GRAFT_SCRATCH (or
+    * uses the real pipeline entrypoints, which take explicit checkpoint
+    * locations). Resolved once per JVM.
+    */
+  lazy val scratchBase: java.nio.file.Path = {
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp")))
+    java.nio.file.Files.createDirectories(base)
+    base
+  }
+
+  /** A fresh throwaway scratch directory under [[scratchBase]] —
+    * drop-in for `Files.createTempDirectory(prefix)` at the replay
+    * sites, same uniqueness contract. */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchBase, prefix)
+
   private val exitPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   private lazy val exitHook: Unit =

@@ -98,14 +98,18 @@ object Scans {
   }
 
   /** On-disk size of one testdata table (file or directory), for
-    * [[spreadBytes]]'s split estimate. */
+    * [[spreadBytes]]'s split estimate. Directories are walked
+    * RECURSIVELY: a nested / hive-partitioned layout keeps all its data
+    * files below partition subdirectories, so a top-level-only sum read
+    * ~0 bytes and mis-fired the spread exchange on an already-wide
+    * corpus — the exact at-scale-identity guarantee spreadBytes exists
+    * to keep. */
   def tableBytes(sfDir: String, name: String): Long = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.iterator.map(sizeOf).sum).getOrElse(0L)
     val f = new java.io.File(s"$sfDir/$name.parquet")
-    if (f.isFile) f.length()
-    else if (f.isDirectory)
-      Option(f.listFiles()).map(_.iterator.filter(_.isFile).map(_.length()).sum)
-        .getOrElse(-1L)
-    else -1L
+    if (f.isFile || f.isDirectory) sizeOf(f) else -1L
   }
 
   /** Explicit-column-list projection, excluding computed / column-set /

@@ -82,7 +82,7 @@ object EventQueries {
     * dir per run would accumulate.
     */
   private def stageEventsDir(dir: String): java.nio.file.Path = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    val streamDir = graft.exec.Fs.scratchDir("graft_cdc_stream")
     // a throw AFTER the mkdir but before the caller's try/finally is
     // armed must not leak the fresh dir (callers stage OUTSIDE their
     // replay try block — the helper owns cleanup until it returns)
@@ -116,7 +116,7 @@ object EventQueries {
   private def stageSentinelSource(
       s: SparkSession, dir: String, prefix: String,
       extras: Seq[(String, Column)]): java.nio.file.Path = {
-    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    val streamDir = graft.exec.Fs.scratchDir(prefix)
     try {
       val eventsLink = streamDir.resolve("a_events.parquet")
       java.nio.file.Files.createSymbolicLink(eventsLink,
@@ -215,7 +215,7 @@ object EventQueries {
     */
   private def fileSinkReplay(s: SparkSession, streamed: DataFrame)
       (recover: DataFrame => DataFrame): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    val scratch = graft.exec.Fs.scratchDir("graft_stream_sink")
     try {
       val q = streamed.writeStream.format("parquet")
         .option("path", scratch.resolve("sink").toString)
@@ -937,7 +937,7 @@ object EventQueries {
       val s: SparkSession = cappedSession(s0, 8)
       import s.implicits._
       import graft.streaming.EventStreams
-      val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_restart")
+      val scratch = graft.exec.Fs.scratchDir("graft_cdc_restart")
       try {
         val srcDir = java.nio.file.Files.createDirectory(scratch.resolve("src"))
         val target =
@@ -1035,7 +1035,7 @@ object EventQueries {
       // the partition count is sized to the continuous key throughput
       // instead; the join itself is identical.
       val ss = cappedSession(s, 4)
-      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      val scratch = graft.exec.Fs.scratchDir("graft_stream_join")
       try {
         // Pre-split the two sides ONCE into separate staged sources —
         // one filtering scan up front, so no micro-batch re-scans the
@@ -1191,7 +1191,7 @@ object EventQueries {
       // same 8-partition child-session cap as the other keyed replays
       val s: SparkSession = cappedSession(s0, 8)
       import graft.streaming.EventStreams
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+      val streamDir = graft.exec.Fs.scratchDir("graft_dedup_stream")
       try {
         val target =
           java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
@@ -1603,7 +1603,7 @@ object EventQueries {
       // same keyed-replay partition cap as the other stateful replays
       val s: SparkSession = cappedSession(s0, 8)
       import graft.streaming.EventStreams
-      val scratch = java.nio.file.Files.createTempDirectory("graft_attr_stream")
+      val scratch = graft.exec.Fs.scratchDir("graft_attr_stream")
       try {
         // FULL microsecond grain — the oracle's ORDER BY ts, event_id
         // sorts on µs timestamps, so the replay must order on the same

@@ -325,14 +325,15 @@ object MultimodalQueries {
       // arrives as one unsplittable row group locally (single-file scan
       // = one task), which serialized every decode on one core while 31
       // idled. Repartitioning the 8-byte id column is the
-      // shuffle-the-proxy-not-the-payload form; at scale the max() keeps
-      // an already-split scan's width instead of shrinking it.
+      // shuffle-the-proxy-not-the-payload form; spreadBytes gates the
+      // exchange on the under-split test, so a multi-split corpus keeps
+      // its scan width and pays NO shuffle at scale (and plan build no
+      // longer forces a DataFrame→RDD conversion per invocation).
       val stub = media.map(r => decodeStub(MediaRecord(r.doc_id, "video",
         r.blob, r.width, r.height, r.channels)))
-      val ids = mediaTable(s, dir).select(col("doc_id"))
-      val nPart = math.max(s.sparkContext.defaultParallelism,
-        ids.rdd.getNumPartitions)
-      val imgs = ids.repartition(nPart).as[Long].mapPartitions(_.flatMap { id =>
+      val ids = Scans.spreadBytes(s, mediaTable(s, dir).select(col("doc_id")),
+        Scans.tableBytes(dir, "documents"))
+      val imgs = ids.as[Long].mapPartitions(_.flatMap { id =>
         Iterator(
           decodeImage(MediaRecord(id, "png",
             RasterFixtures.encode("png", id), 0, 0, 3)),

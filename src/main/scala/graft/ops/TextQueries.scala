@@ -1244,13 +1244,18 @@ object TextQueries {
         |ORDER BY doc_a""".stripMargin) { (s, dir) =>
       val docs = Scans.table(s, dir, "documents")
         .select(col("doc_id"), substring(lower(col("text")), 1, 80).as("p"))
-      docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-        // spread the DP work: the O(80·80) edit-distance kernel runs
-        // twice per pair in the projection below, and the tiny id-keyed
-        // join otherwise coalesces to one post-shuffle partition
-        // (serializing the only expensive expression in the query); the
-        // exchange ships 160-char prefix pairs — proxy-sized rows
-        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      // spread the DP work: the O(80·80) edit-distance kernel runs
+      // twice per pair in the projection below, and on the local
+      // single-split corpus AQE coalesces the tiny id-keyed join to one
+      // post-shuffle partition (serializing the only expensive
+      // expression in the query); the exchange ships 160-char prefix
+      // pairs — proxy-sized rows. spreadBytes gates it on the same
+      // under-split test as every other spread site, so a multi-split
+      // corpus — whose join output is already wide — pays NO extra
+      // shuffle and keeps AQE's own width at scale.
+      Scans.spreadBytes(s, pairs, Scans.tableBytes(dir, "documents"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.p"), col("b.p")).cast("long").as("prefix_dist"),
           round(lit(1.0) - levenshtein(col("a.p"), col("b.p")) * lit(1.0) /

@@ -813,15 +813,57 @@ class PlanQualitySpec extends SparkSpecBase {
     import graft.exec.Scans
     import org.apache.spark.sql.functions.col
     val docs = Scans.table(spark, sfDir, "documents").select(col("doc_id"))
-    val spreadPlan = Scans.spreadBytes(spark, docs,
-        Scans.tableBytes(sfDir, "documents"))
-      .queryExecution.executedPlan.toString
-    assert(spreadPlan.contains("RoundRobinPartitioning"),
-      s"under-split scan not spread:\n${spreadPlan.take(500)}")
+    // the under-split branch requires estSplits(1) < cores; on a
+    // single-core runner spreadBytes is (correctly) the identity there
+    // too, so only assert engagement when the session has width to
+    // spread into (the identity half below holds on any runner)
+    if (spark.sparkContext.defaultParallelism > 1) {
+      val spreadPlan = Scans.spreadBytes(spark, docs,
+          Scans.tableBytes(sfDir, "documents"))
+        .queryExecution.executedPlan.toString
+      assert(spreadPlan.contains("RoundRobinPartitioning"),
+        s"under-split scan not spread:\n${spreadPlan.take(500)}")
+    }
     val identPlan = Scans.spreadBytes(spark, docs, 1024L * 1024 * 1024 * 1024)
       .queryExecution.executedPlan.toString
     assert(!identPlan.contains("RoundRobinPartitioning"),
       s"already-split scan got a gratuitous exchange:\n${identPlan.take(500)}")
+  }
+
+  test("tableBytes walks partitioned layouts recursively") {
+    // a hive-partitioned table keeps its data files below partition
+    // subdirectories; a top-level-only sum read ~0 bytes and mis-fired
+    // the spread exchange on an already-wide corpus
+    import graft.exec.Scans
+    val root = java.nio.file.Files.createTempDirectory("graft_tb").toFile
+    try {
+      val t = new java.io.File(root, "nested.parquet/part=a")
+      assert(t.mkdirs())
+      java.nio.file.Files.write(new java.io.File(t, "f1.parquet").toPath,
+        Array.fill[Byte](4096)(1))
+      assert(Scans.tableBytes(root.getPath, "nested") == 4096L,
+        "nested data file not counted")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(root)
+    }
+  }
+
+  test("gated repartitions are the identity at scale (multimodal_decode, dedup_levenshtein)") {
+    // the two r17 spread sites that used to repartition UNCONDITIONALLY
+    // now route through spreadBytes: under a split size small enough
+    // that the corpus estimates to >= cores scan splits (the at-scale
+    // shape), neither query may add a RoundRobin exchange
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    for (key <- Seq("multimodal_decode", "dedup_levenshtein")) {
+      val p = SparkEntry.queries(key)(s2, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("RoundRobinPartitioning"),
+        s"$key still repartitions on an already-wide corpus:\n${p.take(800)}")
+    }
   }
 
   test("multimodal_decode fans the decode branch out on ids, never payloads") {
