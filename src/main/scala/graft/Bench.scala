@@ -328,7 +328,15 @@ object Bench {
     *     "doubling" between two quiet runs is noise, not contention),
     *     OR the single-thread calibration probe runs >= 1.25× slower
     *     than the record's (co-tenant / hypervisor-steal contention
-    *     slows the host without raising THIS vm's load average);
+    *     slows the host without raising THIS vm's load average). The
+    *     1.25 factor was re-examined in r18 against a proposed 1.18
+    *     tightening and KEPT: the r18 session measured the host's
+    *     quiet-window baseline itself drifting 15.6 → 18.4–18.8 ms
+    *     (1.18×) between days with zero contention signature (load
+    *     0.06–0.8 stable for hours, independent probe steady), so a
+    *     1.18 threshold would flag legitimate day-to-day baseline
+    *     drift as contention and block the streak-resetting refreshes
+    *     the ≤3 retention gate depends on;
     *   - it is slower on a supermajority (>= 70%) of the keys both
     *     records carry — a hot host inflates diffusely across the whole
     *     suite (the documented host-noise signature), while a genuine

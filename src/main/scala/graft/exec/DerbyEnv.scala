@@ -23,7 +23,13 @@ object DerbyEnv {
     * truncating — each query stages its own tables anyway.
     */
   lazy val home: String = {
-    val h = s"${System.getProperty("java.io.tmpdir")}/graft_derby_" +
+    // the home rides Fs.scratchBase (SPARK_GRAFT_SCRATCH, else a
+    // writable RAM-backed tmpfs, else java.io.tmpdir): every Derby
+    // commit fsyncs its transaction log against this filesystem — the
+    // same per-operation durability I/O the streaming checkpoint WAL
+    // pays — and the per-pid databases are throwaway by construction
+    // (deleted at exit, unreachable by any later process)
+    val h = s"${Fs.scratchBase}/graft_derby_" +
       s"${java.lang.ProcessHandle.current().pid()}"
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", h)
@@ -68,7 +74,7 @@ object DerbyEnv {
     */
   def scratchDbRoot(prefix: String): java.nio.file.Path = {
     home // ensure the engine boots with a home even for scratch DBs
-    val root = java.nio.file.Files.createTempDirectory(prefix)
+    val root = Fs.scratchDir(prefix)
     // belt for interrupted runs: the happy path deletes via
     // shutdownAndDelete's finally, but a Ctrl-C between create and
     // finally would otherwise leak one uniquely-named Derby scratch DB

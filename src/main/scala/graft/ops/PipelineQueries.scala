@@ -22,9 +22,21 @@ object PipelineQueries {
   // never share a destination path — a concurrent overwrite-then-read
   // surfaces as FileNotFound mid-scan or a silent cross-corpus row mix,
   // indistinguishable from a real correctness failure.
-  private[graft] def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_dest_" +
-      s"${java.lang.ProcessHandle.current().pid()}/$name"
+  // A tmpfs destination was A/B'd and came out FLAT (−1.5% over the 9
+  // write keys, within window noise): batch parquet writes commit via
+  // rename with no fsync, so the OS page cache already absorbs them —
+  // unlike the streaming checkpoint WAL, whose fsync-per-batch is why
+  // the replay scratch moved. Destinations stay under java.io.tmpdir;
+  // the per-pid root is garbage once this process ends and is now
+  // registered for exit cleanup (it used to leak one copy per process).
+  private lazy val destRoot: String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dest_" +
+      java.lang.ProcessHandle.current().pid()
+    graft.exec.Fs.deleteOnExit(java.nio.file.Paths.get(root))
+    root
+  }
+
+  private[graft] def tmp(name: String): String = s"$destRoot/$name"
 
   /** Source dirs whose fragmented compaction input is already staged —
     * fragmenting is test setup for pipeline_compact, not the measured
