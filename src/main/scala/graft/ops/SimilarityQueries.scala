@@ -1327,9 +1327,14 @@ object SimilarityQueries {
       val edges = candidatePairs(s, dir).filter(col("cos_sim") >= 0.22)
         .select(col("src_id").as("src"), col("nbr_id").as("dst"))
         .localCheckpoint(true)
+      // initial labels get a half-round head start: min over the node's
+      // own id and its incoming edge sources — exactly one propagation
+      // step fused into the initial materialization (same fixpoint, one
+      // grouped min instead of a full round's agg + two joins + observe)
       var labels = Scans.table(s, dir, "embeddings")
-        .select(col("vec_id").as("node"))
-        .select(col("node"), col("node").as("label"))
+        .select(col("vec_id").as("node"), col("vec_id").as("label"))
+        .unionAll(edges.select(col("dst").as("node"), col("src").as("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       // Pointer jumping converges in O(log diameter) ⊆ O(log n) rounds,
       // so the runaway backstop is derived from the node count (+ slack)
